@@ -1,13 +1,488 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.Dedup
+import graft.lagops.{ArrayLag, LagMatrix, LagSpec, Lead, Rolling}
+import graft.multimodal.Multimodal
+import graft.plans.AsOfJoin
+import graft.simops.Similarity
+import graft.sources.Tables
+import graft.streaming.StreamingOps
+import graft.textops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2.4 (reference semantics + north-star
+  * training-data-pipeline extensions) has a `queries` entry; the
+  * SQL-expressible ones carry a DuckDB oracle in `oracleSql` with
+  * IDENTICAL column names. Determinism rules (SURVEY.md §7.3): unique
+  * tiebreak keys in every ordering; timestamps emitted as epoch
+  * micro/nanosecond longs; double aggregates either exact (decimal
+  * accumulation) or rounded well inside the float error margin.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private val INF = "CAST('infinity' AS DOUBLE)"
+  /** Order/partition clause shared by all events-window oracles. */
+  private val EvW = "ORDER BY ts, event_id"
+  private val EvWP = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Lag features per user joined against each user's mean: "which events
+    * exceeded the user's average after rising for two steps" — the
+    * value-vs-recent-history question the reference's lag matrices feed.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val lagged = LagMatrix.wide(ev, "value",
+      LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(0, 1, 2), None))
+    val userAvg = ev.groupBy("user_id").agg(avg("value").as("user_avg"))
+    lagged.join(broadcast(userAvg), "user_id")
+      .filter(col("value") > col("user_avg"))
+      .select("user_id", "event_id", "value", "value_lag_1", "value_lag_2",
+        "user_avg")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- reference lag-matrix family (SURVEY §2.1 O1-O9) ----
+    "lag_1d" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      LagMatrix.wide(ev, "value", LagSpec(Seq("ts_ns", "event_id"), Nil,
+          Seq(0, 1, 2, 3), Some(Double.PositiveInfinity)))
+        .select("event_id", "value", "value_lag_1", "value_lag_2", "value_lag_3")
+    }),
+
+    "lag_1d_arbitrary_order" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      LagMatrix.wide(ev, "value",
+          LagSpec(Seq("ts_ns", "event_id"), Nil, Seq(3, 1, 2), None))
+        .select("event_id", "value_lag_3", "value_lag_1", "value_lag_2")
+    }),
+
+    "lag_null_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      LagMatrix.wide(ev, "value",
+          LagSpec(Seq("ts_ns", "event_id"), Nil, Seq(0, 2), None))
+        .select("event_id", "value", "value_lag_2")
+    }),
+
+    "lag_2d_partitioned" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      LagMatrix.wide(ev, "value", LagSpec(Seq("ts_ns", "event_id"),
+          Seq("user_id"), Seq(0, 1, 2, 3), Some(Double.PositiveInfinity)))
+        .select("user_id", "event_id", "value",
+          "value_lag_1", "value_lag_2", "value_lag_3")
+    }),
+
+    "lag_long_format" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      LagMatrix.long(ev, "value",
+          LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1, 2), None))
+        .select("user_id", "event_id", "lag", "value")
+    }),
+
+    "lead_1d" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Lead.wide(ev, "value",
+          LagSpec(Seq("ts_ns", "event_id"), Nil, Seq(0, 1, 2), None))
+        .select("event_id", "value", "value_lead_1", "value_lead_2")
+    }),
+
+    "lag_matrix_array" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      emb.select(col("vec_id"),
+          posexplode(ArrayLag.shift(col("embedding"), 2,
+            lit(null).cast("float"))).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"), col("v").cast("double").as("val"))
+    }),
+
+    "rolling_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Rolling.over(ev, "value",
+          LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1)), 4)
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(col("value_roll_avg_4"), 6).as("roll_avg"),
+          round(col("value_roll_sum_4"), 6).as("roll_sum"),
+          col("value_roll_min_4").as("roll_min"),
+          col("value_roll_max_4").as("roll_max"),
+          col("value_roll_n_4").as("roll_n"))
+    }),
+
+    // ---- relational layer over the star schema (free from Catalyst,
+    //      exercised to prove pushdown/broadcast/AQE behavior) ----
+    "q1_pricing" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_topk_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_region_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "window_rank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+    }),
+
+    "json_props" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+
+    // ---- streaming-shaped ops (same plan batch or readStream) ----
+    "stream_window_agg" -> ((s, dir) => {
+      StreamingOps.windowedCounts(Tables.events(s, dir))
+        .select(unix_micros(col("ts_hour")).as("ts_hour_us"), col("event_type"),
+          col("n_events"), round(col("total_value"), 6).as("total_value"))
+    }),
+
+    "sessionize" -> ((s, dir) =>
+      StreamingOps.sessionizeBatch(Tables.events(s, dir), 30)),
+
+    // ---- text analysis (north star) ----
+    "text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val t = col("text")
+      d.select(col("doc_id"), length(t).as("n_chars_computed"),
+        TextOps.tokenCount(t).as("n_tokens"),
+        TextOps.bpeishCount(t).as("n_subword_tokens"),
+        round(TextOps.punctRatio(t), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(t), 6).as("stopword_ratio"))
+    }),
+
+    "lang_id" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_pred"))
+    }),
+
+    "quality_score" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    "doc_fingerprint" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // ---- dedup family (north star) ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)),
+
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)),
+
+    "embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 0.4)),
+
+    // ---- similarity search (north star) ----
+    "similarity_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", 5)
+    }),
+
+    "similarity_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", 5)
+    }),
+
+    // ---- as-of join (time-series table stakes) ----
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("key", col("user_id") % 5)
+      val oa = Tables.orders(s, dir)
+        .groupBy((col("o_custkey") % 5).as("key"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("last_price"))
+      AsOfJoin.backward(ev, oa, "key", "ts", "o_orderdate", Seq("last_price"))
+        .select(col("event_id"), col("key"), col("last_price"))
+    }),
+
+    // ---- multimodal plumbing (north star; codec stubbed, see Multimodal) ----
+    "multimodal_meta" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Multimodal.decodeFeatures(Multimodal.fromText(s, d, "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("content_md5"),
+          col("sniffed_format"))
+    })
+  )
+
+  /** DuckDB oracle SQL, one per SQL-expressible query, same column names.
+    * Non-expressible (engine-hash-dependent) ops — dedup_minhash,
+    * dedup_simhash, similarity_lsh — are omitted → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "lag_1d" ->
+      s"""SELECT event_id, value,
+          lag(value,1,$INF) OVER ($EvW) AS value_lag_1,
+          lag(value,2,$INF) OVER ($EvW) AS value_lag_2,
+          lag(value,3,$INF) OVER ($EvW) AS value_lag_3
+          FROM events""",
+
+    "lag_1d_arbitrary_order" ->
+      s"""SELECT event_id,
+          lag(value,3) OVER ($EvW) AS value_lag_3,
+          lag(value,1) OVER ($EvW) AS value_lag_1,
+          lag(value,2) OVER ($EvW) AS value_lag_2
+          FROM events""",
+
+    "lag_null_fill" ->
+      s"""SELECT event_id, value, lag(value,2) OVER ($EvW) AS value_lag_2
+          FROM events""",
+
+    "lag_2d_partitioned" ->
+      s"""SELECT user_id, event_id, value,
+          lag(value,1,$INF) OVER ($EvWP) AS value_lag_1,
+          lag(value,2,$INF) OVER ($EvWP) AS value_lag_2,
+          lag(value,3,$INF) OVER ($EvWP) AS value_lag_3
+          FROM events""",
+
+    "lag_long_format" ->
+      s"""SELECT user_id, event_id, 1 AS lag, lag(value,1) OVER ($EvWP) AS value FROM events
+          UNION ALL
+          SELECT user_id, event_id, 2 AS lag, lag(value,2) OVER ($EvWP) AS value FROM events""",
+
+    "lead_1d" ->
+      s"""SELECT event_id, value,
+          lead(value,1) OVER ($EvW) AS value_lead_1,
+          lead(value,2) OVER ($EvW) AS value_lead_2
+          FROM events""",
+
+    "lag_matrix_array" ->
+      """SELECT vec_id, i - 1 AS pos,
+         CASE WHEN i <= 2 THEN NULL ELSE CAST(embedding[i-2] AS DOUBLE) END AS val
+         FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)""",
+
+    "rolling_agg" ->
+      s"""SELECT user_id, event_id, value,
+          round(avg(value) OVER w, 6) AS roll_avg,
+          round(sum(value) OVER w, 6) AS roll_sum,
+          min(value) OVER w AS roll_min,
+          max(value) OVER w AS roll_max,
+          count(value) OVER w AS roll_n
+          FROM events
+          WINDOW w AS ($EvWP ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_topk_orders" ->
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+         FROM orders) WHERE rnk <= 3""",
+
+    "json_props" ->
+      """SELECT event_id,
+         CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+         FROM events""",
+
+    "stream_window_agg" ->
+      """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS ts_hour_us,
+         event_type, count(*) AS n_events, round(sum(value), 6) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    "sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns FROM events),
+         s AS (SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+                OR ts_ns - lag(ts_ns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS ns
+               FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+         g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+         SELECT user_id, min(ts_ns) // 1000 AS session_start_us, max(ts_ns) // 1000 AS session_end_us,
+         count(*) AS n_events, round(sum(value), 6) AS total_value
+         FROM g GROUP BY user_id, sid""",
+
+    "text_stats" -> {
+      val stops = TextOps.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, length(text) AS n_chars_computed,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+         len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+           + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_subword_tokens,
+         round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+           / length(text)::DOUBLE END, 6) AS punct_ratio,
+         round(CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) = 0 THEN 0.0 ELSE
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x <> '' AND list_contains($stops, x)))::DOUBLE
+           / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE END, 6) AS stopword_ratio
+         FROM documents"""
+    },
+
+    "lang_id" -> {
+      val packs = TextOps.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"struct_pack(h := len(list_filter(list_distinct(string_split_regex(lower(text), '\\s+')), x -> list_contains($list, x))), l := '$lang')"
+      }.mkString("[", ", ", "]")
+      s"""SELECT doc_id, lang,
+         CASE WHEN best.h = 0 THEN 'und' ELSE best.l END AS lang_pred
+         FROM (SELECT doc_id, lang, list_sort($packs)[-1] AS best FROM documents)"""
+    },
+
+    "quality_score" -> {
+      val stops = TextOps.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH b AS (SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE AS n_tok,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+             / length(text)::DOUBLE END AS punct,
+           CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) = 0 THEN 0.0 ELSE
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> x <> '' AND list_contains($stops, x)))::DOUBLE
+             / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE END AS stopr
+           FROM documents)
+         SELECT doc_id, round(greatest(0.0,
+           least(n_tok / 50.0, 1.0) * 0.4 + least(stopr * 4.0, 1.0) * 0.4
+           + (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality FROM b"""
+    },
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents""",
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+         min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+
+    "ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         idx AS (SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+           CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle FROM idx),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+               FROM sh a JOIN sh b USING (shingle)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b, inter,
+           round(inter::DOUBLE / (x.n_sh + y.n_sh - inter), 6) AS jaccard
+         FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+         WHERE inter::DOUBLE / (x.n_sh + y.n_sh - inter) >= 0.8""",
+
+    "embedding_neardup" -> {
+      val cos = duckCosine("a.embedding", "b.embedding")
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round($cos, 4) >= 0.4"""
+    },
+
+    "similarity_topk" -> {
+      val cos = duckCosine("q.qv", "c.embedding")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, round($cos, 4) AS sim
+                    FROM q, embeddings c WHERE c.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored) WHERE rank <= 5"""
+    },
+
+    "asof_join" ->
+      """WITH oa AS (SELECT o_custkey % 5 AS key, o_orderdate,
+           max(o_totalprice) AS last_price FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id % 5 AS key, oa.last_price
+         FROM events e ASOF LEFT JOIN oa
+         ON (e.user_id % 5) = oa.key AND e.ts >= oa.o_orderdate""",
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         md5(text) AS content_md5, 'unknown' AS sniffed_format
+         FROM documents"""
+  )
+
+  /** Double-precision sequential cosine, the DuckDB mirror of
+    * Similarity.cosine (same left-to-right fold ⇒ same bits).
+    */
+  private def duckCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    val d = dot(a, b)
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    s"(CASE WHEN sqrt($na) * sqrt($nb) = 0 THEN 0.0 ELSE $d / (sqrt($na) * sqrt($nb)) END)"
+  }
 }

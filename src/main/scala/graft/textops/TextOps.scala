@@ -1,0 +1,130 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a `documents`
+  * table `(doc_id, text, lang, source, n_chars)`.
+  *
+  * All operators are pure Column expression builders: they stay inside
+  * whole-stage codegen, never block predicate pushdown, and scale linearly
+  * with no shuffle (per-row narrow transforms) — at 100 TB each is a single
+  * scan + project.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. split on \s+ then drop empty strings that a
+    * leading/trailing separator would produce — keeps Spark and SQL oracles
+    * in agreement on boundary behavior.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation runs, the
+    * usual pre-tokenizer regex family (public GPT-2 style pre-tokenizer,
+    * simplified to an ASCII-safe form both Spark and DuckDB agree on).
+    */
+  def bpeishCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), t => t =!= "")) +
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Small multilingual stopword inventory used by both the quality score
+    * and the language-ID heuristic. Word lists are public common-word sets.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est", "pour", "que", "dans", "un"),
+    "es" -> Seq("el", "la", "los", "y", "de", "es", "para", "que", "en", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
+
+  /** Count of distinct tokens of `text` that appear in `words`. Distinct on
+    * the document side so repeated filler doesn't dominate.
+    */
+  def markerHits(text: Column, words: Seq[String]): Column = {
+    val dict = array(words.map(lit): _*)
+    size(filter(array_distinct(tokens(lower(text))),
+      t => array_contains(dict, t)))
+  }
+
+  /** Stopword ratio against the union inventory (all languages). */
+  def stopwordRatio(text: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    val dict = array(all.map(lit): _*)
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(dict, t))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** N-gram/stopword language-ID heuristic: argmax of marker-word hits with
+    * deterministic alphabetical tiebreak; "und" (undetermined) when no
+    * marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      struct(markerHits(text, words).as("hits"), lit(langCode).as("lang"))
+    }
+    // array_max on structs = lexicographic (hits, lang); ties on hits pick
+    // the LAST lang alphabetically — mirror that exact rule in the oracle.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Deterministic quality score in [0,1]: length band + punctuation
+    * penalty + stopword signal, the standard cheap-heuristic family used in
+    * public corpus-filtering pipelines (e.g. C4/Gopher rules), reduced to
+    * components both engines compute identically.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))             // saturates at 50 tokens
+    val punctPen = least(punctRatio(text) * 5.0, lit(1.0))  // >20% punct = max penalty
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round(greatest(lit(0.0),
+      lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPen) * 0.2), 6)
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text.
+    * Stable across engines (md5 is md5 everywhere), which is exactly what a
+    * cross-system dedup key needs.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word shingles of size n as an array column (distinct), the input to
+    * MinHash/Jaccard dedup. transform over a sequence of start offsets keeps
+    * it codegen-friendly.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    array_distinct(
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  /** Full per-document stats frame. */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      length(t).as("n_chars_computed"),
+      tokenCount(t).as("n_tokens"),
+      bpeishCount(t).as("n_subword_tokens"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      langId(t).as("lang_pred"),
+      qualityScore(t).as("quality"),
+      fingerprint(t).as("fingerprint"))
+  }
+}
