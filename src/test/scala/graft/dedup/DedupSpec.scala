@@ -1,0 +1,73 @@
+package graft.dedup
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operators on constructed corpora with known duplicate structure. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 4
+  private val nearDup = base.replace("lazy", "sleepy") // one token differs
+  private val other = "completely different content about spark window functions " * 4
+
+  test("exact: whitespace/case-normalized duplicates collapse") {
+    val df = docs(1L -> "Hello  World", 2L -> "hello world ",
+      3L -> "something else")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2).get
+    assert(dup.getLong(1) == 1) // keep_id = min doc_id
+  }
+
+  test("minhash+LSH finds the planted near-duplicate, not the distinct doc") {
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash jaccard estimate is the exact shingle jaccard (verified pairs)") {
+    val df = docs(1L -> base, 2L -> nearDup)
+    val j = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.1)
+      .collect().head.getDouble(2)
+    assert(j > 0.3 && j < 1.0)
+  }
+
+  test("simhash: near-dup within banding reach, distinct doc far") {
+    // simhash needs token-rich docs: one changed token in 200 flips only
+    // the bits whose ±1 majorities were near zero (expected hamming ~2);
+    // in a 9-token doc the same edit flips a third of the fingerprint
+    val big = (0 until 200).map(i => s"word$i").mkString(" ")
+    val bigNear = big.replace("word199", "changed")
+    val df = docs(1L -> big, 2L -> bigNear, 3L -> other)
+    val sigs = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard inverted-index join matches brute-force definition") {
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val rows = Dedup.ngramJaccard(df, "doc_id", "text",
+      shingleSize = 3, threshold = 0.0).collect()
+    // only co-shingled pairs appear at all
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val r = rows.head
+    // brute-force jaccard over distinct word-3-grams
+    def sh(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).map(_.mkString(" ")).toSet
+    val (a, b) = (sh(base), sh(nearDup))
+    val expected = a.intersect(b).size.toDouble / a.union(b).size
+    assert(math.abs(r.getDouble(3) - expected) < 1e-6)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.multimodal
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def media(rows: (Long, Array[Byte])*) = {
+    import spark.implicits._
+    rows.toSeq.map { case (id, bytes) =>
+      MediaRecord(id, "image", bytes, None, None, None)
+    }.toDS()
+  }
+
+  test("decode pipeline: sniffing, digest, and feature shape survive mapPartitions") {
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x01, 0x02).map(_.toByte)
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A).map(_.toByte)
+    val out = Multimodal.decodeFeatures(media(1L -> jpeg, 2L -> png))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).sniffed_format == "jpeg")
+    assert(out(2L).sniffed_format == "png")
+    assert(out(1L).n_bytes == 6)
+    assert(out(1L).feature.length == 16)
+    assert(math.abs(out(1L).feature.sum - 1.0f) < 1e-5) // histogram normalized
+    assert(out(1L).content_md5.matches("[0-9a-f]{32}"))
+  }
+
+  test("column-expression sniffer agrees with the partition decoder") {
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+    val ds = media(1L -> jpeg)
+    val viaExpr = ds.toDF()
+      .select(Multimodal.sniffFormat(col("content"))).collect().head.getString(0)
+    assert(viaExpr == "jpeg")
+  }
+
+  test("fromText round-trip: bytes are exact UTF-8 of the text") {
+    import spark.implicits._
+    val df = Seq((7L, "héllo")).toDF("doc_id", "text")
+    val rec = Multimodal.fromText(spark, df, "doc_id", "text").collect().head
+    assert(new String(rec.content, "UTF-8") == "héllo")
+    assert(rec.media_id == 7L)
+  }
+}

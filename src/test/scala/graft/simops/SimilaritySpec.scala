@@ -1,0 +1,64 @@
+package graft.simops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def vecs(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: orthogonal 0, identical 1, opposite -1") {
+    val df = vecs(
+      0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 1f, 0f),
+      2L -> Seq(1f, 0f, 0f), 3L -> Seq(-1f, 0f, 0f))
+    val out = Similarity.bruteForceTopK(
+        df.filter(df("vec_id") === 0), df, "vec_id", "embedding", 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(2L) == 1.0)
+    assert(out(1L) == 0.0)
+    assert(!out.contains(3L) || out(3L) == -1.0) // rank 4 cut at k=3 keeps top 3
+  }
+
+  test("brute-force top-k ranks by similarity with id tiebreak") {
+    val df = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(1f, 0.1f), 2L -> Seq(1f, 0.5f),
+      3L -> Seq(0f, 1f))
+    val ranked = Similarity.bruteForceTopK(
+        df.filter(df("vec_id") === 0), df, "vec_id", "embedding", 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ranked == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH top-k: neighbors it returns agree with brute-force similarity") {
+    // deterministic pseudo-random corpus
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 100L).map { i =>
+      i -> Seq.fill(16)(rng.nextFloat() * 2 - 1)
+    }
+    val df = vecs(rows: _*)
+    val q = df.filter(df("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(q, df, "vec_id", "embedding", 5,
+      numPlanes = 16, bands = 8, dim = 16).collect()
+    assert(lsh.nonEmpty)
+    // every LSH result's sim matches the exact sim computed by brute force
+    // (when the pair appears there) — LSH approximates recall, not scores
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(exact => assert(r.getDouble(2) == exact))
+    }
+  }
+
+  test("near-dup pairs: only pairs above threshold, ids ordered") {
+    val df = vecs(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.99f, 0.14f), 2L -> Seq(0f, 1f))
+    val out = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+}

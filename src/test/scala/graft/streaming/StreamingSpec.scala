@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowedCounts: streaming (memory sink) equals batch on same data") {
+    val batchEv = Tables.events(spark, dir)
+    val batch = StreamingOps.windowedCounts(batchEv)
+      .select(col("ts_hour"), col("event_type"), col("n_events"),
+        round(col("total_value"), 6).as("tv"))
+      .collect().map(_.toSeq).toSet
+
+    // stream the same parquet through a file source; nanosAsLong applies to
+    // the stream schema too, so reuse the batch-derived ts column
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamEv = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")  // file source needs a dir
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val q = StreamingOps.windowedCounts(streamEv)
+      .select(col("ts_hour"), col("event_type"), col("n_events"),
+        round(col("total_value"), 6).as("tv"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wc_test").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits sessions consistent with batch rewrite") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventRow]
+    val stateful = StreamingOps.sessionize(ev, 30).collect()
+      .map(s => (s.user_id, s.session_start.getTime, s.n_events)).toSet
+    val batch = StreamingOps.sessionizeBatch(Tables.events(spark, dir), 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000L, r.getLong(3))).toSet
+    // batch mode emits all sessions; the stateful operator keeps each
+    // user's open tail in state — so stateful ⊆ batch, and the closed
+    // sessions must agree exactly
+    assert(stateful.nonEmpty)
+    assert(stateful.subsetOf(batch))
+  }
+}
