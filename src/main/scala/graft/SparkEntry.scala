@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import graft.lagops.{ArrayLag, LagMatrix, LagSpec, Lead, Rolling}
+import graft.lagops.{ArrayLag, DistributedLag, LagMatrix, LagSpec, Lead, Rolling}
 import graft.multimodal.Multimodal
 import graft.plans.AsOfJoin
 import graft.simops.Similarity
@@ -93,11 +93,23 @@ object SparkEntry {
     }),
 
     "lag_matrix_array" -> ((s, dir) => {
+      // uses the codegen'd ArrayShiftExpr (one allocation per row); the
+      // built-in-composition twin ArrayLag.shift is equivalence-tested
       val emb = Tables.embeddings(s, dir)
       emb.select(col("vec_id"),
-          posexplode(ArrayLag.shift(col("embedding"), 2,
-            lit(null).cast("float"))).as(Seq("pos", "v")))
+          posexplode(graft.functions.ArrayShiftExpr(col("embedding"), 2, None))
+            .as(Seq("pos", "v")))
         .select(col("vec_id"), col("pos"), col("v").cast("double").as("val"))
+    }),
+
+    "lag_distributed" -> ((s, dir) => {
+      // same result as a global-order lag, computed via range buckets +
+      // boundary pads (no single-partition window) — the 100 TB path
+      val ev = Tables.events(s, dir)
+      DistributedLag.wide(ev, "value",
+          LagSpec(Seq("ts_ns", "event_id"), Nil, Seq(0, 1, 2, 3), None),
+          numBuckets = 32)
+        .select("event_id", "value", "value_lag_1", "value_lag_2", "value_lag_3")
     }),
 
     "rolling_agg" -> ((s, dir) => {
@@ -295,6 +307,13 @@ object SparkEntry {
       s"""SELECT user_id, event_id, 1 AS lag, lag(value,1) OVER ($EvWP) AS value FROM events
           UNION ALL
           SELECT user_id, event_id, 2 AS lag, lag(value,2) OVER ($EvWP) AS value FROM events""",
+
+    "lag_distributed" ->
+      s"""SELECT event_id, value,
+          lag(value,1) OVER ($EvW) AS value_lag_1,
+          lag(value,2) OVER ($EvW) AS value_lag_2,
+          lag(value,3) OVER ($EvW) AS value_lag_3
+          FROM events""",
 
     "lead_1d" ->
       s"""SELECT event_id, value,

@@ -1,0 +1,79 @@
+package graft.lagops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global-order lag (SURVEY.md §7.3 "hard parts").
+  *
+  * `Window.orderBy` with no partition key collapses to ONE partition — fine
+  * at test scale, fatal at 100 TB. This operator computes the identical
+  * result with bounded parallelism:
+  *
+  *   1. range-repartition on the order key: bucket i holds a contiguous
+  *      key range, all buckets sortable independently;
+  *   2. each bucket's first `max(lags)` rows are missing their history —
+  *      so every bucket RECEIVES a copy of the previous bucket's last
+  *      `max(lags)` rows as pad rows (they sort first naturally, their
+  *      keys being smaller);
+  *   3. one partitioned window pass computes all lags; pad rows are
+  *      dropped after supplying history.
+  *
+  * Data moved for the fix-up: `numBuckets × max(lags)` rows — constant per
+  * bucket, independent of data size. This is the distributed analogue of
+  * the reference's overlapping `copy_from_slice` windows
+  * (`src/lib.rs:518-524`).
+  *
+  * Constraint: every bucket must hold ≥ max(lags) rows (pads come only
+  * from the immediately preceding bucket). With range partitioning this
+  * means numBuckets ≲ rowCount / max(lags) — trivially true at scale.
+  */
+object DistributedLag {
+
+  def wide(df: DataFrame, valueCol: String, spec: LagSpec,
+           numBuckets: Int = 32): DataFrame = {
+    require(spec.seriesCols.isEmpty,
+      "partitioned (2-D) lag parallelizes naturally; use LagMatrix.wide")
+    LagMatrix.validate(df, valueCol, spec)
+    val ordCols = spec.orderCols.map(col)
+    val maxLag = spec.lags.max
+
+    val bucketed = df
+      .repartitionByRange(numBuckets, ordCols: _*)
+      .withColumn("_bucket", spark_partition_id())
+
+    // previous bucket's tail = the history each bucket head is missing
+    val wDesc = Window.partitionBy(col("_bucket"))
+      .orderBy(ordCols.map(_.desc): _*)
+    val pads = bucketed
+      .withColumn("_rn_end", row_number().over(wDesc))
+      .filter(col("_rn_end") <= maxLag)
+      .withColumn("_bucket", col("_bucket") + 1)
+      .drop("_rn_end")
+      .withColumn("_pad", lit(true))
+
+    val unioned = bucketed.withColumn("_pad", lit(false))
+      .unionByName(pads.filter(col("_bucket") < numBuckets))
+
+    val w = Window.partitionBy(col("_bucket")).orderBy(ordCols: _*)
+    val lagCols = spec.lags.distinct.map { k =>
+      val c =
+        if (k == 0) col(valueCol)
+        else spec.fill match {
+          case Some(f) => lag(col(valueCol), k, f).over(w)
+          case None    => lag(col(valueCol), k).over(w)
+        }
+      c.as(LagMatrix.lagName(valueCol, k))
+    }
+    val keep = (spec.seriesCols ++ spec.orderCols).distinct.map(col)
+    val out = unioned
+      .select(keep ++ Seq(col("_pad"), col("_bucket")) ++ lagCols: _*)
+      .filter(!col("_pad"))
+      .drop("_pad", "_bucket")
+
+    // bucket 0 has no predecessor: its head fill semantics are already
+    // correct (true start of the series). Buckets > 0 heads got real
+    // history from pads. Fill-value heads only appear at the true start.
+    out
+  }
+}

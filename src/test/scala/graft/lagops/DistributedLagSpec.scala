@@ -1,0 +1,43 @@
+package graft.lagops
+
+import graft.TestSpark
+import graft.TestSpark.seriesDf
+import graft.sources.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DistributedLag must equal the single-partition global window bit for
+  * bit — on synthetic series and on real data across bucket boundaries.
+  */
+class DistributedLagSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("equals naive global lag on a small series (with fill, many buckets)") {
+    val df = seriesDf((1 to 50).map(_.toDouble))
+    val spec = LagSpec(Seq("t"), Nil, Seq(0, 1, 3), Some(-1.0))
+    val naive = LagMatrix.wide(df, "value", spec)
+    val dist = DistributedLag.wide(df, "value", spec, numBuckets = 7)
+    assert(canon(dist) == canon(naive))
+  }
+
+  test("equals naive global lag on sf0.001 events (null fill)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val spec = LagSpec(Seq("ts_ns", "event_id"), Nil, Seq(1, 2, 3), None)
+    val naive = LagMatrix.wide(ev, "value", spec)
+      .select("event_id", "value_lag_1", "value_lag_2", "value_lag_3")
+    val dist = DistributedLag.wide(ev, "value", spec, numBuckets = 16)
+      .select("event_id", "value_lag_1", "value_lag_2", "value_lag_3")
+    assert(canon(dist) == canon(naive))
+  }
+
+  test("no single-partition exchange in the distributed plan") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val spec = LagSpec(Seq("ts_ns", "event_id"), Nil, Seq(1), None)
+    val plan = DistributedLag.wide(ev, "value", spec, numBuckets = 16)
+      .queryExecution.executedPlan.toString
+    // the naive global window plans Exchange SinglePartition; ours must not
+    assert(!plan.contains("SinglePartition"))
+  }
+}
