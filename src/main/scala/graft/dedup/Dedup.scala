@@ -49,13 +49,20 @@ object Dedup {
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // two-phase projection: tokens materialize before the shingle lambda
+    // reads them (no CSE inside HOF lambdas — see shinglesFromTokens)
     val withSig = df
       .select(col(idCol).as("doc_id"),
-        TextOps.shingles(col(textCol), shingleSize).as("sh"))
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc_id"),
+        TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // band key = hash of that band's slice of the signature
-    val banded = withSig.select(col("doc_id"), col("sh"),
+    // band key = hash of that band's slice of the signature. Only
+    // (doc_id, band, bucket) travels through the LSH shuffles — the wide
+    // shingle arrays are re-joined later for the few candidate pairs,
+    // which keeps shuffle bytes O(docs), not O(docs × shingles).
+    val banded = withSig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(lit("band"), b,
             array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
@@ -67,16 +74,21 @@ object Dedup {
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("n_in_bucket") <= maxBucket)
 
-    val a = bucketed.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = bucketed.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
+    val shingleSets = df
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc_id"),
+        TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
     pairs
+      .join(shingleSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingleSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
@@ -86,22 +98,16 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document via the scalable explode→groupBy path:
-    * one shuffle keyed by doc id with map-side partial aggregation of all
-    * 64 bit-counters.
+    * one shuffle keyed by doc id with map-side partial aggregation of the
+    * bit-counter buffer ([[graft.functions.SimHashAgg]], a single
+    * TypedImperativeAggregate instead of 64 parallel sums).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokenHashes = df.select(col(idCol).as("doc_id"),
       explode_outer(TextOps.tokens(lower(col(textCol)))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitAggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val counted = tokenHashes.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val sim = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    counted.select(col("doc_id"), sim.as("simhash"))
+    tokenHashes.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup candidates: band the 64-bit fingerprint into 4×16-bit
@@ -139,18 +145,27 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = df.select(col(idCol).as("doc_id"),
-        explode(TextOps.shingles(col(textCol), shingleSize)).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairsShared = sh.as("x").join(sh.as("y"), Seq("shingle"))
+    // inverted index carries an 8-byte shingle hash, not the string —
+    // smaller shuffle, faster join compares (64-bit collision odds are
+    // ~(distinct²)/2^65, vanishing at any realistic shingle count)
+    val tokenized = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(lower(col(textCol))).as("_toks"))
+    val withSh = tokenized.select(col("doc_id"),
+      TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
+    val sh = withSh.select(col("doc_id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+    // set sizes come from a pure projection — no explode/groupBy shuffle —
+    // and the result is tiny, so both size joins broadcast
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val pairsShared = sh.as("x").join(sh.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     pairsShared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("n_sh").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("n_sh").as("n_b"))), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
