@@ -86,6 +86,40 @@ object Multimodal {
     }
   }
 
+  /** Resize stub: a real deployment decodes, scales, re-encodes; here the
+    * output is a deterministic fake (content digest re-keyed by the target
+    * box, metadata updated) with the real pipeline shape — per-row narrow
+    * transform, payload never shuffled.
+    */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        // STUB: stand-in bytes = digest of (content, target box)
+        val fake = md5Hex(r.content ++ s"${w}x$h".getBytes("UTF-8"))
+          .getBytes("UTF-8")
+        r.copy(content = fake, width = Some(w), height = Some(h))
+      }
+    }
+  }
+
+  /** Frame sampling stub: splits the payload into `n` contiguous chunks
+    * standing in for decoded frames. The real version calls the codec per
+    * partition; schema (media_id, frame_no, frame_bytes) and the
+    * shuffle-free shape are what the pipeline depends on.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], n: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      val step = math.max(1, r.content.length / n)
+      (0 until n).iterator.map { i =>
+        val from = math.min(i * step, r.content.length)
+        val until = math.min(from + step, r.content.length)
+        (r.media_id, i, r.content.slice(from, until))
+      }
+    }.toDF("media_id", "frame_no", "frame_bytes")
+  }
+
   /** Build a MediaRecord dataset from any table with a binary-able column —
     * used by tests and the driver queries (text bytes stand in for media
     * payloads; the pipeline does not care what the bytes mean).

@@ -35,6 +35,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaExpr == "jpeg")
   }
 
+  test("resize stub: metadata updated, deterministic content, no shuffle") {
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 7, 8, 9).map(_.toByte)
+    val out = Multimodal.resize(media(1L -> jpeg), 224, 224).collect().head
+    assert(out.width.contains(224) && out.height.contains(224))
+    val again = Multimodal.resize(media(1L -> jpeg), 224, 224).collect().head
+    assert(out.content.toSeq == again.content.toSeq)
+  }
+
+  test("frame sampling: n contiguous chunks per record") {
+    val vid = (0 until 100).map(_.toByte).toArray
+    val frames = Multimodal.sampleFrames(media(5L -> vid), 4)
+      .orderBy("frame_no").collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    val recon = frames.flatMap(_.getAs[Array[Byte]]("frame_bytes"))
+    assert(recon.toSeq == vid.toSeq) // 100/4 divides evenly → lossless
+  }
+
   test("fromText round-trip: bytes are exact UTF-8 of the text") {
     import spark.implicits._
     val df = Seq((7L, "héllo")).toDF("doc_id", "text")
