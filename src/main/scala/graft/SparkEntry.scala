@@ -4,7 +4,7 @@ import graft.dedup.Dedup
 import graft.lagops.{ArrayLag, DistributedLag, LagMatrix, LagSpec, Lead, Rolling}
 import graft.multimodal.Multimodal
 import graft.plans.AsOfJoin
-import graft.simops.Similarity
+import graft.simops.{Ivf, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingOps
 import graft.textops.TextOps
@@ -192,6 +192,53 @@ object SparkEntry {
 
     "sessionize" -> ((s, dir) =>
       StreamingOps.sessionizeBatch(Tables.events(s, dir), 30)),
+
+    "session_window_native" -> ((s, dir) => {
+      // Spark's native session_window operator (vs. the gaps-and-islands
+      // rewrite in `sessionize` — both shapes belong in the inventory)
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 6).as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"), col("total_value"))
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      // customers with no high-value order (every customer has SOME order
+      // in this data, so the unfiltered anti-join would be empty)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    "q_quantile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
+    "salted_agg" -> ((s, dir) =>
+      graft.plans.SkewAgg.saltedStats(Tables.events(s, dir),
+        Seq("event_type"), "value", saltBuckets = 16)),
+
+    "similarity_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ivf.topK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+    }),
 
     // ---- text analysis (north star) ----
     "text_stats" -> ((s, dir) => {
@@ -390,6 +437,42 @@ object SparkEntry {
          SELECT user_id, min(ts_ns) // 1000 AS session_start_us, max(ts_ns) // 1000 AS session_end_us,
          count(*) AS n_events, round(sum(value), 6) AS total_value
          FROM g GROUP BY user_id, sid""",
+
+    "session_window_native" ->
+      """WITH t AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+         s AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+               FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+         SELECT user_id, min(ts_us) AS session_start_us,
+         count(*) AS n_events, round(sum(value), 6) AS total_value
+         FROM g GROUP BY user_id, sid""",
+
+    "q_pivot" ->
+      """SELECT source,
+         count(*) FILTER (lang = 'de') AS de,
+         count(*) FILTER (lang = 'en') AS en,
+         count(*) FILTER (lang = 'es') AS es,
+         count(*) FILTER (lang = 'fr') AS fr,
+         count(*) FILTER (lang = 'zh') AS zh
+         FROM documents GROUP BY source""",
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 400000)""",
+
+    "q_quantile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90, count(*) AS n
+         FROM events GROUP BY event_type""",
+
+    "salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+         min(value) AS vmin, max(value) AS vmax
+         FROM events GROUP BY event_type""",
 
     "text_stats" -> {
       val stops = TextOps.stopwords.values.flatten.toSeq.distinct

@@ -1,0 +1,94 @@
+package graft.simops
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale
+  * path next to hyperplane LSH ([[Similarity.lshTopK]]).
+  *
+  * Index: k-means-style centroids (deterministic seeds = lowest-id
+  * vectors, a few Lloyd refinements), each candidate assigned to its
+  * nearest centroid ("list"). Query: probe the `nprobe` nearest lists
+  * only, exact-rank within them. Candidate volume per query drops from N
+  * to ~N·nprobe/nlist.
+  *
+  * Shuffle shape at scale: centroids are tiny and broadcast everywhere;
+  * assignment is a narrow map; the probe join shuffles candidates once on
+  * the small `list_id` key. Lloyd's element-wise mean is the only
+  * iterative part — one explode + groupBy(centroid, dim) per iteration,
+  * which is how distributed k-means is expressed relationally.
+  */
+object Ivf {
+
+  /** (list_id, centroid array<double>) — deterministic for a fixed input. */
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 2): DataFrame = {
+    val vecs = df.select(col(idCol).as("_id"),
+      transform(col(vecCol), _.cast("double")).as("_v"))
+    var centroids = vecs.orderBy("_id").limit(nlist)
+      .select((row_number().over(Window.orderBy("_id")) - 1).as("list_id"),
+        col("_v").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(vecs, centroids, "_v")
+      centroids = assigned
+        .select(col("list_id"), posexplode(col("_v")).as(Seq("dim", "x")))
+        .groupBy("list_id", "dim").agg(avg("x").as("m"))
+        .groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+        .select(col("list_id"),
+          transform(col("p"), s => s.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Nearest centroid per row by cosine (broadcast centroids, narrow). */
+  private def assign(vecs: DataFrame, centroids: DataFrame,
+                     vecField: String): DataFrame = {
+    val scored = vecs.join(broadcast(centroids))
+      .withColumn("_sim", Similarity.cosine(col(vecField), col("centroid")))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("_sim").desc, col("list_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_sim", "centroid")
+  }
+
+  /** Probe-and-rank top-k. Queries must be small (broadcast). */
+  def topK(queries: DataFrame, candidates: DataFrame, idCol: String,
+           vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+           iters: Int = 2): DataFrame = {
+    val centroids = fitCentroids(candidates, idCol, vecCol, nlist, iters)
+
+    val cand = assign(
+      candidates.select(col(idCol).as("_id"),
+        transform(col(vecCol), _.cast("double")).as("_v")),
+      centroids, "_v")
+      .select(col("_id").as("neighbor_id"), col("_v").as("cv"),
+        Similarity.norm(col("_v")).as("cn"), col("list_id"))
+
+    // each query probes its nprobe nearest lists
+    val qProbe = queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), _.cast("double")).as("qv"))
+      .join(broadcast(centroids))
+      .withColumn("_sim", Similarity.cosine(col("qv"), col("centroid")))
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("_sim").desc, col("list_id"))))
+      .filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("qv"),
+        Similarity.norm(col("qv")).as("qn"), col("list_id"))
+
+    val scored = cand.join(broadcast(qProbe), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        when(col("qn") * col("cn") === 0.0, 0.0)
+          .otherwise(VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+}

