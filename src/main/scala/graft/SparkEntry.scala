@@ -167,6 +167,16 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "sql_q6" -> ((s, dir) => {
+      // SQL front door: same engine, spark.sql text instead of the
+      // DataFrame DSL (temp views over the canonical loaders)
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                      COUNT(*) AS n
+               FROM lineitem_v
+               WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+    }),
+
     "window_rank" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val w = org.apache.spark.sql.expressions.Window
@@ -410,6 +420,12 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name""",
+
+    "sql_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n
+         FROM lineitem
+         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
 
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
