@@ -34,18 +34,37 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
                leftTime: String, rightTime: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String]): DataFrame =
+    asof(left, right, keyCol, leftTime, rightTime, rightPayload,
+      forward = false)
+
+  /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`
+    * per key (same union-window machinery run toward the future).
+    */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+              leftTime: String, rightTime: String,
+              rightPayload: Seq[String]): DataFrame =
+    asof(left, right, keyCol, leftTime, rightTime, rightPayload,
+      forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTime: String, rightTime: String,
+                   rightPayload: Seq[String], forward: Boolean): DataFrame = {
+    // at equal timestamps the right row must be visible to the left row:
+    // backward scans the past (right sorts first), forward scans the
+    // future (right sorts last)
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(leftSide))
       .withColumn("_rp", lit(null).cast(
         right.select(rightPayload.map(col): _*).schema
           .fields.foldLeft(new org.apache.spark.sql.types.StructType())(
             (s, f) => s.add(f))))
     val r = right
       .withColumn("_t", col(rightTime).cast(l.schema("_t").dataType))
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(rightSide))
       .withColumn("_rp", struct(rightPayload.map(col): _*))
       .select((Seq(keyCol, "_t", "_side", "_rp")).map(col): _*)
     val lSel = l.select((Seq(keyCol, "_t", "_side", "_rp") ++
@@ -56,12 +75,16 @@ object AsOfJoin {
     }.select(lSel.columns.map(col): _*)
 
     val unioned = lSel.union(rAligned)
-    val w = Window.partitionBy(col(keyCol))
+    val base = Window.partitionBy(col(keyCol))
       .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("_match",
-      last(col("_rp"), ignoreNulls = true).over(w))
-    carried.filter(col("_side") === 1)
+    val carried =
+      if (forward) unioned.withColumn("_match",
+        first(col("_rp"), ignoreNulls = true).over(
+          base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else unioned.withColumn("_match",
+        last(col("_rp"), ignoreNulls = true).over(
+          base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    carried.filter(col("_side") === leftSide)
       .select(leftCols.map(col) ++
         rightPayload.map(p => col("_match").getField(p).as(p)): _*)
   }

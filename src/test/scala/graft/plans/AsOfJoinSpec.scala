@@ -24,6 +24,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("k2", 10L, null))) // k2's only order is later
   }
 
+  test("forward as-of join: earliest right row at or after left time") {
+    import spark.implicits._
+    val left = Seq(
+      ("k1", 10L, "e1"), ("k1", 20L, "e2"), ("k1", 25L, "e3")).toDF("key", "t", "ev")
+    val right = Seq(
+      ("k1", 15L, 1.0), ("k1", 20L, 2.0)).toDF("key", "rt", "price")
+    val out = AsOfJoin.forward(left, right, "key", "t", "rt", Seq("price"))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(out == Set(
+      (10L, 1.0),   // 15 is the first >= 10
+      (20L, 2.0),   // simultaneous right row visible
+      (25L, null))) // nothing at or after 25
+  }
+
   test("as-of join preserves left row count (no fan-out)") {
     import spark.implicits._
     val left = (1L to 100L).map(i => ("k", i, i)).toDF("key", "t", "x")

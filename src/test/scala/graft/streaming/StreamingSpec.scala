@@ -36,6 +36,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late rows in append mode") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // batch 1: on-time events around 10:00; batch 2: a straggler from 07:00
+    // — far behind the watermark (max_ts - 1h) once batch 1 is processed
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 2.0))
+      .toDF("event_id", "ts", "value").write.parquet(s"$tmp/b1")
+    val schema = spark.read.parquet(s"$tmp/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/b*")
+    val agg = stream.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(sum("value").as("v"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    try {
+      q.processAllAvailable()
+      Seq((3L, java.sql.Timestamp.valueOf("2024-01-01 07:00:00"), 100.0))
+        .toDF("event_id", "ts", "value").write.parquet(s"$tmp/b2")
+      q.processAllAvailable()
+      // close the open windows so finalized results emit
+      Seq((4L, java.sql.Timestamp.valueOf("2024-01-01 15:00:00"), 1.0))
+        .toDF("event_id", "ts", "value").write.parquet(s"$tmp/b3")
+      q.processAllAvailable()
+      val vals = spark.table("late_test")
+        .select(col("window.start").cast("string"), col("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // the 07:00 straggler was behind the watermark → dropped, not emitted
+      assert(!vals.contains("2024-01-01 07:00:00"))
+      assert(vals.get("2024-01-01 10:00:00").contains(3.0))
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits sessions consistent with batch rewrite") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
