@@ -124,6 +124,34 @@ object SparkEntry {
           col("value_roll_n_4").as("roll_n"))
     }),
 
+    "rolling_time_window" -> ((s, dir) => {
+      // time-RANGE frame (all events in the trailing hour), vs. the
+      // row-count frame in rolling_agg. Range frames include all peers of
+      // the boundary, so ts ties need no tiebreak to stay deterministic.
+      // µs on BOTH engines: DuckDB only sees µs-truncated timestamps, so a
+      // ns-precise boundary could straddle differently at exactly -1h
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0) // 1 hour in µs
+      ev.select(col("user_id"), col("event_id"),
+        round(sum(col("value")).over(w), 6).as("hour_sum"),
+        count(lit(1)).over(w).as("hour_n"))
+    }),
+
+    "q_set_ops" -> ((s, dir) => {
+      // (user, day) pairs with clicks but no purchase that day (EXCEPT)
+      // day as STRING: date values round-trip differently through the two
+      // engines' parquet/pandas paths (date vs midnight-datetime)
+      val ev = Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      ev.filter(col("event_type") === "click")
+        .select("user_id", "day").distinct()
+        .except(ev.filter(col("event_type") === "purchase")
+          .select("user_id", "day").distinct())
+    }),
+
     // ---- relational layer over the star schema (free from Catalyst,
     //      exercised to prove pushdown/broadcast/AQE behavior) ----
     "q1_pricing" -> ((s, dir) => {
@@ -393,6 +421,21 @@ object SparkEntry {
           count(value) OVER w AS roll_n
           FROM events
           WINDOW w AS ($EvWP ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+
+    "rolling_time_window" ->
+      """SELECT user_id, event_id,
+         round(sum(value) OVER w, 6) AS hour_sum,
+         count(*) OVER w AS hour_n
+         FROM (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "q_set_ops" ->
+      """SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+         FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+         FROM events WHERE event_type = 'purchase'""",
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

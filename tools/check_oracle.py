@@ -21,7 +21,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # applied upstream; sort rows for multiset compare
     def norm(v):
         if isinstance(v, float):
-            return f"{v:.10g}"
+            return f"{v:.12g}"
         return str(v)
     out = df.map(norm)
     return out.sort_values(by=list(out.columns)).reset_index(drop=True)
