@@ -84,7 +84,7 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[List[EventRow]]) =>
           val sorted = (state.getOption.getOrElse(Nil) ++ rows.toList)
-            .sortBy(e => (e.ts.getTime, e.event_id))
+            .sortBy(e => (StreamingLag.tsNanos(e.ts), e.event_id))
           // split into gap-delimited sessions; keep the open tail as state
           val sessions = scala.collection.mutable.ListBuffer[List[EventRow]]()
           var cur = List.empty[EventRow]

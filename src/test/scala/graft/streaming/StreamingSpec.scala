@@ -69,6 +69,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming lag equals batch LagMatrix on the same data") {
+    import spark.implicits._
+    import graft.lagops.{LagMatrix, LagSpec}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventRow]
+    val streamed = StreamingLag.lagged(ev, Seq(1, 3)).collect()
+      .map(l => l.event_id -> l.lags.toSeq).toMap
+    val batch = LagMatrix.wide(Tables.events(spark, dir), "value",
+        LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1, 3), None))
+      .collect().map { r =>
+        val id = r.getLong(r.fieldIndex("event_id"))
+        id -> Seq(
+          if (r.isNullAt(r.fieldIndex("value_lag_1"))) None
+          else Some(r.getDouble(r.fieldIndex("value_lag_1"))),
+          if (r.isNullAt(r.fieldIndex("value_lag_3"))) None
+          else Some(r.getDouble(r.fieldIndex("value_lag_3"))))
+      }.toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
   test("stateful sessionize emits sessions consistent with batch rewrite") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
