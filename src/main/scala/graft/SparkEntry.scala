@@ -359,8 +359,10 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible query, same column names.
-    * Non-expressible (engine-hash-dependent) ops — dedup_minhash,
-    * dedup_simhash, similarity_lsh — are omitted → rows-only check.
+    * MinHash uses an md5 hash family precisely so its whole LSH pipeline
+    * is portable and oracle-checked. The remaining rows-only ops —
+    * dedup_simhash, similarity_lsh, similarity_ivf — depend on
+    * engine-specific hashing / iterative float centroids.
     */
   def oracleSql: Map[String, String] = Map(
     "lag_1d" ->
@@ -586,6 +588,37 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
          min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1""",
+
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         idx AS (SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+           CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle FROM idx),
+         hj AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS j FROM sh),
+         sig AS (SELECT doc_id, j, min(md5(j || '|' || shingle)) AS m
+                 FROM hj GROUP BY doc_id, j),
+         banded AS (SELECT doc_id, j // 2 AS bnd,
+             md5((j // 2) || '#' || string_agg(m, ',' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2),
+         capped AS (SELECT bnd, bucket, doc_id FROM banded
+           QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
+         p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM capped x JOIN capped y USING (bnd, bucket)
+               WHERE x.doc_id < y.doc_id),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         iv AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+                FROM p JOIN sh x ON x.doc_id = p.doc_a
+                JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+                GROUP BY 1, 2)
+         SELECT iv.doc_a, iv.doc_b,
+           round(iv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iv.inter), 6) AS jaccard
+         FROM iv JOIN sz sx ON sx.doc_id = iv.doc_a
+         JOIN sz sy ON sy.doc_id = iv.doc_b
+         WHERE round(iv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iv.inter), 6) >= 0.5""",
 
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,

@@ -30,12 +30,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash signature: H independent hash functions simulated as
-    * xxhash64(seed_j, shingle); signature[j] = min over shingles.
-    * Pure per-row expression — no shuffle until banding.
+    * md5(j || '|' || shingle); signature[j] = lexicographic min over
+    * shingles. Pure per-row expression — no shuffle until banding.
+    *
+    * md5 (not xxhash64) on purpose: md5 is identical in every engine, so
+    * the ENTIRE MinHash+LSH pipeline is expressible in the DuckDB oracle
+    * and cross-checked end-to-end — a portability property worth the
+    * slightly slower hash (the hash is a per-shingle narrow op either way).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
-      array_min(transform(shingles, s => xxhash64(lit(j), s)))
+      array_min(transform(shingles, s => md5(concat(lit(s"$j|"), s))))
     }: _*)
 
   /** MinHash + LSH banding near-dedup.
@@ -58,14 +63,14 @@ object Dedup {
         TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
 
-    // band key = hash of that band's slice of the signature. Only
+    // band key = md5 of that band's slice of the signature. Only
     // (doc_id, band, bucket) travels through the LSH shuffles — the wide
     // shingle arrays are re-joined later for the few candidate pairs,
     // which keeps shuffle bytes O(docs), not O(docs × shingles).
     val banded = withSig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b,
-            array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+          b => md5(concat(b.cast("string"), lit("#"),
+            array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
           .as(Seq("band", "bucket")))
 
     val bucketed = banded
