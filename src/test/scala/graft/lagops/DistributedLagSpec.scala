@@ -32,6 +32,15 @@ class DistributedLagSpec extends AnyFunSuite {
     assert(canon(dist) == canon(naive))
   }
 
+  test("rejects per-series specs (those parallelize via LagMatrix.wide)") {
+    val df = seriesDf(Seq(1, 2, 3))
+    intercept[IllegalArgumentException] {
+      DistributedLag.wide(df.withColumn("s",
+          org.apache.spark.sql.functions.lit("x")), "value",
+        LagSpec(Seq("t"), Seq("s"), Seq(1), None))
+    }
+  }
+
   test("no single-partition exchange in the distributed plan") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val spec = LagSpec(Seq("ts_ns", "event_id"), Nil, Seq(1), None)

@@ -1,0 +1,52 @@
+package graft.textops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c).collect().head.get(0)
+  }
+
+  test("tokens drop empty strings from ragged whitespace") {
+    assert(one("  a  b\tc ", size(TextOps.tokens(col("t")))) == 3)
+    assert(one("", size(TextOps.tokens(col("t")))) == 0)
+  }
+
+  test("quality score stays in [0, 1] across degenerate inputs") {
+    for (t <- Seq("", "!!!", "a", ("the and of to in " * 40),
+        "x " * 500, "@#$%^&*" * 30)) {
+      val q = one(t, TextOps.qualityScore(col("t"))).asInstanceOf[Double]
+      assert(q >= 0.0 && q <= 1.0, s"'${t.take(20)}' -> $q")
+    }
+  }
+
+  test("language ID picks the marker-dense language, und on no hits") {
+    assert(one("der die das und ist von", TextOps.langId(col("t"))) == "de")
+    assert(one("the cat and the dog of it", TextOps.langId(col("t"))) == "en")
+    assert(one("zzz qqq www", TextOps.langId(col("t"))) == "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val a = one("Hello   World", TextOps.fingerprint(col("t")))
+    val b = one("  hello world ", TextOps.fingerprint(col("t")))
+    val c = one("hello worlds", TextOps.fingerprint(col("t")))
+    assert(a == b && a != c)
+  }
+
+  test("shingles: fewer tokens than n collapses to one joined shingle") {
+    import spark.implicits._
+    val out = Seq("a b").toDF("t")
+      .select(TextOps.shingles(col("t"), 3)).collect().head.getSeq[String](0)
+    assert(out == Seq("a b"))
+  }
+
+  test("punct ratio counts ASCII punctuation only") {
+    assert(one("ab!?", TextOps.punctRatio(col("t"))) == 0.5)
+    assert(one("", TextOps.punctRatio(col("t"))) == 0.0)
+  }
+}
