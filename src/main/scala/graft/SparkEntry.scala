@@ -359,10 +359,11 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL, one per SQL-expressible query, same column names.
-    * MinHash uses an md5 hash family precisely so its whole LSH pipeline
-    * is portable and oracle-checked. The remaining rows-only ops —
-    * dedup_simhash, similarity_lsh, similarity_ivf — depend on
-    * engine-specific hashing / iterative float centroids.
+    * MinHash and SimHash use an md5 hash family precisely so their whole
+    * pipelines are portable and oracle-checked. The remaining rows-only
+    * ops — similarity_lsh, similarity_ivf — are approximate by design
+    * (plane signs / iterative float centroids) and are covered by
+    * ScalaTest recall/equivalence specs instead.
     */
   def oracleSql: Map[String, String] = Map(
     "lag_1d" ->
@@ -619,6 +620,31 @@ object SparkEntry {
          FROM iv JOIN sz sx ON sx.doc_id = iv.doc_a
          JOIN sz sy ON sy.doc_id = iv.doc_b
          WHERE round(iv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iv.inter), 6) >= 0.5""",
+
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         h AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef', substr(md5(tok), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT AS h
+           FROM tok),
+         bits AS (SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+           FROM h, (SELECT unnest(generate_series(0, 63)) AS j) GROUP BY doc_id, j),
+         sim AS (SELECT doc_id,
+             sum(CASE WHEN c > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
+           FROM bits GROUP BY doc_id),
+         banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS key
+           FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
+         capped AS (SELECT b, key, doc_id, simhash FROM banded
+           QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               bit_count(xor(x.simhash, y.simhash)) AS hamming
+               FROM capped x JOIN capped y USING (b, key)
+               WHERE x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""",
 
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,

@@ -108,9 +108,13 @@ object Dedup {
     * TypedImperativeAggregate instead of 64 parallel sums).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // 60-bit token hash from md5 (like MinHash above, md5 keeps the whole
+    // pipeline portable: the DuckDB oracle reproduces it bit for bit).
+    // Inner explode: a token-less doc drops on both engines.
     val tokenHashes = df.select(col(idCol).as("doc_id"),
-      explode_outer(TextOps.tokens(lower(col(textCol)))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      explode(TextOps.tokens(lower(col(textCol)))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     tokenHashes.groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg(col("h")).as("simhash"))
   }
