@@ -105,7 +105,13 @@ object LagMatrix {
         case Some(f) => lag(col(valueCol), k, f).over(w)
         case None    => lag(col(valueCol), k).over(w)
       }
-    base.as(lagName(valueCol, k))
+    // lag index travels as column metadata — the schema-level analogue of
+    // the reference's LagMatrix accessors (src/lib.rs:148-218)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("lag", k.toLong)
+      .putBoolean("fill_sentinel", spec.fill.isDefined)
+      .build()
+    base.as(lagName(valueCol, k), md)
   }
 
   def lagName(valueCol: String, k: Int): String =
