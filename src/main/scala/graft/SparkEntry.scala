@@ -275,7 +275,7 @@ object SparkEntry {
     "similarity_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Ivf.topK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
+        k = 5, nlist = 16, nprobe = 4, iters = 1)
     }),
 
     // ---- text analysis (north star) ----

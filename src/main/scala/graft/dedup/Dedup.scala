@@ -146,25 +146,24 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** n-gram Jaccard similarity via an inverted-index join: explode distinct
-    * shingles, join on shingle (only co-shingled docs meet), count shared
-    * shingles per pair, compute Jaccard from per-doc set sizes.
-    * SQL-expressible, so it carries the DuckDB oracle for the whole
-    * near-dup family.
+  /** n-gram Jaccard similarity via an inverted-index join: explode hashed
+    * shingles, join on the 8-byte hash (only co-shingled docs meet), count
+    * shared shingles per pair, Jaccard from per-doc set sizes computed as
+    * a pure projection (no extra shuffle; tiny, so the size joins
+    * broadcast). SQL-expressible — carries the DuckDB oracle.
+    *
+    * At corpus scales where the candidate join's quadratic term dominates,
+    * use [[ngramJaccardPrefix]] — identical output (equivalence-tested),
+    * sub-linear index.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.2): DataFrame = {
-    // inverted index carries an 8-byte shingle hash, not the string —
-    // smaller shuffle, faster join compares (64-bit collision odds are
-    // ~(distinct²)/2^65, vanishing at any realistic shingle count)
     val tokenized = df.select(col(idCol).as("doc_id"),
       TextOps.tokens(lower(col(textCol))).as("_toks"))
     val withSh = tokenized.select(col("doc_id"),
       TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
     val sh = withSh.select(col("doc_id"),
       explode(transform(col("sh"), s => xxhash64(s))).as("h"))
-    // set sizes come from a pure projection — no explode/groupBy shuffle —
-    // and the result is tiny, so both size joins broadcast
     val sizes = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val pairsShared = sh.as("x").join(sh.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -177,6 +176,62 @@ object Dedup {
         col("n_sh").as("n_b"))), "doc_b")
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  /** n-gram Jaccard with PREFIX FILTERING (the AllPairs/PPJoin principle):
+    * under any consistent global ordering of shingles, two sets with
+    * Jaccard ≥ t must share an element within their first
+    * `n − ⌈t·n⌉ + 1` shingles — so only those prefixes are indexed and
+    * joined. Rarest-first ordering puts prefixes in the smallest inverted
+    * buckets; at t = 0.8 the index shrinks ~5× and the candidate join
+    * ~25×. Candidates verify EXACTLY on the full shingle arrays, so the
+    * hashed prefix can only add candidates, never corrupt results —
+    * output identical to [[ngramJaccard]] (equivalence-tested).
+    *
+    * The scale path: worth its two extra stages (frequency join + per-doc
+    * window) once the corpus is large enough that candidate volume, not
+    * fixed stage cost, dominates — i.e., exactly the 100 TB regime.
+    */
+  def ngramJaccardPrefix(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3,
+                         threshold: Double = 0.2): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold in [0,1], got $threshold")  // t=0 ⇒ full index (no pruning)
+    val tokenized = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(lower(col(textCol))).as("_toks"))
+    val withSh = tokenized.select(col("doc_id"),
+      TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
+    val occ = withSh.select(col("doc_id"),
+      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+
+    // global order = (frequency asc, hash): rarest shingles first, so
+    // prefixes land in the smallest inverted-index buckets
+    val freq = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt"), col("h"))
+    val wDocAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val prefix = occ.join(freq, "h")
+      .withColumn("_rn", row_number().over(wDoc))
+      .withColumn("_n", count(lit(1)).over(wDocAll))
+      .filter(col("_rn") <=
+        col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .select(col("doc_id"), col("h"))
+
+    val cand = prefix.as("x").join(prefix.as("y"), Seq("h"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    cand
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
   }

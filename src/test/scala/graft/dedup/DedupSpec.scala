@@ -56,6 +56,19 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
   }
 
+  test("prefix-filtered jaccard equals the full inverted index on real docs") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    for (t <- Seq(0.5, 0.8)) {
+      val full = canon(Dedup.ngramJaccard(docs, "doc_id", "text", 3, t))
+      val pref = canon(Dedup.ngramJaccardPrefix(docs, "doc_id", "text", 3, t))
+      assert(full == pref, s"threshold $t")
+      assert(full.nonEmpty)
+    }
+  }
+
   test("ngram jaccard inverted-index join matches brute-force definition") {
     val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val rows = Dedup.ngramJaccard(df, "doc_id", "text",
