@@ -300,6 +300,11 @@ object SparkEntry {
       d.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
     }),
 
+    "doc_winnow" -> ((s, dir) =>
+      // rolling-hash (winnowing) fingerprints as (doc_id, fp) rows
+      TextOps.winnowing(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, w = 4)),
+
     "doc_fingerprint" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
@@ -584,6 +589,18 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
          FROM documents""",
+
+    "doc_winnow" ->
+      """WITH h AS (SELECT doc_id,
+           list_transform(generate_series(1, greatest(length(text) - 8 + 1, 1)),
+             i -> list_sum(list_transform(generate_series(1, 15),
+               p -> ((strpos('0123456789abcdef', substr(md5(substr(text, i, 8)), p, 1)) - 1)::BIGINT
+                     << (4 * (15 - p)))))::BIGINT) AS kh
+           FROM documents),
+         w AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(kh) - 4 + 1, 1)),
+             j -> list_min(kh[j:j+3]))) AS fps FROM h)
+         SELECT doc_id, unnest(fps) AS fp FROM w""",
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

@@ -101,6 +101,56 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowing fingerprints (the MOSS local-fingerprinting algorithm):
+    * hash every character k-gram, then keep the minimum hash of each
+    * sliding window of w consecutive k-grams, deduplicated. Any two
+    * documents sharing a sufficiently long substring share a fingerprint;
+    * robust to insertions/reordering in a way whole-document digests are
+    * not. Hashes are the top 60 bits of md5, so the DuckDB oracle
+    * reproduces the exact fingerprint set (same portability trick as
+    * MinHash/SimHash).
+    *
+    * Per-row narrow compute, O(chars × w) — no shuffle; the downstream
+    * dedup join on exploded fingerprints is the same inverted-index shape
+    * as the shingle joins.
+    */
+  /** Output: distinct `(idCol, fp)` rows.
+    *
+    * The window-minimum step is RELATIONAL (posexplode + running-min
+    * window over positions), not a nested array lambda: Catalyst's
+    * filter-inference + pushdown will happily substitute a projected
+    * array alias INTO a lambda body, re-evaluating the k-gram hashing
+    * once per window — an O(chars × windows) interpreted-md5 blowup
+    * (measured: minutes per partition). Exploded form keeps every hash
+    * evaluated exactly once and parallelizes across the shuffle.
+    */
+  def winnowing(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, w: Int = 4): DataFrame = {
+    val text = col(textCol)
+    val kgramHashes = transform(
+      sequence(lit(1), greatest(length(text) - k + 1, lit(1))),
+      i => conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
+        .cast("long"))
+    // the hashing happens in the stage that reads the input: if the source
+    // has fewer splits than cores (one small parquet file), spread it so
+    // the md5 work parallelizes. At scale inputs have >= cores splits and
+    // this is a no-op.
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val exploded = src.select(col(idCol),
+      posexplode(kgramHashes).as(Seq("_pos", "_h")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    val winMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_pos")).rowsBetween(0, w - 1)
+    exploded
+      .withColumn("_n", count(lit(1)).over(byDoc))
+      .withColumn("_fp", min(col("_h")).over(winMin))
+      .filter(col("_pos") <= greatest(col("_n") - w, lit(0)))
+      .select(col(idCol), col("_fp").as("fp"))
+      .distinct()
+  }
+
   /** Word shingles of size n from a MATERIALIZED token array column.
     *
     * The token expression must be a real column, not an inline expression:

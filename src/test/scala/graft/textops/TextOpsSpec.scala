@@ -45,6 +45,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out == Seq("a b"))
   }
 
+  test("winnowing: shared substrings share fingerprints, disjoint text mostly not") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX BBB"),
+      (2L, s"other start $common different end"),
+      (3L, "completely unrelated content with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.winnowing(df, "doc_id", "text").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val shared12 = fps(1L).intersect(fps(2L)).size
+    val shared13 = fps(1L).intersect(fps(3L)).size
+    assert(shared12 > 0, "docs sharing a long substring must share fingerprints")
+    assert(shared13 < shared12)
+  }
+
   test("punct ratio counts ASCII punctuation only") {
     assert(one("ab!?", TextOps.punctRatio(col("t"))) == 0.5)
     assert(one("", TextOps.punctRatio(col("t"))) == 0.0)
