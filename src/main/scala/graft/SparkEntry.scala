@@ -85,6 +85,22 @@ object SparkEntry {
         .select("user_id", "event_id", "lag", "value")
     }),
 
+    "lag_2d_colmajor" -> ((s, dir) => {
+      // the ColumnMajor ingest edge (reference src/lib.rs:999-1075,
+      // ndarray_support.rs): a fixed flat column-major matrix (3 series
+      // × 8 steps) is layout-normalized by SeriesInput.from2D, then
+      // lagged exactly like any long-format input. Independent of `dir`
+      // on purpose — the matrix is the reference-test-style literal.
+      val data = (1 to 24).map(_.toDouble)
+      LagMatrix.wide(
+          graft.lagops.SeriesInput.from2D(s, data,
+            graft.lagops.ColumnMajor(8)),
+          "value", LagSpec(Seq("t"), Seq("series_id"), Seq(0, 1, 2),
+            Some(-1.0)))
+        .select(col("series_id").cast("long").as("series_id"), col("t"),
+          col("value"), col("value_lag_1"), col("value_lag_2"))
+    }),
+
     "lead_1d" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       Lead.wide(ev, "value",
@@ -323,12 +339,18 @@ object SparkEntry {
         maxHamming = 3)),
 
     "ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+      // prefix-filtered (AllPairs) form: output-identical to the plain
+      // inverted index (equivalence-tested) but with no per-document
+      // broadcast and a pruned index that caps hot-shingle damage — the
+      // registered 100 TB shape
+      Dedup.ngramJaccardPrefix(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, threshold = 0.8)),
 
     "embedding_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id",
-        "embedding", 0.4)),
+      // banded LSH candidates + exact cosine verify (no nested-loop pair
+      // scan); params must stay in sync with the literal-plane oracle
+      Similarity.nearDupPairsBanded(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 0.4, numPlanes = 64, bands = 8, dim = 64)),
 
     // ---- similarity search (north star) ----
     "similarity_topk" -> ((s, dir) => {
@@ -338,9 +360,10 @@ object SparkEntry {
     }),
 
     "similarity_lsh" -> ((s, dir) => {
+      // params must stay in sync with the literal-plane oracle below
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", 5)
+        "vec_id", "embedding", 5, numPlanes = 16, bands = 4, dim = 64)
     }),
 
     // ---- as-of join (time-series table stakes) ----
@@ -365,10 +388,9 @@ object SparkEntry {
 
   /** DuckDB oracle SQL, one per SQL-expressible query, same column names.
     * MinHash and SimHash use an md5 hash family precisely so their whole
-    * pipelines are portable and oracle-checked. The remaining rows-only
-    * ops — similarity_lsh, similarity_ivf — are approximate by design
-    * (plane signs / iterative float centroids) and are covered by
-    * ScalaTest recall/equivalence specs instead.
+    * pipelines are portable and oracle-checked; the LSH operators embed
+    * their literal plane matrices so even the APPROXIMATE results are
+    * deterministic and hash-checked (approximate ≠ unverifiable).
     */
   def oracleSql: Map[String, String] = Map(
     "lag_1d" ->
@@ -407,6 +429,16 @@ object SparkEntry {
           lag(value,2) OVER ($EvW) AS value_lag_2,
           lag(value,3) OVER ($EvW) AS value_lag_3
           FROM events""",
+
+    "lag_2d_colmajor" ->
+      """WITH m AS (SELECT s.s AS series_id, t.t AS t,
+           CAST(t.t * 3 + s.s + 1 AS DOUBLE) AS value
+           FROM (SELECT unnest(generate_series(0, 2)) AS s) s,
+                (SELECT unnest(generate_series(0, 7)) AS t) t)
+         SELECT series_id, t, value,
+           lag(value, 1, -1.0) OVER w AS value_lag_1,
+           lag(value, 2, -1.0) OVER w AS value_lag_2
+         FROM m WINDOW w AS (PARTITION BY series_id ORDER BY t)""",
 
     "lead_1d" ->
       s"""SELECT event_id, value,
@@ -616,11 +648,20 @@ object SparkEntry {
          sh AS (SELECT DISTINCT doc_id,
            CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
                 ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle FROM idx),
-         hj AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS j FROM sh),
-         sig AS (SELECT doc_id, j, min(md5(j || '|' || shingle)) AS m
-                 FROM hj GROUP BY doc_id, j),
+         hh AS (SELECT doc_id, md5(shingle) AS m FROM sh),
+         hv AS (SELECT doc_id,
+             list_sum(list_transform(generate_series(1, 15),
+               p -> ((strpos('0123456789abcdef', substr(m, p, 1)) - 1)::BIGINT
+                     << (4 * (15 - p)))))::BIGINT AS h1,
+             list_sum(list_transform(generate_series(1, 14),
+               p -> ((strpos('0123456789abcdef', substr(m, 16 + p, 1)) - 1)::BIGINT
+                     << (4 * (14 - p)))))::BIGINT AS h2
+           FROM hh),
+         sig AS (SELECT doc_id, j, min(h1 + j * h2) AS m
+                 FROM hv, (SELECT unnest(generate_series(0, 15)) AS j)
+                 GROUP BY doc_id, j),
          banded AS (SELECT doc_id, j // 2 AS bnd,
-             md5((j // 2) || '#' || string_agg(m, ',' ORDER BY j)) AS bucket
+             md5((j // 2) || '#' || string_agg(m::VARCHAR, ',' ORDER BY j)) AS bucket
            FROM sig GROUP BY doc_id, j // 2),
          capped AS (SELECT bnd, bucket, doc_id FROM banded
            QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
@@ -682,10 +723,54 @@ object SparkEntry {
          WHERE inter::DOUBLE / (x.n_sh + y.n_sh - inter) >= 0.8""",
 
     "embedding_neardup" -> {
+      // mirrors nearDupPairsBanded(numPlanes=64, bands=8, dim=64): the
+      // plane matrix is embedded literally, so DuckDB derives the same
+      // band keys, the same candidate pairs, and the same verified sims
+      val planes = Similarity.hyperplanes(64, 64)
+      val bands = 8; val bits = 8
+      val keys = (0 until bands)
+        .map(b => s"${duckBandKey("embedding", planes, b, bits)} AS key_$b")
+        .mkString(", ")
+      val banded = (0 until bands)
+        .map(b => s"SELECT vec_id, $b AS band, key_$b AS key FROM sigs")
+        .mkString(" UNION ALL ")
       val cos = duckCosine("a.embedding", "b.embedding")
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS sim
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      s"""WITH sigs AS (SELECT vec_id, $keys FROM embeddings),
+         banded AS ($banded),
+         p AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM banded x JOIN banded y USING (band, key)
+               WHERE x.vec_id < y.vec_id)
+         SELECT p.id_a, p.id_b, round($cos, 4) AS sim
+         FROM p JOIN embeddings a ON a.vec_id = p.id_a
+         JOIN embeddings b ON b.vec_id = p.id_b
          WHERE round($cos, 4) >= 0.4"""
+    },
+
+    "similarity_lsh" -> {
+      // mirrors lshTopK(numPlanes=16, bands=4, dim=64) with literal
+      // planes — the approximate ANN result is deterministic given the
+      // planes, so it hash-checks exactly like the brute-force query
+      val planes = Similarity.hyperplanes(16, 64)
+      val bands = 4; val bits = 4
+      val keys = (0 until bands)
+        .map(b => s"${duckBandKey("embedding", planes, b, bits)} AS key_$b")
+        .mkString(", ")
+      val banded = (0 until bands)
+        .map(b => s"SELECT vec_id, $b AS band, key_$b AS key FROM sigs")
+        .mkString(" UNION ALL ")
+      val cos = duckCosine("qe.embedding", "ce.embedding")
+      s"""WITH sigs AS (SELECT vec_id, $keys FROM embeddings),
+         banded AS ($banded),
+         qb AS (SELECT vec_id AS query_id, band, key FROM banded WHERE vec_id < 10),
+         cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, q.query_id
+                  FROM banded c JOIN qb q USING (band, key)
+                  WHERE c.vec_id <> q.query_id),
+         scored AS (SELECT cand.query_id, cand.neighbor_id, round($cos, 4) AS sim
+                    FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                    JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored) WHERE rank <= 5"""
     },
 
     "similarity_topk" -> {
@@ -695,6 +780,51 @@ object SparkEntry {
                     FROM q, embeddings c WHERE c.vec_id <> q.query_id)
          SELECT query_id, neighbor_id, sim, rank FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM scored) WHERE rank <= 5"""
+    },
+
+    "similarity_ivf" -> {
+      // replays Ivf.topK(nlist=16, nprobe=4, k=5, iters=1) exactly:
+      // init = 16 lowest-id vectors; one Lloyd step with centroids
+      // rounded to 6dp (see Ivf.fitCentroids — the rounding is what
+      // makes the index bit-reproducible across engines); assign, probe
+      // and rank all mirror the Spark window/tiebreak rules.
+      val cosAI = duckCosine("v.vv", "i.c")
+      val cosAC = duckCosine("v.vv", "c.c")
+      val cosQC = duckCosine("q.vv", "c.c")
+      val cosS = duckCosine("qpf.qv", "a.vv")
+      s"""WITH v AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+         init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, vv AS c
+                  FROM (SELECT id, vv FROM v ORDER BY id LIMIT 16)),
+         a1 AS (SELECT v.id, v.vv, i.list_id,
+                 row_number() OVER (PARTITION BY v.id
+                   ORDER BY $cosAI DESC, i.list_id) AS rn
+                FROM v, init i),
+         asg1 AS (SELECT id, vv, list_id FROM a1 WHERE rn = 1),
+         cent_d AS (SELECT list_id, d, round(avg(vv[d]), 6) AS m
+                    FROM asg1, (SELECT unnest(generate_series(1, 64)) AS d)
+                    GROUP BY list_id, d),
+         cent AS (SELECT list_id, list(m ORDER BY d) AS c
+                  FROM cent_d GROUP BY list_id),
+         a2 AS (SELECT v.id, v.vv, c.list_id,
+                 row_number() OVER (PARTITION BY v.id
+                   ORDER BY $cosAC DESC, c.list_id) AS rn
+                FROM v, cent c),
+         asg2 AS (SELECT id, vv, list_id FROM a2 WHERE rn = 1),
+         qp AS (SELECT q.id AS query_id, q.vv AS qv, c.list_id,
+                 row_number() OVER (PARTITION BY q.id
+                   ORDER BY $cosQC DESC, c.list_id) AS rn
+                FROM v q, cent c WHERE q.id < 10),
+         qpf AS (SELECT query_id, qv, list_id FROM qp WHERE rn <= 4),
+         scored AS (SELECT qpf.query_id, a.id AS neighbor_id,
+                     round($cosS, 4) AS sim
+                    FROM qpf JOIN asg2 a USING (list_id)
+                    WHERE a.id <> qpf.query_id)
+         SELECT query_id, neighbor_id, sim, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rank
            FROM scored) WHERE rank <= 5"""
     },
 
@@ -710,6 +840,28 @@ object SparkEntry {
          md5(text) AS content_md5, 'unknown' AS sniffed_format
          FROM documents"""
   )
+
+  /** DuckDB mirror of one [[graft.simops.Similarity.lshSignature]] plane
+    * dot: the plane is embedded as the exact double values of the
+    * float-cast literals Spark dots against (shortest-round-trip decimal
+    * strings re-parse to the identical doubles), and elements widen to
+    * double before multiply with the same left-to-right fold — so the
+    * sign test, and hence every band key, matches bit for bit.
+    */
+  private def duckPlaneDot(vecExpr: String, plane: Array[Double]): String = {
+    val lits = plane.map(v => v.toFloat.toDouble.toString)
+      .mkString("[", ", ", "]")
+    s"list_sum(list_transform(list_zip($vecExpr, $lits), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  }
+
+  /** One LSH band key (= bits [band*bits, (band+1)*bits) of the packed
+    * signature) as a DuckDB expression over `vecExpr`.
+    */
+  private def duckBandKey(vecExpr: String, planes: Array[Array[Double]],
+                          band: Int, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(CASE WHEN ${duckPlaneDot(vecExpr, planes(band * bits + i))} > 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** Double-precision sequential cosine, the DuckDB mirror of
     * Similarity.cosine (same left-to-right fold ⇒ same bits).

@@ -29,18 +29,29 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** MinHash signature: H independent hash functions simulated as
-    * md5(j || '|' || shingle); signature[j] = lexicographic min over
-    * shingles. Pure per-row expression — no shuffle until banding.
+  /** MinHash signature from ONE md5 per shingle: the digest's two halves
+    * (h1 = first 15 hex chars = 60 bits, h2 = hex chars 17-30 = 56 bits)
+    * seed a Kirsch-Mitzenmacher double-hashing family
+    * `g_j = h1 + j·h2`, and `signature[j] = min over shingles of g_j`.
+    * One cryptographic hash per shingle instead of `numHashes` of them —
+    * the same trick the Bloom-filter double-hashing literature uses, and
+    * the fix for round 1's dominant bench cost (16 interpreted md5 calls
+    * per shingle).
     *
     * md5 (not xxhash64) on purpose: md5 is identical in every engine, so
     * the ENTIRE MinHash+LSH pipeline is expressible in the DuckDB oracle
-    * and cross-checked end-to-end — a portability property worth the
-    * slightly slower hash (the hash is a per-shingle narrow op either way).
+    * and cross-checked end-to-end. All values stay < 2^61, so the
+    * arithmetic never overflows signed 64-bit on either engine.
+    *
+    * `h1`/`h2` must be MATERIALIZED array columns (see [[minhashLsh]]):
+    * each is referenced once per hash function, and a multi-referenced
+    * non-cheap alias is what stops CollapseProject from inlining the
+    * md5 transform into every element of the signature array.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def minhashSignatureFromHalves(h1: Column, h2: Column,
+                                 numHashes: Int): Column =
     array((0 until numHashes).map { j =>
-      array_min(transform(shingles, s => md5(concat(lit(s"$j|"), s))))
+      array_min(zip_with(h1, h2, (a, b) => a + lit(j.toLong) * b))
     }: _*)
 
   /** MinHash + LSH banding near-dedup.
@@ -54,24 +65,44 @@ object Dedup {
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // two-phase projection: tokens materialize before the shingle lambda
-    // reads them (no CSE inside HOF lambdas — see shinglesFromTokens)
-    val withSig = df
+    // staged projections: tokens materialize before the shingle lambda
+    // reads them, the per-shingle digest (_m) before BOTH half
+    // extractions, and the halves before the per-function mins — each
+    // stage's alias is multi-referenced downstream, which is what keeps
+    // CollapseProject from inlining the expensive transform into a
+    // lambda body where it would re-evaluate per element (no CSE inside
+    // higher-order-function lambdas).
+    val withSig = graft.util.Par.spread(df)
       .select(col(idCol).as("doc_id"),
         TextOps.tokens(lower(col(textCol))).as("_toks"))
       .select(col("doc_id"),
         TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("_m"))
+      .select(col("doc_id"),
+        transform(col("_m"),
+          m => conv(substring(m, 1, 15), 16, 10).cast("long")).as("_h1"),
+        transform(col("_m"),
+          m => conv(substring(m, 17, 14), 16, 10).cast("long")).as("_h2"))
+      .select(col("doc_id"),
+        minhashSignatureFromHalves(col("_h1"), col("_h2"), numHashes)
+          .as("sig"))
 
     // band key = md5 of that band's slice of the signature. Only
     // (doc_id, band, bucket) travels through the LSH shuffles — the wide
     // shingle arrays are re-joined later for the few candidate pairs,
     // which keeps shuffle bytes O(docs), not O(docs × shingles).
+    // Band keys are built as a STATIC array (not a lambda over band
+    // index): `sig` is then referenced `bands` times, again blocking the
+    // per-element inline; posexplode_outer skips the inferred
+    // size(...)>0 filter a plain posexplode would push down (the band
+    // array is never empty).
     val banded = withSig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat(b.cast("string"), lit("#"),
-            array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
-          .as(Seq("band", "bucket")))
+        posexplode_outer(array((0 until bands).map { b =>
+          md5(concat(lit(s"$b#"),
+            array_join(transform(
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+              x => x.cast("string")), ",")))
+        }: _*)).as(Seq("band", "bucket")))
 
     val bucketed = banded
       .withColumn("n_in_bucket",
@@ -86,7 +117,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    val shingleSets = df
+    val shingleSets = graft.util.Par.spread(df)
       .select(col(idCol).as("doc_id"),
         TextOps.tokens(lower(col(textCol))).as("_toks"))
       .select(col("doc_id"),
@@ -111,8 +142,9 @@ object Dedup {
     // 60-bit token hash from md5 (like MinHash above, md5 keeps the whole
     // pipeline portable: the DuckDB oracle reproduces it bit for bit).
     // Inner explode: a token-less doc drops on both engines.
-    val tokenHashes = df.select(col(idCol).as("doc_id"),
-      explode(TextOps.tokens(lower(col(textCol)))).as("tok"))
+    val tokenHashes = graft.util.Par.spread(df)
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("tok"))
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     tokenHashes.groupBy(col("doc_id"))
@@ -148,36 +180,41 @@ object Dedup {
 
   /** n-gram Jaccard similarity via an inverted-index join: explode hashed
     * shingles, join on the 8-byte hash (only co-shingled docs meet), count
-    * shared shingles per pair, Jaccard from per-doc set sizes computed as
-    * a pure projection (no extra shuffle; tiny, so the size joins
-    * broadcast). SQL-expressible — carries the DuckDB oracle.
+    * shared shingles per pair. Each posting row CARRIES its document's
+    * set size, so the Jaccard denominator falls out of the pair
+    * aggregation itself — no per-document side frame, no broadcast that
+    * would grow O(n_docs) at corpus scale. SQL-expressible — carries the
+    * DuckDB oracle.
     *
-    * At corpus scales where the candidate join's quadratic term dominates,
-    * use [[ngramJaccardPrefix]] — identical output (equivalence-tested),
-    * sub-linear index.
+    * The threshold compares the UNROUNDED ratio on both engines (the
+    * division of identical integers is bit-identical everywhere); only
+    * the emitted column is rounded for display.
+    *
+    * At corpus scales where the candidate join's quadratic term dominates
+    * (one ubiquitous shingle = one quadratic bucket — nothing caps it
+    * here), use [[ngramJaccardPrefix]]: identical output
+    * (equivalence-tested), prefix-pruned index.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val tokenized = df.select(col(idCol).as("doc_id"),
-      TextOps.tokens(lower(col(textCol))).as("_toks"))
+    val tokenized = graft.util.Par.spread(df)
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
     val withSh = tokenized.select(col("doc_id"),
       TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
-    val sh = withSh.select(col("doc_id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
-    val sizes = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val sh = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode_outer(transform(col("sh"), s => xxhash64(s))).as("h"))
     val pairsShared = sh.as("x").join(sh.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.n_sh").as("n_a"), col("y.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
     pairsShared
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
-        col("n_sh").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
-        col("n_sh").as("n_b"))), "doc_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .withColumn("_j", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("_j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("_j"), 6).as("jaccard"))
   }
 
   /** n-gram Jaccard with PREFIX FILTERING (the AllPairs/PPJoin principle):
@@ -199,12 +236,13 @@ object Dedup {
                          threshold: Double = 0.2): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"threshold in [0,1], got $threshold")  // t=0 ⇒ full index (no pruning)
-    val tokenized = df.select(col(idCol).as("doc_id"),
-      TextOps.tokens(lower(col(textCol))).as("_toks"))
+    val tokenized = graft.util.Par.spread(df)
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
     val withSh = tokenized.select(col("doc_id"),
       TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
     val occ = withSh.select(col("doc_id"),
-      explode(transform(col("sh"), s => xxhash64(s))).as("h"))
+      explode_outer(transform(col("sh"), s => xxhash64(s))).as("h"))
 
     // global order = (frequency asc, hash): rarest shingles first, so
     // prefixes land in the smallest inverted-index buckets
@@ -230,9 +268,10 @@ object Dedup {
       .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .withColumn("_j", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("_j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("_j"), 6).as("jaccard"))
   }
 }

@@ -13,20 +13,17 @@ import org.apache.spark.sql.functions._
   *   1. range-repartition on the order key: bucket i holds a contiguous
   *      key range, all buckets sortable independently;
   *   2. each bucket's first `max(lags)` rows are missing their history —
-  *      so every bucket RECEIVES a copy of the previous bucket's last
-  *      `max(lags)` rows as pad rows (they sort first naturally, their
-  *      keys being smaller);
+  *      so every bucket RECEIVES a copy of the last `max(lags)`
+  *      preceding rows as pads, drawn from earlier buckets' tails (they
+  *      sort first naturally, their keys being smaller);
   *   3. one partitioned window pass computes all lags; pad rows are
   *      dropped after supplying history.
   *
   * Data moved for the fix-up: `numBuckets × max(lags)` rows — constant per
   * bucket, independent of data size. This is the distributed analogue of
   * the reference's overlapping `copy_from_slice` windows
-  * (`src/lib.rs:518-524`).
-  *
-  * Constraint: every bucket must hold ≥ max(lags) rows (pads come only
-  * from the immediately preceding bucket). With range partitioning this
-  * means numBuckets ≲ rowCount / max(lags) — trivially true at scale.
+  * (`src/lib.rs:518-524`). Pads cascade across empty or undersized
+  * buckets (see inline note), so no minimum bucket size is assumed.
   */
 object DistributedLag {
 
@@ -42,18 +39,34 @@ object DistributedLag {
       .repartitionByRange(numBuckets, ordCols: _*)
       .withColumn("_bucket", spark_partition_id())
 
-    // previous bucket's tail = the history each bucket head is missing
+    // Each bucket head is missing the last `maxLag` rows (in global
+    // order) that precede the bucket. Those rows always lie within the
+    // TAILS (last maxLag rows) of earlier buckets: a global suffix of a
+    // union of contiguous ranges is a union of per-range suffixes. So
+    // pads are drawn from the tail set and ranked per TARGET bucket,
+    // which cascades correctly across undersized or empty buckets that
+    // repartitionByRange sampling can produce (a naive "previous bucket
+    // only" rule silently fills such heads with NULLs). The tail set is
+    // ≤ numBuckets × maxLag rows, so the non-equi pairing below touches
+    // ≤ numBuckets² × maxLag narrow rows — a fixed-size fix-up stage,
+    // independent of data volume.
     val wDesc = Window.partitionBy(col("_bucket"))
       .orderBy(ordCols.map(_.desc): _*)
-    val pads = bucketed
+    val tails = bucketed
       .withColumn("_rn_end", row_number().over(wDesc))
       .filter(col("_rn_end") <= maxLag)
-      .withColumn("_bucket", col("_bucket") + 1)
       .drop("_rn_end")
+    val targets = tails.select(col("_bucket").as("_tgt")).distinct()
+    val pads = tails.join(broadcast(targets), col("_bucket") < col("_tgt"))
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("_tgt"))
+        .orderBy(ordCols.map(_.desc): _*)))
+      .filter(col("_rk") <= maxLag)
+      .drop("_bucket", "_rk")
+      .withColumnRenamed("_tgt", "_bucket")
       .withColumn("_pad", lit(true))
 
     val unioned = bucketed.withColumn("_pad", lit(false))
-      .unionByName(pads.filter(col("_bucket") < numBuckets))
+      .unionByName(pads)
 
     val w = Window.partitionBy(col("_bucket")).orderBy(ordCols: _*)
     val lagCols = spec.lags.distinct.map { k =>

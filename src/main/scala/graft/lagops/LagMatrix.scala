@@ -71,11 +71,16 @@ object LagMatrix {
         s"numeric fill for non-numeric column '$valueCol'")
     if (checkSeriesLength) {
       val maxLag = spec.lags.max.toLong
+      // ONE aggregation job covers both the emptiness and the shortest-
+      // series checks (min over per-series counts is NULL iff no rows).
       val minLen: Long =
         if (spec.seriesCols.isEmpty) df.count()
-        else df.groupBy(spec.seriesCols.map(col): _*).count()
-               .agg(min("count")).head.getLong(0)
-      if (df.isEmpty)
+        else {
+          val row = df.groupBy(spec.seriesCols.map(col): _*).count()
+            .agg(min("count")).head
+          if (row.isNullAt(0)) 0L else row.getLong(0)
+        }
+      if (minLen == 0L)
         throw LagException("EmptyData", "the input DataFrame is empty")
       if (maxLag >= minLen)
         throw LagException("LagExceedsValueCount",
@@ -131,18 +136,31 @@ object LagMatrix {
   }
 
   /** Long-format output `(series…, order…, lag, value)` — one row per
-    * (input row × lag). Built by stacking the wide form, which keeps the
-    * single WindowExec pass and lets the reference's row/column-major output
+    * (input row × REQUESTED lag), in caller order INCLUDING duplicates:
+    * the reference preserves duplicate lags as duplicate output rows
+    * (`src/lib.rs:846-865`), and long format can carry them even though
+    * wide format cannot (duplicate column names; documented dedupe in
+    * [[wide]]). Built by stacking the wide form, which keeps the single
+    * WindowExec pass and lets the reference's row/column-major output
     * orderings both be expressed as an ORDER BY (SURVEY.md §1.1).
+    *
+    * @param posCol optional name for a caller-position column (0-based
+    *               index into `spec.lags`) — the explicit stand-in for
+    *               the reference's positional column order, and the
+    *               disambiguator when duplicates are requested
     */
-  def long(df: DataFrame, valueCol: String, spec: LagSpec): DataFrame = {
+  def long(df: DataFrame, valueCol: String, spec: LagSpec,
+           posCol: Option[String] = None): DataFrame = {
     val wideDf = wide(df, valueCol, spec)
-    val pairs = spec.lags.distinct.flatMap { k =>
-      Seq(lit(k), col(lagName(valueCol, k)))
+    val entries = spec.lags.map { k =>
+      struct(lit(k).as("lag"), col(lagName(valueCol, k)).as("v"))
     }
     val keep = (spec.seriesCols ++ spec.orderCols).distinct.map(col)
-    wideDf.select(keep :+
-      explode(map(pairs: _*)).as(Seq("lag", valueCol)): _*)
+    val exploded = wideDf.select(keep :+
+      posexplode(array(entries: _*)).as(Seq("_pos", "_e")): _*)
+    exploded.select(keep ++
+      posCol.map(p => col("_pos").as(p)).toSeq ++
+      Seq(col("_e.lag").as("lag"), col("_e.v").as(valueCol)): _*)
   }
 }
 

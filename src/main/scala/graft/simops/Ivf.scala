@@ -22,10 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** (list_id, centroid array<double>) — deterministic for a fixed input. */
+  /** (list_id, centroid array<double>) — deterministic for a fixed input.
+    *
+    * Refined centroids are ROUNDED to 6 decimal places: a double mean's
+    * partial-aggregation association order varies run to run at the
+    * 1e-15 level, and every downstream assignment/probe compares
+    * distances derived from the centroids — rounding well above the
+    * association noise (and well below any real centroid separation)
+    * makes the whole index bit-reproducible across runs AND engines,
+    * which is what lets the DuckDB oracle replay Lloyd's iteration.
+    */
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 2): DataFrame = {
-    val vecs = df.select(col(idCol).as("_id"),
+    val vecs = graft.util.Par.spread(df).select(col(idCol).as("_id"),
       transform(col(vecCol), _.cast("double")).as("_v"))
     var centroids = vecs.orderBy("_id").limit(nlist)
       .select((row_number().over(Window.orderBy("_id")) - 1).as("list_id"),
@@ -34,7 +43,7 @@ object Ivf {
       val assigned = assign(vecs, centroids, "_v")
       centroids = assigned
         .select(col("list_id"), posexplode(col("_v")).as(Seq("dim", "x")))
-        .groupBy("list_id", "dim").agg(avg("x").as("m"))
+        .groupBy("list_id", "dim").agg(round(avg("x"), 6).as("m"))
         .groupBy("list_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
         .select(col("list_id"),
@@ -62,7 +71,7 @@ object Ivf {
     val centroids = fitCentroids(candidates, idCol, vecCol, nlist, iters)
 
     val cand = assign(
-      candidates.select(col(idCol).as("_id"),
+      graft.util.Par.spread(candidates).select(col(idCol).as("_id"),
         transform(col(vecCol), _.cast("double")).as("_v")),
       centroids, "_v")
       .select(col("_id").as("neighbor_id"), col("_v").as("cv"),

@@ -85,21 +85,35 @@ object Similarity {
     * least one signature band with the query (catches near-identical sign
     * patterns), re-ranked by exact cosine. Recall < 1 by construction;
     * bands/planes trade recall vs candidate volume.
+    *
+    * `dim` ≤ 0 (the default) derives the dimensionality from the first
+    * candidate vector; rows of any OTHER length then fail fast with a
+    * runtime error instead of silently degrading signature quality
+    * (the dot kernel would truncate to the shorter length).
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 16, bands: Int = 4,
-              dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+              dim: Int = -1): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else candidates.select(size(col(vecCol))).head.getInt(0)
+    val planes = hyperplanes(numPlanes, d)
     val bits = numPlanes / bands
-    def banded(df: DataFrame, id: String, vec: String, n: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          norm(col(vecCol)).as(n),
-          lshSignature(col(vecCol), planes).as("sig"))
+    def banded(df0: DataFrame, id: String, vec: String, n: String) = {
+      val df = graft.util.Par.spread(df0)
+      val checked = when(size(col(vecCol)) === d, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"lshTopK: expected $d-dim vectors, got length "),
+          size(col(vecCol)).cast("string"))))
+      df.select(col(idCol).as(id), checked.as(vec),
+          norm(checked).as(n),
+          lshSignature(checked, planes).as("sig"))
         .select(col(id), col(vec), col(n),
           posexplode(array((0 until bands).map { b =>
             shiftright(col("sig"), b * bits)
               .bitwiseAND((1L << bits) - 1)
           }: _*)).as(Seq("band", "key")))
+    }
     val qb = banded(queries, "query_id", "qv", "qn")
     val cb = banded(candidates, "neighbor_id", "cv", "cn")
     val cand = cb.join(broadcast(qb), Seq("band", "key"))
@@ -114,10 +128,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
-    * cosine ≥ threshold. Exact O(n²) pair scan — but norms are hoisted
-    * (n, not n², norm computations) and each pair is one codegen'd dot.
-    * The scale path bucketizes with `lshSignature` first.
+  /** Banded (LSH-bucketed) near-duplicate pairs — the registered scale
+    * path. Candidates are pairs sharing at least one signature band: an
+    * EQUI-join on the small `(band, key)` columns, never a nested-loop
+    * pair scan, so candidate volume per row is ~bucket size instead of n.
+    * Every candidate is then verified by exact cosine ≥ threshold, so
+    * false candidates never corrupt output — the only approximation is
+    * missed pairs (recall), governed by planes/bands and measured on the
+    * planted near-dups in SimilaritySpec.
+    *
+    * The DuckDB oracle reproduces the SAME banded semantics — the plane
+    * matrix is embedded literally in the generated SQL (see
+    * SparkEntry.oracleSql) — so the driver hash-checks this operator
+    * exactly even though it is approximate vs. [[nearDupPairs]].
+    */
+  def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, numPlanes: Int = 64,
+                         bands: Int = 8, dim: Int = -1): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else df.select(size(col(vecCol))).head.getInt(0)
+    val planes = hyperplanes(numPlanes, d)
+    val bits = numPlanes / bands
+    val base = graft.util.Par.spread(df).select(col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("n"),
+      lshSignature(col(vecCol), planes).as("sig"))
+    val banded = base.select(col("id"), col("v"), col("n"),
+      posexplode_outer(array((0 until bands).map { b =>
+        shiftright(col("sig"), b * bits).bitwiseAND((1L << bits) - 1)
+      }: _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
+      col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", round(
+        cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, all-pairs form: exact O(n²)
+    * pair scan — norms are hoisted (n, not n², norm computations) and
+    * each pair is one codegen'd dot. Kept as the small-input oracle twin
+    * and recall yardstick for [[nearDupPairsBanded]]; the banded form is
+    * the one registered for the 100 TB path.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {

@@ -131,20 +131,24 @@ object TextOps {
       sequence(lit(1), greatest(length(text) - k + 1, lit(1))),
       i => conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
         .cast("long"))
-    // the hashing happens in the stage that reads the input: if the source
-    // has fewer splits than cores (one small parquet file), spread it so
-    // the md5 work parallelizes. At scale inputs have >= cores splits and
-    // this is a no-op.
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
-    val exploded = src.select(col(idCol),
-      posexplode(kgramHashes).as(Seq("_pos", "_h")))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
+    // The hashing happens in the stage that reads the input, so spread a
+    // small single-split source across cores first (no-op at scale).
+    //
+    // Two cost traps avoided here, both measured:
+    //  - the k-gram count rides along as size(_kh) BEFORE the explode, so
+    //    no second (unordered count) window pass over the exploded rows;
+    //  - posexplode_OUTER, because a plain explode makes Catalyst infer a
+    //    `size(arr) > 0` filter and push it below the projection,
+    //    re-evaluating the entire md5 transform once per row just to test
+    //    non-emptiness (the array is never empty by construction —
+    //    greatest(..., 1) above).
+    val src = graft.util.Par.spread(df)
+    val hashed = src.select(col(idCol), kgramHashes.as("_kh"))
+    val exploded = hashed.select(col(idCol), size(col("_kh")).as("_n"),
+      posexplode_outer(col("_kh")).as(Seq("_pos", "_h")))
     val winMin = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_pos")).rowsBetween(0, w - 1)
     exploded
-      .withColumn("_n", count(lit(1)).over(byDoc))
       .withColumn("_fp", min(col("_h")).over(winMin))
       .filter(col("_pos") <= greatest(col("_n") - w, lit(0)))
       .select(col(idCol), col("_fp").as("fp"))
