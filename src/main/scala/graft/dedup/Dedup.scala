@@ -258,20 +258,87 @@ object Dedup {
         col("_n") - ceil(lit(threshold) * col("_n")) + 1)
       .select(col("doc_id"), col("h"))
 
+    val hashed = withSh.select(col("doc_id"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("_hs"))
     val cand = prefix.as("x").join(prefix.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
+    verifyCandidates(cand, hashed, threshold)
+  }
+
+  /** Prefix-filtered n-gram Jaccard with the prefix computed INSIDE the
+    * shingle array: the consistent global order the AllPairs bound needs
+    * is plain xxhash64 order, so each document's prefix is just the
+    * `n − ⌈t·n⌉ + 1` smallest hashes of its own array —
+    * `array_sort` + `slice`, a pure projection. Zero shuffles touch the
+    * posting list before the candidate self-join (vs. three in
+    * [[ngramJaccardPrefix]]: frequency groupBy, frequency join, per-doc
+    * window), and candidates verify exactly, so output is identical to
+    * both other forms (equivalence-tested).
+    *
+    * Trade vs. rarest-first: a shingle of corpus frequency f lands in a
+    * random ~(1−t) fraction of its documents' prefixes, so a hot-shingle
+    * bucket still holds ~(1−t)·f postings — a (1−t)⁻² ≈ 25× pair
+    * reduction at t = 0.8, but not the near-total exclusion rarest-first
+    * ordering gives. This is the default engine path; reach for
+    * [[ngramJaccardPrefix]] when a corpus is both huge AND dominated by
+    * a few ubiquitous shingles.
+    */
+  def ngramJaccardSortedPrefix(df: DataFrame, idCol: String,
+                               textCol: String, shingleSize: Int = 3,
+                               threshold: Double = 0.2): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold in [0,1], got $threshold")
+    val tokenized = graft.util.Par.spread(df)
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
+    val withSh = tokenized.select(col("doc_id"),
+      TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
+    // staged aliases (no CSE inside HOF lambdas): hashes materialize
+    // before the sort reads them, the sorted array before the slice
+    val hashed = withSh.select(col("doc_id"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("_hs"))
+    val prefix = hashed
+      .select(col("doc_id"), size(col("_hs")).as("n"),
+        explode_outer(slice(col("_hs"), lit(1),
+          (size(col("_hs")) -
+            ceil(lit(threshold) * size(col("_hs"))).cast("int") + 1)))
+          .as("h"))
+
+    // length filter (AllPairs): J ≥ t forces min(nₐ,n_b) ≥ t·max(nₐ,n_b)
+    // — prunes cross-length candidates before the pair dedup and verify
+    val cand = prefix.as("x").join(prefix.as("y"), Seq("h"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.n"), col("y.n")).cast("double") >=
+          lit(threshold) * greatest(col("x.n"), col("y.n")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    verifyCandidates(cand, hashed, threshold)
+  }
+
+  /** Exact-verify stage shared by the prefix-filtered Jaccard joins:
+    * re-join the candidate pairs to the full SORTED HASH arrays (longs —
+    * ~8× fewer shuffle bytes than the shingle strings, and the verify
+    * join's payload dominates this operator's cost) and keep pairs whose
+    * true (unrounded) Jaccard clears the threshold. Set size and
+    * intersection on the hash arrays equal those on the string sets up
+    * to xxhash64 collisions within a pair's union (P ≈ |union|²/2⁶⁴ —
+    * vanishing, and the same contract the plain inverted-index form
+    * already has).
+    */
+  private def verifyCandidates(cand: DataFrame, hashed: DataFrame,
+                               threshold: Double): DataFrame =
     cand
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(hashed.select(col("doc_id").as("doc_a"), col("_hs").as("hs_a")), "doc_a")
+      .join(hashed.select(col("doc_id").as("doc_b"), col("_hs").as("hs_b")), "doc_b")
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("_j", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .filter(col("_j") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("_j"), 6).as("jaccard"))
-  }
 }

@@ -64,7 +64,9 @@ class DedupSpec extends AnyFunSuite {
     for (t <- Seq(0.5, 0.8)) {
       val full = canon(Dedup.ngramJaccard(docs, "doc_id", "text", 3, t))
       val pref = canon(Dedup.ngramJaccardPrefix(docs, "doc_id", "text", 3, t))
-      assert(full == pref, s"threshold $t")
+      val sort = canon(Dedup.ngramJaccardSortedPrefix(docs, "doc_id", "text", 3, t))
+      assert(full == pref, s"threshold $t (rarest-first)")
+      assert(full == sort, s"threshold $t (sorted-prefix)")
       assert(full.nonEmpty)
     }
   }
