@@ -339,12 +339,14 @@ object SparkEntry {
         maxHamming = 3)),
 
     "ngram_jaccard" -> ((s, dir) =>
-      // prefix-filtered (AllPairs) form: output-identical to the plain
-      // inverted index (equivalence-tested) but with no per-document
-      // broadcast and a pruned index that caps hot-shingle damage — the
-      // registered 100 TB shape
-      Dedup.ngramJaccardPrefix(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.8)),
+      // sorted-prefix (in-array AllPairs) form: output-identical to the
+      // plain inverted index (equivalence-tested), no per-document
+      // broadcast, prefix pruning + length filter cap hot-shingle damage,
+      // and the prefix is a pure projection (no pre-join shuffles) — the
+      // registered 100 TB shape; ngramJaccardPrefix (rarest-first) stays
+      // as the variant for corpora dominated by a few ubiquitous shingles
+      Dedup.ngramJaccardSortedPrefix(Tables.documents(s, dir), "doc_id",
+        "text", shingleSize = 3, threshold = 0.8)),
 
     "embedding_neardup" -> ((s, dir) =>
       // banded LSH candidates + exact cosine verify (no nested-loop pair

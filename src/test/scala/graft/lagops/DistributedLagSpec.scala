@@ -32,6 +32,19 @@ class DistributedLagSpec extends AnyFunSuite {
     assert(canon(dist) == canon(naive))
   }
 
+  // repartitionByRange sampling can make buckets with FEWER rows than
+  // max(lags) — pads must then cascade across several earlier buckets
+  // (a "previous bucket only" rule would silently fill heads with the
+  // fill value). 20 rows over 64 requested buckets with maxLag=5 forces
+  // every bucket to be undersized or empty.
+  test("pads cascade across undersized and empty buckets") {
+    val df = seriesDf((1 to 20).map(_.toDouble))
+    val spec = LagSpec(Seq("t"), Nil, Seq(1, 5), Some(-1.0))
+    val naive = LagMatrix.wide(df, "value", spec)
+    val dist = DistributedLag.wide(df, "value", spec, numBuckets = 64)
+    assert(canon(dist) == canon(naive))
+  }
+
   test("rejects per-series specs (those parallelize via LagMatrix.wide)") {
     val df = seriesDf(Seq(1, 2, 3))
     intercept[IllegalArgumentException] {

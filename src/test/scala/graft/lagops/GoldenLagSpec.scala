@@ -105,6 +105,28 @@ class GoldenLagSpec extends AnyFunSuite {
     assert(flat == Seq(1.0, 2.0, -1.0, -2.0, INF, 1.0, INF, -1.0))
   }
 
+  // Reference preserves caller lag order INCLUDING duplicates
+  // (src/lib.rs:518 `lags.into_iter().enumerate()`, order pinned by
+  // test_lag_2 src/lib.rs:840-865). Wide format dedupes by necessity
+  // (duplicate column names); long format carries them, disambiguated
+  // by the caller-position column.
+  test("long format preserves duplicate lags in caller order") {
+    val out = LagMatrix.long(seriesDf(Seq(42, 40, 38, 36)), "value",
+      LagSpec(Seq("t"), Nil, Seq(1, 3, 2, 1), Some(INF)), posCol = Some("pos"))
+    val flat = out.orderBy("pos", "t")
+      .select("pos", "lag", "value").collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val lag1 = Seq(INF, 42.0, 40.0, 38.0)
+    val lag3 = Seq(INF, INF, INF, 42.0)
+    val lag2 = Seq(INF, INF, 42.0, 40.0)
+    val expect =
+      lag1.zipWithIndex.map { case (v, _) => (0, 1, v) } ++
+      lag3.map(v => (1, 3, v)) ++
+      lag2.map(v => (2, 2, v)) ++
+      lag1.map(v => (3, 1, v))
+    assert(flat == expect)
+  }
+
   test("NULL fill twin: heads are SQL NULL") {
     val out = LagMatrix.wide(seriesDf(Seq(42, 40, 38, 36)), "value",
       LagSpec(Seq("t"), Nil, Seq(2), None))

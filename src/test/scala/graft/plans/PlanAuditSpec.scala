@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regressions for the registered driver queries: the shapes
+  * that make them scale (broadcast dim joins, one collapsed Window pass, no
+  * nested-loop pair scans, no single-partition exchanges) must survive
+  * refactors. A green oracle row says the ANSWER is right; these say the
+  * PLAN is still the one we'd want at 100 TB.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def opCount(p: String, op: String): Int =
+    p.linesIterator.count(_.matches(s".*(\\*\\(\\d+\\) )?$op( |\\[).*"))
+
+  test("q5_region_revenue broadcasts every dimension side") {
+    assert(opCount(plan("q5_region_revenue"), "BroadcastHashJoin") >= 3)
+  }
+
+  test("lag_2d_partitioned collapses all lags into one Window pass") {
+    assert(opCount(plan("lag_2d_partitioned"), "Window") == 1)
+  }
+
+  test("embedding_neardup has no nested-loop pair scan") {
+    assert(!plan("embedding_neardup").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("lag_distributed has no single-partition exchange") {
+    assert(!plan("lag_distributed").contains("SinglePartition"))
+  }
+
+  test("q1_pricing pushes the date filter into the parquet scan") {
+    val scanLines = plan("q1_pricing").linesIterator
+      .filter(_.contains("PushedFilters")).mkString
+    assert(scanLines.contains("l_shipdate"), s"no pushed filter: $scanLines")
+  }
+
+  test("ngram_jaccard carries no broadcast hint") {
+    // every frame in this operator is per-document, so an explicit
+    // broadcast() hint (round 1 broadcast O(n_docs) set sizes) is always
+    // a scale regression. Size-based broadcasts the planner picks at
+    // test SF are fine — those adapt away on a real corpus.
+    val analyzed = SparkEntry.queries("ngram_jaccard")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"))
+  }
+}
