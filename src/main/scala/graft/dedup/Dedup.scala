@@ -65,27 +65,19 @@ object Dedup {
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // staged projections: tokens materialize before the shingle lambda
-    // reads them, the per-shingle digest (_m) before BOTH half
-    // extractions, and the halves before the per-function mins — each
-    // stage's alias is multi-referenced downstream, which is what keeps
-    // CollapseProject from inlining the expensive transform into a
-    // lambda body where it would re-evaluate per element (no CSE inside
-    // higher-order-function lambdas).
+    // whole signature in ONE codegen'd pass per document
+    // ([[graft.functions.MinHashSigExpr]]): md5 per shingle + all
+    // numHashes mins in a tight JVM loop. The staged Column-expression
+    // twin ([[minhashSignatureFromHalves]] fed by per-stage aliases) is
+    // the equivalence-tested spec and the template the DuckDB oracle SQL
+    // mirrors.
     val withSig = graft.util.Par.spread(df)
       .select(col(idCol).as("doc_id"),
         TextOps.tokens(lower(col(textCol))).as("_toks"))
       .select(col("doc_id"),
         TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), s => md5(s)).as("_m"))
       .select(col("doc_id"),
-        transform(col("_m"),
-          m => conv(substring(m, 1, 15), 16, 10).cast("long")).as("_h1"),
-        transform(col("_m"),
-          m => conv(substring(m, 17, 14), 16, 10).cast("long")).as("_h2"))
-      .select(col("doc_id"),
-        minhashSignatureFromHalves(col("_h1"), col("_h2"), numHashes)
-          .as("sig"))
+        graft.functions.MinHashSigExpr(col("sh"), numHashes).as("sig"))
 
     // band key = md5 of that band's slice of the signature. Only
     // (doc_id, band, bucket) travels through the LSH shuffles — the wide
@@ -203,7 +195,7 @@ object Dedup {
     val withSh = tokenized.select(col("doc_id"),
       TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
     val sh = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode_outer(transform(col("sh"), s => xxhash64(s))).as("h"))
+      explode_outer(graft.functions.XxSortedHashesExpr(col("sh"))).as("h"))
     val pairsShared = sh.as("x").join(sh.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -242,7 +234,10 @@ object Dedup {
     val withSh = tokenized.select(col("doc_id"),
       TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
     val occ = withSh.select(col("doc_id"),
-      explode_outer(transform(col("sh"), s => xxhash64(s))).as("h"))
+      explode_outer(graft.functions.XxSortedHashesExpr(col("sh"))).as("h"))
+
+    val hashed = withSh.select(col("doc_id"),
+      graft.functions.XxSortedHashesExpr(col("sh")).as("_hs"))
 
     // global order = (frequency asc, hash): rarest shingles first, so
     // prefixes land in the smallest inverted-index buckets
@@ -258,8 +253,6 @@ object Dedup {
         col("_n") - ceil(lit(threshold) * col("_n")) + 1)
       .select(col("doc_id"), col("h"))
 
-    val hashed = withSh.select(col("doc_id"),
-      array_sort(transform(col("sh"), s => xxhash64(s))).as("_hs"))
     val cand = prefix.as("x").join(prefix.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -296,10 +289,9 @@ object Dedup {
         TextOps.tokens(lower(col(textCol))).as("_toks"))
     val withSh = tokenized.select(col("doc_id"),
       TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
-    // staged aliases (no CSE inside HOF lambdas): hashes materialize
-    // before the sort reads them, the sorted array before the slice
+    // hash + sort in one codegen'd pass (XxSortedHashesExpr)
     val hashed = withSh.select(col("doc_id"),
-      array_sort(transform(col("sh"), s => xxhash64(s))).as("_hs"))
+      graft.functions.XxSortedHashesExpr(col("sh")).as("_hs"))
     val prefix = hashed
       .select(col("doc_id"), size(col("_hs")).as("n"),
         explode_outer(slice(col("_hs"), lit(1),

@@ -35,7 +35,7 @@ object Ivf {
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 2): DataFrame = {
     val vecs = graft.util.Par.spread(df).select(col(idCol).as("_id"),
-      transform(col(vecCol), _.cast("double")).as("_v"))
+      col(vecCol).cast("array<double>").as("_v"))
     var centroids = vecs.orderBy("_id").limit(nlist)
       .select((row_number().over(Window.orderBy("_id")) - 1).as("list_id"),
         col("_v").as("centroid"))
@@ -52,16 +52,24 @@ object Ivf {
     centroids
   }
 
-  /** Nearest centroid per row by cosine (broadcast centroids, narrow). */
+  /** Nearest centroid per row by cosine (broadcast centroids, narrow).
+    * Norms are hoisted — one per row and one per centroid — so each
+    * (row × centroid) pair costs a single dot product, not three; the
+    * quotient arithmetic is unchanged (oracle parity).
+    */
   private def assign(vecs: DataFrame, centroids: DataFrame,
                      vecField: String): DataFrame = {
-    val scored = vecs.join(broadcast(centroids))
-      .withColumn("_sim", Similarity.cosine(col(vecField), col("centroid")))
+    val vn = vecs.withColumn("_vn", Similarity.norm(col(vecField)))
+    val cn = centroids.withColumn("_cn", Similarity.norm(col("centroid")))
+    val scored = vn.join(broadcast(cn))
+      .withColumn("_sim", Similarity.cosinePre(
+        VectorOps.dot(col(vecField), col("centroid")),
+        col("_vn"), col("_cn")))
     val w = Window.partitionBy(col("_id"))
       .orderBy(col("_sim").desc, col("list_id"))
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_sim", "centroid")
+      .drop("_rn", "_sim", "centroid", "_vn", "_cn")
   }
 
   /** Probe-and-rank top-k. Queries must be small (broadcast). */
@@ -72,7 +80,7 @@ object Ivf {
 
     val cand = assign(
       graft.util.Par.spread(candidates).select(col(idCol).as("_id"),
-        transform(col(vecCol), _.cast("double")).as("_v")),
+        col(vecCol).cast("array<double>").as("_v")),
       centroids, "_v")
       .select(col("_id").as("neighbor_id"), col("_v").as("cv"),
         Similarity.norm(col("_v")).as("cn"), col("list_id"))
@@ -80,7 +88,7 @@ object Ivf {
     // each query probes its nprobe nearest lists
     val qProbe = queries
       .select(col(idCol).as("query_id"),
-        transform(col(vecCol), _.cast("double")).as("qv"))
+        col(vecCol).cast("array<double>").as("qv"))
       .join(broadcast(centroids))
       .withColumn("_sim", Similarity.cosine(col("qv"), col("centroid")))
       .withColumn("_rn", row_number().over(Window.partitionBy(col("query_id"))

@@ -40,7 +40,7 @@ object Similarity {
     when(nn === 0.0, 0.0).otherwise(d / nn)
   }
 
-  private def cosinePre(dotCol: Column, na: Column, nb: Column): Column =
+  private[simops] def cosinePre(dotCol: Column, na: Column, nb: Column): Column =
     when(na * nb === 0.0, 0.0).otherwise(dotCol / (na * nb))
 
   /** Exact brute-force top-k neighbors for each query vector.
@@ -72,10 +72,19 @@ object Similarity {
     Array.fill(numPlanes, dim)(rng.nextDouble() * 2 - 1)
   }
 
-  /** Sign-bit LSH signature of `vec` against `planes`, packed into a long.
-    * Plane dots use the float kernel via a float-cast literal plane.
+  /** Sign-bit LSH signature of `vec` against `planes`, packed into a long:
+    * ONE codegen'd pass unpacks the vector once and folds every plane dot
+    * ([[graft.functions.HyperplaneSigExpr]]). The per-plane Column form
+    * below is the equivalence-tested spec (it re-unpacked the vector once
+    * per plane — 64 unpacks/row for the near-dup signature).
     */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.HyperplaneSigExpr(vec, planes)
+
+  /** Expanded twin of [[lshSignature]] (equivalence spec; same float
+    * casts, same left-to-right double accumulation, same `> 0` rule).
+    */
+  def lshSignatureExpanded(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(v => lit(v.toFloat)): _*)
       when(dot(vec, plane) > 0.0, lit(1L << i)).otherwise(0L)

@@ -127,10 +127,9 @@ object TextOps {
   def winnowing(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, w: Int = 4): DataFrame = {
     val text = col(textCol)
-    val kgramHashes = transform(
-      sequence(lit(1), greatest(length(text) - k + 1, lit(1))),
-      i => conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
-        .cast("long"))
+    // one codegen'd pass over the text (KgramHashesExpr); the HOF twin
+    // below ([[kgramHashesExpanded]]) is the equivalence-tested spec
+    val kgramHashes = graft.functions.KgramHashesExpr(text, k)
     // The hashing happens in the stage that reads the input, so spread a
     // small single-split source across cores first (no-op at scale).
     //
@@ -155,7 +154,14 @@ object TextOps {
       .distinct()
   }
 
-  /** Word shingles of size n from a MATERIALIZED token array column.
+  /** Word shingles of size n: distinct, first-occurrence order, one
+    * codegen'd pass ([[graft.functions.WordShinglesExpr]]). The HOF twin
+    * [[shinglesFromTokensExpanded]] is the equivalence-tested spec.
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    graft.functions.WordShinglesExpr(toks, n)
+
+  /** The Column-expression spec [[shinglesFromTokens]] is tested against.
     *
     * The token expression must be a real column, not an inline expression:
     * Catalyst does no common-subexpression elimination inside
@@ -164,12 +170,19 @@ object TextOps {
     * (measured 6s vs ~0.3s on 5k docs). A bound column reference is read
     * once per row.
     */
-  def shinglesFromTokens(toks: Column, n: Int): Column =
+  def shinglesFromTokensExpanded(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array(array_join(toks, " ")))
         .otherwise(transform(
           sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
+
+  /** HOF twin of [[graft.functions.KgramHashesExpr]] (equivalence spec). */
+  def kgramHashesExpanded(text: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - k + 1, lit(1))),
+      i => conv(substring(md5(text.substr(i, lit(k))), 1, 15), 16, 10)
+        .cast("long"))
 
   /** Convenience one-expression form — ONLY for tiny inputs/tests; real
     * pipelines must materialize tokens first (see shinglesFromTokens).
