@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayShiftExpr, DotProductExpr, SimHashAgg}
+import graft.functions.{ArrayShiftExpr, DotProductExpr, KgramHashesExpr, MinHashSigExpr, SimHashAgg, WordShinglesExpr, XxSortedHashesExpr}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -51,7 +51,19 @@ object GraftFunctions {
       exprs => DotProductExpr(exprs(0), exprs(1))),
     ("simhash_agg",
       new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
-      exprs => SimHashAgg(exprs.head).toAggregateExpression()))
+      exprs => SimHashAgg(exprs.head).toAggregateExpression()),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      exprs => MinHashSigExpr(exprs(0), litInt(exprs(1), "numHashes"))),
+    ("xx_sorted_hashes",
+      new ExpressionInfo(classOf[XxSortedHashesExpr].getName, "xx_sorted_hashes"),
+      exprs => XxSortedHashesExpr(exprs(0))),
+    ("kgram_hashes",
+      new ExpressionInfo(classOf[KgramHashesExpr].getName, "kgram_hashes"),
+      exprs => KgramHashesExpr(exprs(0), litInt(exprs(1), "k"))),
+    ("word_shingles",
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      exprs => WordShinglesExpr(exprs(0), litInt(exprs(1), "n"))))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

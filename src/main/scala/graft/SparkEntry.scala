@@ -378,6 +378,23 @@ object SparkEntry {
         .select(col("event_id"), col("key"), col("last_price"))
     }),
 
+    // ---- corpus-preparation pipeline (north star) ----
+    "pii_scrub" -> ((s, dir) =>
+      graft.pipeline.Pipeline.piiScrub(Tables.documents(s, dir),
+        "doc_id", "text")),
+
+    "seq_pack" -> ((s, dir) =>
+      // global concat-then-chunk packing; distributed two-pass prefix
+      // sum (range buckets + broadcast base offsets), no
+      // single-partition window over the data
+      graft.pipeline.Pipeline.seqPack(Tables.documents(s, dir),
+        "doc_id", "text", budget = 2048)),
+
+    "sample_stratified" -> ((s, dir) =>
+      graft.pipeline.Pipeline.sampleStratified(Tables.documents(s, dir),
+        "doc_id", "lang",
+        pctByStratum = Map("en" -> 80, "zh" -> 50), defaultPct = 25)),
+
     // ---- multimodal plumbing (north star; codec stubbed, see Multimodal) ----
     "multimodal_meta" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -836,6 +853,41 @@ object SparkEntry {
          SELECT e.event_id, e.user_id % 5 AS key, oa.last_price
          FROM events e ASOF LEFT JOIN oa
          ON (e.user_id % 5) = oa.key AND e.ts >= oa.o_orderdate""",
+
+    "pii_scrub" -> {
+      val email = graft.pipeline.Pipeline.emailPattern
+      val ip = graft.pipeline.Pipeline.ipv4Pattern
+      s"""SELECT doc_id,
+         len(regexp_extract_all(text, '$email')) AS n_emails,
+         len(regexp_extract_all(text, '$ip')) AS n_ipv4,
+         md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+             '$ip', '<IP>', 'g')) AS scrub_fp
+         FROM documents"""
+    },
+
+    "seq_pack" ->
+      // the distributed two-pass prefix sum equals this single global
+      // window by construction (base + within-bucket prefix telescopes)
+      """WITH b AS (SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+           FROM documents),
+         p AS (SELECT doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM b)
+         SELECT doc_id, n_tokens, pre // 2048 AS pack_id,
+           pre % 2048 AS pack_offset FROM p""",
+
+    "sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, lang, bucket FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 50
+                        ELSE 25 END""",
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,

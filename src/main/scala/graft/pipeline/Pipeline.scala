@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import graft.textops.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline runs after
+  * filtering/dedup: PII scrubbing, sequence packing, and deterministic
+  * stratified sampling. All three are oracle-checkable — the rules are
+  * pure functions of the row (or of prefix sums both engines compute
+  * identically), no RNG, no engine-specific hashing.
+  */
+object Pipeline {
+
+  /** Conservative ASCII patterns valid in BOTH Java regex (Spark) and
+    * RE2 (DuckDB oracle) with identical match spans.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails then IPv4s (order fixed — both engines must agree on
+    * the intermediate string). Emits match counts and the md5 of the
+    * scrubbed text rather than the text itself: at corpus scale the
+    * scrubbed body goes to the sink, not through comparisons. Narrow
+    * per-row transform — single scan + project, no shuffle.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(t, emailPattern, "<EMAIL>"), ipv4Pattern, "<IP>")
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(emailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(ipv4Pattern), lit(0))).as("n_ipv4"),
+      md5(scrubbed).as("scrub_fp"))
+  }
+
+  /** GLOBAL greedy sequence packing (the concat-then-chunk rule LLM
+    * pretraining uses): lay every document's tokens end to end in
+    * `idCol` order and cut packs of `budget` tokens; each document
+    * reports the pack holding its first token and its offset there.
+    *
+    * The global running sum is computed WITHOUT a single-partition
+    * window — same playbook as [[graft.lagops.DistributedLag]]:
+    *
+    *   1. range-partition on the order key (contiguous key ranges);
+    *   2. per-bucket prefix sums via a partitioned window;
+    *   3. per-bucket totals (a `numBuckets`-row frame) cumsum'd and
+    *      broadcast back as each bucket's base offset.
+    *
+    * Bucket boundaries come from range-partition sampling and are NOT
+    * deterministic — but `base + within-bucket prefix` equals the global
+    * prefix sum for ANY boundary placement, so results are exact and
+    * stable run to run. The DuckDB oracle states the same thing as one
+    * plain global window.
+    */
+  def seqPack(df: DataFrame, idCol: String, textCol: String,
+              budget: Int, numBuckets: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val withTok = df
+      .select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartitionByRange(numBuckets, col(idCol))
+      .withColumn("_bucket", spark_partition_id())
+
+    val wIn = Window.partitionBy(col("_bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = withTok
+      .withColumn("_pre_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+
+    val wBase = Window.orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = withTok.groupBy(col("_bucket"))
+      .agg(sum(col("n_tokens")).as("_tot"))
+      .withColumn("_base", coalesce(sum(col("_tot")).over(wBase), lit(0L)))
+      .select(col("_bucket"), col("_base"))
+
+    inBucket.join(broadcast(bases), "_bucket")
+      .withColumn("_prefix", col("_base") + col("_pre_in"))
+      .select(col(idCol), col("n_tokens"),
+        floor(col("_prefix") / budget).cast("long").as("pack_id"),
+        (col("_prefix") % budget).as("pack_offset"))
+  }
+
+  /** Deterministic stratified sampling: a document's md5-derived bucket
+    * in [0, 100) admits it when below its stratum's percentage. The
+    * same document set is kept on every run and every engine (the
+    * standard reproducible data-mixing primitive). Narrow per-row
+    * filter — and at 100 TB the filter sits directly on the scan.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       pctByStratum: Map[String, Int],
+                       defaultPct: Int): DataFrame = {
+    (pctByStratum.values.toSeq :+ defaultPct).foreach(p =>
+      require(p >= 0 && p <= 100, s"percentage must be in [0,100], got $p"))
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+    val pct = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) =>
+        when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.select(col(idCol), col(strataCol), bucket.as("bucket"))
+      .filter(col("bucket") < pct)
+  }
+}

@@ -53,9 +53,17 @@ object Ivf {
   }
 
   /** Nearest centroid per row by cosine (broadcast centroids, narrow).
-    * Norms are hoisted — one per row and one per centroid — so each
-    * (row × centroid) pair costs a single dot product, not three; the
-    * quotient arithmetic is unchanged (oracle parity).
+    *
+    * Two scale choices, both result-identical to the naive
+    * sort-window-over-pairs form:
+    *  - norms are hoisted — one per row and one per centroid — so each
+    *    (row × centroid) pair costs a single dot product, not three;
+    *  - the winner is picked with `max_by` over `(sim, -list_id)` (ties
+    *    break to the smallest list id, exactly like
+    *    `row_number over (order by sim desc, list_id)`): a hash
+    *    aggregate with map-side partial aggregation, so the shuffle
+    *    moves ONE row per vector instead of one per (vector × centroid)
+    *    — nlist× fewer bytes, and the vectors cross the wire once.
     */
   private def assign(vecs: DataFrame, centroids: DataFrame,
                      vecField: String): DataFrame = {
@@ -65,11 +73,12 @@ object Ivf {
       .withColumn("_sim", Similarity.cosinePre(
         VectorOps.dot(col(vecField), col("centroid")),
         col("_vn"), col("_cn")))
-    val w = Window.partitionBy(col("_id"))
-      .orderBy(col("_sim").desc, col("list_id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_sim", "centroid", "_vn", "_cn")
+    scored.groupBy(col("_id"))
+      .agg(max_by(
+        struct(col(vecField).as("v"), col("list_id").as("lid")),
+        struct(col("_sim"), (-col("list_id")).as("nlid"))).as("_best"))
+      .select(col("_id"), col("_best.v").as(vecField),
+        col("_best.lid").as("list_id"))
   }
 
   /** Probe-and-rank top-k. Queries must be small (broadcast). */

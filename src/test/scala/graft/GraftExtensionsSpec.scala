@@ -30,6 +30,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(noFill == Seq(null, null, 1.0))
   }
 
+  test("batch kernels from SQL match their Column-API results") {
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a','b','c','b','c'), 2) AS s")
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c b"))
+    val xx = spark.sql(
+      "SELECT xx_sorted_hashes(array('a b','b c')) AS h," +
+        " array_sort(transform(array('a b','b c'), s -> xxhash64(s))) AS e")
+      .collect().head
+    assert(xx.getSeq[Long](0) == xx.getSeq[Long](1))
+    val mh = spark.sql(
+      "SELECT minhash_sig(array('a b c'), 4) AS m," +
+        " conv(substring(md5('a b c'), 1, 15), 16, 10) AS h1," +
+        " conv(substring(md5('a b c'), 17, 14), 16, 10) AS h2")
+      .collect().head
+    val (h1, h2) = (mh.getString(1).toLong, mh.getString(2).toLong)
+    assert(mh.getSeq[Long](0) == (0 until 4).map(j => h1 + j * h2))
+    val kg = spark.sql("SELECT kgram_hashes('abcdef', 3) AS k")
+      .collect().head.getSeq[Long](0)
+    assert(kg.length == 4) // 6 - 3 + 1 k-grams
+  }
+
   test("simhash_agg from SQL groups to a 64-bit fingerprint") {
     spark.sql("SELECT explode(array('a','b','c')) AS tok")
       .createOrReplaceTempView("toks")
