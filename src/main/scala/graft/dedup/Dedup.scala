@@ -294,17 +294,31 @@ object Dedup {
       graft.functions.XxSortedHashesExpr(col("sh")).as("_hs"))
     val prefix = hashed
       .select(col("doc_id"), size(col("_hs")).as("n"),
-        explode_outer(slice(col("_hs"), lit(1),
+        posexplode_outer(slice(col("_hs"), lit(1),
           (size(col("_hs")) -
             ceil(lit(threshold) * size(col("_hs"))).cast("int") + 1)))
-          .as("h"))
+          .as(Seq("p", "h")))
 
-    // length filter (AllPairs): J ≥ t forces min(nₐ,n_b) ≥ t·max(nₐ,n_b)
-    // — prunes cross-length candidates before the pair dedup and verify
+    // Two candidate prunes, both sound because the exact verify only
+    // needs the FIRST shared prefix element of a qualifying pair to
+    // survive (dedup keeps a pair if ANY of its matches passes):
+    //  - length filter (AllPairs): J ≥ t forces min(nₐ,n_b) ≥ t·max;
+    //  - positional filter (PPJoin): a match at 0-based prefix
+    //    positions (i, j) bounds the overlap by min(nₐ−i, n_b−j),
+    //    which must reach the J ≥ t overlap requirement
+    //    ⌈t/(1+t)·(nₐ+n_b)⌉. At the pair's first shared element the
+    //    bound is loosest, so a true pair always keeps that match.
+    // −1e-9 guards the exactly-integral case: if float error nudged
+    // t/(1+t)·(nₐ+n_b) just above its true integer value, the ceil
+    // would overshoot by one and drop a boundary pair
+    val minOverlap = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.n") + col("y.n")) - lit(1e-9))
     val cand = prefix.as("x").join(prefix.as("y"), Seq("h"))
       .filter(col("x.doc_id") < col("y.doc_id") &&
         least(col("x.n"), col("y.n")).cast("double") >=
-          lit(threshold) * greatest(col("x.n"), col("y.n")))
+          lit(threshold) * greatest(col("x.n"), col("y.n")) &&
+        least(col("x.n") - col("x.p"), col("y.n") - col("y.p")) >=
+          minOverlap)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
