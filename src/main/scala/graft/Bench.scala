@@ -14,10 +14,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet footer caches, so the first
-    // timed query isn't charged for session start
-    SparkEntry.queries.get("lag_null_fill")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+    // timed query isn't charged for session start. The doc/embedding
+    // subsets drive every hot kernel family (md5 minhash, xxhash sort,
+    // hyperplane signatures, dot products) past the C2 compile
+    // threshold — without it, whichever heavy query runs first absorbs
+    // seconds of JIT, which showed up as ±15% run-to-run totals.
+    try {
+      SparkEntry.queries("lag_null_fill")(spark, sfDir).count()
+      val docs = graft.sources.Tables.documents(spark, sfDir).limit(600)
+      graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text").count()
+      graft.dedup.Dedup.ngramJaccardSortedPrefix(docs, "doc_id", "text").count()
+      graft.textops.TextOps.winnowing(docs, "doc_id", "text").count()
+      val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(600)
+      graft.simops.Similarity.nearDupPairsBanded(
+        emb, "vec_id", "embedding", 0.4, numPlanes = 64, bands = 8).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // drain garbage from previous queries OUTSIDE the timed window so
+      // a full GC doesn't land mid-query (standard benchmark hygiene)
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

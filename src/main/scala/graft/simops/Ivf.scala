@@ -41,15 +41,30 @@ object Ivf {
         col("_v").as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = assign(vecs, centroids, "_v")
-      centroids = assigned
+      centroids = materialize(assigned
         .select(col("list_id"), posexplode(col("_v")).as(Seq("dim", "x")))
         .groupBy("list_id", "dim").agg(round(avg("x"), 6).as("m"))
         .groupBy("list_id")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
         .select(col("list_id"),
-          transform(col("p"), s => s.getField("m")).as("centroid"))
+          transform(col("p"), s => s.getField("m")).as("centroid")))
     }
     centroids
+  }
+
+  /** Pin a fitted centroid frame as a LOCAL relation: `nlist` rows of
+    * index metadata, deterministic (6-dp rounded means). Every consumer
+    * (per-iteration reassign, candidate assign, query probe) would
+    * otherwise re-run the whole Lloyd lineage — an index must be built
+    * once and then be a constant, exactly like the literal hyperplane
+    * matrix in [[Similarity.lshSignature]]. Not a driver-side data
+    * loop: the collected frame is O(nlist), never O(rows).
+    */
+  private def materialize(centroids: DataFrame): DataFrame = {
+    val spark = centroids.sparkSession
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    centroids.collect().foreach(rows.add)
+    spark.createDataFrame(rows, centroids.schema)
   }
 
   /** Nearest centroid per row by cosine (broadcast centroids, narrow).
