@@ -70,6 +70,33 @@ object StreamingOps {
   }
   private val Window = org.apache.spark.sql.expressions.Window
 
+  /** Streaming exact dedup for a document feed — the incremental twin of
+    * [[graft.dedup.Dedup.exact]]. Batch: plain dropDuplicates on the
+    * content fingerprint. Stream: `dropDuplicatesWithinWatermark`, the
+    * bounded-state form — exact dedup against ALL history would grow
+    * state forever; the watermark bounds it to the late-data horizon,
+    * which is the standard contract for streaming ingest dedup (replays
+    * older than the watermark are handled by the downstream batch
+    * compaction pass, i.e. `dedup_exact` itself).
+    */
+  def dedupDocs(docs: DataFrame, tsCol: String,
+                watermark: String = "1 hour"): DataFrame = {
+    val fp = docs.withColumn("fingerprint",
+      graft.textops.TextOps.fingerprint(col("text")))
+    if (fp.isStreaming)
+      fp.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("fingerprint")
+    else fp.dropDuplicates("fingerprint")
+  }
+
+  /** Quality-gate filter (stateless): identical plan batch or stream —
+    * the shape of an inline corpus filter in a streaming ingest path.
+    */
+  def qualityFilter(docs: DataFrame, minQuality: Double): DataFrame =
+    docs.withColumn("quality",
+        graft.textops.TextOps.qualityScore(col("text")))
+      .filter(col("quality") >= minQuality)
+
   /** Gap-based sessionization with explicit state: the custom-state
     * example (`mapGroupsWithState` family). State per user is one running
     * session — bounded, timeout-evicted; exactly the pattern a 1000-node

@@ -41,6 +41,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scanLines.contains("l_shipdate"), s"no pushed filter: $scanLines")
   }
 
+  test("seq_pack's only unpartitioned window is the bucket-base frame") {
+    // the data-side running sum must be a PARTITIONED window (by range
+    // bucket); exactly one single-partition exchange is allowed — the
+    // numBuckets-row base-offset frame
+    val p = plan("seq_pack")
+    assert(p.linesIterator.count(_.contains("SinglePartition")) <= 1, p)
+    assert(opCount(p, "Window") >= 1)
+  }
+
+  test("pii_scrub and sample_stratified stay narrow (no exchange)") {
+    for (q <- Seq("pii_scrub", "sample_stratified")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
   test("ngram_jaccard carries no broadcast hint") {
     // every frame in this operator is per-document, so an explicit
     // broadcast() hint (round 1 broadcast O(n_docs) set sizes) is always

@@ -36,6 +36,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup + quality gate match batch on the same feed") {
+    val docs = Tables.documents(spark, dir)
+      // +1: a row at exactly epoch 0 equals the query's INITIAL watermark
+      // and dropDuplicatesWithinWatermark discards it as late
+      .withColumn("ingest_ts",
+        timestamp_micros((col("doc_id") + 1) * 1000000L))
+    // gate BEFORE dedup: duplicate fingerprints can carry different raw
+    // text (normalization) and so different quality — dedup-first would
+    // keep an arbitrary survivor and make the kept SET nondeterministic
+    val batchKept = StreamingOps.dedupDocs(
+        StreamingOps.qualityFilter(docs, 0.3), "ingest_ts")
+      .select("fingerprint").collect().map(_.getString(0)).toSet
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("stream_docs").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    val q = StreamingOps.dedupDocs(
+        StreamingOps.qualityFilter(stream, 0.3), "ingest_ts")
+      .select("fingerprint")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dd_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dd_test")
+        .collect().map(_.getString(0)).toSet
+      // within one watermark horizon the kept fingerprint SET is the
+      // batch set (which physical row survives may differ)
+      assert(streamed == batchKept)
+    } finally q.stop()
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
