@@ -148,6 +148,35 @@ object BatchKernelUtil {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 
+  /** Cosine similarity of `vec` against every centroid of a literal
+    * matrix, in one pass: the vector unpacks once and its norm computes
+    * once for ALL centroids. Arithmetic is bit-identical to the expanded
+    * `cosinePre(dot(v, cᵢ), norm(v), ‖cᵢ‖)` column form (left-to-right
+    * accumulation, min-length truncation, 0.0 when either norm is zero),
+    * so the DuckDB oracle that replays that form stays green.
+    */
+  def centroidSims(vec: ArrayData, cents: Array[Array[Double]],
+                   cnorms: Array[Double]): ArrayData = {
+    val x = vec.toDoubleArray()
+    var vn = 0.0
+    var j = 0
+    while (j < x.length) { vn += x(j) * x(j); j += 1 }
+    vn = math.sqrt(vn)
+    val out = new Array[Double](cents.length)
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(x.length, c.length)
+      var acc = 0.0
+      var k = 0
+      while (k < n) { acc += x(k) * c(k); k += 1 }
+      val nn = vn * cnorms(i)
+      out(i) = if (nn == 0.0) 0.0 else acc / nn
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sign-bit hyperplane signature: bit i set iff
     * `dot(vec, planes(i)) > 0` with the same left-to-right
     * float-widened-to-double accumulation as [[VectorOpsUtil.dotFloat]]
@@ -321,4 +350,47 @@ object HyperplaneSigExpr {
     GraftColumnBridge.toColumn(
       new HyperplaneSigExpr(GraftColumnBridge.toExpression(c),
         planes.map(_.map(_.toFloat))))
+}
+
+/** `centroid_sims(vec)` against a fixed centroid matrix — see
+  * [[BatchKernelUtil.centroidSims]]. Centroid norms are folded on the
+  * driver with the same left-to-right summation the kernel (and
+  * [[VectorOpsUtil]]) uses, so they equal the engine-side `norm`.
+  */
+case class CentroidSimsExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private lazy val cnorms: Array[Double] =
+    cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_sims needs array<double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BatchKernelUtil.centroidSims(input.asInstanceOf[ArrayData], cents, cnorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BatchKernelUtil.centroidSims($c, $centsRef, $normsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CentroidSimsExpr {
+  def apply(c: Column, cents: Array[Array[Double]]): Column =
+    GraftColumnBridge.toColumn(
+      new CentroidSimsExpr(GraftColumnBridge.toExpression(c), cents))
 }
