@@ -334,6 +334,18 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)),
 
+    "dedup_clusters" -> ((s, dir) =>
+      // pairs are edges; the dedup decision needs components — transitive
+      // closure by distributed min-label propagation over minhash pairs
+      Dedup.clusters(Dedup.minhashLsh(Tables.documents(s, dir), "doc_id",
+        "text", shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5))),
+
+    "dedup_resolve" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.resolve(d, "doc_id", Dedup.minhashLsh(d, "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),

@@ -347,4 +347,71 @@ object Dedup {
       .filter(col("_j") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("_j"), 6).as("jaccard"))
+
+  /** Connected components over near-duplicate pairs: pair emitters
+    * ([[minhashLsh]], [[simhashPairs]], …) find EDGES, but the dedup
+    * decision needs the transitive closure — a~b and b~c must collapse
+    * into one cluster even when a~c was never scored.
+    *
+    * Min-label propagation: every node starts labeled with its own id;
+    * each round, a node's label drops to the minimum over itself and its
+    * neighbors; fixpoint ⇒ label = smallest id in the component (the
+    * classic "hash-to-min" MapReduce CC — O(component diameter) rounds,
+    * and near-dup clusters are shallow in practice; components with
+    * giant diameters are pathological inputs for dedup, not corpora).
+    * Each round is one join + one map-side-combinable min-aggregate,
+    * both keyed on node id, and moves O(edges) rows — never all-pairs.
+    * Labels are materialized per round (`localCheckpoint`) to truncate
+    * the otherwise exponentially deepening lineage; convergence is
+    * detected from a one-row aggregate: labels only ever decrease, so
+    * the label SUM strictly decreases until fixpoint.
+    *
+    * Output: (doc_id, cluster_id, cluster_size) for every node that
+    * appears in a pair; cluster_id = min doc_id of the component.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a",
+               bCol: String = "doc_b", maxRounds: Int = 64): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint() // pair generation (LSH etc.) must not re-run per round
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(28,0)"))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      labels = edges.join(labels, edges("dst") === labels("node"))
+        .select(col("src").as("node"), col("label"))
+        .union(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+  }
+
+  /** The dedup DECISION over a whole corpus: every document mapped to the
+    * id that survives for it. Docs in a near-dup component map to the
+    * component's smallest id; untouched docs keep themselves. One row per
+    * input document — the artifact a pipeline joins against to drop dups.
+    */
+  def resolve(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = clusters(pairs).select(col("doc_id"), col("cluster_id"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("keep_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
 }
