@@ -24,6 +24,71 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val INF = "CAST('infinity' AS DOUBLE)"
+
+  /** Shared DuckDB CTE chain mirroring [[graft.dedup.Dedup.minhashLsh]]
+    * (md5 double-hash MinHash → banded LSH → exact-Jaccard verify),
+    * ending in `mpairs(doc_a, doc_b, jaccard)`. The `dedup_minhash`
+    * oracle selects from it directly; the `dedup_clusters` /
+    * `dedup_resolve` oracles build a recursive transitive closure over
+    * the same pairs, so all three rows check the same pipeline.
+    */
+  private val minhashPairCtes =
+    """toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         idx AS (SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+           CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle FROM idx),
+         hh AS (SELECT doc_id, md5(shingle) AS m FROM sh),
+         hv AS (SELECT doc_id,
+             list_sum(list_transform(generate_series(1, 15),
+               p -> ((strpos('0123456789abcdef', substr(m, p, 1)) - 1)::BIGINT
+                     << (4 * (15 - p)))))::BIGINT AS h1,
+             list_sum(list_transform(generate_series(1, 14),
+               p -> ((strpos('0123456789abcdef', substr(m, 16 + p, 1)) - 1)::BIGINT
+                     << (4 * (14 - p)))))::BIGINT AS h2
+           FROM hh),
+         sig AS (SELECT doc_id, j, min(h1 + j * h2) AS m
+                 FROM hv, (SELECT unnest(generate_series(0, 15)) AS j)
+                 GROUP BY doc_id, j),
+         banded AS (SELECT doc_id, j // 2 AS bnd,
+             md5((j // 2) || '#' || string_agg(m::VARCHAR, ',' ORDER BY j)) AS bucket
+           FROM sig GROUP BY doc_id, j // 2),
+         capped AS (SELECT bnd, bucket, doc_id FROM banded
+           QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
+         p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM capped x JOIN capped y USING (bnd, bucket)
+               WHERE x.doc_id < y.doc_id),
+         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         iv AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+                FROM p JOIN sh x ON x.doc_id = p.doc_a
+                JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+                GROUP BY 1, 2),
+         mpairs AS (SELECT iv.doc_a, iv.doc_b,
+           round(iv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iv.inter), 6) AS jaccard
+         FROM iv JOIN sz sx ON sx.doc_id = iv.doc_a
+         JOIN sz sy ON sy.doc_id = iv.doc_b
+         WHERE round(iv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iv.inter), 6) >= 0.5)"""
+
+  /** Recursive min-label transitive closure over `mpairs` (appended to
+    * [[minhashPairCtes]]; the whole WITH is declared RECURSIVE), ending
+    * in `lbl(node, cluster_id)` — the DuckDB mirror of
+    * [[graft.dedup.Dedup.clusters]]'s fixpoint. `reach` enumerates every
+    * (node, reachable-node) pair of the undirected pair graph; UNION
+    * (distinct) bounds it at O(V²) rows of the tiny sf0.01 pair set.
+    */
+  private val minhashClusterCtes = minhashPairCtes +
+    """,
+         cedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+                    UNION SELECT doc_b, doc_a FROM mpairs),
+         reach AS (SELECT src AS node, dst AS r FROM cedges
+                   UNION
+                   SELECT reach.node, e.dst FROM reach
+                   JOIN cedges e ON reach.r = e.src),
+         lbl AS (SELECT node, least(min(r), node) AS cluster_id
+                 FROM reach GROUP BY node)"""
   /** Order/partition clause shared by all events-window oracles. */
   private val EvW = "ORDER BY ts, event_id"
   private val EvWP = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -671,44 +736,20 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
 
     "dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
-           FROM documents),
-         idx AS (SELECT doc_id, w,
-           unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks),
-         sh AS (SELECT DISTINCT doc_id,
-           CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
-                ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle FROM idx),
-         hh AS (SELECT doc_id, md5(shingle) AS m FROM sh),
-         hv AS (SELECT doc_id,
-             list_sum(list_transform(generate_series(1, 15),
-               p -> ((strpos('0123456789abcdef', substr(m, p, 1)) - 1)::BIGINT
-                     << (4 * (15 - p)))))::BIGINT AS h1,
-             list_sum(list_transform(generate_series(1, 14),
-               p -> ((strpos('0123456789abcdef', substr(m, 16 + p, 1)) - 1)::BIGINT
-                     << (4 * (14 - p)))))::BIGINT AS h2
-           FROM hh),
-         sig AS (SELECT doc_id, j, min(h1 + j * h2) AS m
-                 FROM hv, (SELECT unnest(generate_series(0, 15)) AS j)
-                 GROUP BY doc_id, j),
-         banded AS (SELECT doc_id, j // 2 AS bnd,
-             md5((j // 2) || '#' || string_agg(m::VARCHAR, ',' ORDER BY j)) AS bucket
-           FROM sig GROUP BY doc_id, j // 2),
-         capped AS (SELECT bnd, bucket, doc_id FROM banded
-           QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
-         p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-               FROM capped x JOIN capped y USING (bnd, bucket)
-               WHERE x.doc_id < y.doc_id),
-         sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         iv AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
-                FROM p JOIN sh x ON x.doc_id = p.doc_a
-                JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
-                GROUP BY 1, 2)
-         SELECT iv.doc_a, iv.doc_b,
-           round(iv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iv.inter), 6) AS jaccard
-         FROM iv JOIN sz sx ON sx.doc_id = iv.doc_a
-         JOIN sz sy ON sy.doc_id = iv.doc_b
-         WHERE round(iv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iv.inter), 6) >= 0.5""",
+      s"""WITH $minhashPairCtes
+         SELECT doc_a, doc_b, jaccard FROM mpairs""",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashClusterCtes
+         SELECT node AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM lbl""",
+
+    "dedup_resolve" ->
+      s"""WITH RECURSIVE $minhashClusterCtes
+         SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS keep_id,
+           d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS kept
+         FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id""",
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id,
@@ -887,8 +928,8 @@ object SparkEntry {
            COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
            FROM b)
-         SELECT doc_id, n_tokens, pre // 2048 AS pack_id,
-           pre % 2048 AS pack_offset FROM p""",
+         SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS pack_id,
+           CAST(pre % 2048 AS BIGINT) AS pack_offset FROM p""",
 
     "sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,
