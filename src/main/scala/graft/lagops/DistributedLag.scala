@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   * at test scale, fatal at 100 TB. This operator computes the identical
   * result with bounded parallelism:
   *
-  *   1. range-repartition on the order key: bucket i holds a contiguous
-  *      key range, all buckets sortable independently;
+  *   1. bucket on the order key via driver-pinned literal cut points
+  *      ([[graft.util.RangeBuckets]]): bucket i holds a contiguous key
+  *      range, all buckets sortable independently — and because the
+  *      bucket id is a deterministic projection (not
+  *      `spark_partition_id()` over a re-sampled range exchange), the
+  *      forked subplans below (base rows / tails / pads) always agree
+  *      on the boundaries;
   *   2. each bucket's first `max(lags)` rows are missing their history —
   *      so every bucket RECEIVES a copy of the last `max(lags)`
   *      preceding rows as pads, drawn from earlier buckets' tails (they
@@ -35,9 +40,13 @@ object DistributedLag {
     val ordCols = spec.orderCols.map(col)
     val maxLag = spec.lags.max
 
-    val bucketed = df
-      .repartitionByRange(numBuckets, ordCols: _*)
-      .withColumn("_bucket", spark_partition_id())
+    // cut points on the PRIMARY order column only: rows tied on it land
+    // in one bucket (a function of the key can't split ties), and the
+    // bucket id stays monotone in the full order — contiguity holds
+    val bounds = graft.util.RangeBuckets.boundaries(
+      df, spec.orderCols.head, numBuckets)
+    val bucketed = df.withColumn("_bucket",
+      graft.util.RangeBuckets.bucketCol(col(spec.orderCols.head), bounds))
 
     // Each bucket head is missing the last `maxLag` rows (in global
     // order) that precede the bucket. Those rows always lie within the
@@ -45,8 +54,9 @@ object DistributedLag {
     // union of contiguous ranges is a union of per-range suffixes. So
     // pads are drawn from the tail set and ranked per TARGET bucket,
     // which cascades correctly across undersized or empty buckets that
-    // repartitionByRange sampling can produce (a naive "previous bucket
-    // only" rule silently fills such heads with NULLs). The tail set is
+    // approximate-quantile cut points can produce (a naive "previous
+    // bucket only" rule silently fills such heads with NULLs). The tail
+    // set is
     // ≤ numBuckets × maxLag rows, so the non-equi pairing below touches
     // ≤ numBuckets² × maxLag narrow rows — a fixed-size fix-up stage,
     // independent of data volume.

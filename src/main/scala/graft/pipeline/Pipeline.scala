@@ -44,24 +44,29 @@ object Pipeline {
     * The global running sum is computed WITHOUT a single-partition
     * window — same playbook as [[graft.lagops.DistributedLag]]:
     *
-    *   1. range-partition on the order key (contiguous key ranges);
-    *   2. per-bucket prefix sums via a partitioned window;
+    *   1. bucket on the order key via driver-pinned literal cut points
+    *      ([[graft.util.RangeBuckets]] — contiguous key ranges, and the
+    *      bucket id is a pure projection, so the two subplans below can
+    *      never disagree on boundaries the way a forked
+    *      `repartitionByRange` + `spark_partition_id()` could);
+    *   2. per-bucket prefix sums via a partitioned window (its hash
+    *      exchange on `_bucket` is the only data shuffle);
     *   3. per-bucket totals (a `numBuckets`-row frame) cumsum'd and
     *      broadcast back as each bucket's base offset.
     *
-    * Bucket boundaries come from range-partition sampling and are NOT
-    * deterministic — but `base + within-bucket prefix` equals the global
-    * prefix sum for ANY boundary placement, so results are exact and
-    * stable run to run. The DuckDB oracle states the same thing as one
-    * plain global window.
+    * `base + within-bucket prefix` equals the global prefix sum for ANY
+    * boundary placement, so results are exact regardless of where the
+    * approximate quantiles land. The DuckDB oracle states the same
+    * thing as one plain global window.
     */
   def seqPack(df: DataFrame, idCol: String, textCol: String,
               budget: Int, numBuckets: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val bounds = graft.util.RangeBuckets.boundaries(df, idCol, numBuckets)
     val withTok = df
       .select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .repartitionByRange(numBuckets, col(idCol))
-      .withColumn("_bucket", spark_partition_id())
+      .withColumn("_bucket",
+        graft.util.RangeBuckets.bucketCol(col(idCol), bounds))
 
     val wIn = Window.partitionBy(col("_bucket")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -45,6 +45,29 @@ class DistributedLagSpec extends AnyFunSuite {
     assert(canon(dist) == canon(naive))
   }
 
+  // fork-safety proof for the pinned-boundary rewrite: base rows, tails
+  // and pads are three subplans over the same bucketed frame; with
+  // exchange reuse off each re-evaluates independently, which would let
+  // a spark_partition_id()-derived bucket disagree across branches.
+  // Literal cut points make the bucket a deterministic projection.
+  test("fork-safe: equals naive lag with exchange reuse and AQE disabled") {
+    val conf = spark.conf
+    val prevReuse = conf.get("spark.sql.exchange.reuse", "true")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.exchange.reuse", "false")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = seriesDf((1 to 100).map(_.toDouble))
+      val spec = LagSpec(Seq("t"), Nil, Seq(0, 1, 4), None)
+      val naive = LagMatrix.wide(df, "value", spec)
+      val dist = DistributedLag.wide(df, "value", spec, numBuckets = 8)
+      assert(canon(dist) == canon(naive))
+    } finally {
+      conf.set("spark.sql.exchange.reuse", prevReuse)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("rejects per-series specs (those parallelize via LagMatrix.wide)") {
     val df = seriesDf(Seq(1, 2, 3))
     intercept[IllegalArgumentException] {

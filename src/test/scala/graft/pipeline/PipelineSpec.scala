@@ -55,6 +55,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  // the fork-safety proof for the pinned-boundary rewrite: the bucketed
+  // frame feeds TWO subplans (in-bucket prefixes + base offsets), and
+  // with exchange reuse off each subplan re-evaluates its own shuffle.
+  // A spark_partition_id()-derived bucket could then see different range
+  // boundaries per branch and emit inconsistent pack offsets; a literal-
+  // boundary bucket column cannot.
+  test("seqPack is fork-safe: exact with exchange reuse and AQE disabled") {
+    import spark.implicits._
+    val conf = spark.conf
+    val prevReuse = conf.get("spark.sql.exchange.reuse", "true")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.exchange.reuse", "false")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val rng = new scala.util.Random(7)
+      val df = rng.shuffle((0 until 300).toList)
+        .map(i => (i.toLong, ("tok " * (1 + rng.nextInt(20))).trim))
+        .toDF("doc_id", "text")
+      val packed = Pipeline.seqPack(df, "doc_id", "text", budget = 64,
+        numBuckets = 5)
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val expected = df
+        .select(col("doc_id"),
+          graft.textops.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("pre", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("pre") / 64).cast("long").as("pack_id"),
+          (col("pre") % 64).as("pack_offset"))
+      assert(packed.orderBy("doc_id").collect().toSeq ==
+        expected.orderBy("doc_id").collect().toSeq)
+    } finally {
+      conf.set("spark.sql.exchange.reuse", prevReuse)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("seqPack tolerates an empty corpus") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Pipeline.seqPack(df, "doc_id", "text", budget = 64).count() == 0)
+  }
+
   test("sampleStratified applies per-stratum rates deterministically") {
     import spark.implicits._
     val df = (0 until 1000)
