@@ -474,11 +474,11 @@ object SparkEntry {
 
     // ---- multimodal plumbing (north star; codec stubbed, see Multimodal) ----
     "multimodal_meta" -> ((s, dir) => {
+      // pure projection — no DeserializeToObject/mapPartitions in this
+      // plan; decodeFeatures (the codec contract) is exercised by
+      // MultimodalSpec and stays equivalent on the metadata columns
       val d = Tables.documents(s, dir)
-      Multimodal.decodeFeatures(Multimodal.fromText(s, d, "doc_id", "text"))
-        .toDF()
-        .select(col("media_id"), col("n_bytes"), col("content_md5"),
-          col("sniffed_format"))
+      Multimodal.meta(d, "doc_id", encode(col("text"), "UTF-8"))
     })
   )
 

@@ -379,8 +379,11 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // coalesce: sum over zero rows is NULL — the no-near-dups case
+    // (empty pairs frame) must converge on round one, not NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(28,0)"))).head()
+      df.agg(coalesce(sum(col("label").cast("decimal(28,0)")),
+          lit(0).cast("decimal(28,0)"))).head()
         .getDecimal(0)
     var prevSum = labelSum(labels)
     var rounds = 0

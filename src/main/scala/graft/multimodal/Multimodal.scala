@@ -46,6 +46,20 @@ object Multimodal {
       .otherwise("unknown")
   }
 
+  /** Media metadata as a PURE projection — every emitted column
+    * (`octet_length`, `md5`, magic-byte sniff) is a codegen'd Column
+    * expression, so the registered metadata query is one scan + project
+    * with no object serialization ([[decodeFeatures]] stays the
+    * codec-contract API for the stubbed decode step, which genuinely
+    * needs per-partition context).
+    */
+  def meta(df: DataFrame, idCol: String,
+           content: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(idCol).cast("long").as("media_id"),
+      octet_length(content).cast("long").as("n_bytes"),
+      md5(content).as("content_md5"),
+      sniffFormat(content).as("sniffed_format"))
+
   /** Deterministic fake "decode": a 16-dim byte-histogram of the payload.
     * STUB for a real codec (libjpeg/ffmpeg are unavailable here); a real
     * deployment swaps `decodeBatch` for the codec call — the partition

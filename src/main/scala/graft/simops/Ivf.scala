@@ -39,6 +39,8 @@ object Ivf {
     var cents: Seq[(Int, Seq[Double])] = vecs.orderBy("_id").limit(nlist)
       .select(col("_v")).collect().toSeq
       .map(_.getSeq[Double](0)).zipWithIndex.map { case (v, i) => (i, v) }
+    require(cents.nonEmpty,
+      "Ivf: cannot fit an index on an empty candidate frame")
     for (_ <- 0 until iters) {
       val dim = cents.iterator.map(_._2.length).max
       // per-dimension mean in ONE hash aggregate (map-side partials);
@@ -56,9 +58,12 @@ object Ivf {
         .groupBy("list_id").agg(avgs.head, avgs.tail: _*)
         .collect()
       // a list that attracts no vectors disappears (same as the
-      // relational groupBy form); survivors keep their original ids
+      // relational groupBy form); survivors keep their original ids.
+      // Ragged corpora: a dimension every member of a list lacks has a
+      // NULL mean — contribute 0.0 there instead of NPEing
       cents = rows.toSeq.map(r =>
-        (r.getInt(0), (1 to dim).map(r.getDouble))).sortBy(_._1)
+        (r.getInt(0), (1 to dim).map(i =>
+          if (r.isNullAt(i)) 0.0 else r.getDouble(i)))).sortBy(_._1)
     }
     cents
   }

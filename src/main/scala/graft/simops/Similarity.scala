@@ -90,49 +90,76 @@ object Similarity {
       when(dot(vec, plane) > 0.0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Vector dimensionality: explicit `dim` when given (no extra job —
+    * what the registered queries do), else inferred from the first row
+    * with a descriptive error on an empty frame.
+    */
+  private def inferDim(df: DataFrame, vecCol: String, dim: Int,
+                       op: String): Int =
+    if (dim > 0) dim
+    else df.select(size(col(vecCol))).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(
+        s"$op: cannot infer vector dimensionality from an empty frame; " +
+          "pass dim explicitly")
+    }
+
   /** LSH-bucketed approximate top-k: candidates are vectors sharing at
     * least one signature band with the query (catches near-identical sign
     * patterns), re-ranked by exact cosine. Recall < 1 by construction;
     * bands/planes trade recall vs candidate volume.
     *
+    * Only `(id, band, key)` flows through the candidate-generation
+    * stages; vectors and norms are joined back by id for the few
+    * surviving candidates (the [[graft.dedup.Dedup.minhashLsh]]
+    * pattern) — the alternative rides each vector through the
+    * candidate-dedup shuffle once per matching band. The candidate id
+    * set is small (≲ bucket size × queries), so AQE turns the verify
+    * joins into broadcasts at runtime.
+    *
     * `dim` ≤ 0 (the default) derives the dimensionality from the first
-    * candidate vector; rows of any OTHER length then fail fast with a
-    * runtime error instead of silently degrading signature quality
-    * (the dot kernel would truncate to the shorter length).
+    * candidate vector (one extra tiny job — pass `dim` to skip it);
+    * rows of any OTHER length then fail fast with a runtime error
+    * instead of silently degrading signature quality (the dot kernel
+    * would truncate to the shorter length).
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 16, bands: Int = 4,
               dim: Int = -1): DataFrame = {
-    val d =
-      if (dim > 0) dim
-      else candidates.select(size(col(vecCol))).head.getInt(0)
+    val d = inferDim(candidates, vecCol, dim, "lshTopK")
     val planes = hyperplanes(numPlanes, d)
     val bits = numPlanes / bands
-    def banded(df0: DataFrame, id: String, vec: String, n: String) = {
-      val df = graft.util.Par.spread(df0)
-      val checked = when(size(col(vecCol)) === d, col(vecCol))
-        .otherwise(raise_error(concat(
-          lit(s"lshTopK: expected $d-dim vectors, got length "),
-          size(col(vecCol)).cast("string"))))
-      df.select(col(idCol).as(id), checked.as(vec),
-          norm(checked).as(n),
-          lshSignature(checked, planes).as("sig"))
-        .select(col(id), col(vec), col(n),
+    def checked = when(size(col(vecCol)) === d, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"lshTopK: expected $d-dim vectors, got length "),
+        size(col(vecCol)).cast("string"))))
+    // ids + band keys only — no vector payload past this projection
+    def banded(df0: DataFrame, id: String) =
+      graft.util.Par.spread(df0)
+        .select(col(idCol).as(id), lshSignature(checked, planes).as("sig"))
+        .select(col(id),
           posexplode(array((0 until bands).map { b =>
             shiftright(col("sig"), b * bits)
               .bitwiseAND((1L << bits) - 1)
           }: _*)).as(Seq("band", "key")))
-    }
-    val qb = banded(queries, "query_id", "qv", "qn")
-    val cb = banded(candidates, "neighbor_id", "cv", "cn")
+    val qb = banded(queries, "query_id")
+    val cb = banded(candidates, "neighbor_id")
     val cand = cb.join(broadcast(qb), Seq("band", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val cv = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+    val scored = cand
+      .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .withColumn("sim", round(
         cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
@@ -154,25 +181,33 @@ object Similarity {
   def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, numPlanes: Int = 64,
                          bands: Int = 8, dim: Int = -1): DataFrame = {
-    val d =
-      if (dim > 0) dim
-      else df.select(size(col(vecCol))).head.getInt(0)
+    val d = inferDim(df, vecCol, dim, "nearDupPairsBanded")
     val planes = hyperplanes(numPlanes, d)
     val bits = numPlanes / bands
-    val base = graft.util.Par.spread(df).select(col(idCol).as("id"),
-      col(vecCol).as("v"), norm(col(vecCol)).as("n"),
-      lshSignature(col(vecCol), planes).as("sig"))
-    val banded = base.select(col("id"), col("v"), col("n"),
-      posexplode_outer(array((0 until bands).map { b =>
-        shiftright(col("sig"), b * bits).bitwiseAND((1L << bits) - 1)
-      }: _*)).as(Seq("band", "key")))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
-      col("v").as("va"), col("n").as("na"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
-      col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("band", "key"))
+    // only (id, band, key) rides the band self-join — the corpus used to
+    // cross this shuffle `bands` times WITH its vector and norm; vectors
+    // now re-join by id for the surviving candidate pairs only (the
+    // minhashLsh payload discipline)
+    val banded = graft.util.Par.spread(df)
+      .select(col(idCol).as("id"),
+        lshSignature(col(vecCol), planes).as("sig"))
+      .select(col("id"),
+        posexplode_outer(array((0 until bands).map { b =>
+          shiftright(col("sig"), b * bits).bitwiseAND((1L << bits) - 1)
+        }: _*)).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("n").as("na")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("n").as("nb")), "id_b")
       .withColumn("sim", round(
         cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")), 4))
       .filter(col("sim") >= threshold)

@@ -71,6 +71,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("clusters: transitive chain collapses to one component") {
+    import spark.implicits._
+    // a~b, b~c, plus an unrelated d~e: closure must merge {1,2,3}
+    // even though (1,3) was never scored
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (9L, 7L, 2L)))
+  }
+
+  test("clusters and resolve survive an empty pairs frame (no near-dups)") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(pairs).count() == 0)
+    val d = docs(1L -> base, 2L -> other)
+    val resolved = Dedup.resolve(d, "doc_id", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(resolved == Set((1L, 1L, true), (2L, 2L, true)))
+  }
+
+  test("resolve: component members map to the min id, rest keep themselves") {
+    import spark.implicits._
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other, 4L -> "solo text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolve(d, "doc_id", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 4L, true)))
+  }
+
   test("ngram jaccard inverted-index join matches brute-force definition") {
     val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val rows = Dedup.ngramJaccard(df, "doc_id", "text",

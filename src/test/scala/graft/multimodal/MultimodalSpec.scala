@@ -35,6 +35,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaExpr == "jpeg")
   }
 
+  test("meta projection equals decodeFeatures metadata, with no object plan") {
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x01, 0x02).map(_.toByte)
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A).map(_.toByte)
+    val ds = media(1L -> jpeg, 2L -> png)
+    val viaMeta = Multimodal.meta(ds.toDF(), "media_id", col("content"))
+    val viaDecode = Multimodal.decodeFeatures(ds).toDF()
+      .select("media_id", "n_bytes", "content_md5", "sniffed_format")
+    assert(viaMeta.orderBy("media_id").collect().toSeq ==
+      viaDecode.orderBy("media_id").collect().toSeq)
+    val plan = viaMeta.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("MapPartitions"), plan)
+  }
+
   test("resize stub: metadata updated, deterministic content, no shuffle") {
     val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 7, 8, 9).map(_.toByte)
     val out = Multimodal.resize(media(1L -> jpeg), 224, 224).collect().head

@@ -57,6 +57,34 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_neardup's band exchanges carry ids only, no vectors") {
+    // at scale the band self-join is a real shuffle (broadcast planning
+    // is disabled here to get that shape); its exchanges must move only
+    // (id, band, key) — the vector payload re-joins by id afterwards.
+    // Riding vectors through the band shuffle multiplies wire bytes by
+    // `bands` at 100 TB.
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("embedding_neardup")(spark, dir)
+        .queryExecution.executedPlan
+      val bandExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("band") => e
+      }
+      assert(bandExchanges.nonEmpty, "expected a shuffled band self-join")
+      for (e <- bandExchanges; attr <- e.output)
+        assert(!attr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"band exchange carries array column ${attr.name}")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("ngram_jaccard carries no broadcast hint") {
     // every frame in this operator is per-document, so an explicit
     // broadcast() hint (round 1 broadcast O(n_docs) set sizes) is always

@@ -22,6 +22,15 @@ class IvfSpec extends AnyFunSuite {
     assert(c.forall(_.getSeq[Double](1).length == 8))
   }
 
+  test("fit on an empty candidate frame fails with a clear error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.fitCentroids(empty, "vec_id", "embedding", nlist = 4)
+    }
+    assert(e.getMessage.contains("empty candidate frame"))
+  }
+
   test("IVF top-k: exact scores, reasonable recall vs brute force") {
     val df = corpus(300, 8, 11)
     val q = df.filter(df("vec_id") < 5)
