@@ -24,6 +24,9 @@ object Bench {
       val docs = graft.sources.Tables.documents(spark, sfDir).limit(600)
       graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text").count()
       graft.dedup.Dedup.ngramJaccardSortedPrefix(docs, "doc_id", "text").count()
+      // simhash drives kernels nothing else does (SimHashAgg + conv token
+      // hashing); without this its timed row absorbed ~2.5s of JIT
+      graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text").count()
       graft.textops.TextOps.winnowing(docs, "doc_id", "text").count()
       val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(600)
       graft.simops.Similarity.nearDupPairsBanded(

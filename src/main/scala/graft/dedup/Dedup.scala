@@ -376,8 +376,13 @@ object Dedup {
       .union(pairs
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .localCheckpoint() // pair generation (LSH etc.) must not re-run per round
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // init fused with the first propagation round: label₀(v) =
+    // min(v, neighbors(v)) — one less join+checkpoint round to the
+    // fixpoint than the plain label₀(v) = v seeding (shallow clusters,
+    // the common near-dup case, then converge in a single check round)
+    var labels = edges.select(col("src").as("node"), col("dst").as("label"))
+      .union(edges.select(col("src").as("node"), col("src").as("label")))
+      .groupBy("node").agg(min("label").as("label"))
       .localCheckpoint()
     // coalesce: sum over zero rows is NULL — the no-near-dups case
     // (empty pairs frame) must converge on round one, not NPE
