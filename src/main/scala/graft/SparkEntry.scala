@@ -72,23 +72,54 @@ object SparkEntry {
          JOIN sz sy ON sy.doc_id = iv.doc_b
          WHERE round(iv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iv.inter), 6) >= 0.5)"""
 
-  /** Recursive min-label transitive closure over `mpairs` (appended to
-    * [[minhashPairCtes]]; the whole WITH is declared RECURSIVE), ending
-    * in `lbl(node, cluster_id)` — the DuckDB mirror of
+  /** Recursive min-label transitive closure over a `(doc_a, doc_b)` pair
+    * CTE (appended to its chain; the whole WITH is declared RECURSIVE),
+    * ending in `lbl(node, cluster_id)` — the DuckDB mirror of
     * [[graft.dedup.Dedup.clusters]]'s fixpoint. `reach` enumerates every
     * (node, reachable-node) pair of the undirected pair graph; UNION
     * (distinct) bounds it at O(V²) rows of the tiny sf0.01 pair set.
     */
-  private val minhashClusterCtes = minhashPairCtes +
-    """,
-         cedges AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
-                    UNION SELECT doc_b, doc_a FROM mpairs),
+  private def closureCtes(pairsCte: String): String =
+    s""",
+         cedges AS (SELECT doc_a AS src, doc_b AS dst FROM $pairsCte
+                    UNION SELECT doc_b, doc_a FROM $pairsCte),
          reach AS (SELECT src AS node, dst AS r FROM cedges
                    UNION
                    SELECT reach.node, e.dst FROM reach
                    JOIN cedges e ON reach.r = e.src),
          lbl AS (SELECT node, least(min(r), node) AS cluster_id
                  FROM reach GROUP BY node)"""
+
+  private val minhashClusterCtes = minhashPairCtes + closureCtes("mpairs")
+
+  /** Shared CTE chain mirroring [[graft.dedup.Dedup.simhashPairs]],
+    * ending in `spairs(doc_a, doc_b, hamming)`; selected directly by the
+    * `dedup_simhash` oracle and closed over by `dedup_clusters_simhash`.
+    */
+  private val simhashPairCtes =
+    """tok AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         h AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef', substr(md5(tok), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT AS h
+           FROM tok),
+         bits AS (SELECT doc_id, j,
+             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+           FROM h, (SELECT unnest(generate_series(0, 63)) AS j) GROUP BY doc_id, j),
+         sim AS (SELECT doc_id,
+             sum(CASE WHEN c > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
+           FROM bits GROUP BY doc_id),
+         sbanded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS key
+           FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
+         scapped AS (SELECT b, key, doc_id, simhash FROM sbanded
+           QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         sp AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               bit_count(xor(x.simhash, y.simhash)) AS hamming
+               FROM scapped x JOIN scapped y USING (b, key)
+               WHERE x.doc_id < y.doc_id),
+         spairs AS (SELECT doc_a, doc_b, hamming FROM sp WHERE hamming <= 3)"""
   /** Order/partition clause shared by all events-window oracles. */
   private val EvW = "ORDER BY ts, event_id"
   private val EvWP = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -414,6 +445,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
+
+    "dedup_clusters_simhash" -> ((s, dir) =>
+      // the CC operator is pair-source-agnostic: same closure over
+      // SimHash Hamming pairs instead of MinHash Jaccard pairs
+      Dedup.clusters(Dedup.simhashPairs(Tables.documents(s, dir), "doc_id",
+        "text", maxHamming = 3).select(col("doc_a"), col("doc_b")))),
 
     "ngram_jaccard" -> ((s, dir) =>
       // sorted-prefix (in-array AllPairs) form: output-identical to the
@@ -752,29 +789,14 @@ object SparkEntry {
          FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id""",
 
     "dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id,
-           unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
-           FROM documents),
-         h AS (SELECT doc_id,
-           list_sum(list_transform(generate_series(1, 15),
-             p -> ((strpos('0123456789abcdef', substr(md5(tok), p, 1)) - 1)::BIGINT
-                   << (4 * (15 - p)))))::BIGINT AS h
-           FROM tok),
-         bits AS (SELECT doc_id, j,
-             sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
-           FROM h, (SELECT unnest(generate_series(0, 63)) AS j) GROUP BY doc_id, j),
-         sim AS (SELECT doc_id,
-             sum(CASE WHEN c > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
-           FROM bits GROUP BY doc_id),
-         banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS key
-           FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
-         capped AS (SELECT b, key, doc_id, simhash FROM banded
-           QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
-         p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-               bit_count(xor(x.simhash, y.simhash)) AS hamming
-               FROM capped x JOIN capped y USING (b, key)
-               WHERE x.doc_id < y.doc_id)
-         SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""",
+      s"""WITH $simhashPairCtes
+         SELECT doc_a, doc_b, hamming FROM spairs""",
+
+    "dedup_clusters_simhash" ->
+      s"""WITH RECURSIVE ${simhashPairCtes + closureCtes("spairs")}
+         SELECT node AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM lbl""",
 
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,

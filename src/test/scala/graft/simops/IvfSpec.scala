@@ -44,6 +44,29 @@ class IvfSpec extends AnyFunSuite {
     // probed, recall should be well above chance
     val returned = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = returned.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@5 (synthetic, nlist=8, nprobe=4): $recall%.3f")
     assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("ANN recall on real embeddings: IVF and LSH vs exact top-k") {
+    // the registered driver parameters, on the real embeddings table —
+    // the quality yardstick for both approximate paths (logged so each
+    // round's recall is visible in the test report)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(emb("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.topK(q, emb, "vec_id", "embedding", k = 5,
+      nlist = 16, nprobe = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(q, emb, "vec_id", "embedding", 5,
+      numPlanes = 16, bands = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIvf = ivf.intersect(brute).size.toDouble / brute.size
+    val rLsh = lsh.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@5 vs exact (nlist=16, nprobe=4): $rIvf%.3f")
+    info(f"LSH recall@5 vs exact (16 planes, 4 bands): $rLsh%.3f")
+    assert(rIvf >= 0.3, s"IVF recall $rIvf")
+    assert(rLsh >= 0.3, s"LSH recall $rLsh")
   }
 }
