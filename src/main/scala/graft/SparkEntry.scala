@@ -412,6 +412,11 @@ object SparkEntry {
       d.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
     }),
 
+    "rep_stats" -> ((s, dir) =>
+      // Gopher/C4-style repetition filters: duplicate n-gram fractions
+      // (narrow) + top-token coverage (word-count-shaped agg)
+      TextOps.repStats(Tables.documents(s, dir), "doc_id", "text")),
+
     "doc_winnow" -> ((s, dir) =>
       // rolling-hash (winnowing) fingerprints as (doc_id, fp) rows
       TextOps.winnowing(Tables.documents(s, dir), "doc_id", "text",
@@ -754,6 +759,40 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
          FROM documents""",
+
+    "rep_stats" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         g2 AS (SELECT doc_id, count(DISTINCT s) AS d FROM (
+             SELECT doc_id, CASE WHEN len(w) < 2 THEN array_to_string(w, ' ')
+               ELSE w[i] || ' ' || w[i+1] END AS s
+             FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i FROM toks))
+           GROUP BY 1),
+         g3 AS (SELECT doc_id, count(DISTINCT s) AS d FROM (
+             SELECT doc_id, CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+               ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS s
+             FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks))
+           GROUP BY 1),
+         tc AS (SELECT doc_id, max(c) AS maxc FROM (
+             SELECT doc_id, tok, count(*) AS c
+             FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+             GROUP BY 1, 2) GROUP BY 1)
+         SELECT t.doc_id, len(w) AS n_tokens,
+           round(CASE WHEN len(w) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(w))::DOUBLE / len(w) END, 6) AS dup_tok_frac,
+           round(CASE WHEN len(w) = 0 THEN 0.0
+             ELSE 1.0 - g2.d::DOUBLE / greatest(len(w) - 1, 1) END, 6) AS dup_2gram_frac,
+           round(CASE WHEN len(w) = 0 THEN 0.0
+             ELSE 1.0 - g3.d::DOUBLE / greatest(len(w) - 2, 1) END, 6) AS dup_3gram_frac,
+           round(CASE WHEN len(w) = 0 THEN 0.0
+             ELSE tc.maxc::DOUBLE / len(w) END, 6) AS top_tok_frac
+         FROM toks t
+         LEFT JOIN g2 ON g2.doc_id = t.doc_id
+         LEFT JOIN g3 ON g3.doc_id = t.doc_id
+         LEFT JOIN tc ON tc.doc_id = t.doc_id""",
 
     "doc_winnow" ->
       """WITH h AS (SELECT doc_id,

@@ -190,6 +190,50 @@ object TextOps {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(lower(text)), n)
 
+  /** Duplicate-n-gram fraction: 1 − distinct/total n-gram occurrences,
+    * 0.0 for token-less docs. Follows the [[shinglesFromTokens]] edge
+    * convention (a doc shorter than n is one whole-doc shingle → 0.0).
+    */
+  private def dupFrac(toks: Column, n: Int): Column = {
+    val total = greatest(size(toks) - (n - 1), lit(1))
+    val distinctN =
+      if (n == 1) size(array_distinct(toks))
+      else size(shinglesFromTokens(toks, n))
+    round(when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double")), 6)
+  }
+
+  /** Repetition signals (the Gopher/C4 quality-filter family): duplicate
+    * token/2-gram/3-gram fractions plus top-token coverage. Boilerplate,
+    * templated spam, and decode loops all light these up while looking
+    * fine to length/punctuation filters.
+    *
+    * Scale shape: the dup fractions are narrow per-row array expressions
+    * (distinct counts come from the codegen'd shingle kernel); top-token
+    * coverage is the classic word-count pattern — explode → two
+    * MAP-SIDE-COMBINABLE aggregates keyed on (doc, token) then doc — so
+    * both shuffles move counts, never token lists. One narrow frame,
+    * one agg frame, one join by doc id.
+    */
+  def repStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksed = df.select(col(idCol),
+      tokens(lower(col(textCol))).as("_toks"))
+    val narrow = toksed.select(col(idCol),
+      size(col("_toks")).as("n_tokens"),
+      dupFrac(col("_toks"), 1).as("dup_tok_frac"),
+      dupFrac(col("_toks"), 2).as("dup_2gram_frac"),
+      dupFrac(col("_toks"), 3).as("dup_3gram_frac"))
+    val top = toksed
+      .select(col(idCol), explode(col("_toks")).as("_tok"))
+      .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("_maxc"))
+    narrow.join(top, Seq(idCol), "left")
+      .withColumn("top_tok_frac", when(col("n_tokens") === 0, 0.0)
+        .otherwise(round(col("_maxc").cast("double") /
+          col("n_tokens").cast("double"), 6)))
+      .drop("_maxc")
+  }
+
   /** Full per-document stats frame. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -38,6 +38,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b && a != c)
   }
 
+  test("repStats: planted repetition lights up the right fraction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam"),            // one token repeated
+      (2L, "alpha beta gamma delta epsilon"), // all distinct
+      (3L, "go stop go stop go stop"),        // repeated 2-grams
+      (4L, ""),                               // empty
+      (5L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.repStats(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 4 tokens, 1 distinct → dup_tok 0.75; top_tok 4/4 = 1.0;
+    // 3 identical 2-grams → dup_2gram 1 - 1/3
+    assert(out(1L).getInt(1) == 4)
+    assert(out(1L).getDouble(2) == 0.75)
+    assert(math.abs(out(1L).getDouble(3) - (1.0 - 1.0 / 3)) < 1e-6)
+    assert(out(1L).getDouble(5) == 1.0)
+    // doc 2: everything distinct → all zero, top 1/5
+    assert(out(2L).getDouble(2) == 0.0 && out(2L).getDouble(3) == 0.0 &&
+      out(2L).getDouble(4) == 0.0)
+    assert(out(2L).getDouble(5) == 0.2)
+    // doc 3: 6 tokens {go,stop} → dup_tok 4/6; 5 2-grams, 2 distinct;
+    // 4 3-grams, 2 distinct; top 3/6
+    assert(math.abs(out(3L).getDouble(2) - 4.0 / 6) < 1e-6)
+    assert(math.abs(out(3L).getDouble(3) - (1.0 - 2.0 / 5)) < 1e-6)
+    assert(math.abs(out(3L).getDouble(4) - (1.0 - 2.0 / 4)) < 1e-6)
+    assert(out(3L).getDouble(5) == 0.5)
+    // empty + single-token edges: all fractions 0 except solo's top=1
+    assert(out(4L).getInt(1) == 0 && out(4L).getDouble(5) == 0.0)
+    assert(out(5L).getDouble(2) == 0.0 && out(5L).getDouble(5) == 1.0)
+  }
+
   test("shingles: fewer tokens than n collapses to one joined shingle") {
     import spark.implicits._
     val out = Seq("a b").toDF("t")
