@@ -85,6 +85,42 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash band exchanges carry no shingle arrays") {
+    // same payload discipline as the ANN audit: only (doc_id, band,
+    // bucket) may ride the LSH shuffles; shingle arrays re-join for the
+    // few candidate pairs
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("dedup_minhash")(spark, dir)
+        .queryExecution.executedPlan
+      val bandExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("band") ||
+              e.outputPartitioning.toString.contains("bucket") => e
+      }
+      assert(bandExchanges.nonEmpty, "expected a shuffled band-bucket join")
+      for (e <- bandExchanges; attr <- e.output)
+        assert(!attr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+          s"band exchange carries array column ${attr.name}")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("seq_pack and lag_distributed have no range exchange (pinned boundaries)") {
+    // the bucket id is a literal-boundary projection; a RangePartitioning
+    // exchange reappearing means someone reintroduced repartitionByRange
+    // and with it the fork-unsafe re-sampled boundaries
+    for (q <- Seq("seq_pack", "lag_distributed")) {
+      assert(!plan(q).contains("rangepartitioning"), s"$q range-shuffles")
+    }
+  }
+
   test("ngram_jaccard carries no broadcast hint") {
     // every frame in this operator is per-document, so an explicit
     // broadcast() hint (round 1 broadcast O(n_docs) set sizes) is always
