@@ -371,11 +371,13 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
                bCol: String = "doc_b", maxRounds: Int = 64): DataFrame = {
-    val edges = pairs
+    // checkpoint the DIRECTED pairs before mirroring: a union of two
+    // references to the un-materialized pairs frame evaluates the whole
+    // pair-generation subplan (LSH, verify joins) twice in one action
+    val p = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .localCheckpoint() // pair generation (LSH etc.) must not re-run per round
+      .localCheckpoint() // pair generation must run once, and never per round
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     // init fused with the first propagation round: label₀(v) =
     // min(v, neighbors(v)) — one less join+checkpoint round to the
     // fixpoint than the plain label₀(v) = v seeding (shallow clusters,
