@@ -487,6 +487,12 @@ object SparkEntry {
         "vec_id", "embedding", 5, numPlanes = 16, bands = 4, dim = 64)
     }),
 
+    "embedding_quantize" -> ((s, dir) =>
+      // symmetric int8 storage quantization — 4× smaller embedding
+      // column before any shuffle/index; pure projection
+      graft.simops.Embed.quantizeInt8(Tables.embeddings(s, dir),
+        "vec_id", "embedding")),
+
     // ---- as-of join (time-series table stakes) ----
     "asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir).withColumn("key", col("user_id") % 5)
@@ -960,6 +966,23 @@ object SparkEntry {
              ORDER BY sim DESC, neighbor_id) AS rank
            FROM scored) WHERE rank <= 5"""
     },
+
+    "embedding_quantize" ->
+      """WITH v AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+         s AS (SELECT vec_id, vv,
+           greatest(list_max(list_transform(vv, x -> abs(x))), 1e-30) / 127.0 AS scale
+           FROM v)
+         SELECT vec_id, scale,
+           array_to_string(list_transform(vv,
+             x -> CAST(CAST(floor(x / scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS q_csv,
+           CASE WHEN len(vv) = 0 THEN 0.0 ELSE
+             round(sqrt(list_sum(list_transform(vv,
+               x -> (x - floor(x / scale + 0.5) * scale)
+                    * (x - floor(x / scale + 0.5) * scale))) / len(vv)), 6)
+           END AS rmse
+         FROM s""",
 
     "asof_join" ->
       """WITH oa AS (SELECT o_custkey % 5 AS key, o_orderdate,

@@ -1,0 +1,56 @@
+package graft.simops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class EmbedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def quantize(vecs: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    Embed.quantizeInt8(vecs.toSeq.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getString(2), r.getDouble(3))).toMap
+  }
+
+  test("int8 range, exact extreme, and bounded reconstruction error") {
+    val out = quantize(
+      1L -> Seq(1.0f, -0.5f, 0.25f, 0.0f),
+      2L -> Seq(-2.0f, 2.0f, 1.0f, -1.0f))
+    val (s1, q1, rmse1) = out(1L)
+    val qs1 = q1.split(",").map(_.toInt)
+    assert(qs1.forall(q => q >= -127 && q <= 127))
+    assert(qs1(0) == 127) // the max-magnitude element hits the rail exactly
+    assert(math.abs(s1 - 1.0 / 127) < 1e-12)
+    // per-element error ≤ scale/2 ⇒ rmse ≤ scale/2
+    assert(rmse1 <= s1 / 2 + 1e-12)
+    // ties (±63.5) round toward +∞ under floor(x + 0.5): deterministic
+    // and engine-identical, which is the point
+    val (s2, q2, _) = out(2L)
+    assert(q2.split(",").map(_.toInt).toSeq == Seq(-127, 127, 64, -63))
+    assert(math.abs(s2 - 2.0 / 127) < 1e-12)
+  }
+
+  test("zero vector quantizes to zeros with zero error") {
+    val out = quantize(1L -> Seq(0.0f, 0.0f, 0.0f))
+    val (_, q, rmse) = out(1L)
+    assert(q == "0,0,0")
+    assert(rmse == 0.0)
+  }
+
+  test("dequantized vector preserves cosine to ~1e-3 on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Embed.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(q, "vec_id")
+      .withColumn("deq", transform(split(col("q_csv"), ","),
+        s => s.cast("double") * col("scale")))
+      .withColumn("cos", Similarity.cosine(col("v"), col("deq")))
+    val minCos = joined.agg(min("cos")).head().getDouble(0)
+    info(f"min cosine(original, dequantized) over corpus: $minCos%.6f")
+    assert(minCos > 0.995, s"quantization distorted cosine: $minCos")
+  }
+}
