@@ -520,6 +520,15 @@ object SparkEntry {
         "doc_id", "lang",
         pctByStratum = Map("en" -> 80, "zh" -> 50), defaultPct = 25)),
 
+    "decontaminate" -> ((s, dir) => {
+      // benchmark-leak check: docs 0-19 stand in for an eval suite;
+      // corpus docs sharing any 5-gram with them are flagged
+      val d = Tables.documents(s, dir)
+      graft.pipeline.Pipeline.decontaminate(d,
+        d.filter(col("doc_id") < 20), "doc_id", "text",
+        shingleSize = 5, minShared = 1)
+    }),
+
     // ---- multimodal plumbing (north star; codec stubbed, see Multimodal) ----
     "multimodal_meta" -> ((s, dir) => {
       // pure projection — no DeserializeToObject/mapPartitions in this
@@ -1025,6 +1034,25 @@ object SparkEntry {
          SELECT doc_id, lang, bucket FROM b
          WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 50
                         ELSE 25 END""",
+
+    "decontaminate" ->
+      // joins on shingle STRINGS where Spark joins on xxhash64 of the
+      // same strings — counts agree up to hash collisions (P ≈ n²/2⁶⁴,
+      // the contract ngram_jaccard's oracle already uses)
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         idx AS (SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+           CASE WHEN len(w) < 5 THEN array_to_string(w, ' ')
+                ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                     w[i+3] || ' ' || w[i+4] END AS s FROM idx),
+         ph AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+         SELECT c.doc_id, count(DISTINCT c.s) AS n_shared
+         FROM sh c JOIN ph ON ph.s = c.s
+         WHERE c.doc_id >= 20
+         GROUP BY 1""",
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,

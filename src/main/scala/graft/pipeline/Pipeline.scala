@@ -87,6 +87,40 @@ object Pipeline {
         (col("_prefix") % budget).as("pack_offset"))
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus documents sharing at least
+    * `minShared` distinct word n-grams with any probe (benchmark/eval)
+    * document — the overlap check every pretraining pipeline runs so
+    * eval sets don't leak into training data.
+    *
+    * Scale shape: probes are the tiny side (an eval suite is a few
+    * thousand rows against a 100 TB corpus) — their distinct shingle
+    * hashes are built narrow and BROADCAST; the corpus side is one
+    * narrow shingle pass + a broadcast semi-join-shaped inner join, then
+    * one map-side-combinable count per doc. The corpus never shuffles
+    * its shingles; only (doc_id, matched-hash) rows reach the count.
+    * Probe docs themselves are excluded from the output (a benchmark
+    * row in the corpus is contamination of ITSELF, not a finding).
+    */
+  def decontaminate(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    textCol: String, shingleSize: Int = 5,
+                    minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def shingleHashes(df: DataFrame) = graft.util.Par.spread(df)
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc_id"),
+        explode_outer(graft.functions.XxSortedHashesExpr(
+          TextOps.shinglesFromTokens(col("_toks"), shingleSize))).as("h"))
+    val probeIds = probes.select(col(idCol).as("doc_id")).distinct()
+    val probeHashes = shingleHashes(probes).select(col("h")).distinct()
+    shingleHashes(corpus)
+      .join(broadcast(probeIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(probeHashes), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic stratified sampling: a document's md5-derived bucket
     * in [0, 100) admits it when below its stratum's percentage. The
     * same document set is kept on every run and every engine (the

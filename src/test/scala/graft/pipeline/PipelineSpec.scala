@@ -98,6 +98,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.seqPack(df, "doc_id", "text", budget = 64).count() == 0)
   }
 
+  test("decontaminate flags n-gram overlap with probes, excludes probes") {
+    import spark.implicits._
+    val leak = "the capital of france is paris and the answer is forty two"
+    val corpus = Seq(
+      10L -> s"training text that quotes: $leak verbatim in the middle",
+      11L -> "completely unrelated content about spark catalyst plans here",
+      1L -> leak // the probe doc itself also present in the corpus
+    ).toDF("doc_id", "text")
+    val probes = Seq(1L -> leak).toDF("doc_id", "text")
+    val out = Pipeline.decontaminate(corpus, probes, "doc_id", "text",
+      shingleSize = 5, minShared = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(10L) && out(10L) >= 1) // leaked 5-grams found
+    assert(!out.contains(11L)) // clean doc untouched
+    assert(!out.contains(1L))  // probe rows are not findings
+  }
+
   test("sampleStratified applies per-stratum rates deterministically") {
     import spark.implicits._
     val df = (0 until 1000)
