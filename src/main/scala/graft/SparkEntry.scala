@@ -343,6 +343,15 @@ object SparkEntry {
     "sessionize" -> ((s, dir) =>
       StreamingOps.sessionizeBatch(Tables.events(s, dir), 30)),
 
+    "attribution_join" -> ((s, dir) => {
+      // stream-stream interval join shape, run in batch: clicks paired
+      // with same-user purchases in the following 30 minutes
+      val ev = Tables.events(s, dir)
+      StreamingOps.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), 30)
+    }),
+
     "session_window_native" -> ((s, dir) => {
       // Spark's native session_window operator (vs. the gaps-and-islands
       // rewrite in `sessionize` — both shapes belong in the inventory)
@@ -689,6 +698,16 @@ object SparkEntry {
          SELECT user_id, min(ts_ns) // 1000 AS session_start_us, max(ts_ns) // 1000 AS session_end_us,
          count(*) AS n_events, round(sum(value), 6) AS total_value
          FROM g GROUP BY user_id, sid""",
+
+    "attribution_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.click_id, p.purchase_id, c.user_id,
+           p.ts_us - c.ts_us AS gap_us
+         FROM c JOIN p ON c.user_id = p.user_id
+         AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 1800000000""",
 
     "session_window_native" ->
       """WITH t AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),

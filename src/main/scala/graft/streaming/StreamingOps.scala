@@ -97,6 +97,40 @@ object StreamingOps {
         graft.textops.TextOps.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
 
+  /** Stream-stream INTERVAL join (click→conversion attribution): each
+    * click pairs with the same user's purchases in the following
+    * `windowMinutes`. Works identically batch or stream; on streams both
+    * sides carry watermarks and the time-range condition is on the two
+    * event-time columns, which is exactly what lets Spark bound the join
+    * state (rows older than watermark + interval are evicted). At scale
+    * both sides shuffle once on `user_id` — the state store partitions
+    * the same way, so the shape is cluster-ready as-is.
+    *
+    * Comparisons are µs-truncated on both engines (`ts` is µs-derived;
+    * DuckDB truncates parquet ns to µs anyway), so the oracle matches
+    * exactly.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      windowMinutes: Long = 30,
+                      watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val c = wm(clicks).select(col("event_id").as("click_id"),
+      col("user_id").as("c_uid"), col("ts").as("click_ts"),
+      col("ts_ns").as("click_ts_ns"))
+    val p = wm(purchases).select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_uid"), col("ts").as("purchase_ts"),
+      col("ts_ns").as("purchase_ts_ns"))
+    c.join(p, col("c_uid") === col("p_uid") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"),
+        col("c_uid").as("user_id"),
+        (expr("purchase_ts_ns div 1000") - expr("click_ts_ns div 1000"))
+          .as("gap_us"))
+  }
+
   /** Gap-based sessionization with explicit state: the custom-state
     * example (`mapGroupsWithState` family). State per user is one running
     * session — bounded, timeout-evicted; exactly the pattern a 1000-node

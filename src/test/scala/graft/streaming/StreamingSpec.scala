@@ -69,6 +69,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join equals batch on the same data") {
+    val ev = Tables.events(spark, dir)
+    val batch = StreamingOps.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), 30)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val q = StreamingOps.attributionJoin(
+        stream().filter(col("event_type") === "click"),
+        stream().filter(col("event_type") === "purchase"), 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attr_test").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("watermark drops late rows in append mode") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
