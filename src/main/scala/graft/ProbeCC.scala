@@ -32,6 +32,34 @@ object ProbeCC {
         .head()
       println(s"PROBE $name pairs=$n clusters=${stats.getLong(0)} " +
         s"maxSize=${stats.getLong(1)} nodes=${stats.getLong(2)}")
+      // replicate the propagation loop with a round counter: how deep is
+      // the fixpoint for this graph?
+      val p = pairs.select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst")).localCheckpoint()
+      val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = edges.select(col("src").as("node"), col("dst").as("label"))
+        .union(edges.select(col("src").as("node"), col("src").as("label")))
+        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+      def s(df: org.apache.spark.sql.DataFrame) =
+        df.agg(coalesce(sum(col("label").cast("decimal(28,0)")),
+          lit(0).cast("decimal(28,0)"))).head().getDecimal(0)
+      var prev = s(labels); var rounds = 0; var done = false
+      val t0 = System.nanoTime()
+      while (!done && rounds < 64) {
+        val prop = edges.join(labels, edges("dst") === labels("node"))
+          .select(col("src").as("node"), col("label"))
+          .union(labels)
+          .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+        labels = prop.join(prop.toDF("_n", "_l"),
+            col("label") === col("_n"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("_l"), col("label")))
+              .as("label"))
+          .localCheckpoint()
+        val cur = s(labels); done = cur.compareTo(prev) == 0; prev = cur
+        rounds += 1
+      }
+      println(f"PROBE $name rounds=$rounds loopSec=${(System.nanoTime()-t0)/1e9}%.2f")
     }
     spark.stop()
   }
