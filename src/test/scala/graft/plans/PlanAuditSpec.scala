@@ -121,6 +121,16 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate broadcasts the probe side; corpus shingles never sort-merge") {
+    // probes (the eval suite) are the tiny side by construction: both
+    // the id anti-join and the hash join must be broadcasts, so corpus
+    // shingles reach no join exchange — only matched (doc_id, h) rows
+    // shuffle into the distinct count
+    val p = plan("decontaminate")
+    assert(opCount(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("ngram_jaccard carries no broadcast hint") {
     // every frame in this operator is per-document, so an explicit
     // broadcast() hint (round 1 broadcast O(n_docs) set sizes) is always
