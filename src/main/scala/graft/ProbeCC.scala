@@ -60,6 +60,28 @@ object ProbeCC {
         rounds += 1
       }
       println(f"PROBE $name rounds=$rounds loopSec=${(System.nanoTime()-t0)/1e9}%.2f")
+      // variant B: propagate + jump folded into ONE aggregate per round
+      // (jump reads the PREVIOUS labels — one checkpoint/round, stale
+      // shortcut). Measures whether the extra checkpoint or the extra
+      // round dominates.
+      var lb = edges.select(col("src").as("node"), col("dst").as("label"))
+        .union(edges.select(col("src").as("node"), col("src").as("label")))
+        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+      var prevB = s(lb); var roundsB = 0; var doneB = false
+      val t1 = System.nanoTime()
+      while (!doneB && roundsB < 64) {
+        val jumped = lb.join(lb.toDF("_n", "_l"),
+            col("label") === col("_n"), "left")
+          .select(col("node"), coalesce(col("_l"), col("label")).as("label"))
+        lb = edges.join(lb, edges("dst") === lb("node"))
+          .select(col("src").as("node"), col("label"))
+          .union(lb.select(col("node"), col("label")))
+          .union(jumped)
+          .groupBy("node").agg(min("label").as("label")).localCheckpoint()
+        val cur = s(lb); doneB = cur.compareTo(prevB) == 0; prevB = cur
+        roundsB += 1
+      }
+      println(f"PROBE $name variantB rounds=$roundsB loopSec=${(System.nanoTime()-t1)/1e9}%.2f")
     }
     spark.stop()
   }

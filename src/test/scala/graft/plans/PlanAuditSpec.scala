@@ -131,6 +131,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("narrow per-row operators stay inside whole-stage codegen") {
+    // the "functions, not UDFs" contract: these single-scan projections
+    // must compile into a WholeStageCodegen span with no object
+    // serialization anywhere in the plan
+    for (q <- Seq("text_stats", "pii_scrub", "embedding_quantize",
+        "multimodal_meta", "lang_id", "quality_score")) {
+      val p = plan(q)
+      assert(p.contains("*("), s"$q has no WholeStageCodegen span:\n$p")
+      assert(!p.contains("DeserializeToObject"), s"$q leaves codegen:\n$p")
+    }
+  }
+
   test("ngram_jaccard carries no broadcast hint") {
     // every frame in this operator is per-document, so an explicit
     // broadcast() hint (round 1 broadcast O(n_docs) set sizes) is always
