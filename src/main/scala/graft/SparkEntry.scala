@@ -529,6 +529,14 @@ object SparkEntry {
         "doc_id", "lang",
         pctByStratum = Map("en" -> 80, "zh" -> 50), defaultPct = 25)),
 
+    "corpus_clean" -> ((s, dir) =>
+      // the whole corpus-prep pipeline composed in one DAG: quality
+      // gate -> exact dedup -> stratified sample -> sequence packing
+      graft.pipeline.Pipeline.corpusClean(Tables.documents(s, dir),
+        "doc_id", "text", "lang", minQuality = 0.3,
+        pctByStratum = Map("en" -> 80, "zh" -> 50), defaultPct = 25,
+        budget = 2048)),
+
     "decontaminate" -> ((s, dir) => {
       // benchmark-leak check: docs 0-19 stand in for an eval suite;
       // corpus docs sharing any 5-gram with them are flagged
@@ -772,23 +780,9 @@ object SparkEntry {
          FROM (SELECT doc_id, lang, list_sort($packs)[-1] AS best FROM documents)"""
     },
 
-    "quality_score" -> {
-      val stops = TextOps.stopwords.values.flatten.toSeq.distinct
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""WITH b AS (SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE AS n_tok,
-           CASE WHEN length(text) = 0 THEN 0.0 ELSE
-             length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
-             / length(text)::DOUBLE END AS punct,
-           CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) = 0 THEN 0.0 ELSE
-             len(list_filter(string_split_regex(lower(text), '\\s+'),
-                 x -> x <> '' AND list_contains($stops, x)))::DOUBLE
-             / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE END AS stopr
-           FROM documents)
-         SELECT doc_id, round(greatest(0.0,
-           least(n_tok / 50.0, 1.0) * 0.4 + least(stopr * 4.0, 1.0) * 0.4
-           + (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality FROM b"""
-    },
+    "quality_score" ->
+      s"""WITH b AS (SELECT doc_id, $duckQualityParts FROM documents)
+         SELECT doc_id, $duckQualityFromParts AS quality FROM b""",
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
@@ -1054,6 +1048,30 @@ object SparkEntry {
          WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 50
                         ELSE 25 END""",
 
+    "corpus_clean" ->
+      s"""WITH qb AS (SELECT doc_id, lang, text, $duckQualityParts FROM documents),
+         q AS (SELECT doc_id, lang, text, $duckQualityFromParts AS quality FROM qb),
+         g AS (SELECT * FROM q WHERE quality >= 0.3),
+         d AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn FROM g) WHERE rn = 1),
+         sm AS (SELECT * FROM d WHERE
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100
+           < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 50 ELSE 25 END),
+         b AS (SELECT doc_id, lang, quality,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+           FROM sm),
+         p AS (SELECT doc_id, lang, quality, n_tokens,
+           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM b)
+         SELECT doc_id, lang, quality, n_tokens,
+           CAST(pre // 2048 AS BIGINT) AS pack_id,
+           CAST(pre % 2048 AS BIGINT) AS pack_offset FROM p""",
+
     "decontaminate" ->
       // joins on shingle STRINGS where Spark joins on xxhash64 of the
       // same strings — counts agree up to hash collisions (P ≈ n²/2⁶⁴,
@@ -1078,6 +1096,29 @@ object SparkEntry {
          md5(text) AS content_md5, 'unknown' AS sniffed_format
          FROM documents"""
   )
+
+  /** The quality-score heuristic's component expressions (token count,
+    * punctuation ratio, stopword ratio) and the [0,1] blend, shared by
+    * the `quality_score` and `corpus_clean` oracles so the two rows can
+    * never drift apart.
+    */
+  private lazy val duckQualityParts: String = {
+    val stops = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE AS n_tok,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+             / length(text)::DOUBLE END AS punct,
+           CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) = 0 THEN 0.0 ELSE
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> x <> '' AND list_contains($stops, x)))::DOUBLE
+             / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE END AS stopr"""
+  }
+
+  private val duckQualityFromParts: String =
+    """round(greatest(0.0,
+           least(n_tok / 50.0, 1.0) * 0.4 + least(stopr * 4.0, 1.0) * 0.4
+           + (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6)"""
 
   /** DuckDB mirror of one [[graft.simops.Similarity.lshSignature]] plane
     * dot: the plane is embedded as the exact double values of the

@@ -132,14 +132,63 @@ object Pipeline {
                        defaultPct: Int): DataFrame = {
     (pctByStratum.values.toSeq :+ defaultPct).foreach(p =>
       require(p >= 0 && p <= 100, s"percentage must be in [0,100], got $p"))
-    val bucket = pmod(
-      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(100L))
-    val pct = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
-      case (acc, (stratum, p)) =>
-        when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    df.select(col(idCol), col(strataCol), md5Bucket(col(idCol)).as("bucket"))
+      .filter(col("bucket") <
+        pctFor(col(strataCol), pctByStratum, defaultPct))
+  }
+
+  /** Deterministic [0,100) bucket from the id's md5 — the reproducible
+    * sampling key shared by [[sampleStratified]] and [[corpusClean]].
+    */
+  private def md5Bucket(id: Column): Column = pmod(
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(100L))
+
+  private def pctFor(strata: Column, pctByStratum: Map[String, Int],
+                     defaultPct: Int): Column =
+    pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) => when(strata === stratum, lit(p)).otherwise(acc)
     }
-    df.select(col(idCol), col(strataCol), bucket.as("bucket"))
-      .filter(col("bucket") < pct)
+
+  /** The WHOLE corpus-preparation pipeline as ONE DAG — the operators
+    * above composed the way a real pretraining data build runs them:
+    *
+    *   1. quality gate (narrow filter on the scan);
+    *   2. exact dedup keeping the smallest id per content fingerprint
+    *      (one shuffle on the fingerprint);
+    *   3. deterministic stratified sampling (narrow filter);
+    *   4. global sequence packing of the survivors ([[seqPack]]'s
+    *      literal-boundary distributed prefix sum), joined back to the
+    *      per-document attributes by id.
+    *
+    * Every stage is a pure function of row content, so the composite is
+    * oracle-checked end to end like its parts. Demonstrates that the
+    * operator library composes: filters stay on the scan, the only
+    * data shuffles are the dedup fingerprint exchange, the pack-bucket
+    * window exchange, and the final id join.
+    */
+  def corpusClean(docs: DataFrame, idCol: String, textCol: String,
+                  strataCol: String, minQuality: Double,
+                  pctByStratum: Map[String, Int], defaultPct: Int,
+                  budget: Int, numBuckets: Int = 32): DataFrame = {
+    val gated = docs
+      .select(col(idCol), col(strataCol), col(textCol),
+        TextOps.qualityScore(col(textCol)).as("quality"))
+      .filter(col("quality") >= minQuality)
+    val w = Window
+      .partitionBy(col("_fp")).orderBy(col(idCol))
+    val deduped = gated
+      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+    val sampled = deduped
+      .filter(md5Bucket(col(idCol)) <
+        pctFor(col(strataCol), pctByStratum, defaultPct))
+    seqPack(sampled, idCol, textCol, budget, numBuckets)
+      .join(sampled.select(col(idCol), col(strataCol), col("quality")),
+        Seq(idCol))
+      .select(col(idCol), col(strataCol), col("quality"),
+        col("n_tokens"), col("pack_id"), col("pack_offset"))
   }
 }

@@ -98,6 +98,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.seqPack(df, "doc_id", "text", budget = 64).count() == 0)
   }
 
+  test("corpusClean composes gate -> dedup -> sample -> pack coherently") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Pipeline.corpusClean(docs, "doc_id", "text", "lang",
+      minQuality = 0.3, pctByStratum = Map("en" -> 80, "zh" -> 50),
+      defaultPct = 25, budget = 256)
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.nonEmpty && rows.length < docs.count())
+    // quality floor holds; offsets are valid pack positions
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.3)
+      val off = r.getLong(5)
+      assert(off >= 0 && off < 256)
+    }
+    // packing is the prefix sum over survivors in id order: recompute
+    // globally and compare
+    var pre = 0L
+    rows.foreach { r =>
+      assert(r.getLong(4) == pre / 256, s"pack_id at ${r.getLong(0)}")
+      assert(r.getLong(5) == pre % 256, s"pack_offset at ${r.getLong(0)}")
+      pre += r.getLong(3)
+    }
+  }
+
   test("decontaminate flags n-gram overlap with probes, excludes probes") {
     import spark.implicits._
     val leak = "the capital of france is paris and the answer is forty two"
