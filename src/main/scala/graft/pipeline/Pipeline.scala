@@ -182,9 +182,15 @@ object Pipeline {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_fp", "_rn")
+    // materialize the cleaned survivors ONCE: seqPack's boundary
+    // sampling, its two prefix-sum branches, and the attribute join
+    // below all re-read this frame — without the checkpoint the
+    // gate+dedup subplan would run ~4×. (A real deployment writes the
+    // cleaned corpus to storage at exactly this point.)
     val sampled = deduped
       .filter(md5Bucket(col(idCol)) <
         pctFor(col(strataCol), pctByStratum, defaultPct))
+      .localCheckpoint()
     seqPack(sampled, idCol, textCol, budget, numBuckets)
       .join(sampled.select(col(idCol), col(strataCol), col("quality")),
         Seq(idCol))
