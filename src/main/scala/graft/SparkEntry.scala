@@ -482,6 +482,13 @@ object SparkEntry {
       Similarity.nearDupPairsBanded(Tables.embeddings(s, dir), "vec_id",
         "embedding", 0.4, numPlanes = 64, bands = 8, dim = 64)),
 
+    "embedding_clusters" -> ((s, dir) =>
+      // the dedup decision for embeddings: same connected-components
+      // closure, over the cosine near-dup pair graph
+      Dedup.clusters(Similarity.nearDupPairsBanded(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0.4, numPlanes = 64, bands = 8, dim = 64),
+        aCol = "id_a", bCol = "id_b")),
+
     // ---- similarity search (north star) ----
     "similarity_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -883,29 +890,15 @@ object SparkEntry {
          FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
          WHERE inter::DOUBLE / (x.n_sh + y.n_sh - inter) >= 0.8""",
 
-    "embedding_neardup" -> {
-      // mirrors nearDupPairsBanded(numPlanes=64, bands=8, dim=64): the
-      // plane matrix is embedded literally, so DuckDB derives the same
-      // band keys, the same candidate pairs, and the same verified sims
-      val planes = Similarity.hyperplanes(64, 64)
-      val bands = 8; val bits = 8
-      val keys = (0 until bands)
-        .map(b => s"${duckBandKey("embedding", planes, b, bits)} AS key_$b")
-        .mkString(", ")
-      val banded = (0 until bands)
-        .map(b => s"SELECT vec_id, $b AS band, key_$b AS key FROM sigs")
-        .mkString(" UNION ALL ")
-      val cos = duckCosine("a.embedding", "b.embedding")
-      s"""WITH sigs AS (SELECT vec_id, $keys FROM embeddings),
-         banded AS ($banded),
-         p AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-               FROM banded x JOIN banded y USING (band, key)
-               WHERE x.vec_id < y.vec_id)
-         SELECT p.id_a, p.id_b, round($cos, 4) AS sim
-         FROM p JOIN embeddings a ON a.vec_id = p.id_a
-         JOIN embeddings b ON b.vec_id = p.id_b
-         WHERE round($cos, 4) >= 0.4"""
-    },
+    "embedding_neardup" ->
+      s"""WITH $embPairCtes
+         SELECT doc_a AS id_a, doc_b AS id_b, sim FROM epairs""",
+
+    "embedding_clusters" ->
+      s"""WITH RECURSIVE ${embPairCtes + closureCtes("epairs")}
+         SELECT node AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM lbl""",
 
     "similarity_lsh" -> {
       // mirrors lshTopK(numPlanes=16, bands=4, dim=64) with literal
@@ -1096,6 +1089,34 @@ object SparkEntry {
          md5(text) AS content_md5, 'unknown' AS sniffed_format
          FROM documents"""
   )
+
+  /** CTE chain mirroring [[graft.simops.Similarity.nearDupPairsBanded]]
+    * (numPlanes=64, bands=8, dim=64 — the plane matrix embedded
+    * literally so DuckDB derives the same band keys, candidates, and
+    * verified sims), ending in `epairs(doc_a, doc_b, sim)` — the column
+    * names [[closureCtes]] expects, so `embedding_clusters` closes over
+    * the same pairs the `embedding_neardup` row checks.
+    */
+  private lazy val embPairCtes: String = {
+    val planes = Similarity.hyperplanes(64, 64)
+    val bands = 8; val bits = 8
+    val keys = (0 until bands)
+      .map(b => s"${duckBandKey("embedding", planes, b, bits)} AS key_$b")
+      .mkString(", ")
+    val banded = (0 until bands)
+      .map(b => s"SELECT vec_id, $b AS band, key_$b AS key FROM sigs")
+      .mkString(" UNION ALL ")
+    val cos = duckCosine("a.embedding", "b.embedding")
+    s"""sigs AS (SELECT vec_id, $keys FROM embeddings),
+         ebanded AS ($banded),
+         ep AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM ebanded x JOIN ebanded y USING (band, key)
+               WHERE x.vec_id < y.vec_id),
+         epairs AS (SELECT ep.id_a AS doc_a, ep.id_b AS doc_b, round($cos, 4) AS sim
+         FROM ep JOIN embeddings a ON a.vec_id = ep.id_a
+         JOIN embeddings b ON b.vec_id = ep.id_b
+         WHERE round($cos, 4) >= 0.4)"""
+  }
 
   /** The quality-score heuristic's component expressions (token count,
     * punctuation ratio, stopword ratio) and the [0,1] blend, shared by
