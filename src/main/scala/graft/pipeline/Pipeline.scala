@@ -60,11 +60,23 @@ object Pipeline {
     * thing as one plain global window.
     */
   def seqPack(df: DataFrame, idCol: String, textCol: String,
-              budget: Int, numBuckets: Int = 32): DataFrame = {
+              budget: Int, numBuckets: Int = 32): DataFrame =
+    seqPackCounted(
+      df.select(col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, budget, numBuckets)
+
+  /** [[seqPack]] over a pre-counted `(idCol, n_tokens)` frame — the
+    * entry point for pipelines that already tokenized (or that want to
+    * materialize the narrow counted frame instead of re-reading text,
+    * as [[corpusClean]] does).
+    */
+  def seqPackCounted(counted: DataFrame, idCol: String,
+                     budget: Int, numBuckets: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val bounds = graft.util.RangeBuckets.boundaries(df, idCol, numBuckets)
-    val withTok = df
-      .select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val bounds = graft.util.RangeBuckets.boundaries(counted, idCol, numBuckets)
+    val withTok = counted
+      .select(col(idCol), col("n_tokens"))
       .withColumn("_bucket",
         graft.util.RangeBuckets.bucketCol(col(idCol), bounds))
 
@@ -182,16 +194,20 @@ object Pipeline {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_fp", "_rn")
-    // materialize the cleaned survivors ONCE: seqPack's boundary
-    // sampling, its two prefix-sum branches, and the attribute join
-    // below all re-read this frame — without the checkpoint the
-    // gate+dedup subplan would run ~4×. (A real deployment writes the
-    // cleaned corpus to storage at exactly this point.)
+    // materialize the cleaned survivors ONCE, already tokenized and
+    // WITHOUT the text column: seqPack's boundary sampling, its two
+    // prefix-sum branches, and the final projection all re-read this
+    // frame — without the checkpoint the gate+dedup subplan would run
+    // ~4×, and checkpointing text would spill the whole corpus body.
+    // (A real deployment writes the cleaned corpus to storage at
+    // exactly this point; the pack assignment needs only the counts.)
     val sampled = deduped
       .filter(md5Bucket(col(idCol)) <
         pctFor(col(strataCol), pctByStratum, defaultPct))
+      .select(col(idCol), col(strataCol), col("quality"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .localCheckpoint()
-    seqPack(sampled, idCol, textCol, budget, numBuckets)
+    seqPackCounted(sampled, idCol, budget, numBuckets)
       .join(sampled.select(col(idCol), col(strataCol), col("quality")),
         Seq(idCol))
       .select(col(idCol), col(strataCol), col("quality"),
