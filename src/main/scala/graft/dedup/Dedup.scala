@@ -368,7 +368,22 @@ object Dedup {
     * materialized per round (`localCheckpoint`) to truncate the
     * otherwise exponentially deepening lineage; convergence is detected
     * from a one-row aggregate: labels only ever decrease, so the label
-    * SUM strictly decreases until fixpoint.
+    * SUM strictly decreases until fixpoint. The sum is taken as
+    * decimal(38,0): with node ids bounded by 2⁶³, exceeding 10³⁸ would
+    * take > 10¹⁹ pair-graph nodes — unreachable — so a NULL sum can only
+    * mean genuine overflow and fails loudly rather than comparing equal
+    * across two saturated rounds.
+    *
+    * The label/edge tables are O(nodes-in-pairs) — a sliver of the
+    * corpus even at 100 TB (near-dup pairs, not documents). Running the
+    * loop's ~3 shuffle stages × O(log diameter) rounds at the
+    * corpus-sized `spark.sql.shuffle.partitions` drowns a small pair
+    * graph in near-empty tasks (measured: ~8s of scheduling floor on a
+    * 13-edge graph at 32 partitions). The loop therefore sizes its own
+    * shuffle width from the measured edge count (~500k edge rows per
+    * partition, never above the session setting — a billion-edge graph
+    * at cluster scale still gets the full configured width) and
+    * restores the session conf when done.
     *
     * Output: (doc_id, cluster_id, cluster_size) for every node that
     * appears in a pair; cluster_id = min doc_id of the component.
@@ -381,49 +396,76 @@ object Dedup {
     val p = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint() // pair generation must run once, and never per round
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-    // init fused with the first propagation round: label₀(v) =
-    // min(v, neighbors(v)) — one less join+checkpoint round to the
-    // fixpoint than the plain label₀(v) = v seeding (shallow clusters,
-    // the common near-dup case, then converge in a single check round)
-    var labels = edges.select(col("src").as("node"), col("dst").as("label"))
-      .union(edges.select(col("src").as("node"), col("src").as("label")))
-      .groupBy("node").agg(min("label").as("label"))
-      .localCheckpoint()
-    // coalesce: sum over zero rows is NULL — the no-near-dups case
-    // (empty pairs frame) must converge on round one, not NPE
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("label").cast("decimal(28,0)")),
-          lit(0).cast("decimal(28,0)"))).head()
+    val spark = p.sparkSession
+    val edgeCount = p.count() // cheap: counts the checkpointed partitions
+    if (edgeCount == 0)
+      // no near-dups ⇒ empty closure (callers coalesce absent nodes to
+      // themselves); skip the loop — and its conf dance — entirely
+      return p.select(col("src").as("doc_id"), col("dst").as("cluster_id"),
+        lit(0L).as("cluster_size"))
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(shuffleKey).toInt
+    val k = math.max(1L, math.min(sessionParts.toLong,
+      edgeCount / 500000L + 1)).toInt
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
         .getDecimal(0)
-    var prevSum = labelSum(labels)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
-      // propagate: min over self + neighbors' labels. Checkpointed
-      // before the self-join below references it twice (the same
-      // double-evaluation trap the edges frame had).
-      val prop = edges.join(labels, edges("dst") === labels("node"))
-        .select(col("src").as("node"), col("label"))
-        .union(labels)
+      require(s != null,
+        "Dedup.clusters: label sum overflowed decimal(38,0) — cannot " +
+          "detect convergence safely at this graph size")
+      s
+    }
+    val prevParts = spark.conf.get(shuffleKey)
+    spark.conf.set(shuffleKey, k.toString)
+    var labels: DataFrame = null
+    try {
+      // mirror once and pin at loop width: every round re-reads this
+      // frame, so its checkpoint partitioning (hash on the join key)
+      // keeps the per-round map stages k-wide instead of corpus-wide
+      val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(k, col("dst"))
+        .localCheckpoint()
+      // init fused with the first propagation round: label₀(v) =
+      // min(v, neighbors(v)) — one less join+checkpoint round to the
+      // fixpoint than the plain label₀(v) = v seeding (shallow clusters,
+      // the common near-dup case, then converge in a single check round)
+      labels = edges.select(col("src").as("node"), col("dst").as("label"))
+        .union(edges.select(col("src").as("node"), col("src").as("label")))
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      // pointer jump: follow each label one hop through the label table
-      // (a label is itself a node id, so this halves remaining depth).
-      // toDF mints fresh attribute ids — a plain self-join of the
-      // checkpointed frame trips Catalyst's union-constraint rewrite
-      val jumpTable = prop.toDF("_n", "_l")
-      labels = prop.join(jumpTable, col("label") === col("_n"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("_l"), col("label")))
-            .as("label"))
-        .localCheckpoint()
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      rounds += 1
-    }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      var prevSum = labelSum(labels)
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < maxRounds) {
+        // propagate: min over self + neighbors' labels. Checkpointed
+        // before the self-join below references it twice (the same
+        // double-evaluation trap the edges frame had).
+        val prop = edges.join(labels, edges("dst") === labels("node"))
+          .select(col("src").as("node"), col("label"))
+          .union(labels)
+          .groupBy("node").agg(min("label").as("label"))
+          .localCheckpoint()
+        // pointer jump: follow each label one hop through the label table
+        // (a label is itself a node id, so this halves remaining depth).
+        // toDF mints fresh attribute ids — a plain self-join of the
+        // checkpointed frame trips Catalyst's union-constraint rewrite
+        val jumpTable = prop.toDF("_n", "_l")
+        labels = prop.join(jumpTable, col("label") === col("_n"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("_l"), col("label")))
+              .as("label"))
+          .localCheckpoint()
+        val s = labelSum(labels)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        rounds += 1
+      }
+    } finally spark.conf.set(shuffleKey, prevParts)
+    // the final window executes lazily (outside the conf override), so
+    // pin its exchange to the loop width explicitly — label tables stay
+    // k-sized however the caller's session is configured
+    labels.repartition(k, col("label"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
   }

@@ -61,9 +61,15 @@ object Pipeline {
     */
   def seqPack(df: DataFrame, idCol: String, textCol: String,
               budget: Int, numBuckets: Int = 32): DataFrame =
+    // materialize the narrow counted frame ONCE (id + token count, no
+    // text): seqPackCounted's two prefix-sum branches each re-read
+    // their input, so an unmaterialized frame would tokenize the whole
+    // corpus twice ([[corpusClean]] checkpoints at the same point for
+    // the same reason)
     seqPackCounted(
       df.select(col(idCol),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        .localCheckpoint(),
       idCol, budget, numBuckets)
 
   /** [[seqPack]] over a pre-counted `(idCol, n_tokens)` frame — the
@@ -74,7 +80,11 @@ object Pipeline {
   def seqPackCounted(counted: DataFrame, idCol: String,
                      budget: Int, numBuckets: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val bounds = graft.util.RangeBuckets.boundaries(counted, idCol, numBuckets)
+    // boundary sampling needs ONLY the id column — the explicit select
+    // guarantees the quantile job never evaluates n_tokens (which for an
+    // unmaterialized caller frame could be a full tokenization pass)
+    val bounds = graft.util.RangeBuckets.boundaries(
+      counted.select(col(idCol)), idCol, numBuckets)
     val withTok = counted
       .select(col(idCol), col("n_tokens"))
       .withColumn("_bucket",

@@ -122,6 +122,13 @@ object Similarity {
     * rows of any OTHER length then fail fast with a runtime error
     * instead of silently degrading signature quality (the dot kernel
     * would truncate to the shorter length).
+    *
+    * PRECONDITION: `idCol` must be unique within each input frame. The
+    * candidate pairs are deduplicated as bare id pairs and vectors
+    * re-join BY ID afterwards (the payload-free shuffle discipline), so
+    * a duplicated id would fan each deduplicated pair back out into one
+    * scored row per duplicate — the same (query_id, neighbor_id) could
+    * then occupy several top-k ranks.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 16, bands: Int = 4,
@@ -177,6 +184,10 @@ object Similarity {
     * matrix is embedded literally in the generated SQL (see
     * SparkEntry.oracleSql) — so the driver hash-checks this operator
     * exactly even though it is approximate vs. [[nearDupPairs]].
+    *
+    * PRECONDITION: `idCol` must be unique — candidate pairs dedup as
+    * bare id pairs before vectors re-join by id (see [[lshTopK]]); a
+    * duplicated id would emit one output row per duplicate pairing.
     */
   def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, numPlanes: Int = 64,

@@ -1,6 +1,8 @@
 package graft.util
 
+import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Parallelism guard for compute-heavy NARROW stages (per-row hashing,
   * shingling, signature dots): a small single-file parquet source yields
@@ -13,6 +15,36 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def spread(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (estimatedSplits(df) < cores) df.repartition(cores) else df
+  }
+
+  /** Input-split estimate from the FILE INDEX, not from `df.rdd` (which
+    * builds the whole physical RDD lineage per call just to read a
+    * partition count): for file-backed frames, mirror Spark's own
+    * split-sizing rule — `min(maxPartitionBytes, max(openCostInBytes,
+    * bytes/defaultParallelism))` per split — over the index's total
+    * size. Frames with no file relation (literal test data, checkpoint
+    * RDDs) fall back to the RDD count; operators only call [[spread]]
+    * on raw source tables, so the fallback is a test-only path.
+    */
+  private def estimatedSplits(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val fsBytes = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.sizeInBytes
+        case _ => -1L
+      }
+    }
+    if (fsBytes.nonEmpty && fsBytes.forall(_ >= 0L)) {
+      def bytesConf(key: String, fallback: String): Long =
+        JavaUtils.byteStringAsBytes(spark.conf.get(key, fallback))
+      val maxBytes = bytesConf("spark.sql.files.maxPartitionBytes", "128m")
+      val openCost = bytesConf("spark.sql.files.openCostInBytes", "4m")
+      val total = fsBytes.sum
+      val perCore = total / math.max(1, spark.sparkContext.defaultParallelism)
+      val split = math.min(maxBytes, math.max(openCost, perCore))
+      math.min(Int.MaxValue.toLong, math.max(1L, (total + split - 1) / split))
+        .toInt
+    } else df.rdd.getNumPartitions
   }
 }

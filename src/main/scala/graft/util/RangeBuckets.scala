@@ -36,10 +36,26 @@ object RangeBuckets {
     * fewer — possibly zero — cut points, which downstream operators must
     * already tolerate (range sampling could always produce empty
     * buckets).
+    *
+    * The key must be NUMERIC, DATE, or TIMESTAMP typed (anything with a
+    * meaningful cast to double): a string key would cast to all-NULL,
+    * every row would land in bucket 0, and the operator built on top
+    * would silently degenerate into the single-partition plan this
+    * bucketing exists to avoid — so that is rejected loudly here.
+    * [[graft.lagops.DistributedLag]] and
+    * [[graft.pipeline.Pipeline.seqPack]] inherit this contract for
+    * their order keys.
     */
   def boundaries(df: DataFrame, keyCol: String,
                  numBuckets: Int): Array[Double] = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keyCol).dataType
+    val ok = dt.isInstanceOf[NumericType] || dt.isInstanceOf[DateType] ||
+      dt.isInstanceOf[TimestampType] || dt.isInstanceOf[TimestampNTZType]
+    require(ok, s"RangeBuckets: order key '$keyCol' must be numeric, " +
+      s"date, or timestamp typed for quantile bucketing; got $dt " +
+      "(a non-castable key would silently collapse to one bucket)")
     if (numBuckets == 1) Array.empty
     else {
       val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
