@@ -12,7 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Stride fixtures (G3/G4, reference src/lib.rs:867-923) only differ in
   * physical padding, which has no logical meaning in a DataFrame
-  * (SURVEY.md §2.2) — their logical content equals G1 and is covered by it.
+  * (SURVEY.md §2.2); the G3/G4 test below ports their literal strided
+  * buffers anyway and pins that the NON-PAD cells equal our wide output
+  * under the documented mapping (strip each stride-row's pad tail,
+  * transpose lag-major → time-major) — for every stride.
   */
 class GoldenLagSpec extends AnyFunSuite {
   private def collectWide(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
@@ -42,6 +45,35 @@ class GoldenLagSpec extends AnyFunSuite {
       Seq(1L, 42.0, INF, INF),
       Seq(2L, 40.0, INF, 42.0),
       Seq(3L, 38.0, 42.0, 40.0)))
+  }
+
+  // G3/G4: reference src/lib.rs:867-894 (stride 5) and :896-923
+  // (stride 8) — the reference's strided output buffers, embedded
+  // literally (pad = INF like the fill, exactly as the reference writes
+  // them). Stride only inserts physical pad cells, so stripping each
+  // stride-row to its num_cols logical cells must yield the SAME matrix
+  // for every stride, and that matrix (transposed: the reference is
+  // lag-major, our wide rows are time-major) must equal our wide output.
+  test("G3/G4 strided buffers reduce to the wide output for every stride") {
+    val lag = INF; val padding = INF
+    val strided = Seq(
+      5 -> Seq(
+        42.0, 40.0, 38.0, 36.0, padding,
+        lag, 42.0, 40.0, 38.0, padding,
+        lag, lag, 42.0, 40.0, padding,
+        lag, lag, lag, 42.0, padding),
+      8 -> Seq(
+        42.0, 40.0, 38.0, 36.0, padding, padding, padding, padding,
+        lag, 42.0, 40.0, 38.0, padding, padding, padding, padding,
+        lag, lag, 42.0, 40.0, padding, padding, padding, padding,
+        lag, lag, lag, 42.0, padding, padding, padding, padding))
+    val out = LagMatrix.wide(seriesDf(Seq(42, 40, 38, 36)), "value",
+      LagSpec(Seq("t"), Nil, Seq(0, 1, 2, 3), Some(INF)))
+    val ours = collectWide(out).map(_.drop(1)) // drop the t key
+    for ((stride, buf) <- strided) {
+      val logical = buf.grouped(stride).map(_.take(4)).toSeq
+      assert(logical.transpose == ours, s"stride=$stride")
+    }
   }
 
   // G9: reference doctest src/lib.rs:24-39 — [1,2,3,4], lags 0..=3
