@@ -122,6 +122,14 @@ object Pipeline {
     * its shingles; only (doc_id, matched-hash) rows reach the count.
     * Probe docs themselves are excluded from the output (a benchmark
     * row in the corpus is contamination of ITSELF, not a finding).
+    *
+    * A BLOOM pre-filter (built once driver-side over the probe hashes,
+    * ~10 bits/hash at 1% fpp — far smaller than the broadcast hash
+    * relation) sits in the corpus scan's codegen stage and drops the
+    * overwhelmingly-non-matching exploded shingle rows with one bitset
+    * probe each, before they reach the join's hash-relation lookup.
+    * False positives just proceed to the exact join, so results are
+    * IDENTICAL — the bloom only cuts per-row work in the 100 TB stage.
     */
   def decontaminate(corpus: DataFrame, probes: DataFrame, idCol: String,
                     textCol: String, shingleSize: Int = 5,
@@ -134,14 +142,36 @@ object Pipeline {
         explode_outer(graft.functions.XxSortedHashesExpr(
           TextOps.shinglesFromTokens(col("_toks"), shingleSize))).as("h"))
     val probeIds = probes.select(col(idCol).as("doc_id")).distinct()
+    // materialized once: the count, the bloom build, and the broadcast
+    // join all re-read this tiny-by-contract frame
     val probeHashes = shingleHashes(probes).select(col("h")).distinct()
+      .localCheckpoint()
+    val nProbe = math.max(1L, probeHashes.count())
+    val bloom = probeHashes.stat.bloomFilter("h", nProbe, 0.01)
+    val bloomBytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(os)
+      os.toByteArray
+    }
     shingleHashes(corpus)
       .join(broadcast(probeIds), Seq("doc_id"), "left_anti")
+      .filter(mightContain(bloomBytes, col("h")))
       .join(broadcast(probeHashes), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Codegen'd Bloom membership probe over a driver-built filter pinned
+    * as a binary literal (the Catalyst expression Spark's own runtime
+    * row-group filtering uses; deserialized once per task, not per row).
+    */
+  private def mightContain(bloomBytes: Array[Byte], value: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftColumnBridge.toExpression(value)))
 
   /** Deterministic stratified sampling: a document's md5-derived bucket
     * in [0, 100) admits it when below its stratum's percentage. The

@@ -131,6 +131,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("decontaminate bloom pre-filter sits on the corpus scan side, below the joins") {
+    // the driver-built bloom literal must filter exploded corpus
+    // shingles BEFORE any join probes them: in the plan tree the
+    // might_contain Filter appears strictly below every join operator
+    // (Catalyst pushes it to the scan-side stage, where it runs inside
+    // the same codegen'd pass as the shingle explode)
+    val lines = plan("decontaminate").linesIterator.toSeq
+    val bloomAt = lines.indexWhere(_.contains("might_contain"))
+    assert(bloomAt >= 0, "no might_contain filter in the plan")
+    val lastJoinAt = lines.lastIndexWhere(_.contains("Join"))
+    assert(lastJoinAt >= 0 && lastJoinAt < bloomAt,
+      s"bloom filter (line $bloomAt) not below the joins (last at $lastJoinAt)")
+  }
+
   test("narrow per-row operators stay inside whole-stage codegen") {
     // the "functions, not UDFs" contract: these single-scan projections
     // must compile into a WholeStageCodegen span with no object
