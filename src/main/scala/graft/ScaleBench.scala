@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: runs the document/embedding/event query families (the ones
+  * whose 100 TB story rests on fixed-vs-linear cost splits — CC loops,
+  * seq_pack's two-pass prefix sum, decontaminate's broadcast probe) at
+  * one scale directory and prints a JSON line per query. Run it at
+  * sf0.1 and at a ScaleGen output dir, and the ratio table shows which
+  * operators scale linearly and which are dominated by fixed stage
+  * cost.
+  *
+  * Usage: runMain graft.ScaleBench <sfDir>
+  */
+object ScaleBench {
+  val queryNames: Seq[String] = Seq(
+    // documents family
+    "text_stats", "quality_score", "lang_id", "doc_fingerprint",
+    "rep_stats", "pii_scrub", "sample_stratified", "seq_pack",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
+    "dedup_clusters", "dedup_clusters_simhash", "dedup_resolve",
+    "doc_winnow", "decontaminate", "corpus_clean", "multimodal_meta",
+    // embeddings family
+    "embedding_quantize", "embedding_neardup", "embedding_clusters",
+    "similarity_topk", "similarity_lsh", "similarity_ivf",
+    // events family (window_rank excluded: it reads the TPC-H `orders`
+    // table, which ScaleGen does not scale up)
+    "lag_1d", "lag_2d_partitioned", "lag_distributed", "rolling_agg",
+    "sessionize", "json_props")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warmup families as Bench.scala
+    try {
+      SparkEntry.queries("lag_null_fill")(spark, sfDir).count()
+      val docs = graft.sources.Tables.documents(spark, sfDir).limit(600)
+      graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text").count()
+      graft.dedup.Dedup.ngramJaccardSortedPrefix(docs, "doc_id", "text").count()
+      graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text").count()
+      graft.textops.TextOps.winnowing(docs, "doc_id", "text").count()
+      val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(600)
+      graft.simops.Similarity.nearDupPairsBanded(
+        emb, "vec_id", "embedding", 0.4, numPlanes = 64, bands = 8).count()
+      for (q <- Seq("text_stats", "quality_score", "lang_id",
+          "doc_fingerprint", "rep_stats", "pii_scrub",
+          "embedding_quantize", "multimodal_meta"))
+        SparkEntry.queries(q)(spark, sfDir).count()
+    } catch { case _: Throwable => }
+    // two timed passes, report the min: at larger SFs the first full-size
+    // execution of each heavy kernel family still absorbs multi-second
+    // C2 recompiles (measured 2× swings on the minhash family at sf1
+    // between consecutive in-session runs), which is JVM state, not plan
+    // cost — the min is the steady-state a long-running cluster job sees
+    def timeOne(name: String): (Double, Long) = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
+          -1L
+        }
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val pass1 = queryNames.map(n => n -> timeOne(n)).toMap
+    val results = queryNames.map { name =>
+      val (s2, n) = timeOne(name)
+      val sec = math.min(pass1(name)._1, s2)
+      println(f"""SCALEBENCH {"query":"$name","sec":$sec%.3f,"rows":$n,"sf":"$sfDir"}""")
+      name -> sec
+    }
+    println(f"""SCALEBENCH_TOTAL {"sec":${results.map(_._2).sum}%.1f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: generates a scaled-up synthetic twin of the driver's
+  * `documents` / `embeddings` / `events` tables (TESTDATA.md
+  * conventions: token-soup text over the same vocabulary, 10-cluster
+  * embeddings, one-month event stream) so the 100 TB design claims get
+  * an empirical scaling anchor beyond sf0.1. Everything is a pure
+  * deterministic function of the row id (xxhash64 seeding) — no RNG
+  * state, no driver-side loops, so generation itself distributes.
+  *
+  * Duplicate structure is planted at fixed rates so the dedup/CC
+  * workload keeps its character as rows grow: every 503rd document is
+  * a near-copy of its neighbor (same token stream + one extra token),
+  * every 701st an exact copy; every 211th embedding is its neighbor's
+  * vector plus tiny noise. Pair counts therefore scale LINEARLY with
+  * corpus size — the realistic sparse-near-dup regime, not the
+  * quadratic blowup naive row replication would create.
+  *
+  * Usage: runMain graft.ScaleGen <outDir> <mult>
+  *   reads /root/testdata/sf0.1, writes <outDir>/{documents,embeddings,
+  *   events}.parquet at mult× the sf0.1 row counts.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.length > 0) args(0) else "benchdata/sf1"
+    val mult = if (args.length > 1) args(1).toInt else 10
+    val srcDir = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // vocabulary + event types from the source tables (tiny collects)
+    val vocab = graft.sources.Tables.documents(spark, srcDir)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted
+    val eventTypes = graft.sources.Tables.events(spark, srcDir)
+      .select(col("event_type")).distinct().collect().map(_.getString(0)).sorted
+    val vocabLit = array(vocab.map(lit): _*)
+    val typesLit = array(eventTypes.map(lit): _*)
+
+    def u(salt: String, seed: Column, mod: Long): Column =
+      pmod(xxhash64(lit(salt), seed), lit(mod))
+
+    // ---- documents: 5000·mult rows of token soup --------------------
+    val nDocs = 5000L * mult
+    val docSeed = when(pmod(col("id"), lit(503)) === 0, col("id") + 1)
+      .when(pmod(col("id"), lit(701)) === 0, col("id") + 2)
+      .otherwise(col("id"))
+    val docs = spark.range(0, nDocs, 1, cpus.toInt)
+      .select(col("id").as("doc_id"), docSeed.as("_seed"))
+      .withColumn("_toks", transform(
+        sequence(lit(1), (u("len", col("_seed"), 56) + 20).cast("int")),
+        i => element_at(vocabLit,
+          (pmod(xxhash64(lit("tok"), col("_seed"), i), lit(vocab.length.toLong))
+            + 1).cast("int"))))
+      .withColumn("text", when(pmod(col("doc_id"), lit(503)) === 0,
+        concat(array_join(col("_toks"), " "), lit(" extra")))
+        .otherwise(array_join(col("_toks"), " ")))
+      .withColumn("_l", u("lang", col("doc_id"), 100))
+      .select(col("doc_id"), col("text"),
+        when(col("_l") < 41, "en").when(col("_l") < 56, "zh")
+          .when(col("_l") < 71, "fr").when(col("_l") < 86, "es")
+          .otherwise("de").as("lang"),
+        concat(lit("src"), u("src", col("doc_id"), 20)).as("source"),
+        length(col("text")).as("n_chars"))
+    docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // ---- embeddings: 2000·mult rows, dim 64 -------------------------
+    // The driver's embeddings carry NO cosine cluster structure
+    // (measured: same-label and cross-label mean cosine are both ~0, so
+    // labels are independent of direction and near-dup pairs come from
+    // the random 64-dim tail, P(cos ≥ 0.4) ≈ 6e-4). Mirror that: pure
+    // hash-uniform vectors + a planted near-copy of the neighbor every
+    // 211 rows (tiny jitter, cosine ≈ 1).
+    val nVecs = 2000L * mult
+    val planted = pmod(col("id"), lit(211)) === 0
+    val vecSeed = when(planted, col("id") + 1).otherwise(col("id"))
+    val jitterScale = when(planted, lit(0.02)).otherwise(lit(0.0))
+    val embeddings = spark.range(0, nVecs, 1, cpus.toInt)
+      .select(col("id").as("vec_id"), vecSeed.as("_seed"),
+        jitterScale.as("_js"),
+        u("lab", col("id"), 10).cast("int").as("label"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          ((pmod(xxhash64(lit("e"), col("_seed"), d), lit(2001L)) / 1000.0
+              - 1.0) +
+            (pmod(xxhash64(lit("j"), col("vec_id"), d), lit(2001L)) / 1000.0
+              - 1.0) * col("_js")).cast("float")).as("embedding"),
+        col("label"))
+    embeddings.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // ---- events: 100k·mult rows over one month, ns-long timestamps --
+    val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
+    val spanNs = 30L * 24 * 3600 * 1000000000L
+    val nEvents = 100000L * mult
+    val events = spark.range(0, nEvents, 1, cpus.toInt)
+      .select(col("id").as("event_id"),
+        (lit(baseNs) + u("t", col("id"), spanNs)).as("ts"),
+        u("u", col("id"), 1500L * mult).as("user_id"),
+        element_at(typesLit,
+          (u("et", col("id"), eventTypes.length.toLong) + 1).cast("int"))
+          .as("event_type"),
+        (u("v", col("id"), 100000L) / 1000.0).as("value"),
+        concat(lit("{\"k\": "), u("k", col("id"), 100L), lit("}")).as("props"))
+    events.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    for (t <- Seq("documents", "embeddings", "events"))
+      println(s"SCALEGEN $t rows=" +
+        spark.read.parquet(s"$outDir/$t.parquet").count())
+    spark.stop()
+  }
+}
