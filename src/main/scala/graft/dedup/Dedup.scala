@@ -387,9 +387,20 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id, cluster_size) for every node that
     * appears in a pair; cluster_id = min doc_id of the component.
+    *
+    * SIZE-ADAPTIVE, like Spark's own broadcast-join threshold: a pair
+    * graph at or below `localEdgeThreshold` edges (default 2²⁰ ≈ 1M —
+    * ~16 MB of longs, broadcast-scale driver data) is solved by
+    * driver-side union-find in one pass over the collected edges: the
+    * SAME min-label components, with zero iterative jobs. Near-dup pair
+    * graphs are a sliver of any corpus, but a 100 TB corpus can still
+    * push past the threshold — the distributed fixpoint loop below is
+    * the path for that regime (and is pinned by equivalence tests that
+    * force `localEdgeThreshold = 0`).
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a",
-               bCol: String = "doc_b", maxRounds: Int = 64): DataFrame = {
+               bCol: String = "doc_b", maxRounds: Int = 64,
+               localEdgeThreshold: Long = 1L << 20): DataFrame = {
     // checkpoint the DIRECTED pairs before mirroring: a union of two
     // references to the un-materialized pairs frame evaluates the whole
     // pair-generation subplan (LSH, verify joins) twice in one action
@@ -403,6 +414,7 @@ object Dedup {
       // themselves); skip the loop — and its conf dance — entirely
       return p.select(col("src").as("doc_id"), col("dst").as("cluster_id"),
         lit(0L).as("cluster_size"))
+    if (edgeCount <= localEdgeThreshold) return clustersLocal(p)
     val shuffleKey = "spark.sql.shuffle.partitions"
     val sessionParts = spark.conf.get(shuffleKey).toInt
     val k = math.max(1L, math.min(sessionParts.toLong,
@@ -468,6 +480,40 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+  }
+
+  /** Driver-side closure for broadcast-scale pair graphs: union-find
+    * with path compression, union-by-MIN so every root IS its
+    * component's minimum id — byte-identical output to the distributed
+    * fixpoint (equivalence-tested in DedupSpec). The result ships back
+    * as a LocalRelation, so a downstream [[resolve]] join broadcasts it
+    * for free.
+    */
+  private def clustersLocal(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val edges = p.collect() // bounded by localEdgeThreshold at the call site
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = parent.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue())
+    val labeled = nodes.map(n => (n, find(n)))
+    val sizes = labeled.groupBy(_._2).map { case (c, g) => c -> g.length.toLong }
+    import spark.implicits._
+    labeled.toSeq.map { case (n, c) => (n, c, sizes(c)) }
+      .toDF("doc_id", "cluster_id", "cluster_size")
   }
 
   /** The dedup DECISION over a whole corpus: every document mapped to the

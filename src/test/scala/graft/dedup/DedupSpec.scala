@@ -82,6 +82,26 @@ class DedupSpec extends AnyFunSuite {
       (7L, 7L, 2L), (9L, 7L, 2L)))
   }
 
+  test("clusters: distributed fixpoint equals driver-side union-find") {
+    import spark.implicits._
+    // deterministic pseudo-random sparse graph with chains, a star, and
+    // singleton pairs — exercises pointer jumping over several rounds.
+    // localEdgeThreshold = 0 forces the distributed loop; the default
+    // takes the union-find fast path. Both must produce identical
+    // min-label components and sizes.
+    val edges = (0 until 60).map { i =>
+      val a = (i * 37) % 83; val b = (a + 1 + (i * 13) % 7).toLong
+      (a.toLong, b)
+    } ++ Seq((200L, 201L), (201L, 202L), (202L, 203L), (203L, 204L))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = norm(Dedup.clusters(pairs))
+    val dist = norm(Dedup.clusters(pairs, localEdgeThreshold = 0))
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
   test("clusters and resolve survive an empty pairs frame (no near-dups)") {
     import spark.implicits._
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
