@@ -84,7 +84,17 @@ object PlanDump {
         ("Union + last-observation window: one hashpartitioning(key) " +
           "exchange over |L|+|R| rows, a per-key sort, zero row " +
           "amplification — the shuffle shape of a sort-merge join, unlike " +
-          "a range join which would explode candidates."))
+          "a range join which would explode candidates."),
+      "decontaminate" ->
+        ("Probe (eval-suite) shingle hashes are the tiny side: both the " +
+          "id anti-join and the hash join are broadcasts, so corpus " +
+          "shingles never reach a join exchange. A driver-built Bloom " +
+          "filter over the probe hashes is pinned as a binary literal and " +
+          "Catalyst pushes its might_contain Filter below both joins into " +
+          "the corpus scan's codegen stage — the overwhelmingly " +
+          "non-matching exploded shingle rows die on a bitset probe " +
+          "before any hash-relation lookup; false positives proceed to " +
+          "the exact join, so output is unchanged."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")
