@@ -472,6 +472,14 @@ object Dedup {
         prevSum = s
         rounds += 1
       }
+      // pointer jumping converges in O(log diameter) rounds, so 64
+      // covers any graph with diameter < 2⁶⁴ — exhausting it means the
+      // invariants broke, and unconverged labels are NOT components:
+      // fail loudly rather than hand a silently-wrong dedup decision
+      // downstream
+      require(converged,
+        s"Dedup.clusters: no fixpoint after $maxRounds rounds " +
+          s"($edgeCount edges) — refusing to return unconverged labels")
     } finally spark.conf.set(shuffleKey, prevParts)
     // the final window executes lazily (outside the conf override), so
     // pin its exchange to the loop width explicitly — label tables stay

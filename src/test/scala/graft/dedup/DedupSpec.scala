@@ -102,6 +102,35 @@ class DedupSpec extends AnyFunSuite {
     assert(local.nonEmpty)
   }
 
+  test("clusters property: union-find equals distributed fixpoint on random graphs") {
+    import spark.implicits._
+    // ScalaCheck-generated sparse graphs (chains, stars, cliques mixed by
+    // construction of random endpoints over a small id space, forcing
+    // collisions and multi-hop components). One frame per case; 6 cases
+    // keeps this to a bounded number of Spark jobs.
+    val edgeGen = for {
+      n <- org.scalacheck.Gen.chooseNum(1, 120)
+      es <- org.scalacheck.Gen.listOfN(n, for {
+        a <- org.scalacheck.Gen.chooseNum(0L, 40L)
+        b <- org.scalacheck.Gen.chooseNum(0L, 40L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es
+    val seed = org.scalacheck.rng.Seed(42L)
+    val cases = (0 until 6).scanLeft(seed -> List.empty[(Long, Long)]) {
+      case ((s, _), _) =>
+        val r = edgeGen.pureApply(org.scalacheck.Gen.Parameters.default, s)
+        s.next -> r
+    }.tail.map(_._2).filter(_.nonEmpty)
+    for (es <- cases) {
+      val pairs = es.toDF("doc_a", "doc_b")
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(norm(Dedup.clusters(pairs)) ==
+        norm(Dedup.clusters(pairs, localEdgeThreshold = 0)),
+        s"divergence on ${es.take(10)}… (${es.length} edges)")
+    }
+  }
+
   test("clusters and resolve survive an empty pairs frame (no near-dups)") {
     import spark.implicits._
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
