@@ -99,13 +99,22 @@ object ScaleGen {
         col("label"))
     embeddings.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    // ---- events: 100k·mult rows over one month, ns-long timestamps --
+    // ---- events: 100k·mult rows over ~25 days, ns-long timestamps ---
+    // Timestamps are UNIQUE and µs-ALIGNED by construction: an injective
+    // odd-multiplier map of the id into a 2⁴¹-µs (~25.4-day) span, ×1000
+    // ns. (Multiplication by an odd constant is bijective mod 2⁴¹, so
+    // distinct ids — capped below 2³¹ — land in distinct µs slots.)
+    // Uniqueness keeps every ORDER BY ts deterministic, and µs alignment
+    // makes Spark's ns ordering identical to DuckDB's µs-truncated
+    // ordering — the same property the driver's generator has, and what
+    // lets the oracle gate run against this data too.
     val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
-    val spanNs = 30L * 24 * 3600 * 1000000000L
     val nEvents = 100000L * mult
+    require(nEvents < (1L << 31), s"events cap is 2^31 rows, got $nEvents")
+    val usSlot = (col("id") * lit(2654435761L)).bitwiseAND(lit((1L << 41) - 1))
     val events = spark.range(0, nEvents, 1, cpus.toInt)
       .select(col("id").as("event_id"),
-        (lit(baseNs) + u("t", col("id"), spanNs)).as("ts"),
+        (lit(baseNs) + usSlot * lit(1000L)).as("ts"),
         u("u", col("id"), 1500L * mult).as("user_id"),
         element_at(typesLit,
           (u("et", col("id"), eventTypes.length.toLong) + 1).cast("int"))
@@ -114,6 +123,21 @@ object ScaleGen {
         concat(lit("{\"k\": "), u("k", col("id"), 100L), lit("}")).as("props"))
     events.write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
+    // collapse each table to a single bare file, like the driver's
+    // layout (one parquet per table — what tools/check_oracle.py's
+    // DuckDB views read; scan parallelism comes from row-group splits
+    // and Par.spread, exactly as with the driver's files)
+    for (t <- Seq("documents", "embeddings", "events")) {
+      val dir = java.nio.file.Paths.get(s"$outDir/$t.parquet")
+      val tmp = java.nio.file.Paths.get(s"$outDir/_single_$t")
+      spark.read.parquet(dir.toString).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
     for (t <- Seq("documents", "embeddings", "events"))
       println(s"SCALEGEN $t rows=" +
         spark.read.parquet(s"$outDir/$t.parquet").count())

@@ -32,8 +32,18 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS FROM '{p}'")
+        if not os.path.exists(p):
+            continue
+        if t == "events":
+            # driver data stores ts as TIMESTAMP_NS (DuckDB truncates to
+            # µs at scan); ScaleGen twins store epoch-ns BIGINT — view it
+            # as the same µs-truncated timestamp so oracles run unchanged
+            typ = con.sql(f"SELECT typeof(ts) FROM '{p}' LIMIT 1").fetchone()[0]
+            if typ == "BIGINT":
+                con.sql(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM '{p}'")
+                continue
+        con.sql(f"CREATE VIEW {t} AS FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(os.listdir(out_dir)):
