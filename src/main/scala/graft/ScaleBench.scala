@@ -30,6 +30,11 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    // optional 2nd arg: comma-separated subset to time (focused reruns)
+    val names = if (args.length > 1) {
+      val keep = args(1).split(",").toSet
+      queryNames.filter(keep)
+    } else queryNames
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,8 +76,8 @@ object ScaleBench {
         }
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    val pass1 = queryNames.map(n => n -> timeOne(n)).toMap
-    val results = queryNames.map { name =>
+    val pass1 = names.map(n => n -> timeOne(n)).toMap
+    val results = names.map { name =>
       val (s2, n) = timeOne(name)
       val sec = math.min(pass1(name)._1, s2)
       println(f"""SCALEBENCH {"query":"$name","sec":$sec%.3f,"rows":$n,"sf":"$sfDir"}""")

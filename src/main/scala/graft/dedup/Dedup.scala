@@ -25,7 +25,8 @@ object Dedup {
     * keeping the smallest id — deterministic, idempotent, single shuffle.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    graft.util.Par.spread(df)
+      .select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 

@@ -67,7 +67,7 @@ object Pipeline {
     // corpus twice ([[corpusClean]] checkpoints at the same point for
     // the same reason)
     seqPackCounted(
-      df.select(col(idCol),
+      graft.util.Par.spread(df).select(col(idCol),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
         .localCheckpoint(),
       idCol, budget, numBuckets)
@@ -223,10 +223,17 @@ object Pipeline {
                   strataCol: String, minQuality: Double,
                   pctByStratum: Map[String, Int], defaultPct: Int,
                   budget: Int, numBuckets: Int = 32): DataFrame = {
-    val gated = docs
+    // spread BEFORE the narrow hash stage: quality scoring, content
+    // fingerprinting, and token counting all run in the scan stage, so
+    // a small single-file source would otherwise hash the whole corpus
+    // on one core (no-op at scale, where the source has many splits).
+    // The gate filter carries the noPushdown guard for the same reason:
+    // pushdown would substitute the full quality expression back into
+    // the one-split scan below the spread exchange.
+    val gated = graft.util.Par.spread(docs)
       .select(col(idCol), col(strataCol), col(textCol),
         TextOps.qualityScore(col(textCol)).as("quality"))
-      .filter(col("quality") >= minQuality)
+      .filter(graft.util.Par.noPushdown(col("quality") >= minQuality))
     val w = Window
       .partitionBy(col("_fp")).orderBy(col(idCol))
     val deduped = gated

@@ -18,6 +18,12 @@ object Par {
     if (estimatedSplits(df) < cores) df.repartition(cores) else df
   }
 
+  /** A filter condition the optimizer will NOT push below a [[spread]]
+    * exchange — see [[graft.functions.PlanFence]] for why and when.
+    */
+  def noPushdown(cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.PlanFence.fence(cond)
+
   /** Input-split estimate from the FILE INDEX, not from `df.rdd` (which
     * builds the whole physical RDD lineage per call just to read a
     * partition count): for file-backed frames, mirror Spark's own
