@@ -202,6 +202,25 @@ object Pipeline {
       case (acc, (stratum, p)) => when(strata === stratum, lit(p)).otherwise(acc)
     }
 
+  /** [[corpusClean]]'s stage 1, exposed so plan audits can inspect it:
+    * the survivors checkpoint inside [[corpusClean]] truncates lineage,
+    * hiding this stage from the composite query's executed plan.
+    *
+    * Spread BEFORE the narrow hash stage: quality scoring, content
+    * fingerprinting, and token counting all run in the scan stage, so
+    * a small single-file source would otherwise hash the whole corpus
+    * on one core (no-op at scale, where the source has many splits).
+    * The gate filter carries the noPushdown guard for the same reason:
+    * pushdown would substitute the full quality expression back into
+    * the one-split scan below the spread exchange.
+    */
+  def qualityGate(docs: DataFrame, idCol: String, strataCol: String,
+                  textCol: String, minQuality: Double): DataFrame =
+    graft.util.Par.spread(docs)
+      .select(col(idCol), col(strataCol), col(textCol),
+        TextOps.qualityScore(col(textCol)).as("quality"))
+      .filter(graft.util.Par.noPushdown(col("quality") >= minQuality))
+
   /** The WHOLE corpus-preparation pipeline as ONE DAG — the operators
     * above composed the way a real pretraining data build runs them:
     *
@@ -223,17 +242,7 @@ object Pipeline {
                   strataCol: String, minQuality: Double,
                   pctByStratum: Map[String, Int], defaultPct: Int,
                   budget: Int, numBuckets: Int = 32): DataFrame = {
-    // spread BEFORE the narrow hash stage: quality scoring, content
-    // fingerprinting, and token counting all run in the scan stage, so
-    // a small single-file source would otherwise hash the whole corpus
-    // on one core (no-op at scale, where the source has many splits).
-    // The gate filter carries the noPushdown guard for the same reason:
-    // pushdown would substitute the full quality expression back into
-    // the one-split scan below the spread exchange.
-    val gated = graft.util.Par.spread(docs)
-      .select(col(idCol), col(strataCol), col(textCol),
-        TextOps.qualityScore(col(textCol)).as("quality"))
-      .filter(graft.util.Par.noPushdown(col("quality") >= minQuality))
+    val gated = qualityGate(docs, idCol, strataCol, textCol, minQuality)
     val w = Window
       .partitionBy(col("_fp")).orderBy(col(idCol))
     val deduped = gated

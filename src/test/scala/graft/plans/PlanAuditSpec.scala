@@ -50,6 +50,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(opCount(p, "Window") >= 1)
   }
 
+  test("corpus_clean's quality gate stays fenced above the spread exchange") {
+    // the gate filter is on an expensive derived column; pushdown would
+    // substitute the full qualityScore expression into the scan's
+    // DataFilters, and a one-split local source would then evaluate it
+    // single-threaded below the spread repartition (measured 4.9s of a
+    // 11.6s query at 10x sf0.1). PlanFence pins it above the exchange.
+    // Audited on the exposed stage: corpus_clean's survivors checkpoint
+    // truncates lineage, so the composite plan never shows this stage.
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val p = graft.pipeline.Pipeline
+      .qualityGate(docs, "doc_id", "lang", "text", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("planfenceexpr"), s"gate fence missing:\n$p")
+    val lines = p.linesIterator.toSeq
+    val exchangeAt = lines.indexWhere(_.contains("Exchange"))
+    val filterAt = lines.indexWhere(_.contains("planfenceexpr"))
+    assert(exchangeAt >= 0 && filterAt >= 0 && exchangeAt > filterAt,
+      s"gate filter not above the spread exchange:\n$p")
+    val scans = lines.filter(_.contains("DataFilters"))
+    assert(scans.forall(!_.toLowerCase.contains("length")),
+      s"quality expression leaked into a scan:\n${scans.mkString("\n")}")
+  }
+
   test("pii_scrub and sample_stratified stay narrow (no exchange)") {
     for (q <- Seq("pii_scrub", "sample_stratified")) {
       val p = plan(q)
