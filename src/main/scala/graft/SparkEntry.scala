@@ -531,6 +531,13 @@ object SparkEntry {
       graft.pipeline.Pipeline.seqPack(Tables.documents(s, dir),
         "doc_id", "text", budget = 2048)),
 
+    "corpus_shuffle" -> ((s, dir) =>
+      // deterministic shuffle-before-pack: same distributed prefix sum
+      // as seq_pack, ordered by a reproducible md5 shuffle key (doc_id
+      // tie-break) instead of the id
+      graft.pipeline.Pipeline.corpusShuffle(Tables.documents(s, dir),
+        "doc_id", "text", budget = 2048, seed = "graft-r4")),
+
     "sample_stratified" -> ((s, dir) =>
       graft.pipeline.Pipeline.sampleStratified(Tables.documents(s, dir),
         "doc_id", "lang",
@@ -1028,6 +1035,25 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
            FROM b)
          SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS pack_id,
+           CAST(pre % 2048 AS BIGINT) AS pack_offset FROM p""",
+
+    "corpus_shuffle" ->
+      // same single-global-window statement as seq_pack, ordered by the
+      // engine-portable md5 shuffle key (hex -> bigint via the strpos
+      // fold, as in sample_stratified), doc_id tie-break
+      """WITH k AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5('graft-r4-' || doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT AS shuffle_key,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+           FROM documents),
+         p AS (SELECT doc_id, shuffle_key, n_tokens,
+           COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM k)
+         SELECT doc_id, shuffle_key, n_tokens,
+           CAST(pre // 2048 AS BIGINT) AS pack_id,
            CAST(pre % 2048 AS BIGINT) AS pack_offset FROM p""",
 
     "sample_stratified" ->

@@ -78,19 +78,33 @@ object Pipeline {
     * as [[corpusClean]] does).
     */
   def seqPackCounted(counted: DataFrame, idCol: String,
+                     budget: Int, numBuckets: Int = 32): DataFrame =
+    seqPackOrdered(counted, Seq(idCol), budget, numBuckets)
+
+  /** [[seqPackCounted]] under a COMPOSITE total order: buckets cut on
+    * the first order column (equal keys share a bucket, so the
+    * bucketing stays monotone in the leading key), windows order by
+    * the full column list, and every order column rides through to the
+    * output — [[corpusShuffle]] uses this to pack in shuffle-key order
+    * while keeping the document id beside its key.
+    */
+  def seqPackOrdered(counted: DataFrame, orderCols: Seq[String],
                      budget: Int, numBuckets: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    // boundary sampling needs ONLY the id column — the explicit select
-    // guarantees the quantile job never evaluates n_tokens (which for an
-    // unmaterialized caller frame could be a full tokenization pass)
+    require(orderCols.nonEmpty, "seqPackOrdered needs at least one order column")
+    val keyCol = orderCols.head
+    // boundary sampling needs ONLY the leading key column — the explicit
+    // select guarantees the quantile job never evaluates n_tokens (which
+    // for an unmaterialized caller frame could be a full tokenization pass)
     val bounds = graft.util.RangeBuckets.boundaries(
-      counted.select(col(idCol)), idCol, numBuckets)
+      counted.select(col(keyCol)), keyCol, numBuckets)
     val withTok = counted
-      .select(col(idCol), col("n_tokens"))
+      .select(orderCols.map(col) :+ col("n_tokens"): _*)
       .withColumn("_bucket",
-        graft.util.RangeBuckets.bucketCol(col(idCol), bounds))
+        graft.util.RangeBuckets.bucketCol(col(keyCol), bounds))
 
-    val wIn = Window.partitionBy(col("_bucket")).orderBy(col(idCol))
+    val wIn = Window.partitionBy(col("_bucket"))
+      .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val inBucket = withTok
       .withColumn("_pre_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
@@ -104,10 +118,44 @@ object Pipeline {
 
     inBucket.join(broadcast(bases), "_bucket")
       .withColumn("_prefix", col("_base") + col("_pre_in"))
-      .select(col(idCol), col("n_tokens"),
+      .select(orderCols.map(col) ++ Seq(col("n_tokens"),
         floor(col("_prefix") / budget).cast("long").as("pack_id"),
-        (col("_prefix") % budget).as("pack_offset"))
+        (col("_prefix") % budget).as("pack_offset")): _*)
   }
+
+  /** Deterministic global corpus shuffle + sequence packing — the
+    * shuffle-before-pack step a pretraining data build runs so a pack
+    * never holds long runs of consecutive same-source documents. The
+    * shuffle key is md5(seed, id): reproducible across runs and
+    * engines, re-drawn by changing the seed, and uniform enough that
+    * the range-bucketed prefix sum stays balanced without resampling
+    * quantiles (uniform keys are the BEST case for [[RangeBuckets]]).
+    * Key ties (60-bit collisions) break on the id, so the order — and
+    * with it every pack assignment — is total and deterministic.
+    *
+    * Same scale shape as [[seqPack]]: one narrow tokenize+key pass
+    * materialized without the text body, then the two-pass distributed
+    * prefix sum; no global sort, no single-partition exchange.
+    */
+  def corpusShuffle(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, seed: String,
+                    numBuckets: Int = 32): DataFrame = {
+    val counted = graft.util.Par.spread(df)
+      .select(col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        shuffleKey(col(idCol), seed).as("shuffle_key"))
+      .localCheckpoint()
+    seqPackOrdered(counted, Seq("shuffle_key", idCol), budget, numBuckets)
+  }
+
+  /** 60-bit reproducible shuffle key: the top 15 hex digits of
+    * md5(seed || '-' || id) as a non-negative long — the same
+    * md5-as-uniform-hash idiom as [[md5Bucket]], kept full-width so
+    * collisions (and therefore tie-breaks) are rare.
+    */
+  private def shuffleKey(id: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + "-"), id.cast("string"))), 1, 15),
+      16, 10).cast("long")
 
   /** Benchmark DECONTAMINATION: flag corpus documents sharing at least
     * `minShared` distinct word n-grams with any probe (benchmark/eval)

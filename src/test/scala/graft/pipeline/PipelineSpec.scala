@@ -98,6 +98,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.seqPack(df, "doc_id", "text", budget = 64).count() == 0)
   }
 
+  test("corpusShuffle packs the exact shuffle-key order, deterministically") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val df = rng.shuffle((0 until 400).toList)
+      .map(i => (i.toLong, ("tok " * (1 + rng.nextInt(30))).trim))
+      .toDF("doc_id", "text")
+    val packed = Pipeline.corpusShuffle(df, "doc_id", "text", budget = 64,
+      seed = "s1", numBuckets = 7)
+    val rows = packed.collect()
+    // a permutation: every document exactly once
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      (0L until 400L))
+    // the pack assignment IS the prefix sum in (shuffle_key, doc_id)
+    // order: replay it driver-side
+    var pre = 0L
+    rows.sortBy(r => (r.getAs[Long]("shuffle_key"), r.getAs[Long]("doc_id")))
+      .foreach { r =>
+        assert(r.getAs[Long]("pack_id") == pre / 64 &&
+          r.getAs[Long]("pack_offset") == pre % 64,
+          s"misplaced pack slot at doc ${r.getAs[Long]("doc_id")}")
+        pre += r.getAs[Long]("n_tokens")
+      }
+    // shuffle key matches the portable definition: top 60 md5 bits
+    rows.take(20).foreach { r =>
+      val expected = java.lang.Long.parseLong(
+        md5hex(s"s1-${r.getAs[Long]("doc_id")}").take(15), 16)
+      assert(r.getAs[Long]("shuffle_key") == expected)
+    }
+    // deterministic: same seed reproduces; a different seed reorders
+    assert(Pipeline.corpusShuffle(df, "doc_id", "text", budget = 64,
+        seed = "s1", numBuckets = 7).collect().toSet == rows.toSet)
+    val reseeded = Pipeline.corpusShuffle(df, "doc_id", "text", budget = 64,
+      seed = "s2", numBuckets = 7)
+      .select("doc_id", "pack_id", "pack_offset").collect().toSet
+    assert(reseeded !=
+      rows.map(r => org.apache.spark.sql.Row(r.getAs[Long]("doc_id"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toSet)
+  }
+
   test("corpusClean composes gate -> dedup -> sample -> pack coherently") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Pipeline.corpusClean(docs, "doc_id", "text", "lang",
