@@ -50,6 +50,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(opCount(p, "Window") >= 1)
   }
 
+  test("corpus_shuffle keeps seq_pack's distributed prefix-sum shape") {
+    // shuffle-before-pack must not regress to a global sort or an
+    // unpartitioned data-side window: same bucketed two-pass shape as
+    // seq_pack, with the lone single-partition exchange on the
+    // numBuckets-row base frame
+    val p = plan("corpus_shuffle")
+    assert(p.linesIterator.count(_.contains("SinglePartition")) <= 1, p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert(opCount(p, "Window") >= 1)
+  }
+
   test("corpus_clean's quality gate stays fenced above the spread exchange") {
     // the gate filter is on an expensive derived column; pushdown would
     // substitute the full qualityScore expression into the scan's
