@@ -69,6 +69,13 @@ object PlanDump {
           "the only data shuffle), per-bucket running sums, and a " +
           "broadcast numBuckets-row base-offset frame (the only " +
           "single-partition window touches those ~32 rows)."),
+      "corpus_shuffle" ->
+        ("Deterministic shuffle-before-pack: the md5 shuffle key is a " +
+          "pure projection, buckets come from driver-pinned literal " +
+          "quantiles of that key, and the pack assignment is seq_pack's " +
+          "two-pass prefix sum under the (key, id) composite order — no " +
+          "global sort, no range exchange, no single-partition window " +
+          "over the data."),
       "rep_stats" ->
         ("Repetition quality signals: duplicate-n-gram fractions are " +
           "narrow array expressions in the scan stage; top-token " +
