@@ -33,6 +33,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("hot-bucket cap bounds candidates; exact dedup owns identical content") {
+    // the 100 TB skew story: content cloned thousands of times puts
+    // every clone in the same LSH bucket per band — quadratic candidate
+    // pairs if generated. maxBucket drops such degenerate buckets
+    // (bounded recall loss by design: IDENTICAL content is exact
+    // dedup's job, which catches it in one linear shuffle).
+    val clones = (100L until 300L).map(_ -> other)
+    val df = docs(clones ++ Seq(1L -> base, 2L -> nearDup,
+      3L -> "unique filler text that matches nothing else at all"): _*)
+    // capped (default 64): the 200-clone buckets die, the genuine
+    // near-dup pair (bucket of 2) survives
+    val capped = Dedup.minhashLsh(df, "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)))
+    // cap lifted: the full clone clique comes back — proof the CAP
+    // removed those pairs, not the hashing
+    val uncapped = Dedup.minhashLsh(df, "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.3,
+        maxBucket = 1000).count()
+    assert(uncapped == 200L * 199 / 2 + 1)
+    // and exact dedup resolves the identical clones regardless
+    val ex = Dedup.exact(df, "doc_id", "text").collect()
+    assert(ex.count(_.getLong(2) == 200L) == 1 && ex.length == 4)
+  }
+
   test("minhash jaccard estimate is the exact shingle jaccard (verified pairs)") {
     val df = docs(1L -> base, 2L -> nearDup)
     val j = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.1)
