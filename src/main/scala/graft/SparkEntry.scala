@@ -395,8 +395,11 @@ object SparkEntry {
 
     "similarity_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // index fit on a 60% md5-bucket sample: the 100 TB shape (Lloyd
+      // passes O(sample), not O(corpus)); assignment + probe still
+      // cover every candidate, and the oracle replays the same sample
       Ivf.topK(emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4, iters = 1)
+        k = 5, nlist = 16, nprobe = 4, iters = 1, fitSamplePct = 60)
     }),
 
     // ---- text analysis (north star) ----
@@ -945,24 +948,32 @@ object SparkEntry {
     },
 
     "similarity_ivf" -> {
-      // replays Ivf.topK(nlist=16, nprobe=4, k=5, iters=1) exactly:
-      // init = 16 lowest-id vectors; one Lloyd step with centroids
-      // rounded to 6dp (see Ivf.fitCentroids — the rounding is what
-      // makes the index bit-reproducible across engines); assign, probe
-      // and rank all mirror the Spark window/tiebreak rules.
-      val cosAI = duckCosine("v.vv", "i.c")
+      // replays Ivf.topK(nlist=16, nprobe=4, k=5, iters=1,
+      // fitSamplePct=60) exactly: seeds + the Lloyd step run on the
+      // md5-bucket<60 sample (sv — the same fold as sample_stratified's
+      // oracle); init = 16 lowest-id SAMPLE vectors; centroids rounded
+      // to 6dp (see Ivf.fitCentroids — the rounding is what makes the
+      // index bit-reproducible across engines); assignment (a2), probe
+      // and rank run over ALL vectors and mirror the Spark
+      // window/tiebreak rules.
+      val cosAI = duckCosine("sv.vv", "i.c")
       val cosAC = duckCosine("v.vv", "c.c")
       val cosQC = duckCosine("q.vv", "c.c")
       val cosS = duckCosine("qpf.qv", "a.vv")
       s"""WITH v AS (SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
            FROM embeddings),
+         sv AS (SELECT id, vv FROM v WHERE
+             list_sum(list_transform(generate_series(1, 15),
+               p -> ((strpos('0123456789abcdef',
+                      substr(md5(id::VARCHAR), p, 1)) - 1)::BIGINT
+                     << (4 * (15 - p)))))::BIGINT % 100 < 60),
          init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, vv AS c
-                  FROM (SELECT id, vv FROM v ORDER BY id LIMIT 16)),
-         a1 AS (SELECT v.id, v.vv, i.list_id,
-                 row_number() OVER (PARTITION BY v.id
+                  FROM (SELECT id, vv FROM sv ORDER BY id LIMIT 16)),
+         a1 AS (SELECT sv.id, sv.vv, i.list_id,
+                 row_number() OVER (PARTITION BY sv.id
                    ORDER BY $cosAI DESC, i.list_id) AS rn
-                FROM v, init i),
+                FROM sv, init i),
          asg1 AS (SELECT id, vv, list_id FROM a1 WHERE rn = 1),
          cent_d AS (SELECT list_id, d, round(avg(vv[d]), 6) AS m
                     FROM asg1, (SELECT unnest(generate_series(1, 64)) AS d)

@@ -238,11 +238,10 @@ object Pipeline {
   }
 
   /** Deterministic [0,100) bucket from the id's md5 — the reproducible
-    * sampling key shared by [[sampleStratified]] and [[corpusClean]].
+    * sampling key shared by [[sampleStratified]], [[corpusClean]] and
+    * [[graft.simops.Ivf]] (hoisted to [[graft.util.Sampling]]).
     */
-  private def md5Bucket(id: Column): Column = pmod(
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(100L))
+  private def md5Bucket(id: Column): Column = graft.util.Sampling.md5Bucket(id)
 
   private def pctFor(strata: Column, pctByStratum: Map[String, Int],
                      defaultPct: Int): Column =

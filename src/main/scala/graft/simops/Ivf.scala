@@ -25,6 +25,18 @@ import org.apache.spark.sql.types._
   * iteration carries `nlist` rows of per-dimension partial means; the
   * only data-sized exchange in the whole operator is the final probe
   * join, keyed on the small `list_id`.
+  *
+  * Fit cost at scale: a Lloyd pass is a full scan of its input, so
+  * fitting on the whole corpus costs O(corpus) PER ITERATION — at 100 TB
+  * that is the one remaining corpus-sized term in index construction.
+  * `fitSamplePct` bounds it: the seeds and every Lloyd refinement run on
+  * a deterministic md5-bucket sample ([[graft.util.Sampling.md5Bucket]],
+  * the same engine-portable draw the stratified sampler uses), while
+  * final assignment of ALL candidates stays a full-corpus pure
+  * projection. Centroid quality degrades negligibly (k-means converges
+  * on any representative sample; recall asserted in IvfSpec), and the
+  * oracle replays the identical sample, so results stay exactly
+  * checkable.
   */
 object Ivf {
 
@@ -32,9 +44,16 @@ object Ivf {
     * index metadata, never O(rows).
     */
   private def fitSeq(df: DataFrame, idCol: String, vecCol: String,
-                     nlist: Int, iters: Int): Seq[(Int, Seq[Double])] = {
-    val vecs = graft.util.Par.spread(df).select(col(idCol).as("_id"),
+                     nlist: Int, iters: Int,
+                     fitSamplePct: Int): Seq[(Int, Seq[Double])] = {
+    require(fitSamplePct > 0 && fitSamplePct <= 100,
+      s"fitSamplePct must be in (0,100], got $fitSamplePct")
+    val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
+    val vecs =
+      if (fitSamplePct >= 100) all
+      else all.filter(
+        graft.util.Sampling.md5Bucket(col("_id")) < lit(fitSamplePct))
     // deterministic seeds: the nlist lowest-id vectors
     var cents: Seq[(Int, Seq[Double])] = vecs.orderBy("_id").limit(nlist)
       .select(col("_v")).collect().toSeq
@@ -72,13 +91,14 @@ object Ivf {
     * a fixed input (see the rounding note in [[fitSeq]]).
     */
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
-                   nlist: Int, iters: Int = 2): DataFrame = {
+                   nlist: Int, iters: Int = 2,
+                   fitSamplePct: Int = 100): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(Seq(
       StructField("list_id", IntegerType, nullable = false),
       StructField("centroid", ArrayType(DoubleType), nullable = false)))
     val rows = new java.util.ArrayList[Row]()
-    fitSeq(df, idCol, vecCol, nlist, iters)
+    fitSeq(df, idCol, vecCol, nlist, iters, fitSamplePct)
       .foreach { case (lid, c) => rows.add(Row(lid, c)) }
     spark.createDataFrame(rows, schema)
   }
@@ -110,11 +130,15 @@ object Ivf {
           (s, l) => struct(s.as("sim"), (-l).as("nlid"))))), 1, nprobe),
       s => (-s.getField("nlid")).cast("int"))
 
-  /** Probe-and-rank top-k. Queries must be small (broadcast). */
+  /** Probe-and-rank top-k. Queries must be small (broadcast).
+    * `fitSamplePct` < 100 fits the index on a deterministic md5-bucket
+    * sample of the candidates (see the object doc) — assignment and
+    * ranking still cover every candidate.
+    */
   def topK(queries: DataFrame, candidates: DataFrame, idCol: String,
            vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-           iters: Int = 2): DataFrame = {
-    val cents = fitSeq(candidates, idCol, vecCol, nlist, iters)
+           iters: Int = 2, fitSamplePct: Int = 100): DataFrame = {
+    val cents = fitSeq(candidates, idCol, vecCol, nlist, iters, fitSamplePct)
 
     val cand = graft.util.Par.spread(candidates)
       .select(col(idCol).as("neighbor_id"),

@@ -48,6 +48,31 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("sampled fit: deterministic sample, recall holds at the driver params") {
+    // the registered similarity_ivf parameters (fitSamplePct=60): the
+    // index fits on an md5-bucket sample but assignment/ranking cover
+    // every candidate — recall must stay comparable to the full fit,
+    // and two fits must agree exactly (the sample is a pure function
+    // of the ids, no RNG)
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(emb("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ivf.topK(q, emb, "vec_id", "embedding", k = 5,
+      nlist = 16, nprobe = 4, iters = 1, fitSamplePct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@5, 60%% sampled fit (nlist=16, nprobe=4): $recall%.3f")
+    assert(recall >= 0.3, s"sampled-fit recall $recall")
+    val c1 = Ivf.fitCentroids(emb, "vec_id", "embedding", nlist = 16,
+      iters = 1, fitSamplePct = 60).collect().map(r =>
+      (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val c2 = Ivf.fitCentroids(emb, "vec_id", "embedding", nlist = 16,
+      iters = 1, fitSamplePct = 60).collect().map(r =>
+      (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    assert(c1 == c2, "sampled fit must be bit-reproducible")
+  }
+
   test("ANN recall on real embeddings: IVF and LSH vs exact top-k") {
     // the registered driver parameters, on the real embeddings table —
     // the quality yardstick for both approximate paths (logged so each
