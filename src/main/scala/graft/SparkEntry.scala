@@ -429,6 +429,18 @@ object SparkEntry {
       // (narrow) + top-token coverage (word-count-shaped agg)
       TextOps.repStats(Tables.documents(s, dir), "doc_id", "text")),
 
+    "topk_ngrams" -> ((s, dir) =>
+      // corpus-wide bigram heavy hitters: one map-side-combinable agg +
+      // distributed TakeOrdered top-k (no global sort)
+      graft.textops.Vocab.topNgrams(Tables.documents(s, dir), "text",
+        n = 2, k = 50)),
+
+    "tfidf_terms" -> ((s, dir) =>
+      // per-doc top-3 TF-IDF keywords: two combinable aggs + a
+      // term-keyed join + per-doc window
+      graft.textops.Vocab.tfidfTerms(Tables.documents(s, dir),
+        "doc_id", "text", k = 3)),
+
     "doc_winnow" -> ((s, dir) =>
       // rolling-hash (winnowing) fingerprints as (doc_id, fp) rows
       TextOps.winnowing(Tables.documents(s, dir), "doc_id", "text",
@@ -838,6 +850,37 @@ object SparkEntry {
          LEFT JOIN g2 ON g2.doc_id = t.doc_id
          LEFT JOIN g3 ON g3.doc_id = t.doc_id
          LEFT JOIN tc ON tc.doc_id = t.doc_id""",
+
+    "topk_ngrams" ->
+      // bigrams over the shared whitespace token fold; docs with < 2
+      // tokens contribute nothing; (cnt desc, ngram) is a total order
+      // so the LIMIT cut is engine-agnostic
+      """WITH toks AS (SELECT
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         ng AS (SELECT w[i] || ' ' || w[i+1] AS ngram
+                FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM toks WHERE len(w) >= 2))
+         SELECT ngram, count(*) AS cnt FROM ng GROUP BY 1
+         ORDER BY cnt DESC, ngram LIMIT 50""",
+
+    "tfidf_terms" ->
+      // smooth tf-idf: score = tf * ln((N+1)/(df+1)) rounded to 6dp on
+      // both engines; rank ties break on the term string
+      """WITH toks AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS score
+           FROM tf JOIN dfreq USING (term), n)
+         SELECT doc_id, term, tf, df, score, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS rank
+           FROM scored) WHERE rank <= 3""",
 
     "doc_winnow" ->
       """WITH h AS (SELECT doc_id,

@@ -1,0 +1,89 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level vocabulary analytics: the "what is IN this corpus"
+  * queries a training-data pipeline runs before and after cleaning —
+  * global n-gram heavy hitters (boilerplate detection, contamination
+  * triage) and per-document TF-IDF keywords (topical indexing).
+  *
+  * Both reuse [[TextOps.tokens]]' whitespace split so every token-level
+  * operator in the engine agrees on what a token is (and the DuckDB
+  * oracles replay the same `string_split_regex` fold).
+  */
+object Vocab {
+
+  /** The document's n-grams as an array column — empty when the doc has
+    * fewer than `n` tokens (no rep_stats-style whole-doc fallback here:
+    * a corpus-frequency query must not conflate a short doc with one
+    * long n-gram). The `sequence` upper bound is guarded because Spark's
+    * `sequence(1, 0)` yields a DESCENDING [1,0], not an empty array.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+    when(size(toks) >= n, grams).otherwise(array())
+  }
+
+  /** Corpus-wide top-k n-grams by occurrence count, ties broken by the
+    * n-gram string so the cut is a total order both engines agree on.
+    *
+    * Scale shape: explode → ONE hash aggregate on the n-gram string
+    * (map-side partial combine collapses each partition's duplicates
+    * before the only shuffle), then `orderBy(...).limit(k)` — Spark
+    * plans TakeOrderedAndProject, a per-partition top-k merged on the
+    * driver, NOT a global sort: no single-partition exchange appears
+    * for any corpus size. Hot n-grams ("of the") are exactly what the
+    * query exists to find; they skew the aggregate's input, but partial
+    * aggregation means each map task emits at most one row per distinct
+    * n-gram, so the reduce-side hot key receives one row per map task,
+    * not one per occurrence.
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.util.Par.spread(df)
+      .select(explode(ngrams(TextOps.tokens(lower(col(textCol))), n))
+        .as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Per-document top-k TF-IDF terms:
+    * `score = tf * ln((N + 1) / (df + 1))`, rounded to 6dp (the smooth
+    * variant keeps every-doc terms finite); rank ties break on the term
+    * string. Emits (doc, term, tf, df, score, rank).
+    *
+    * Scale shape: the (doc, term) tf aggregate and the term df
+    * aggregate are both map-side combinable; N rides in as a 1-row
+    * broadcast cross join (one DAG, no driver action); tf⋈df is keyed
+    * on the term — the document-frequency side is one row per distinct
+    * term (O(vocab)), so even stopword-grade hot terms join 1:1 against
+    * the tf rows that carry them. The final top-k window partitions by
+    * document id — millions of independent partitions, no global sort.
+    */
+  def tfidfTerms(df: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = graft.util.Par.spread(df)
+      .select(col(idCol),
+        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf is unique per (doc, term), so the term's document frequency is
+    // a plain count — no count(distinct) expansion needed
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("_n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf") *
+        log((col("_n_docs") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rank", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.textops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VocabSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("ngrams: sliding windows, short docs yield empty (not a fallback gram)") {
+    import spark.implicits._
+    def grams(t: String, n: Int): Seq[String] =
+      Seq(t).toDF("t").select(Vocab.ngrams(TextOps.tokens(lower(col("t"))), n))
+        .collect().head.getSeq[String](0)
+    assert(grams("a b c d", 2) == Seq("a b", "b c", "c d"))
+    assert(grams("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(grams("a b", 3) == Seq.empty)
+    assert(grams("", 2) == Seq.empty)
+    assert(grams("solo", 1) == Seq("solo"))
+  }
+
+  test("topNgrams: counts across docs, (cnt desc, ngram) total order") {
+    val d = docs(
+      1L -> "the cat sat",
+      2L -> "the cat ran",
+      3L -> "a dog ran")
+    val top = Vocab.topNgrams(d, "text", n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "the cat" appears twice; the four singletons tie and break
+    // alphabetically — k=3 keeps the first two of them
+    assert(top == Seq("the cat" -> 2L, "a dog" -> 1L, "cat ran" -> 1L))
+  }
+
+  test("tfidfTerms: ubiquitous terms score zero-ish, distinctive terms rank first") {
+    val d = docs(
+      1L -> "shared shared quantum",
+      2L -> "shared lattice",
+      3L -> "shared lattice plasma")
+    val rows = Vocab.tfidfTerms(d, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(5))).toSeq
+    val first = rows.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    // 'shared' is in every doc: ln(4/4) = 0, so each doc's rank-1 term
+    // is its distinctive one
+    assert(first == Map(1L -> "quantum", 2L -> "lattice", 3L -> "plasma"))
+    // every doc emits at most k rows and ranks are 1..k dense
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted == (1 to rs.size))
+    }
+  }
+
+  test("tfidfTerms: empty/whitespace docs contribute no rows but count in N") {
+    val d = docs(1L -> "alpha beta", 2L -> "   ", 3L -> "alpha")
+    val rows = Vocab.tfidfTerms(d, "doc_id", "text", k = 5)
+      .collect().toSeq
+    assert(!rows.exists(_.getLong(0) == 2L))
+    // N = 3 (the blank doc still counts): alpha's df=2 -> ln(4/3) > 0
+    val alpha = rows.find(r => r.getLong(0) == 3L).get
+    assert(alpha.getString(1) == "alpha")
+    assert(alpha.getDouble(4) > 0.0)
+  }
+
+  test("topNgrams plan: partial aggregation + TakeOrdered, no global sort exchange") {
+    val d = docs(1L -> "a b c a b", 2L -> "b c d")
+    val plan = Vocab.topNgrams(d, "text", n = 2, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k, got:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected map-side partial aggregation, got:\n$plan")
+  }
+}
