@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+/** Write-side helpers — the handoff from the engine to downstream
+  * consumers (training readers, checkpointed streams).
+  *
+  * The scale rules these encode:
+  *   - ONE exchange per write: cluster (repartition on the shard key)
+  *     and order (sortWithinPartitions) in the same pass the writer
+  *     consumes, so layout costs a single shuffle, never a global sort.
+  *   - `partitionBy` on a LOW-cardinality derived shard, never on a raw
+  *     id (a million-value partition column is a million directories —
+  *     a filesystem DoS at 100 TB).
+  *   - `maxRecordsPerFile` guards the skewed-shard case: a hot shard
+  *     splits into more files instead of one multi-GB object.
+  */
+object Sinks {
+
+  /** Deterministic [0, numShards) shard from a key column — md5-derived
+    * (the engine's portable hash family) so re-runs and engines agree,
+    * and safe to re-evaluate anywhere in the plan (no RNG, no
+    * partition-id dependence).
+    */
+  def shardCol(key: Column, numShards: Int): Column = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(numShards.toLong)).cast("int")
+  }
+
+  /** Parquet corpus sharded for parallel readers: rows cluster into
+    * `numShards` directories (`shard=NNN/`), each shard's rows sorted by
+    * `sortCols` within its files. A training loader assigns shard dirs
+    * to workers and streams each file in order — no reader-side sort.
+    */
+  def writeSharded(df: DataFrame, path: String, shardKey: String,
+                   numShards: Int, sortCols: Seq[String],
+                   maxRecordsPerFile: Long = 5000000L): Unit = {
+    val sharded = df.withColumn("shard", shardCol(col(shardKey), numShards))
+    sharded
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(("shard" +: sortCols).map(col): _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** The packed-corpus writer: persist [[graft.pipeline.Pipeline.seqPack]]
+    * (or corpus_clean / corpus_shuffle) output so that each pack's
+    * documents land in ONE shard, contiguous and offset-ordered — the
+    * exact layout a sequence-assembling loader wants. Sharding on
+    * `pack_id` (not doc id) is what keeps a pack from straddling two
+    * readers.
+    */
+  def writePacked(packed: DataFrame, path: String,
+                  numShards: Int): Unit =
+    writeSharded(packed, path, "pack_id", numShards,
+      Seq("pack_id", "pack_offset"))
+
+  /** Read back a [[writeSharded]] corpus. The shard partition column
+    * comes back as its directory value; basePath keeps pruning by
+    * `shard = N` a directory-level skip (no file of a foreign shard is
+    * ever opened).
+    */
+  def readSharded(spark: org.apache.spark.sql.SparkSession,
+                  path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
+  /** Append-mode streaming parquet sink with mandatory checkpointing —
+    * exactly-once file output keyed by the checkpoint's offset log. The
+    * caller picks the trigger; the helper only refuses the footguns
+    * (no checkpoint dir → at-least-once duplicates on restart).
+    */
+  def streamToParquet(df: DataFrame, path: String,
+                      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(checkpointDir.nonEmpty, "checkpointDir is required: without " +
+      "the offset log a restarted stream rewrites delivered batches")
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+  }
+}
