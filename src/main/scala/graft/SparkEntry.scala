@@ -491,6 +491,12 @@ object SparkEntry {
       Dedup.ngramJaccardSortedPrefix(Tables.documents(s, dir), "doc_id",
         "text", shingleSize = 3, threshold = 0.8)),
 
+    "dedup_spans" -> ((s, dir) =>
+      // passage-level reuse: pairs sharing >= 5 winnow fingerprints
+      // after df-capping corpus-wide boilerplate spans
+      Dedup.spanPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, w = 4, minShared = 5, maxDf = 16)),
+
     "embedding_neardup" -> ((s, dir) =>
       // banded LSH candidates + exact cosine verify (no nested-loop pair
       // scan); params must stay in sync with the literal-plane oracle
@@ -883,16 +889,19 @@ object SparkEntry {
            FROM scored) WHERE rank <= 3""",
 
     "doc_winnow" ->
-      """WITH h AS (SELECT doc_id,
-           list_transform(generate_series(1, greatest(length(text) - 8 + 1, 1)),
-             i -> list_sum(list_transform(generate_series(1, 15),
-               p -> ((strpos('0123456789abcdef', substr(md5(substr(text, i, 8)), p, 1)) - 1)::BIGINT
-                     << (4 * (15 - p)))))::BIGINT) AS kh
-           FROM documents),
-         w AS (SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, greatest(len(kh) - 4 + 1, 1)),
-             j -> list_min(kh[j:j+3]))) AS fps FROM h)
-         SELECT doc_id, unnest(fps) AS fp FROM w""",
+      s"""WITH $duckWinnowFpCtes
+         SELECT doc_id, fp FROM f""",
+
+    "dedup_spans" ->
+      // replays Dedup.spanPairs(k=8, w=4, minShared=5, maxDf=16) on the
+      // shared winnow-fingerprint CTEs: df-cap the boilerplate
+      // fingerprints, self-join, count shared fps per ordered pair
+      s"""WITH $duckWinnowFpCtes,
+         d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 16),
+         p AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5""",
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
@@ -1197,6 +1206,25 @@ object SparkEntry {
          JOIN embeddings b ON b.vec_id = ep.id_b
          WHERE round($cos, 4) >= 0.4)"""
   }
+
+  /** The winnowing fingerprint rows `(doc_id, fp)` as DuckDB CTEs
+    * (k = 8, w = 4 — the registered parameters), shared by the
+    * `doc_winnow` and `dedup_spans` oracles so the fingerprint
+    * definition can never drift between them. Mirrors
+    * [[graft.textops.TextOps.winnowing]]: top-60-bit md5 k-gram hashes,
+    * window-min, distinct per document.
+    */
+  private val duckWinnowFpCtes: String =
+    """h AS (SELECT doc_id,
+           list_transform(generate_series(1, greatest(length(text) - 8 + 1, 1)),
+             i -> list_sum(list_transform(generate_series(1, 15),
+               p -> ((strpos('0123456789abcdef', substr(md5(substr(text, i, 8)), p, 1)) - 1)::BIGINT
+                     << (4 * (15 - p)))))::BIGINT) AS kh
+           FROM documents),
+         w AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(kh) - 4 + 1, 1)),
+             j -> list_min(kh[j:j+3]))) AS fps FROM h),
+         f AS (SELECT doc_id, unnest(fps) AS fp FROM w)"""
 
   /** The quality-score heuristic's component expressions (token count,
     * punctuation ratio, stopword ratio) and the [0,1] blend, shared by

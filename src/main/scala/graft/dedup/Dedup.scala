@@ -525,6 +525,45 @@ object Dedup {
       .toDF("doc_id", "cluster_id", "cluster_size")
   }
 
+  /** PASSAGE-level duplicate detection: document pairs sharing at least
+    * `minShared` winnowing fingerprints ([[graft.textops.TextOps.winnowing]]
+    * — each fingerprint witnesses a shared substring of ≥ k chars), with
+    * the count of shared fingerprints as the overlap strength. Catches
+    * quote/boilerplate/excerpt reuse that document-level MinHash misses
+    * (a long doc embedding a copied paragraph has low whole-doc Jaccard
+    * but many shared span fingerprints).
+    *
+    * Scale shape — the inverted-index discipline every candidate
+    * generator here follows:
+    *   - fingerprints carry (doc_id, fp) ONLY; no text shuffles;
+    *   - `maxDf` drops fingerprints present in more docs (corpus-wide
+    *     boilerplate: license headers, navigation chrome) BEFORE the
+    *     self-join — the df filter is one combinable count aggregate,
+    *     and it bounds the per-fp join fan-out at maxDf², the same
+    *     hot-bucket cap as the LSH band joins (a boilerplate span shared
+    *     by a million docs must not generate 10¹² pairs — and it is
+    *     noise, not signal, for pairwise overlap anyway);
+    *   - the pair count is again one combinable aggregate on (a, b).
+    */
+  def spanPairs(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, w: Int = 4, minShared: Int = 5,
+                maxDf: Int = 16): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 2, s"maxDf must be >= 2 to form any pair, got $maxDf")
+    val fps = graft.textops.TextOps.winnowing(df, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("_id"), col("fp"))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("fp"))
+    val pruned = fps.join(rare, "fp")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
+      .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The dedup DECISION over a whole corpus: every document mapped to the
     * id that survives for it. Docs in a near-dup component map to the
     * component's smallest id; untouched docs keep themselves. One row per

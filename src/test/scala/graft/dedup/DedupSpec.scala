@@ -97,6 +97,38 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("spanPairs: embedded passage links the pair, boilerplate df-cap holds") {
+    val passage = "copied paragraph with enough characters to fingerprint well"
+    val boiler = "standard license header present on absolutely every page here"
+    // docs 1 and 2 share the passage inside otherwise-different text;
+    // the boilerplate line is on ALL docs and must not link 3/4/5
+    val df = docs(
+      1L -> s"$boiler alpha beta gamma $passage delta epsilon",
+      2L -> s"$boiler totally other words around $passage zeta eta",
+      3L -> s"$boiler unrelated text about spark physical plans",
+      4L -> s"$boiler more unrelated text on lag matrices and windows",
+      5L -> s"$boiler yet another page of filler prose entirely")
+    val out = Dedup.spanPairs(df, "doc_id", "text",
+      k = 8, w = 4, minShared = 5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set(1L -> 2L),
+      s"only the passage-sharing pair should link, got $out")
+  }
+
+  test("spanPairs: n_shared counts distinct shared fingerprints, ordered pairs") {
+    val df = docs(1L -> base, 2L -> base, 3L -> other)
+    val rows = Dedup.spanPairs(df, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = 16).collect()
+    val pair = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(pair.isDefined, "identical docs must pair")
+    // identical docs share their whole fingerprint set
+    val fpCount = graft.textops.TextOps.winnowing(
+      docs(1L -> base), "doc_id", "text", k = 8, w = 4).count()
+    assert(pair.get.getLong(2) == fpCount)
+    // no self-pairs, no reversed duplicates
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("clusters: transitive chain collapses to one component") {
     import spark.implicits._
     // a~b, b~c, plus an unrelated d~e: closure must merge {1,2,3}
