@@ -441,6 +441,11 @@ object SparkEntry {
       graft.textops.Vocab.tfidfTerms(Tables.documents(s, dir),
         "doc_id", "text", k = 3)),
 
+    "corpus_profile" -> ((s, dir) =>
+      // the per-source corpus datasheet: one scan + one stratum-keyed agg
+      graft.textops.Vocab.corpusProfile(Tables.documents(s, dir),
+        "source", "lang", "text")),
+
     "doc_winnow" -> ((s, dir) =>
       // rolling-hash (winnowing) fingerprints as (doc_id, fp) rows
       TextOps.winnowing(Tables.documents(s, dir), "doc_id", "text",
@@ -818,6 +823,21 @@ object SparkEntry {
     "quality_score" ->
       s"""WITH b AS (SELECT doc_id, $duckQualityParts FROM documents)
          SELECT doc_id, $duckQualityFromParts AS quality FROM b""",
+
+    "corpus_profile" ->
+      // per-source datasheet on the shared quality parts; quantile_cont
+      // mirrors Spark's exact interpolating percentile (q_quantile
+      // precedent), counts/sums are integral so the casts are lossless
+      s"""WITH b AS (SELECT source, lang, $duckQualityParts FROM documents),
+         s AS (SELECT source, lang, n_tok,
+               $duckQualityFromParts AS quality FROM b)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(avg(quality), 6) AS mean_quality,
+           round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
+           count(DISTINCT lang) AS n_langs
+         FROM s GROUP BY source""",
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

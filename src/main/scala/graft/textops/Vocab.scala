@@ -52,6 +52,36 @@ object Vocab {
       .limit(k)
   }
 
+  /** The corpus datasheet: per-stratum (source, domain, shard, …) doc
+    * and token counts, mean quality, token-count percentiles, and
+    * language spread — the first query run on an incoming crawl and the
+    * regression check run after every cleaning change.
+    *
+    * Scale shape: one scan computing narrow per-row stats, then ONE
+    * aggregate keyed on the stratum. Counts/sums/avg are map-side
+    * combinable; the EXACT percentiles buffer each group's values
+    * (O(group) per stratum on the reducer — the deliberate trade for an
+    * oracle-exact answer; swap `percentile` for `approx_percentile` when
+    * a stratum's row count outgrows executor memory, same contract
+    * as the q_quantile query). `n_langs` is an exact distinct count —
+    * bounded by the language inventory, which is small by nature.
+    */
+  def corpusProfile(df: DataFrame, strataCol: String, langCol: String,
+                    textCol: String): DataFrame = {
+    val t = col(textCol)
+    graft.util.Par.spread(df)
+      .select(col(strataCol), col(langCol),
+        TextOps.tokenCount(t).cast("double").as("_n_tok"),
+        TextOps.qualityScore(t).as("_q"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n_tok")).cast("long").as("n_tokens"),
+        round(avg(col("_q")), 6).as("mean_quality"),
+        round(percentile(col("_n_tok"), lit(0.5)), 6).as("p50_tokens"),
+        round(percentile(col("_n_tok"), lit(0.9)), 6).as("p90_tokens"),
+        count_distinct(col(langCol)).as("n_langs"))
+  }
+
   /** Per-document top-k TF-IDF terms:
     * `score = tf * ln((N + 1) / (df + 1))`, rounded to 6dp (the smooth
     * variant keeps every-doc terms finite); rank ties break on the term

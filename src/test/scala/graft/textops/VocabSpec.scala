@@ -65,6 +65,26 @@ class VocabSpec extends AnyFunSuite {
     assert(alpha.getDouble(4) > 0.0)
   }
 
+  test("corpusProfile: per-stratum counts, percentiles, and language spread") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "web", "en", "one two three four"),
+      (2L, "web", "en", "five six"),
+      (3L, "web", "de", "sieben acht neun zehn elf zwoelf"),
+      (4L, "books", "en", "a single row stratum with seven tokens"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = Vocab.corpusProfile(d, "source", "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val web = out("web")
+    assert(web.getLong(1) == 3 && web.getLong(2) == 12) // 4+2+6 tokens
+    assert(web.getDouble(4) == 4.0)  // p50 of (2,4,6)
+    assert(web.getLong(6) == 2)      // en + de
+    val books = out("books")
+    assert(books.getLong(1) == 1 && books.getLong(2) == 7)
+    assert(books.getDouble(4) == 7.0 && books.getDouble(5) == 7.0)
+    assert(books.getLong(6) == 1)
+  }
+
   test("topNgrams plan: partial aggregation + TakeOrdered, no global sort exchange") {
     val d = docs(1L -> "a b c a b", 2L -> "b c d")
     val plan = Vocab.topNgrams(d, "text", n = 2, k = 2)
