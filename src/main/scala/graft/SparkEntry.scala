@@ -502,6 +502,14 @@ object SparkEntry {
       Dedup.spanPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 8, w = 4, minShared = 5, maxDf = 16)),
 
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: keep/drop per vector, cluster-scoped greedy
+      // lowest-id-wins at cosine >= 0.4; same fitted index as
+      // similarity_ivf (shared oracle CTEs)
+      graft.simops.Embed.semanticDedup(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.4, nlist = 16, iters = 1,
+        fitSamplePct = 60)),
+
     "embedding_neardup" -> ((s, dir) =>
       // banded LSH candidates + exact cosine verify (no nested-loop pair
       // scan); params must stay in sync with the literal-plane oracle
@@ -1021,42 +1029,12 @@ object SparkEntry {
 
     "similarity_ivf" -> {
       // replays Ivf.topK(nlist=16, nprobe=4, k=5, iters=1,
-      // fitSamplePct=60) exactly: seeds + the Lloyd step run on the
-      // md5-bucket<60 sample (sv — the same fold as sample_stratified's
-      // oracle); init = 16 lowest-id SAMPLE vectors; centroids rounded
-      // to 6dp (see Ivf.fitCentroids — the rounding is what makes the
-      // index bit-reproducible across engines); assignment (a2), probe
-      // and rank run over ALL vectors and mirror the Spark
-      // window/tiebreak rules.
-      val cosAI = duckCosine("sv.vv", "i.c")
-      val cosAC = duckCosine("v.vv", "c.c")
+      // fitSamplePct=60) exactly on the shared fit CTEs; probe and
+      // rank run over ALL vectors and mirror the Spark window/tiebreak
+      // rules.
       val cosQC = duckCosine("q.vv", "c.c")
       val cosS = duckCosine("qpf.qv", "a.vv")
-      s"""WITH v AS (SELECT vec_id AS id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-           FROM embeddings),
-         sv AS (SELECT id, vv FROM v WHERE
-             list_sum(list_transform(generate_series(1, 15),
-               p -> ((strpos('0123456789abcdef',
-                      substr(md5(id::VARCHAR), p, 1)) - 1)::BIGINT
-                     << (4 * (15 - p)))))::BIGINT % 100 < 60),
-         init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, vv AS c
-                  FROM (SELECT id, vv FROM sv ORDER BY id LIMIT 16)),
-         a1 AS (SELECT sv.id, sv.vv, i.list_id,
-                 row_number() OVER (PARTITION BY sv.id
-                   ORDER BY $cosAI DESC, i.list_id) AS rn
-                FROM sv, init i),
-         asg1 AS (SELECT id, vv, list_id FROM a1 WHERE rn = 1),
-         cent_d AS (SELECT list_id, d, round(avg(vv[d]), 6) AS m
-                    FROM asg1, (SELECT unnest(generate_series(1, 64)) AS d)
-                    GROUP BY list_id, d),
-         cent AS (SELECT list_id, list(m ORDER BY d) AS c
-                  FROM cent_d GROUP BY list_id),
-         a2 AS (SELECT v.id, v.vv, c.list_id,
-                 row_number() OVER (PARTITION BY v.id
-                   ORDER BY $cosAC DESC, c.list_id) AS rn
-                FROM v, cent c),
-         asg2 AS (SELECT id, vv, list_id FROM a2 WHERE rn = 1),
+      s"""WITH $duckIvfFitCtes,
          qp AS (SELECT q.id AS query_id, q.vv AS qv, c.list_id,
                  row_number() OVER (PARTITION BY q.id
                    ORDER BY $cosQC DESC, c.list_id) AS rn
@@ -1070,6 +1048,18 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY sim DESC, neighbor_id) AS rank
            FROM scored) WHERE rank <= 5"""
+    },
+
+    "dedup_semantic" -> {
+      // replay the shared fitted index, then the greedy rule: a vector
+      // drops iff a lower-id vector in its list scores cosine >= 0.4
+      val cosAB = duckCosine("a.vv", "b.vv")
+      s"""WITH $duckIvfFitCtes,
+         drp AS (SELECT DISTINCT a.id FROM asg2 a JOIN asg2 b
+                 ON a.list_id = b.list_id AND a.id > b.id
+                 WHERE round($cosAB, 4) >= 0.4)
+         SELECT g.id AS vec_id, g.list_id, (d.id IS NULL) AS kept
+         FROM asg2 g LEFT JOIN drp d ON d.id = g.id"""
     },
 
     "embedding_quantize" ->
@@ -1225,6 +1215,47 @@ object SparkEntry {
          FROM ep JOIN embeddings a ON a.vec_id = ep.id_a
          JOIN embeddings b ON b.vec_id = ep.id_b
          WHERE round($cos, 4) >= 0.4)"""
+  }
+
+  /** The IVF index fit as DuckDB CTEs — `asg2` ends as every vector's
+    * (id, vv, list_id) under the fitted index. Shared by the
+    * `similarity_ivf` and `dedup_semantic` oracles so the index replay
+    * can never drift between them. Mirrors
+    * [[graft.simops.Ivf.fitSeq]](nlist=16, iters=1, fitSamplePct=60):
+    * seeds + the Lloyd step run on the md5-bucket<60 sample (`sv`, the
+    * same fold as sample_stratified's oracle); init = 16 lowest-id
+    * SAMPLE vectors; centroids rounded to 6dp (the rounding is what
+    * makes the index bit-reproducible across engines); the final
+    * assignment (`a2`/`asg2`) covers ALL vectors.
+    */
+  private lazy val duckIvfFitCtes: String = {
+    val cosAI = duckCosine("sv.vv", "i.c")
+    val cosAC = duckCosine("v.vv", "c.c")
+    s"""v AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+         sv AS (SELECT id, vv FROM v WHERE
+             list_sum(list_transform(generate_series(1, 15),
+               p -> ((strpos('0123456789abcdef',
+                      substr(md5(id::VARCHAR), p, 1)) - 1)::BIGINT
+                     << (4 * (15 - p)))))::BIGINT % 100 < 60),
+         init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, vv AS c
+                  FROM (SELECT id, vv FROM sv ORDER BY id LIMIT 16)),
+         a1 AS (SELECT sv.id, sv.vv, i.list_id,
+                 row_number() OVER (PARTITION BY sv.id
+                   ORDER BY $cosAI DESC, i.list_id) AS rn
+                FROM sv, init i),
+         asg1 AS (SELECT id, vv, list_id FROM a1 WHERE rn = 1),
+         cent_d AS (SELECT list_id, d, round(avg(vv[d]), 6) AS m
+                    FROM asg1, (SELECT unnest(generate_series(1, 64)) AS d)
+                    GROUP BY list_id, d),
+         cent AS (SELECT list_id, list(m ORDER BY d) AS c
+                  FROM cent_d GROUP BY list_id),
+         a2 AS (SELECT v.id, v.vv, c.list_id,
+                 row_number() OVER (PARTITION BY v.id
+                   ORDER BY $cosAC DESC, c.list_id) AS rn
+                FROM v, cent c),
+         asg2 AS (SELECT id, vv, list_id FROM a2 WHERE rn = 1)"""
   }
 
   /** The winnowing fingerprint rows `(doc_id, fp)` as DuckDB CTEs

@@ -46,4 +46,51 @@ object Embed {
           lit(0.0), (acc, e) => acc + e) / size(col("_v"))), 6))
         .as("rmse"))
   }
+
+  /** SemDeDup-style semantic deduplication: the keep/drop DECISION per
+    * vector, scoped by embedding cluster. Every vector is assigned to
+    * its nearest [[Ivf]] centroid (a pure codegen'd projection — the
+    * fit can run on an md5-bucket sample, see [[Ivf.fitSeq]]); within
+    * each list, a vector is DROPPED iff some lower-id vector in the
+    * same list has cosine ≥ `threshold` with it. Greedy lowest-id-wins
+    * is the standard SemDeDup decision rule — no connected components
+    * needed, because "near-dup of a kept doc" is decided per pair.
+    *
+    * Scale shape: the only data-sized exchange is the within-list
+    * self-join keyed on `list_id` — the semantic analogue of an LSH
+    * band join. Per-list fan-out is O(listSize²); `nlist` is the knob
+    * that bounds it (SemDeDup runs with tens of thousands of clusters
+    * at corpus scale precisely so each list stays small — size nlist ∝
+    * corpus_size / target_list_size). Vector payloads must ride the
+    * join (scoring needs both sides), which is why the 4× cut from
+    * [[quantizeInt8]] upstream matters.
+    *
+    * Output: one row per input vector — (vec_id, list_id, kept).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 16, iters: Int = 1,
+                    fitSamplePct: Int = 100): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1,1], got $threshold")
+    val cents = Ivf.fitSeq(df, idCol, vecCol, nlist, iters, fitSamplePct)
+    val assigned = graft.util.Par.spread(df)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_n", Similarity.norm(col("_v")))
+      .withColumn("_sims", Ivf.simsCol(cents, col("_v")))
+      .withColumn("list_id", Ivf.nearestList(cents, col("_sims")))
+      .drop("_sims")
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.list_id") === col("b.list_id")
+          && col("a.vec_id") > col("b.vec_id"))
+      .filter(round(Similarity.cosinePre(
+        graft.functions.VectorOps.dot(col("a._v"), col("b._v")),
+        col("a._n"), col("b._n")), 4) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("_drop", lit(true))
+    assigned.select(col("vec_id"), col("list_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(!col("_drop"), lit(true)).as("kept"))
+  }
 }

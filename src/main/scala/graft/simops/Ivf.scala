@@ -43,7 +43,7 @@ object Ivf {
   /** Fitted index, driver-resident: (list_id, centroid). O(nlist·dim) —
     * index metadata, never O(rows).
     */
-  private def fitSeq(df: DataFrame, idCol: String, vecCol: String,
+  private[simops] def fitSeq(df: DataFrame, idCol: String, vecCol: String,
                      nlist: Int, iters: Int,
                      fitSamplePct: Int): Seq[(Int, Seq[Double])] = {
     require(fitSamplePct > 0 && fitSamplePct <= 100,
@@ -106,7 +106,7 @@ object Ivf {
   /** All-centroid cosine sims for `v` as one codegen'd kernel call
     * ([[graft.functions.CentroidSimsExpr]]); sims[i] scores cents(i).
     */
-  private def simsCol(cents: Seq[(Int, Seq[Double])], v: Column): Column =
+  private[simops] def simsCol(cents: Seq[(Int, Seq[Double])], v: Column): Column =
     graft.functions.CentroidSimsExpr(v, cents.map(_._2.toArray).toArray)
 
   /** Nearest list id for `v` — a pure projection, no shuffle. The FIRST
@@ -114,7 +114,7 @@ object Ivf {
     * break to the smallest id — the same order as
     * `row_number over (order by sim desc, list_id)`.
     */
-  private def nearestList(cents: Seq[(Int, Seq[Double])], sims: Column): Column =
+  private[simops] def nearestList(cents: Seq[(Int, Seq[Double])], sims: Column): Column =
     element_at(typedlit(cents.map(_._1)),
       array_position(sims, array_max(sims)).cast("int"))
 

@@ -53,4 +53,33 @@ class EmbedSpec extends AnyFunSuite {
     info(f"min cosine(original, dequantized) over corpus: $minCos%.6f")
     assert(minCos > 0.995, s"quantization distorted cosine: $minCos")
   }
+
+  test("semanticDedup: lowest id in a near-dup set survives, singletons kept") {
+    import spark.implicits._
+    // two tight direction groups + one lone vector; nlist=2 puts the
+    // groups in separate lists, the greedy rule keeps each group's min id
+    val vecs = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      2L -> Seq(0.99f, 0.01f, 0.0f, 0.0f),   // near-dup of 1
+      5L -> Seq(0.98f, -0.02f, 0.0f, 0.0f),  // near-dup of 1
+      3L -> Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      4L -> Seq(0.0f, 0.97f, 0.05f, 0.0f))   // near-dup of 3
+      .toDF("vec_id", "embedding")
+    val out = Embed.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, nlist = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 5L -> false,
+      3L -> true, 4L -> false))
+  }
+
+  test("semanticDedup: one row per vector, threshold=1+eps keeps everything distinct") {
+    import spark.implicits._
+    val vecs = Seq(
+      1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.8f, 0.6f), 3L -> Seq(0.0f, 1.0f))
+      .toDF("vec_id", "embedding")
+    val out = Embed.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 1.0, nlist = 1, iters = 0)
+    assert(out.count() == 3)
+    assert(out.filter(!org.apache.spark.sql.functions.col("kept")).count() == 0)
+  }
 }
