@@ -31,6 +31,15 @@ object Bench {
       val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(600)
       graft.simops.Similarity.nearDupPairsBanded(
         emb, "vec_id", "embedding", 0.4, numPlanes = 64, bands = 8).count()
+      // vocabulary + span + semantic families added in round 4: their
+      // first use otherwise lands on whichever of them the timed loop
+      // hits first (concat_ws/transform lambdas, centroid-sims kernel,
+      // within-list join shapes)
+      graft.textops.Vocab.topNgrams(docs, "text", n = 2, k = 10).count()
+      graft.textops.Vocab.tfidfTerms(docs, "doc_id", "text", k = 2).count()
+      graft.dedup.Dedup.spanPairs(docs, "doc_id", "text").count()
+      graft.simops.Embed.semanticDedup(emb.limit(300), "vec_id",
+        "embedding", threshold = 0.4, nlist = 4).count()
       // narrow per-row projection family: these queries are sub-half-
       // second, so whichever ran first in the timed loop used to absorb
       // its kernels' first-use JIT and read 2× its steady-state time

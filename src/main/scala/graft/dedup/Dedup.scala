@@ -550,8 +550,15 @@ object Dedup {
                 maxDf: Int = 16): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2 to form any pair, got $maxDf")
+    // materialize the narrow (id, fp) frame ONCE: the plan forks three
+    // ways below (the df aggregate and both self-join sides), and an
+    // unmaterialized frame would re-run the md5 k-gram hashing + window
+    // min per fork — fingerprints are two longs per row, tiny next to
+    // the text they summarize (same checkpoint discipline as corpusClean
+    // and seqPack)
     val fps = graft.textops.TextOps.winnowing(df, idCol, textCol, k, w)
       .select(col(idCol).cast("long").as("_id"), col("fp"))
+      .localCheckpoint()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
