@@ -101,7 +101,39 @@ object PlanDump {
           "the corpus scan's codegen stage — the overwhelmingly " +
           "non-matching exploded shingle rows die on a bitset probe " +
           "before any hash-relation lookup; false positives proceed to " +
-          "the exact join, so output is unchanged."))
+          "the exact join, so output is unchanged."),
+      "topk_ngrams" ->
+        ("Corpus-wide heavy hitters: explode → ONE hash aggregate with " +
+          "map-side partial_count (each map task emits one row per " +
+          "distinct n-gram, so hot n-grams arrive at the reducer once " +
+          "per task, not once per occurrence), then " +
+          "TakeOrderedAndProject — a per-partition top-k merged on the " +
+          "driver. No global sort, no single-partition exchange."),
+      "tfidf_terms" ->
+        ("Two map-side-combinable aggregates (tf on (doc, term), df on " +
+          "term); the corpus size N rides in as a one-row broadcast; " +
+          "tf⋈df is an equi-join on the term whose build side is one " +
+          "row per distinct term; the final top-k window partitions by " +
+          "document — millions of independent partitions at scale."),
+      "corpus_profile" ->
+        ("The per-source datasheet: one scan computing narrow per-row " +
+          "stats feeds ONE stratum-keyed aggregate; no joins. The exact " +
+          "percentiles buffer per-stratum values on the reducer — the " +
+          "documented trade for an oracle-exact answer, with " +
+          "approx_percentile as the swap-in past executor memory."),
+      "dedup_spans" ->
+        ("Passage-level reuse: the narrow (id, fp) winnow frame is " +
+          "checkpointed ONCE (the executed plan contains scans of the " +
+          "checkpoint RDD, never a second kgram_hashes kernel), the " +
+          "document-frequency cap kills corpus-wide boilerplate " +
+          "fingerprints before the self-join, and per-fp fan-out is " +
+          "bounded at maxDf²."),
+      "dedup_semantic" ->
+        ("SemDeDup: nearest-centroid assignment is a pure codegen'd " +
+          "projection against the literal-pinned (sample-fitted) index; " +
+          "the only data-sized exchange is the within-list self-join " +
+          "keyed on list_id — nlist bounds per-list fan-out; the greedy " +
+          "lowest-id-wins rule needs no connected-components loop."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")

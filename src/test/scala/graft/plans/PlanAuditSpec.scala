@@ -200,4 +200,50 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.analyzed.toString
     assert(!analyzed.contains("ResolvedHint"))
   }
+
+  test("topk_ngrams plans a distributed top-k, not a global sort") {
+    val p = plan("topk_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // the count agg combines map-side before its one shuffle
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("tfidf_terms: corpus size is a broadcast, no nested-loop join") {
+    val p = plan("tfidf_terms")
+    // the 1-row N frame rides a broadcast nested loop by NATURE (cross
+    // join with one row is exactly what broadcast handles); the tf⋈df
+    // join must NOT be nested-loop
+    assert(opCount(p, "BroadcastNestedLoopJoin") <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus_profile is one scan into one stratum-keyed aggregate") {
+    val p = plan("corpus_profile")
+    // exchanges: the stratum hash agg + the distinct-lang expand path;
+    // a regression that joins profile parts would add more
+    assert(opCount(p, "Exchange") <= 3, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup_spans: both self-join sides reuse the one checkpointed fp frame") {
+    val p = plan("dedup_spans")
+    // the winnow hashing must appear ZERO times in the executed plan —
+    // the localCheckpoint truncates it; only scans of the checkpoint RDD
+    // remain, so the k-gram kernel cannot re-run per plan fork
+    assert(!p.contains("kgram_hashes"), p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_semantic: pairs join keyed on list_id, no cartesian scan") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("list_id"), p)
+    // centroid assignment is a projection: no exchange between the scan
+    // and the first join input other than the list_id clustering itself
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }
