@@ -343,6 +343,18 @@ object SparkEntry {
     "sessionize" -> ((s, dir) =>
       StreamingOps.sessionizeBatch(Tables.events(s, dir), 30)),
 
+    "stream_trending_ngrams" -> ((s, dir) => {
+      // windowed n-gram burst detection, batch-replayed: event time is
+      // doc_id seconds (the deterministic ingest clock the streaming
+      // specs use), 100-second tumbling windows, threshold 5
+      val d = Tables.documents(s, dir).withColumn("ingest_ts",
+        timestamp_micros(col("doc_id") * 1000000L))
+      StreamingOps.trendingNgrams(d, "text", "ingest_ts",
+        n = 2, minCount = 5)
+        .select(unix_micros(col("w_start")).as("w_start_us"),
+          col("ngram"), col("cnt"))
+    }),
+
     "attribution_join" -> ((s, dir) => {
       // stream-stream interval join shape, run in batch: clicks paired
       // with same-user purchases in the following 30 minutes
@@ -884,6 +896,19 @@ object SparkEntry {
          LEFT JOIN g2 ON g2.doc_id = t.doc_id
          LEFT JOIN g3 ON g3.doc_id = t.doc_id
          LEFT JOIN tc ON tc.doc_id = t.doc_id""",
+
+    "stream_trending_ngrams" ->
+      // the tumbling window start for ts = doc_id seconds is
+      // floor(doc_id / 100) * 100 seconds, emitted as epoch micros
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         ng AS (SELECT (doc_id // 100) * 100000000 AS w_start_us,
+                  w[i] || ' ' || w[i+1] AS ngram
+                FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM toks WHERE len(w) >= 2))
+         SELECT w_start_us, ngram, count(*) AS cnt FROM ng
+         GROUP BY 1, 2 HAVING count(*) >= 5""",
 
     "topk_ngrams" ->
       // bigrams over the shared whitespace token fold; docs with < 2

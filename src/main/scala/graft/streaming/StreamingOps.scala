@@ -42,6 +42,31 @@ object StreamingOps {
     spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
   }
 
+  /** Windowed n-gram heavy hitters over a document stream — the live
+    * twin of [[graft.textops.Vocab.topNgrams]] for crawl monitoring
+    * (boilerplate/injection bursts show up as n-grams crossing
+    * `minCount` within a window). THRESHOLD form, not ranked top-k:
+    * a rank-k cut over a streaming aggregate is not expressible in
+    * append mode (the rank churns until the watermark closes the
+    * window), while a per-(window, ngram) count + filter is the
+    * canonical watermark-bounded streaming aggregate. State is keyed
+    * on (window, ngram) — the same map-side-combined word-count shape
+    * as the batch operator, partitioned identically at scale.
+    */
+  def trendingNgrams(docs: DataFrame, textCol: String, tsCol: String,
+                     n: Int, minCount: Long,
+                     windowLen: String = "100 seconds",
+                     watermark: String = "200 seconds"): DataFrame = {
+    val src =
+      if (docs.isStreaming) docs.withWatermark(tsCol, watermark) else docs
+    src.select(col(tsCol), explode(graft.textops.Vocab.ngrams(
+        graft.textops.TextOps.tokens(lower(col(textCol))), n)).as("ngram"))
+      .groupBy(window(col(tsCol), windowLen), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("window.start").as("w_start"), col("ngram"), col("cnt"))
+  }
+
   /** Gap-based sessionization in pure window/aggregate form (the classic
     * gaps-and-islands rewrite): lag detects session starts, a running sum
     * numbers sessions, one groupBy summarizes. Two window passes over one

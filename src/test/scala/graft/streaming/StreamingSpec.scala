@@ -69,6 +69,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trendingNgrams: streaming (complete mode) equals batch on same docs") {
+    val docs = Tables.documents(spark, dir).withColumn("ingest_ts",
+      timestamp_micros(col("doc_id") * 1000000L))
+    val batch = StreamingOps.trendingNgrams(docs, "text", "ingest_ts",
+        n = 2, minCount = 5)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "fixture should produce trending n-grams")
+
+    val tmp = java.nio.file.Files
+      .createTempDirectory("stream_ngrams").toString
+    docs.write.mode("overwrite").parquet(tmp)
+    val schema = spark.read.parquet(tmp).schema
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    val q = StreamingOps.trendingNgrams(stream, "text", "ingest_ts",
+        n = 2, minCount = 5)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tn_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tn_test").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join equals batch on the same data") {
     val ev = Tables.events(spark, dir)
     val batch = StreamingOps.attributionJoin(
