@@ -458,6 +458,12 @@ object SparkEntry {
       graft.textops.Vocab.corpusProfile(Tables.documents(s, dir),
         "source", "lang", "text")),
 
+    "novelty_score" -> ((s, dir) =>
+      // per-doc fraction of corpus-unique bigrams: the templated-text
+      // signal exact and near-dup passes both miss
+      graft.textops.Vocab.noveltyScore(Tables.documents(s, dir),
+        "doc_id", "text", n = 2)),
+
     "doc_winnow" -> ((s, dir) =>
       // rolling-hash (winnowing) fingerprints as (doc_id, fp) rows
       TextOps.winnowing(Tables.documents(s, dir), "doc_id", "text",
@@ -922,6 +928,18 @@ object SparkEntry {
                       FROM toks WHERE len(w) >= 2))
          SELECT ngram, count(*) AS cnt FROM ng GROUP BY 1
          ORDER BY cnt DESC, ngram LIMIT 50""",
+
+    "novelty_score" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         ng AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram
+                FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM toks WHERE len(w) >= 2)),
+         d AS (SELECT ngram, count(*) AS df FROM ng GROUP BY 1)
+         SELECT doc_id, count(*) AS n_ngrams,
+           round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+         FROM ng JOIN d USING (ngram) GROUP BY doc_id""",
 
     "tfidf_terms" ->
       // smooth tf-idf: score = tf * ln((N+1)/(df+1)) rounded to 6dp on

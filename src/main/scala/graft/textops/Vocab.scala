@@ -82,6 +82,33 @@ object Vocab {
         count_distinct(col(langCol)).as("n_langs"))
   }
 
+  /** Per-document n-gram novelty: the fraction of the document's
+    * DISTINCT n-grams that occur in no other document (corpus df = 1).
+    * Low novelty marks templated/recombined text that exact and
+    * near-dup passes both miss (every individual doc is unique, but
+    * assembled entirely from corpus-common phrases); high novelty on a
+    * crawl slice is the "new content" signal. Docs with fewer than `n`
+    * tokens emit no row (same contract as [[topNgrams]]).
+    *
+    * Scale shape: distinct (doc, n-gram) and the per-n-gram document
+    * frequency are both map-side-combinable aggregates; the df side of
+    * the join is one row per distinct n-gram; the final per-doc average
+    * is combinable again. Nothing ranks globally — no sort anywhere.
+    */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 2): DataFrame = {
+    val grams = graft.util.Par.spread(df)
+      .select(col(idCol),
+        explode(ngrams(TextOps.tokens(lower(col(textCol))), n)).as("ngram"))
+      .distinct()
+    val dfreq = grams.groupBy(col("ngram")).agg(count(lit(1)).as("_df"))
+    grams.join(dfreq, "ngram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(avg(when(col("_df") === 1, 1.0).otherwise(0.0)), 6)
+          .as("novelty"))
+  }
+
   /** Per-document top-k TF-IDF terms:
     * `score = tf * ln((N + 1) / (df + 1))`, rounded to 6dp (the smooth
     * variant keeps every-doc terms finite); rank ties break on the term

@@ -65,6 +65,23 @@ class VocabSpec extends AnyFunSuite {
     assert(alpha.getDouble(4) > 0.0)
   }
 
+  test("noveltyScore: unique phrasing scores 1, recombined boilerplate scores 0") {
+    val d = docs(
+      1L -> "aurora borealis shimmered tonight",         // all bigrams unique
+      2L -> "the quick fox and the quick fox again",     // self-repeats still novel corpus-wide
+      3L -> "the quick fox",                             // all bigrams also in doc 2
+      4L -> "x")                                         // < 2 tokens: no row
+    val out = Vocab.noveltyScore(d, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (3L, 1.0))
+    assert(!out.contains(4L))
+    // doc 3's two bigrams ("the quick", "quick fox") both appear in doc 2
+    assert(out(3L) == (2L, 0.0))
+    // doc 2: distinct bigrams = {the quick, quick fox, fox and, and the,
+    // fox again} — "the quick"/"quick fox" shared with doc 3, other 3 unique
+    assert(out(2L) == (5L, 0.6))
+  }
+
   test("corpusProfile: per-stratum counts, percentiles, and language spread") {
     import spark.implicits._
     val d = Seq(
