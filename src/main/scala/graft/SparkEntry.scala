@@ -528,6 +528,13 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.4, nlist = 16, iters = 1,
         fitSamplePct = 60)),
 
+    "embedding_pq" -> ((s, dir) =>
+      // product quantization: 8 subspaces x 16 codes = 32x compression
+      // at dim 64; sampled codebook fit, pure-projection encode
+      graft.simops.Embed.pqEncode(Tables.embeddings(s, dir),
+        "vec_id", "embedding", m = 8, k = 16, iters = 1,
+        fitSamplePct = 60, dim = 64)),
+
     "embedding_neardup" -> ((s, dir) =>
       // banded LSH candidates + exact cosine verify (no nested-loop pair
       // scan); params must stay in sync with the literal-plane oracle
@@ -1105,6 +1112,49 @@ object SparkEntry {
          FROM asg2 g LEFT JOIN drp d ON d.id = g.id"""
     },
 
+    "embedding_pq" -> {
+      // replays Embed.pqEncode(m=8, k=16, iters=1, fitSamplePct=60,
+      // dim=64): per subspace, seeds = 16 lowest-id SAMPLE subvectors,
+      // one Lloyd step with 6dp-rounded means, then every vector's
+      // argmin-L2 code (ties -> lowest code, ORDER BY d2, code); codes
+      // concatenate CSV and the reconstruction error sums across
+      // subspaces before the sqrt
+      def l2(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a, $b), " +
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+          "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+      val M = 8; val sub = 8
+      val perM = (0 until M).map { mi =>
+        val off = mi * sub
+        val sl = s"[${off + 1}:${off + sub}]"
+        s"""init_$mi AS (SELECT row_number() OVER (ORDER BY id) - 1 AS code, vv$sl AS c
+                  FROM (SELECT id, vv FROM sv ORDER BY id LIMIT 16)),
+         a_$mi AS (SELECT sv.id, sv.vv$sl AS s, i.code,
+                 row_number() OVER (PARTITION BY sv.id
+                   ORDER BY ${l2(s"sv.vv$sl", "i.c")} ASC, i.code) AS rn
+                FROM sv, init_$mi i),
+         g_$mi AS (SELECT s, code FROM a_$mi WHERE rn = 1),
+         cd_$mi AS (SELECT code, d, round(avg(s[d]), 6) AS md FROM g_$mi,
+                 (SELECT unnest(generate_series(1, $sub)) AS d) GROUP BY 1, 2),
+         cb_$mi AS (SELECT code, list(md ORDER BY d) AS c FROM cd_$mi GROUP BY code),
+         e_$mi AS (SELECT v.id, c.code, ${l2(s"v.vv$sl", "c.c")} AS d2,
+                 row_number() OVER (PARTITION BY v.id
+                   ORDER BY ${l2(s"v.vv$sl", "c.c")} ASC, c.code) AS rn
+                FROM v, cb_$mi c),
+         enc_$mi AS (SELECT id, code, d2 FROM e_$mi WHERE rn = 1)"""
+      }.mkString(",\n         ")
+      val codesCsv = (0 until M).map(mi => s"enc_$mi.code::VARCHAR")
+        .mkString(" || ',' || ")
+      val errSum = (0 until M).map(mi => s"enc_$mi.d2").mkString(" + ")
+      val joins = (0 until M).map(mi => s"JOIN enc_$mi ON enc_$mi.id = v.id")
+        .mkString(" ")
+      s"""WITH $duckEmbSampleCtes,
+         $perM
+         SELECT v.id AS vec_id, $codesCsv AS codes_csv,
+           round(sqrt(($errSum) / 64), 6) AS rmse
+         FROM v $joins"""
+    },
+
     "embedding_quantize" ->
       """WITH v AS (SELECT vec_id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
@@ -1271,17 +1321,25 @@ object SparkEntry {
     * makes the index bit-reproducible across engines); the final
     * assignment (`a2`/`asg2`) covers ALL vectors.
     */
-  private lazy val duckIvfFitCtes: String = {
-    val cosAI = duckCosine("sv.vv", "i.c")
-    val cosAC = duckCosine("v.vv", "c.c")
-    s"""v AS (SELECT vec_id AS id,
+  /** The doubled embeddings (`v`) and their md5-bucket<60 fit sample
+    * (`sv`) — the input CTEs every index-fitting oracle starts from
+    * (`similarity_ivf` / `dedup_semantic` via [[duckIvfFitCtes]], and
+    * `embedding_pq`).
+    */
+  private val duckEmbSampleCtes: String =
+    """v AS (SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
            FROM embeddings),
          sv AS (SELECT id, vv FROM v WHERE
              list_sum(list_transform(generate_series(1, 15),
                p -> ((strpos('0123456789abcdef',
                       substr(md5(id::VARCHAR), p, 1)) - 1)::BIGINT
-                     << (4 * (15 - p)))))::BIGINT % 100 < 60),
+                     << (4 * (15 - p)))))::BIGINT % 100 < 60)"""
+
+  private lazy val duckIvfFitCtes: String = {
+    val cosAI = duckCosine("sv.vv", "i.c")
+    val cosAC = duckCosine("v.vv", "c.c")
+    s"""$duckEmbSampleCtes,
          init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, vv AS c
                   FROM (SELECT id, vv FROM sv ORDER BY id LIMIT 16)),
          a1 AS (SELECT sv.id, sv.vv, i.list_id,

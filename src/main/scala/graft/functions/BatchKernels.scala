@@ -394,3 +394,199 @@ object CentroidSimsExpr {
     GraftColumnBridge.toColumn(
       new CentroidSimsExpr(GraftColumnBridge.toExpression(c), cents))
 }
+
+/** Product-quantization codebooks: per subspace `m`, a parallel pair of
+  * (code ids, centroids). Codes keep their ORIGINAL ids when a Lloyd
+  * pass empties a cell (mirroring [[graft.simops.Ivf]]'s survivor
+  * semantics), so the arrays may be shorter than K but never renumber.
+  */
+object PqKernelUtil {
+
+  /** Best (lowest-distance, ties → lowest code id) code for subspace `m`
+    * of `x`: squared-L2 against each centroid with left-to-right
+    * accumulation; vector elements past `x.length` read as 0.0 (ragged
+    * corpora). Returns the INDEX into the books(m) arrays.
+    */
+  def bestIdx(x: Array[Double], m: Int,
+              books: Array[Array[Array[Double]]]): Int = {
+    val book = books(m)
+    val subDim = if (book.isEmpty) 0 else book(0).length
+    val off = m * subDim
+    var best = 0
+    var bestD = Double.MaxValue
+    var k = 0
+    while (k < book.length) {
+      val c = book(k)
+      var acc = 0.0
+      var d = 0
+      while (d < c.length) {
+        val xv = if (off + d < x.length) x(off + d) else 0.0
+        val diff = xv - c(d)
+        acc += diff * diff
+        d += 1
+      }
+      if (acc < bestD) { bestD = acc; best = k }
+      k += 1
+    }
+    best
+  }
+
+  /** All M subspace codes of `vec` as an int array. */
+  def pqCodes(vec: ArrayData, codes: Array[Array[Int]],
+              books: Array[Array[Array[Double]]]): ArrayData = {
+    val x = vec.toDoubleArray()
+    val out = new Array[Int](books.length)
+    var m = 0
+    while (m < books.length) {
+      out(m) = codes(m)(bestIdx(x, m, books))
+      m += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Total squared reconstruction error of `vec` under its best codes
+    * (same argmin as [[pqCodes]], summed across subspaces).
+    */
+  def pqErr(vec: ArrayData, books: Array[Array[Array[Double]]]): Double = {
+    val x = vec.toDoubleArray()
+    var total = 0.0
+    var m = 0
+    while (m < books.length) {
+      val book = books(m)
+      val subDim = if (book.isEmpty) 0 else book(0).length
+      val off = m * subDim
+      val c = book(bestIdx(x, m, books))
+      var acc = 0.0
+      var d = 0
+      while (d < c.length) {
+        val xv = if (off + d < x.length) x(off + d) else 0.0
+        val diff = xv - c(d)
+        acc += diff * diff
+        d += 1
+      }
+      total += acc
+      m += 1
+    }
+    total
+  }
+
+  /** Assignment for the Lloyd pass: subspace `m`'s best ORIGINAL code id
+    * for `vec` under the current books.
+    */
+  def pqAssign(vec: ArrayData, m: Int, codes: Array[Array[Int]],
+               books: Array[Array[Array[Double]]]): Int =
+    codes(m)(bestIdx(vec.toDoubleArray(), m, books))
+}
+
+/** `pq_codes(vec)` against fixed per-subspace codebooks — one kernel
+  * call encodes all M subspaces (argmin squared-L2 per subspace, ties
+  * to the lowest code id, mirroring the DuckDB oracle's
+  * `ORDER BY d2, code` tiebreak).
+  */
+case class PqCodesExpr(child: Expression, codes: Array[Array[Int]],
+                       books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes needs array<double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqKernelUtil.pqCodes(input.asInstanceOf[ArrayData], codes, books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codesRef = ctx.addReferenceObj("pqcodes", codes, "int[][]")
+    val booksRef = ctx.addReferenceObj("pqbooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernelUtil.pqCodes($c, $codesRef, $booksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqCodesExpr {
+  def apply(c: Column, codes: Array[Array[Int]],
+            books: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.toColumn(
+      new PqCodesExpr(GraftColumnBridge.toExpression(c), codes, books))
+}
+
+/** `pq_err(vec)` — total squared reconstruction error under the books'
+  * best codes; see [[PqKernelUtil.pqErr]].
+  */
+case class PqErrExpr(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_err needs array<double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqKernelUtil.pqErr(input.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqbooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqKernelUtil.pqErr($c, $booksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqErrExpr {
+  def apply(c: Column, books: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.toColumn(
+      new PqErrExpr(GraftColumnBridge.toExpression(c), books))
+}
+
+/** `pq_assign(vec, m)` — Lloyd-pass assignment for one (exploded)
+  * subspace index under the current books.
+  */
+case class PqAssignExpr(left: Expression, right: Expression,
+                        codes: Array[Array[Int]],
+                        books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_assign needs (array<double>, int), got $other")
+    }
+
+  override def nullSafeEval(vec: Any, m: Any): Any =
+    PqKernelUtil.pqAssign(vec.asInstanceOf[ArrayData],
+      m.asInstanceOf[Int], codes, books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codesRef = ctx.addReferenceObj("pqcodes", codes, "int[][]")
+    val booksRef = ctx.addReferenceObj("pqbooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, m) =>
+      s"${ev.value} = graft.functions.PqKernelUtil.pqAssign($v, $m, $codesRef, $booksRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAssignExpr {
+  def apply(v: Column, m: Column, codes: Array[Array[Int]],
+            books: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.toColumn(
+      new PqAssignExpr(GraftColumnBridge.toExpression(v),
+        GraftColumnBridge.toExpression(m), codes, books))
+}

@@ -47,6 +47,92 @@ object Embed {
         .as("rmse"))
   }
 
+  /** Product-quantization codebooks, driver-resident: per subspace, the
+    * surviving code ids and their centroids. O(m·k·subDim) — index
+    * metadata, never O(rows). Same deterministic conventions as
+    * [[Ivf.fitSeq]]: seeds are the k lowest-id (sampled) vectors'
+    * subvectors, Lloyd refinements round to 6dp (bit-reproducible
+    * across engines), emptied cells disappear WITHOUT renumbering the
+    * survivors, and the fit sample is the md5-bucket draw.
+    *
+    * One Spark job per Lloyd pass for ALL subspaces: the sample
+    * explodes over the subspace index, a codegen'd kernel assigns each
+    * (vector, m) row its best code, and a single (m, code)-keyed
+    * aggregate produces every per-dimension mean — m·k·subDim result
+    * rows, map-side combinable.
+    */
+  private def fitBooks(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, iters: Int, fitSamplePct: Int,
+                       dim: Int): (Array[Array[Int]], Array[Array[Array[Double]]]) = {
+    require(m > 0 && dim % m == 0,
+      s"dim ($dim) must divide evenly into m ($m) subspaces")
+    require(fitSamplePct > 0 && fitSamplePct <= 100,
+      s"fitSamplePct must be in (0,100], got $fitSamplePct")
+    val subDim = dim / m
+    val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val sample =
+      if (fitSamplePct >= 100) all
+      else all.filter(
+        graft.util.Sampling.md5Bucket(col("_id")) < lit(fitSamplePct))
+    val seeds = sample.orderBy("_id").limit(k)
+      .select(col("_v")).collect().map(_.getSeq[Double](0))
+    require(seeds.nonEmpty,
+      "Embed.pqEncode: cannot fit codebooks on an empty candidate frame")
+    var codes: Array[Array[Int]] = Array.fill(m)(seeds.indices.toArray)
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mi =>
+      seeds.map(v => Array.tabulate(subDim)(d =>
+        if (mi * subDim + d < v.length) v(mi * subDim + d) else 0.0)))
+    for (_ <- 0 until iters) {
+      val avgs = (0 until subDim).map(d => round(avg(
+        element_at(col("_v"), col("m") * subDim + d + 1)), 6).as(s"_d$d"))
+      val rows = sample
+        .withColumn("m", explode(typedlit((0 until m).toArray)))
+        .withColumn("code", graft.functions.PqAssignExpr(
+          col("_v"), col("m"), codes, books))
+        .groupBy("m", "code").agg(avgs.head, avgs.tail: _*)
+        .collect()
+      val byM = rows.groupBy(_.getInt(0))
+      codes = Array.tabulate(m)(mi =>
+        byM.getOrElse(mi, Array.empty).map(_.getInt(1)).sorted)
+      books = Array.tabulate(m) { mi =>
+        byM.getOrElse(mi, Array.empty).sortBy(_.getInt(1)).map(r =>
+          Array.tabulate(subDim)(d =>
+            if (r.isNullAt(d + 2)) 0.0 else r.getDouble(d + 2)))
+      }
+    }
+    (codes, books)
+  }
+
+  /** Product quantization encode: each vector compressed to `m` code
+    * ids (one byte-scale int per subspace — 32× smaller than the float
+    * vector at the registered m=8/k=16/dim=64), plus the RMS
+    * reconstruction error. THE storage scale path for ANN at 100 TB:
+    * codes live in memory next to the IVF lists while full vectors
+    * stay in cold storage for re-ranking.
+    *
+    * Encode is a pure codegen'd projection against literal-pinned
+    * codebooks ([[graft.functions.PqCodesExpr]] — one kernel call per
+    * row for all subspaces); the fit is O(sample) like [[Ivf]]'s.
+    * Codes are emitted CSV (exact ints, engine-portable), the error as
+    * `sqrt(total² / dim)` rounded to 6dp — both oracle-checkable.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, k: Int = 16, iters: Int = 1,
+               fitSamplePct: Int = 100, dim: Int = 64): DataFrame = {
+    val (codes, books) = fitBooks(df, idCol, vecCol, m, k, iters,
+      fitSamplePct, dim)
+    graft.util.Par.spread(df)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .select(col("vec_id"),
+        array_join(transform(
+          graft.functions.PqCodesExpr(col("_v"), codes, books),
+          c => c.cast("string")), ",").as("codes_csv"),
+        round(sqrt(graft.functions.PqErrExpr(col("_v"), books)
+          / (m * (dim / m))), 6).as("rmse"))
+  }
+
   /** SemDeDup-style semantic deduplication: the keep/drop DECISION per
     * vector, scoped by embedding cluster. Every vector is assigned to
     * its nearest [[Ivf]] centroid (a pure codegen'd projection — the

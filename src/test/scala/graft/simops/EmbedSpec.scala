@@ -54,6 +54,44 @@ class EmbedSpec extends AnyFunSuite {
     assert(minCos > 0.995, s"quantization distorted cosine: $minCos")
   }
 
+  test("pqEncode: m codes per vector, exact-centroid vectors reconstruct losslessly") {
+    import spark.implicits._
+    // 4-dim, 2 subspaces of 2 dims; k=2 codebooks seeded by ids 1,2 —
+    // with iters=0 the books ARE those subvectors, so vectors equal to
+    // a seed encode with rmse 0
+    val vecs = Seq(
+      1L -> Seq(1.0f, 0.0f, 0.0f, 1.0f),
+      2L -> Seq(0.0f, 1.0f, 1.0f, 0.0f),
+      3L -> Seq(1.0f, 0.0f, 1.0f, 0.0f),  // sub0 of 1, sub1 of 2
+      4L -> Seq(0.6f, 0.1f, 0.9f, 0.2f))  // nearest: sub0 -> seed1, sub1 -> seed2
+      .toDF("vec_id", "embedding")
+    val out = Embed.pqEncode(vecs, "vec_id", "embedding",
+      m = 2, k = 2, iters = 0, dim = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out(1L) == ("0,0", 0.0))
+    assert(out(2L) == ("1,1", 0.0))
+    assert(out(3L) == ("0,1", 0.0))
+    assert(out(4L)._1 == "0,1")
+    assert(out(4L)._2 > 0.0)
+  }
+
+  test("pqEncode: sampled Lloyd fit is bit-reproducible, rmse bounded on real data") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = Embed.pqEncode(emb, "vec_id", "embedding", m = 8, k = 16,
+      iters = 1, fitSamplePct = 60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    val b = Embed.pqEncode(emb, "vec_id", "embedding", m = 8, k = 16,
+      iters = 1, fitSamplePct = 60).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "PQ encode must be deterministic")
+    assert(a.forall(_._2.split(",").length == 8))
+    // unit-ish random vectors have per-dim magnitude ~1/8; codebook
+    // reconstruction must beat the all-zeros baseline (~0.125 rms)
+    val meanRmse = a.map(_._3).sum / a.length
+    info(f"PQ mean rmse (m=8, k=16, 1 Lloyd pass, 60%% sample): $meanRmse%.4f")
+    assert(meanRmse < 0.125, s"mean rmse $meanRmse")
+  }
+
   test("semanticDedup: lowest id in a near-dup set survives, singletons kept") {
     import spark.implicits._
     // two tight direction groups + one lone vector; nlist=2 puts the
