@@ -237,6 +237,25 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("embedding_pq encode is a pure projection: no data-keyed exchange") {
+    val p = plan("embedding_pq")
+    // Par.spread's RoundRobin fan-out of the tiny single-file test source
+    // is expected (it no-ops at scale); what must NEVER appear is a
+    // hash/range exchange — the encode has no key to shuffle on
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning") &&
+      !p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("pqcodesexpr"), p)
+  }
+
+  test("novelty_score: combinable aggregates only, no sort, no cartesian") {
+    val p = plan("novelty_score")
+    assert(!p.contains("Sort "), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("dedup_semantic: pairs join keyed on list_id, no cartesian scan") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct") &&
