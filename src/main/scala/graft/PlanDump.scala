@@ -133,7 +133,18 @@ object PlanDump {
           "projection against the literal-pinned (sample-fitted) index; " +
           "the only data-sized exchange is the within-list self-join " +
           "keyed on list_id — nlist bounds per-list fan-out; the greedy " +
-          "lowest-id-wins rule needs no connected-components loop."))
+          "lowest-id-wins rule needs no connected-components loop."),
+      "embedding_pq" ->
+        ("Product quantization encode: one PqCodesExpr kernel call per " +
+          "row covers all 8 subspaces against literal-pinned codebooks " +
+          "— no exchange of any kind after the scan (32× compression " +
+          "as a pure projection); the sampled codebook fit runs ONE " +
+          "job per Lloyd pass for all subspaces."),
+      "novelty_score" ->
+        ("Per-doc corpus-unique n-gram fraction: distinct (doc, ngram), " +
+          "per-ngram document frequency, and the per-doc average are " +
+          "all map-side-combinable aggregates; the df join side is one " +
+          "row per distinct n-gram. No sort anywhere."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")
