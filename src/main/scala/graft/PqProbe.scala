@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(emb("vec_id") < 10)
+    val brute = graft.simops.Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((m, k) <- Seq((8, 16), (8, 64), (16, 16), (16, 64), (32, 16))) {
+      val pq = graft.simops.Embed.pqTopK(q, emb, "vec_id", "embedding", kNN = 5,
+        m = m, k = k, iters = 1, fitSamplePct = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"PQPROBE m=$m k=$k recall=${pq.intersect(brute).size.toDouble / brute.size}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -535,6 +535,15 @@ object SparkEntry {
         "vec_id", "embedding", m = 8, k = 16, iters = 1,
         fitSamplePct = 60, dim = 64)),
 
+    "similarity_pq" -> ((s, dir) => {
+      // ADC top-k over the compressed codes (memory-bound ANN scan);
+      // same fitted codebooks as embedding_pq
+      val emb = Tables.embeddings(s, dir)
+      graft.simops.Embed.pqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", kNN = 5, m = 8, k = 16, iters = 1,
+        fitSamplePct = 60, dim = 64)
+    }),
+
     "embedding_neardup" -> ((s, dir) =>
       // banded LSH candidates + exact cosine verify (no nested-loop pair
       // scan); params must stay in sync with the literal-plane oracle
@@ -1114,45 +1123,44 @@ object SparkEntry {
 
     "embedding_pq" -> {
       // replays Embed.pqEncode(m=8, k=16, iters=1, fitSamplePct=60,
-      // dim=64): per subspace, seeds = 16 lowest-id SAMPLE subvectors,
-      // one Lloyd step with 6dp-rounded means, then every vector's
-      // argmin-L2 code (ties -> lowest code, ORDER BY d2, code); codes
-      // concatenate CSV and the reconstruction error sums across
-      // subspaces before the sqrt
-      def l2(a: String, b: String) =
-        s"list_sum(list_transform(list_zip($a, $b), " +
-          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
-          "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-      val M = 8; val sub = 8
-      val perM = (0 until M).map { mi =>
-        val off = mi * sub
-        val sl = s"[${off + 1}:${off + sub}]"
-        s"""init_$mi AS (SELECT row_number() OVER (ORDER BY id) - 1 AS code, vv$sl AS c
-                  FROM (SELECT id, vv FROM sv ORDER BY id LIMIT 16)),
-         a_$mi AS (SELECT sv.id, sv.vv$sl AS s, i.code,
-                 row_number() OVER (PARTITION BY sv.id
-                   ORDER BY ${l2(s"sv.vv$sl", "i.c")} ASC, i.code) AS rn
-                FROM sv, init_$mi i),
-         g_$mi AS (SELECT s, code FROM a_$mi WHERE rn = 1),
-         cd_$mi AS (SELECT code, d, round(avg(s[d]), 6) AS md FROM g_$mi,
-                 (SELECT unnest(generate_series(1, $sub)) AS d) GROUP BY 1, 2),
-         cb_$mi AS (SELECT code, list(md ORDER BY d) AS c FROM cd_$mi GROUP BY code),
-         e_$mi AS (SELECT v.id, c.code, ${l2(s"v.vv$sl", "c.c")} AS d2,
-                 row_number() OVER (PARTITION BY v.id
-                   ORDER BY ${l2(s"v.vv$sl", "c.c")} ASC, c.code) AS rn
-                FROM v, cb_$mi c),
-         enc_$mi AS (SELECT id, code, d2 FROM e_$mi WHERE rn = 1)"""
-      }.mkString(",\n         ")
-      val codesCsv = (0 until M).map(mi => s"enc_$mi.code::VARCHAR")
+      // dim=64) on the shared per-subspace fit CTEs: codes concatenate
+      // CSV and the reconstruction error sums across subspaces (in
+      // subspace order) before the sqrt
+      val codesCsv = (0 until pqM).map(mi => s"enc_$mi.code::VARCHAR")
         .mkString(" || ',' || ")
-      val errSum = (0 until M).map(mi => s"enc_$mi.d2").mkString(" + ")
-      val joins = (0 until M).map(mi => s"JOIN enc_$mi ON enc_$mi.id = v.id")
+      val errSum = (0 until pqM).map(mi => s"enc_$mi.d2").mkString(" + ")
+      val joins = (0 until pqM).map(mi => s"JOIN enc_$mi ON enc_$mi.id = v.id")
         .mkString(" ")
       s"""WITH $duckEmbSampleCtes,
-         $perM
+         $duckPqFitCtes
          SELECT v.id AS vec_id, $codesCsv AS codes_csv,
            round(sqrt(($errSum) / 64), 6) AS rmse
          FROM v $joins"""
+    },
+
+    "similarity_pq" -> {
+      // ADC: squared L2 between the full query vector and the
+      // candidate's per-subspace reconstruction, summed in subspace
+      // order; rank ties break on neighbor id (same fitted codebooks
+      // as embedding_pq via the shared CTEs)
+      val reconJoins = (0 until pqM).map(mi =>
+        (if (mi == 0) "FROM enc_0" else s"JOIN enc_$mi ON enc_$mi.id = enc_0.id") +
+          s" JOIN cb_$mi r$mi ON r$mi.code = enc_$mi.code").mkString(" ")
+      val reconCols = (0 until pqM).map(mi => s"r$mi.c AS c$mi").mkString(", ")
+      val adcSum = (0 until pqM).map { mi =>
+        val off = mi * pqSub
+        duckL2(s"q.vv[${off + 1}:${off + pqSub}]", s"r.c$mi")
+      }.mkString(" + ")
+      s"""WITH $duckEmbSampleCtes,
+         $duckPqFitCtes,
+         recon AS (SELECT enc_0.id, $reconCols $reconJoins),
+         scored AS (SELECT q.id AS query_id, r.id AS neighbor_id,
+             round($adcSum, 6) AS adist
+           FROM v q, recon r WHERE q.id < 10 AND r.id <> q.id)
+         SELECT query_id, neighbor_id, adist, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adist ASC, neighbor_id) AS rank
+           FROM scored) WHERE rank <= 5"""
     },
 
     "embedding_quantize" ->
@@ -1358,6 +1366,47 @@ object SparkEntry {
                 FROM v, cent c),
          asg2 AS (SELECT id, vv, list_id FROM a2 WHERE rn = 1)"""
   }
+
+  /** Engine-portable squared-L2 between two DuckDB lists (explicit
+    * multiply, left-to-right `list_sum` — the same fold as the PQ
+    * kernels' accumulation).
+    */
+  private def duckL2(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * " +
+      "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+
+  private val pqM = 8
+  private val pqSub = 8
+
+  /** The PQ codebook fit + full-corpus encode as DuckDB CTEs, per
+    * subspace `mi`: `cb_mi` is the post-Lloyd codebook, `enc_mi` each
+    * vector's (id, code, d2). Shared by the `embedding_pq` and
+    * `similarity_pq` oracles so the codebook replay can never drift.
+    * Mirrors Embed.fitBooks(m=8, k=16, iters=1, fitSamplePct=60,
+    * dim=64): seeds = 16 lowest-id SAMPLE subvectors, one Lloyd step
+    * with 6dp-rounded means, argmin-L2 with ties to the lowest code.
+    */
+  private lazy val duckPqFitCtes: String =
+    (0 until pqM).map { mi =>
+      val off = mi * pqSub
+      val sl = s"[${off + 1}:${off + pqSub}]"
+      s"""init_$mi AS (SELECT row_number() OVER (ORDER BY id) - 1 AS code, vv$sl AS c
+                  FROM (SELECT id, vv FROM sv ORDER BY id LIMIT 16)),
+         a_$mi AS (SELECT sv.id, sv.vv$sl AS s, i.code,
+                 row_number() OVER (PARTITION BY sv.id
+                   ORDER BY ${duckL2(s"sv.vv$sl", "i.c")} ASC, i.code) AS rn
+                FROM sv, init_$mi i),
+         g_$mi AS (SELECT s, code FROM a_$mi WHERE rn = 1),
+         cd_$mi AS (SELECT code, d, round(avg(s[d]), 6) AS md FROM g_$mi,
+                 (SELECT unnest(generate_series(1, $pqSub)) AS d) GROUP BY 1, 2),
+         cb_$mi AS (SELECT code, list(md ORDER BY d) AS c FROM cd_$mi GROUP BY code),
+         e_$mi AS (SELECT v.id, c.code, ${duckL2(s"v.vv$sl", "c.c")} AS d2,
+                 row_number() OVER (PARTITION BY v.id
+                   ORDER BY ${duckL2(s"v.vv$sl", "c.c")} ASC, c.code) AS rn
+                FROM v, cb_$mi c),
+         enc_$mi AS (SELECT id, code, d2 FROM e_$mi WHERE rn = 1)"""
+    }.mkString(",\n         ")
 
   /** The winnowing fingerprint rows `(doc_id, fp)` as DuckDB CTEs
     * (k = 8, w = 4 — the registered parameters), shared by the

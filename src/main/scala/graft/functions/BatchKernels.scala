@@ -590,3 +590,79 @@ object PqAssignExpr {
       new PqAssignExpr(GraftColumnBridge.toExpression(v),
         GraftColumnBridge.toExpression(m), codes, books))
 }
+
+/** Asymmetric-distance (ADC) kernel for PQ-compressed search: squared
+  * L2 between a FULL query vector and a candidate's RECONSTRUCTION
+  * (per-subspace codebook centroid for its code). `idx(m)(codeId)`
+  * maps original code ids to positions in `books(m)` (codebooks keep
+  * original ids when Lloyd empties a cell). Accumulation is
+  * left-to-right within each subspace and subspaces sum in order —
+  * the same fold as the DuckDB oracle's chained `l2(...) + l2(...)`.
+  */
+object PqAdcUtil {
+  def adc(qv: ArrayData, codes: ArrayData, idx: Array[Array[Int]],
+          books: Array[Array[Array[Double]]]): Double = {
+    val x = qv.toDoubleArray()
+    var total = 0.0
+    var m = 0
+    while (m < books.length) {
+      val book = books(m)
+      val subDim = if (book.isEmpty) 0 else book(0).length
+      val off = m * subDim
+      val c = book(idx(m)(codes.getInt(m)))
+      var acc = 0.0
+      var d = 0
+      while (d < c.length) {
+        val xv = if (off + d < x.length) x(off + d) else 0.0
+        val diff = xv - c(d)
+        acc += diff * diff
+        d += 1
+      }
+      total += acc
+      m += 1
+    }
+    total
+  }
+}
+
+/** `pq_adc(query_vec, codes)` against fixed codebooks — see
+  * [[PqAdcUtil.adc]].
+  */
+case class PqAdcExpr(left: Expression, right: Expression,
+                     idx: Array[Array[Int]],
+                     books: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc needs (array<double>, array<int>), got $other")
+    }
+
+  override def nullSafeEval(qv: Any, codes: Any): Any =
+    PqAdcUtil.adc(qv.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], idx, books)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("pqidx", idx, "int[][]")
+    val booksRef = ctx.addReferenceObj("pqbooks", books, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.PqAdcUtil.adc($q, $c, $idxRef, $booksRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcExpr {
+  def apply(qv: Column, codes: Column, idx: Array[Array[Int]],
+            books: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.toColumn(
+      new PqAdcExpr(GraftColumnBridge.toExpression(qv),
+        GraftColumnBridge.toExpression(codes), idx, books))
+}

@@ -92,6 +92,21 @@ class EmbedSpec extends AnyFunSuite {
     assert(meanRmse < 0.125, s"mean rmse $meanRmse")
   }
 
+  test("pqTopK: ADC recall vs exact top-k on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(emb("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Embed.pqTopK(q, emb, "vec_id", "embedding", kNN = 5,
+      m = 8, k = 16, iters = 1, fitSamplePct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.size == brute.size)
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    info(f"PQ-ADC recall@5 vs exact (m=8, k=16): $recall%.3f")
+    // 32x compression trades precision; must still beat chance by far
+    assert(recall >= 0.2, s"ADC recall $recall")
+  }
+
   test("semanticDedup: lowest id in a near-dup set survives, singletons kept") {
     import spark.implicits._
     // two tight direction groups + one lone vector; nlist=2 puts the
