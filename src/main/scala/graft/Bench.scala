@@ -40,6 +40,8 @@ object Bench {
       graft.dedup.Dedup.spanPairs(docs, "doc_id", "text").count()
       graft.simops.Embed.semanticDedup(emb.limit(300), "vec_id",
         "embedding", threshold = 0.4, nlist = 4).count()
+      graft.simops.Embed.pqTopK(emb.limit(20), emb.limit(300), "vec_id",
+        "embedding", kNN = 3, m = 8, k = 8).count()
       // narrow per-row projection family: these queries are sub-half-
       // second, so whichever ran first in the timed loop used to absorb
       // its kernels' first-use JIT and read 2× its steady-state time

@@ -68,6 +68,8 @@ object ScaleBench {
       graft.dedup.Dedup.spanPairs(docs, "doc_id", "text").count()
       graft.simops.Embed.semanticDedup(emb.limit(300), "vec_id",
         "embedding", threshold = 0.4, nlist = 4).count()
+      graft.simops.Embed.pqTopK(emb.limit(20), emb.limit(300), "vec_id",
+        "embedding", kNN = 3, m = 8, k = 8).count()
       for (q <- Seq("text_stats", "quality_score", "lang_id",
           "doc_fingerprint", "rep_stats", "pii_scrub",
           "embedding_quantize", "multimodal_meta"))
