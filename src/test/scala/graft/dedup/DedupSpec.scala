@@ -129,6 +129,35 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("spanPairs equals a driver-side recount of shared winnow fingerprints") {
+    // randomized corpus with planted overlaps; recompute the definition
+    // naively from the winnowing output and compare exactly
+    val rng = new scala.util.Random(5)
+    val phrases = Vector("alpha beta gamma delta", "omega psi chi phi",
+      "lorem ipsum dolor sit", "spark plans shuffle stages")
+    val corpus = (0L until 30L).map { i =>
+      val parts = Seq.fill(3)(phrases(rng.nextInt(phrases.length)))
+      i -> parts.mkString(s" filler${rng.nextInt(1000)} ")
+    }
+    val df = docs(corpus: _*)
+    val maxDf = 8; val minShared = 2
+    val got = Dedup.spanPairs(df, "doc_id", "text",
+      k = 8, w = 4, minShared = minShared, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val fps = graft.textops.TextOps.winnowing(df, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dfCount = fps.groupBy(_._2).view.mapValues(_.length).toMap
+    val rare = fps.filter(p => dfCount(p._2) <= maxDf)
+    val byFp = rare.groupBy(_._2)
+    val expected = byFp.values.flatMap { ps =>
+      val ids = ps.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= minShared)
+    assert(got == expected)
+  }
+
   test("clusters: transitive chain collapses to one component") {
     import spark.implicits._
     // a~b, b~c, plus an unrelated d~e: closure must merge {1,2,3}
