@@ -21,7 +21,7 @@ object ScaleBench {
     "dedup_clusters", "dedup_clusters_simhash", "dedup_resolve",
     "doc_winnow", "decontaminate", "corpus_clean", "multimodal_meta",
     "topk_ngrams", "tfidf_terms", "dedup_spans", "corpus_profile",
-    "novelty_score", "stream_trending_ngrams",
+    "novelty_score", "stream_trending_ngrams", "dedup_incremental",
     // embeddings family
     "embedding_quantize", "embedding_neardup", "embedding_clusters",
     "similarity_topk", "similarity_lsh", "similarity_ivf",

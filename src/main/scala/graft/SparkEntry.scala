@@ -520,6 +520,16 @@ object SparkEntry {
       Dedup.spanPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 8, w = 4, minShared = 5, maxDf = 16)),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // daily-ingest decision: md5-bucket >= 70 plays the incoming
+      // batch, the rest the already-deduped corpus; the incoming
+      // fingerprints broadcast, the corpus never shuffles
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      Dedup.exactIncremental(d.filter(bucket >= 70), d.filter(bucket < 70),
+        "doc_id", "text")
+    }),
+
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: keep/drop per vector, cluster-scoped greedy
       // lowest-id-wins at cosine >= 0.4; same fitted index as
@@ -1108,6 +1118,25 @@ object SparkEntry {
              ORDER BY sim DESC, neighbor_id) AS rank
            FROM scored) WHERE rank <= 5"""
     },
+
+    "dedup_incremental" ->
+      // same md5-bucket split (>= 70 incoming), normalized-content
+      // fingerprints, batch-survivor min-id rule, corpus-absence check
+      """WITH b AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+           FROM documents),
+         inc AS (SELECT doc_id, fingerprint FROM b WHERE bucket >= 70),
+         corp AS (SELECT fingerprint FROM b WHERE bucket < 70),
+         keepb AS (SELECT fingerprint, min(doc_id) AS keep_id FROM inc GROUP BY 1),
+         hit AS (SELECT DISTINCT c.fingerprint FROM corp c JOIN keepb USING (fingerprint))
+         SELECT i.doc_id, i.fingerprint,
+           (i.doc_id = k.keep_id AND h.fingerprint IS NULL) AS is_new
+         FROM inc i JOIN keepb k USING (fingerprint)
+         LEFT JOIN hit h ON h.fingerprint = i.fingerprint""",
 
     "dedup_semantic" -> {
       // replay the shared fitted index, then the greedy rule: a vector

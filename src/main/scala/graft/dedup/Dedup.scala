@@ -30,6 +30,43 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** INCREMENTAL exact dedup: which incoming documents are new versus a
+    * corpus that is already deduplicated — the daily-ingest decision,
+    * answered WITHOUT re-processing the corpus relationally.
+    *
+    * Scale shape is [[graft.pipeline.Pipeline.decontaminate]]'s: the
+    * incoming batch is the small side (a crawl increment vs a 100 TB
+    * corpus), so its fingerprints BROADCAST and the corpus streams
+    * through a broadcast join probe — corpus rows never shuffle, and
+    * the corpus side prunes to the fingerprint column only. Duplicates
+    * WITHIN the incoming batch also collapse (min id wins, consistent
+    * with [[exact]]); `is_new` marks each incoming doc's batch-survivor
+    * against the corpus.
+    *
+    * Output: one row per incoming document —
+    * (doc_id, fingerprint, is_new: survivor of its batch group AND
+    * absent from the corpus).
+    */
+  def exactIncremental(incoming: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val inc = incoming.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val batchKeep = inc.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("_keep_id"))
+    // corpus side: fingerprint projection only; the broadcast carries
+    // the (small) incoming fingerprint set, the corpus never shuffles
+    val hit = graft.util.Par.spread(corpus)
+      .select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .join(broadcast(batchKeep.select(col("fingerprint"))), "fingerprint")
+      .distinct()
+      .withColumn("_in_corpus", lit(true))
+    inc.join(broadcast(batchKeep), "fingerprint")
+      .join(broadcast(hit), Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"),
+        (col("doc_id") === col("_keep_id") &&
+          coalesce(!col("_in_corpus"), lit(true))).as("is_new"))
+  }
+
   /** MinHash signature from ONE md5 per shingle: the digest's two halves
     * (h1 = first 15 hex chars = 60 bits, h2 = hex chars 17-30 = 56 bits)
     * seed a Kirsch-Mitzenmacher double-hashing family

@@ -129,6 +129,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("exactIncremental: corpus hits, batch-internal dups, and fresh docs") {
+    val corpus = docs(1L -> "Hello  World", 2L -> "existing page")
+    val incoming = docs(
+      10L -> "hello world ",       // dup of corpus doc 1 (normalized)
+      11L -> "brand new content",  // new
+      12L -> "brand  NEW content", // dup of 11 within the batch
+      13L -> "another new doc")
+    val out = Dedup.exactIncremental(incoming, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(10L -> false, 11L -> true, 12L -> false, 13L -> true))
+    // plan shape: the corpus probe must be a broadcast join (incoming
+    // side small), never a shuffle of the corpus
+    val p = Dedup.exactIncremental(incoming, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("spanPairs equals a driver-side recount of shared winnow fingerprints") {
     // randomized corpus with planted overlaps; recompute the definition
     // naively from the winnowing output and compare exactly
