@@ -25,7 +25,7 @@ object ScaleBench {
     // embeddings family
     "embedding_quantize", "embedding_neardup", "embedding_clusters",
     "similarity_topk", "similarity_lsh", "similarity_ivf",
-    "dedup_semantic", "embedding_pq", "similarity_pq",
+    "dedup_semantic", "embedding_pq", "similarity_pq", "similarity_ivfpq",
     // events family (window_rank excluded: it reads the TPC-H `orders`
     // table, which ScaleGen does not scale up)
     "lag_1d", "lag_2d_partitioned", "lag_distributed", "rolling_agg",

@@ -554,6 +554,15 @@ object SparkEntry {
         fitSamplePct = 60, dim = 64)
     }),
 
+    "similarity_ivfpq" -> ((s, dir) => {
+      // the composed big-ANN shape: IVF list pruning + ADC scoring of
+      // PQ codes; both indexes share the sampled deterministic fits
+      val emb = Tables.embeddings(s, dir)
+      graft.simops.Embed.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", kNN = 5, nlist = 16, nprobe = 4,
+        m = 8, k = 16, iters = 1, fitSamplePct = 60, dim = 64)
+    }),
+
     "embedding_neardup" -> ((s, dir) =>
       // banded LSH candidates + exact cosine verify (no nested-loop pair
       // scan); params must stay in sync with the literal-plane oracle
@@ -1186,6 +1195,40 @@ object SparkEntry {
          scored AS (SELECT q.id AS query_id, r.id AS neighbor_id,
              round($adcSum, 6) AS adist
            FROM v q, recon r WHERE q.id < 10 AND r.id <> q.id)
+         SELECT query_id, neighbor_id, adist, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adist ASC, neighbor_id) AS rank
+           FROM scored) WHERE rank <= 5"""
+    },
+
+    "similarity_ivfpq" -> {
+      // both shared fit replays in one query: asg2 (IVF list per
+      // vector) from duckIvfFitCtes, recon (PQ reconstruction per
+      // vector) from duckPqFitCtes; queries probe their 4 nearest
+      // lists (same window/tiebreak as similarity_ivf) and ADC-score
+      // only the probed candidates
+      val cosQC = duckCosine("q.vv", "c.c")
+      val reconJoins = (0 until pqM).map(mi =>
+        (if (mi == 0) "FROM enc_0" else s"JOIN enc_$mi ON enc_$mi.id = enc_0.id") +
+          s" JOIN cb_$mi r$mi ON r$mi.code = enc_$mi.code").mkString(" ")
+      val reconCols = (0 until pqM).map(mi => s"r$mi.c AS c$mi").mkString(", ")
+      val adcSum = (0 until pqM).map { mi =>
+        val off = mi * pqSub
+        duckL2(s"qpf.qv[${off + 1}:${off + pqSub}]", s"r.c$mi")
+      }.mkString(" + ")
+      s"""WITH $duckIvfFitCtes,
+         $duckPqFitCtes,
+         recon AS (SELECT enc_0.id, $reconCols $reconJoins),
+         qp AS (SELECT q.id AS query_id, q.vv AS qv, c.list_id,
+                 row_number() OVER (PARTITION BY q.id
+                   ORDER BY $cosQC DESC, c.list_id) AS rn
+                FROM v q, cent c WHERE q.id < 10),
+         qpf AS (SELECT query_id, qv, list_id FROM qp WHERE rn <= 4),
+         scored AS (SELECT qpf.query_id, a.id AS neighbor_id,
+             round($adcSum, 6) AS adist
+           FROM qpf JOIN asg2 a USING (list_id)
+           JOIN recon r ON r.id = a.id
+           WHERE a.id <> qpf.query_id)
          SELECT query_id, neighbor_id, adist, rank FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY adist ASC, neighbor_id) AS rank

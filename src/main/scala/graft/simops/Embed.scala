@@ -185,6 +185,55 @@ object Embed {
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
 
+  /** IVF + PQ composed — the standard billion-scale ANN architecture:
+    * candidates partition into [[Ivf]] lists AND compress to PQ codes;
+    * a query probes its `nprobe` nearest lists and ADC-scores ONLY
+    * those candidates' codes. Candidate volume drops to
+    * ~N·nprobe/nlist and the scored payload is the m-byte code array,
+    * not the vector — the scan that fits in memory at 100 TB. Both
+    * index fits are sample-bounded; assignment, encode, probe and
+    * score are pure codegen'd projections; the only data-sized
+    * exchange is the list_id-keyed probe join (queries broadcast).
+    */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
+                vecCol: String, kNN: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, k: Int = 16, iters: Int = 1,
+                fitSamplePct: Int = 100, dim: Int = 64): DataFrame = {
+    val cents = Ivf.fitSeq(candidates, idCol, vecCol, nlist, iters,
+      fitSamplePct)
+    val (codes, books) = fitBooks(candidates, idCol, vecCol, m, k, iters,
+      fitSamplePct, dim)
+    val idx: Array[Array[Int]] = Array.tabulate(m) { mi =>
+      val a = Array.fill(k)(0)
+      codes(mi).zipWithIndex.foreach { case (cid, i) => a(cid) = i }
+      a
+    }
+    val cand = graft.util.Par.spread(candidates)
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+      .withColumn("_sims", Ivf.simsCol(cents, col("_cv")))
+      .withColumn("list_id", Ivf.nearestList(cents, col("_sims")))
+      .select(col("neighbor_id"), col("list_id"),
+        graft.functions.PqCodesExpr(col("_cv"), codes, books).as("_codes"))
+    val qp = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("_qv"))
+      .withColumn("_sims", Ivf.simsCol(cents, col("_qv")))
+      .withColumn("list_id",
+        explode(Ivf.probeLists(cents, col("_sims"), nprobe)))
+      .drop("_sims")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    cand.join(broadcast(qp), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(graft.functions.PqAdcExpr(
+        col("_qv"), col("_codes"), idx, books), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
+  }
+
   /** SemDeDup-style semantic deduplication: the keep/drop DECISION per
     * vector, scoped by embedding cluster. Every vector is assigned to
     * its nearest [[Ivf]] centroid (a pure codegen'd projection — the

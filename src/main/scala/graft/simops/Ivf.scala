@@ -122,7 +122,7 @@ object Ivf {
     * also a pure projection (descending (sim, -list_id) struct sort = sim
     * desc, list_id asc, matching the window-rank tiebreak).
     */
-  private def probeLists(cents: Seq[(Int, Seq[Double])],
+  private[simops] def probeLists(cents: Seq[(Int, Seq[Double])],
                          sims: Column, nprobe: Int): Column =
     transform(
       slice(reverse(array_sort(

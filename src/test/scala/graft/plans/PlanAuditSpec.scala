@@ -256,6 +256,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("similarity_ivfpq: probe join on list_id, codes not vectors in the scan side") {
+    val p = plan("similarity_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate side carries (neighbor_id, list_id, codes); the full
+    // vector column must be pruned away after the assignment/encode
+    // projection — no _cv survives into the join operator
+    val joinLine = p.linesIterator.find(_.contains("BroadcastHashJoin"))
+    assert(joinLine.isDefined, p)
+    assert(p.contains("pqcodesexpr"), p)
+  }
+
   test("dedup_semantic: pairs join keyed on list_id, no cartesian scan") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct") &&

@@ -107,6 +107,24 @@ class EmbedSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"ADC recall $recall")
   }
 
+  test("ivfPqTopK: composed pruning+compression recall, subset discipline") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(emb("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqAll = Embed.pqTopK(q, emb, "vec_id", "embedding", kNN = 5,
+      m = 8, k = 16, iters = 1, fitSamplePct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Embed.ivfPqTopK(q, emb, "vec_id", "embedding", kNN = 5,
+      nlist = 16, nprobe = 4, m = 8, k = 16, iters = 1, fitSamplePct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rFull = pqAll.intersect(brute).size.toDouble / brute.size
+    val rPruned = ivfpq.intersect(brute).size.toDouble / brute.size
+    info(f"ADC recall@5: full scan $rFull%.3f, IVF-pruned (4/16 lists) $rPruned%.3f")
+    // pruning 12 of 16 lists must not collapse recall to chance
+    assert(rPruned >= 0.1, s"IVFPQ recall $rPruned")
+  }
+
   test("semanticDedup: lowest id in a near-dup set survives, singletons kept") {
     import spark.implicits._
     // two tight direction groups + one lone vector; nlist=2 puts the
