@@ -144,7 +144,20 @@ object PlanDump {
         ("Per-doc corpus-unique n-gram fraction: distinct (doc, ngram), " +
           "per-ngram document frequency, and the per-doc average are " +
           "all map-side-combinable aggregates; the df join side is one " +
-          "row per distinct n-gram. No sort anywhere."))
+          "row per distinct n-gram. No sort anywhere."),
+      "dedup_incremental" ->
+        ("Daily-ingest decision: the incoming batch's fingerprints " +
+          "BROADCAST (decontaminate's probe shape) and the deduped " +
+          "corpus streams through the probe without shuffling, pruned " +
+          "to the fingerprint projection; batch-internal dups collapse " +
+          "min-id-first like dedup_exact."),
+      "similarity_ivfpq" ->
+        ("IVF+PQ composed: candidates carry (id, list_id, m-byte " +
+          "codes) — the vector is pruned after the assignment/encode " +
+          "projection; queries broadcast into the list_id-keyed probe " +
+          "join and ADC-score only the probed lists' codes. Candidate " +
+          "volume ~N·nprobe/nlist, scored payload 32× smaller than " +
+          "vectors."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")
