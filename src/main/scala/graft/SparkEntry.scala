@@ -278,6 +278,30 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    "q_rollup" -> ((s, dir) => {
+      // grouping-set super-aggregates: (flag, status), per-flag, and
+      // grand total in ONE pass — Spark plans a single Expand +
+      // aggregate, not three scans
+      val li = Tables.lineitem(s, dir)
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+    }),
+
+    "q_window_stats" -> ((s, dir) => {
+      // distribution window functions (ntile / percent_rank /
+      // cume_dist) over a (value, id) total order per event type
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      ev.select(col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    }),
+
     "q3_topk_orders" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir)
@@ -756,6 +780,19 @@ object SparkEntry {
          COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "q_window_stats" ->
+      """SELECT event_id, event_type, value,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
 
     "q3_topk_orders" ->
       """SELECT o_orderkey,
