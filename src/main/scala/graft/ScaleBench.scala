@@ -29,7 +29,7 @@ object ScaleBench {
     // events family (window_rank excluded: it reads the TPC-H `orders`
     // table, which ScaleGen does not scale up)
     "lag_1d", "lag_2d_partitioned", "lag_distributed", "rolling_agg",
-    "sessionize", "json_props")
+    "sessionize", "json_props", "q_window_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
