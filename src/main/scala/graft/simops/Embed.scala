@@ -133,6 +133,16 @@ object Embed {
           / (m * (dim / m))), 6).as("rmse"))
   }
 
+  /** Original code id → position in books(m); seed ids are dense in
+    * [0, k) so a flat array suffices. Shared by the ADC scorers.
+    */
+  private def codeIndex(codes: Array[Array[Int]], k: Int): Array[Array[Int]] =
+    codes.map { mc =>
+      val a = Array.fill(k)(0)
+      mc.zipWithIndex.foreach { case (cid, i) => a(cid) = i }
+      a
+    }
+
   /** PQ-compressed brute-force top-k (ADC — asymmetric distance): rank
     * candidates by squared L2 between the full query vector and each
     * candidate's codebook RECONSTRUCTION. The memory-bound ANN shape:
@@ -161,13 +171,7 @@ object Embed {
              dim: Int = 64): DataFrame = {
     val (codes, books) = fitBooks(candidates, idCol, vecCol, m, k, iters,
       fitSamplePct, dim)
-    // original code id -> position in books(m); seed ids are dense in
-    // [0, k) so a flat array suffices
-    val idx: Array[Array[Int]] = Array.tabulate(m) { mi =>
-      val a = Array.fill(k)(0)
-      codes(mi).zipWithIndex.foreach { case (cid, i) => a(cid) = i }
-      a
-    }
+    val idx = codeIndex(codes, k)
     val cand = graft.util.Par.spread(candidates)
       .select(col(idCol).as("neighbor_id"),
         graft.functions.PqCodesExpr(
@@ -203,11 +207,7 @@ object Embed {
       fitSamplePct)
     val (codes, books) = fitBooks(candidates, idCol, vecCol, m, k, iters,
       fitSamplePct, dim)
-    val idx: Array[Array[Int]] = Array.tabulate(m) { mi =>
-      val a = Array.fill(k)(0)
-      codes(mi).zipWithIndex.foreach { case (cid, i) => a(cid) = i }
-      a
-    }
+    val idx = codeIndex(codes, k)
     val cand = graft.util.Par.spread(candidates)
       .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
