@@ -25,14 +25,14 @@ object SparkEntry {
 
   private val INF = "CAST('infinity' AS DOUBLE)"
 
-  /** Shared DuckDB CTE chain mirroring [[graft.dedup.Dedup.minhashLsh]]
-    * (md5 double-hash MinHash → banded LSH → exact-Jaccard verify),
-    * ending in `mpairs(doc_a, doc_b, jaccard)`. The `dedup_minhash`
-    * oracle selects from it directly; the `dedup_clusters` /
-    * `dedup_resolve` oracles build a recursive transitive closure over
-    * the same pairs, so all three rows check the same pipeline.
+  /** DuckDB CTE prefix shared by every MinHash oracle: tokens →
+    * shingles (`sh`) → md5 double-hash signature → LSH band keys
+    * (`banded(doc_id, bnd, bucket)`). [[minhashPairCtes]] appends the
+    * batch pair pipeline; the `dedup_minhash_incremental` oracle appends
+    * the broadcast-probe pipeline — both replay the SAME signature
+    * definition, so they can never drift.
     */
-  private val minhashPairCtes =
+  private val minhashBandedCtes =
     """toks AS (SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
            FROM documents),
@@ -55,7 +55,18 @@ object SparkEntry {
                  GROUP BY doc_id, j),
          banded AS (SELECT doc_id, j // 2 AS bnd,
              md5((j // 2) || '#' || string_agg(m::VARCHAR, ',' ORDER BY j)) AS bucket
-           FROM sig GROUP BY doc_id, j // 2),
+           FROM sig GROUP BY doc_id, j // 2)"""
+
+  /** [[minhashBandedCtes]] + the batch pair pipeline mirroring
+    * [[graft.dedup.Dedup.minhashLsh]] (bucket cap → candidate pairs →
+    * exact-Jaccard verify), ending in `mpairs(doc_a, doc_b, jaccard)`.
+    * The `dedup_minhash` oracle selects from it directly; the
+    * `dedup_clusters` / `dedup_resolve` oracles build a recursive
+    * transitive closure over the same pairs, so all three rows check
+    * the same pipeline.
+    */
+  private val minhashPairCtes = minhashBandedCtes +
+    """,
          capped AS (SELECT bnd, bucket, doc_id FROM banded
            QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
          p AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -552,6 +563,18 @@ object SparkEntry {
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       Dedup.exactIncremental(d.filter(bucket >= 70), d.filter(bucket < 70),
         "doc_id", "text")
+    }),
+
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      // the near-dup daily-ingest decision: same md5-bucket split as
+      // dedup_incremental (>= 70 plays the crawl increment); the
+      // increment's band keys broadcast against the corpus's banded
+      // signature frame — the corpus never shuffles
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      Dedup.minhashIncremental(d.filter(bucket >= 70), d.filter(bucket < 70),
+        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5)
     }),
 
     "dedup_semantic" -> ((s, dir) =>
@@ -1183,6 +1206,47 @@ object SparkEntry {
            (i.doc_id = k.keep_id AND h.fingerprint IS NULL) AS is_new
          FROM inc i JOIN keepb k USING (fingerprint)
          LEFT JOIN hit h ON h.fingerprint = i.fingerprint""",
+
+    "dedup_minhash_incremental" ->
+      // replays Dedup.minhashIncremental on the shared banded-signature
+      // CTEs: same md5-bucket split as dedup_incremental, increment band
+      // keys probe the corpus side, matched buckets capped at 64, exact
+      // Jaccard >= 0.5 verify, best match = (jaccard desc, corpus id)
+      s"""WITH $minhashBandedCtes,
+         sb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
+           FROM documents),
+         incb AS (SELECT b.doc_id, bnd, bucket FROM banded b
+                  JOIN sb USING (doc_id) WHERE sb.sbucket >= 70),
+         corb AS (SELECT b.doc_id, bnd, bucket FROM banded b
+                  JOIN sb USING (doc_id) WHERE sb.sbucket < 70),
+         ikeys AS (SELECT DISTINCT bnd, bucket FROM incb),
+         mat AS (SELECT c.doc_id, c.bnd, c.bucket FROM corb c
+                 JOIN ikeys USING (bnd, bucket)),
+         mcap AS (SELECT doc_id, bnd, bucket FROM mat
+                  QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
+         cand AS (SELECT DISTINCT i.doc_id AS inc_id, m.doc_id AS dup_id
+                  FROM incb i JOIN mcap m USING (bnd, bucket)),
+         isz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         iiv AS (SELECT cand.inc_id, cand.dup_id, count(*) AS inter
+                 FROM cand JOIN sh x ON x.doc_id = cand.inc_id
+                 JOIN sh y ON y.doc_id = cand.dup_id AND y.shingle = x.shingle
+                 GROUP BY 1, 2),
+         ver AS (SELECT iiv.inc_id, iiv.dup_id,
+             round(iiv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iiv.inter), 6) AS jaccard
+           FROM iiv JOIN isz sx ON sx.doc_id = iiv.inc_id
+           JOIN isz sy ON sy.doc_id = iiv.dup_id
+           WHERE round(iiv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iiv.inter), 6) >= 0.5),
+         best AS (SELECT inc_id, dup_id, jaccard FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY jaccard DESC, dup_id) AS rn FROM ver) WHERE rn = 1)
+         SELECT i.doc_id, best.dup_id AS dup_of, best.jaccard,
+           (best.dup_id IS NULL) AS is_new
+         FROM (SELECT doc_id FROM sb WHERE sbucket >= 70) i
+         LEFT JOIN best ON best.inc_id = i.doc_id""",
 
     "dedup_semantic" -> {
       // replay the shared fitted index, then the greedy rule: a vector

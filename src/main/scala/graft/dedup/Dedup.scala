@@ -92,6 +92,50 @@ object Dedup {
       array_min(zip_with(h1, h2, (a, b) => a + lit(j.toLong) * b))
     }: _*)
 
+  /** The (doc_id, sh) shingle-set frame every MinHash stage starts from —
+    * factored so the batch ([[minhashLsh]]) and incremental
+    * ([[minhashIncremental]]) operators can never drift on what a
+    * shingle is.
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc_id"),
+        TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
+
+  /** (doc_id, band, bucket) LSH band keys from a shingle frame.
+    *
+    * The whole signature is ONE codegen'd pass per document
+    * ([[graft.functions.MinHashSigExpr]]): md5 per shingle + all
+    * numHashes mins in a tight JVM loop. The staged Column-expression
+    * twin ([[minhashSignatureFromHalves]] fed by per-stage aliases) is
+    * the equivalence-tested spec and the template the DuckDB oracle SQL
+    * mirrors.
+    *
+    * Band key = md5 of that band's slice of the signature. Only
+    * (doc_id, band, bucket) travels through the LSH shuffles — the wide
+    * shingle arrays are re-joined later for the few candidate pairs,
+    * which keeps shuffle bytes O(docs), not O(docs × shingles).
+    * Band keys are built as a STATIC array (not a lambda over band
+    * index): `sig` is then referenced `bands` times, blocking the
+    * per-element inline; posexplode_outer skips the inferred
+    * size(...)>0 filter a plain posexplode would push down (the band
+    * array is never empty).
+    */
+  private def bandKeys(shingles: DataFrame, bands: Int,
+                       rowsPerBand: Int): DataFrame = {
+    val withSig = shingles.select(col("doc_id"),
+      graft.functions.MinHashSigExpr(col("sh"), bands * rowsPerBand).as("sig"))
+    withSig.select(col("doc_id"),
+      posexplode_outer(array((0 until bands).map { b =>
+        md5(concat(lit(s"$b#"),
+          array_join(transform(
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            x => x.cast("string")), ",")))
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
   /** MinHash + LSH banding near-dedup.
     *
     * @param bands × @param rowsPerBand hash functions; docs agreeing on ALL
@@ -102,37 +146,9 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // whole signature in ONE codegen'd pass per document
-    // ([[graft.functions.MinHashSigExpr]]): md5 per shingle + all
-    // numHashes mins in a tight JVM loop. The staged Column-expression
-    // twin ([[minhashSignatureFromHalves]] fed by per-stage aliases) is
-    // the equivalence-tested spec and the template the DuckDB oracle SQL
-    // mirrors.
-    val withSig = graft.util.Par.spread(df)
-      .select(col(idCol).as("doc_id"),
-        TextOps.tokens(lower(col(textCol))).as("_toks"))
-      .select(col("doc_id"),
-        TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
-      .select(col("doc_id"),
-        graft.functions.MinHashSigExpr(col("sh"), numHashes).as("sig"))
-
-    // band key = md5 of that band's slice of the signature. Only
-    // (doc_id, band, bucket) travels through the LSH shuffles — the wide
-    // shingle arrays are re-joined later for the few candidate pairs,
-    // which keeps shuffle bytes O(docs), not O(docs × shingles).
-    // Band keys are built as a STATIC array (not a lambda over band
-    // index): `sig` is then referenced `bands` times, again blocking the
-    // per-element inline; posexplode_outer skips the inferred
-    // size(...)>0 filter a plain posexplode would push down (the band
-    // array is never empty).
-    val banded = withSig.select(col("doc_id"),
-        posexplode_outer(array((0 until bands).map { b =>
-          md5(concat(lit(s"$b#"),
-            array_join(transform(
-              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-              x => x.cast("string")), ",")))
-        }: _*)).as(Seq("band", "bucket")))
+    val banded = bandKeys(
+      shingleSets(graft.util.Par.spread(df), idCol, textCol, shingleSize),
+      bands, rowsPerBand)
 
     val bucketed = banded
       .withColumn("n_in_bucket",
@@ -147,20 +163,101 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    val shingleSets = graft.util.Par.spread(df)
-      .select(col(idCol).as("doc_id"),
-        TextOps.tokens(lower(col(textCol))).as("_toks"))
-      .select(col("doc_id"),
-        TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
+    val shs = shingleSets(graft.util.Par.spread(df), idCol, textCol,
+      shingleSize)
     pairs
-      .join(shingleSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shingleSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** INCREMENTAL near-dedup: which incoming documents are near-dups of
+    * an already-ingested corpus — the daily-crawl decision
+    * [[exactIncremental]] answers for exact dups, extended to MinHash
+    * similarity. The operator a 100 TB pipeline actually runs every
+    * ingest: the corpus is NOT re-deduplicated against itself; only the
+    * increment is probed against it.
+    *
+    * Scale shape (the [[exactIncremental]]/decontaminate broadcast
+    * discipline — the corpus side NEVER shuffles):
+    *   - the incoming batch's (band, bucket) keys BROADCAST into a join
+    *     against the corpus's banded signature frame, so corpus rows
+    *     stream map-side through signature computation + probe — at
+    *     scale the banded frame is the persisted signature store and
+    *     the probe is a broadcast-hash lookup against it;
+    *   - only MATCHED corpus rows (candidate-sized, not corpus-sized)
+    *     reach the bucket-cap window and the pairing join — the
+    *     `maxBucket` skew guard runs after the broadcast probe, where a
+    *     degenerate bucket has already shrunk to its matched slice;
+    *   - exact-Jaccard verify re-reads shingles ONLY for candidate
+    *     corpus docs (their ids broadcast back against the corpus scan).
+    *
+    * Output: one row per incoming document —
+    * (doc_id, dup_of: best-matching corpus doc or null, jaccard of that
+    * match or null, is_new: no corpus near-dup ≥ threshold). "Best"
+    * breaks ties deterministically: highest jaccard, then lowest corpus
+    * id. Within-batch near-dups are out of scope by design — run
+    * [[minhashLsh]] over the (small) increment for those.
+    */
+  def minhashIncremental(incoming: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleSize: Int = 3, bands: Int = 8,
+                         rowsPerBand: Int = 2, threshold: Double = 0.5,
+                         maxBucket: Int = 64): DataFrame = {
+    // the increment's shingle frame forks three ways (band keys, verify
+    // side, output doc list) — checkpoint once, like spanPairs' fps
+    val incSh = shingleSets(graft.util.Par.spread(incoming), idCol,
+      textCol, shingleSize).localCheckpoint()
+    val incBanded = bandKeys(incSh, bands, rowsPerBand)
+    val incKeys = incBanded.select(col("band"), col("bucket")).distinct()
+    val corpusBanded = bandKeys(
+      shingleSets(graft.util.Par.spread(corpus), idCol, textCol,
+        shingleSize), bands, rowsPerBand)
+    // the probe: corpus streams through a broadcast join on the
+    // increment's band keys — no corpus shuffle, ids-only payload
+    val matched = corpusBanded.join(broadcast(incKeys), Seq("band", "bucket"))
+    val capped = matched.withColumn("_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("_n") <= maxBucket)
+    val pairs = capped.join(
+        broadcast(incBanded.select(col("band"), col("bucket"),
+          col("doc_id").as("inc_id"))), Seq("band", "bucket"))
+      .select(col("inc_id"), col("doc_id").as("dup_id"))
+      .dropDuplicates("inc_id", "dup_id")
+    // verify payloads: candidate corpus ids broadcast back against the
+    // corpus shingle scan (again no corpus shuffle); increment shingles
+    // come from the checkpoint
+    val candIds = pairs.select(col("dup_id").as("doc_id")).distinct()
+    val corpusSh = shingleSets(graft.util.Par.spread(corpus), idCol,
+        textCol, shingleSize)
+      .join(broadcast(candIds), "doc_id")
+    val verified = pairs
+      .join(broadcast(incSh.select(col("doc_id").as("inc_id"),
+        col("sh").as("sh_a"))), "inc_id")
+      .join(corpusSh.select(col("doc_id").as("dup_id"),
+        col("sh").as("sh_b")), "dup_id")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("jaccard").desc, col("dup_id").asc)
+    val best = verified
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("inc_id").cast("long").as("doc_id"),
+        col("dup_id").cast("long").as("dup_of"), col("jaccard"))
+    incSh.select(col("doc_id").cast("long").as("doc_id"))
+      .join(broadcast(best), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("is_new"))
   }
 
   /** 64-bit SimHash per document via the scalable explode→groupBy path:

@@ -255,6 +255,33 @@ class DedupSpec extends AnyFunSuite {
       (3L, 3L, true), (4L, 4L, true)))
   }
 
+  test("minhashIncremental: flags corpus near-dups, leaves fresh docs new") {
+    // corpus: base + a distinct doc; increment: a near-copy of base, an
+    // exact copy of base, and a genuinely fresh doc
+    val corpus = docs(1L -> base, 2L -> other)
+    val incoming = docs(10L -> nearDup, 11L -> base, 12L ->
+      "entirely novel text with no overlap against anything stored " * 4)
+    val out = Dedup.minhashIncremental(incoming, corpus, "doc_id", "text",
+        threshold = 0.3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3)
+    assert(!out(10L).getBoolean(3) && out(10L).getLong(1) == 1L) // near-dup of 1
+    assert(!out(11L).getBoolean(3) && out(11L).getLong(1) == 1L) // exact dup of 1
+    assert(out(11L).getDouble(2) == 1.0)
+    assert(out(12L).getBoolean(3) && out(12L).isNullAt(1)) // fresh
+  }
+
+  test("minhashIncremental: best match is (jaccard desc, lowest corpus id)") {
+    // two identical corpus docs both match the incoming doc at j=1.0;
+    // the deterministic winner is the lower id
+    val corpus = docs(5L -> base, 3L -> base, 9L -> other)
+    val incoming = docs(100L -> base)
+    val r = Dedup.minhashIncremental(incoming, corpus, "doc_id", "text",
+      threshold = 0.3).collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 3L &&
+      r.getDouble(2) == 1.0 && !r.getBoolean(3))
+  }
+
   test("ngram jaccard inverted-index join matches brute-force definition") {
     val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val rows = Dedup.ngramJaccard(df, "doc_id", "text",
