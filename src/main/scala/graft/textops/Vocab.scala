@@ -94,15 +94,26 @@ object Vocab {
     * frequency are both map-side-combinable aggregates; the df side of
     * the join is one row per distinct n-gram; the final per-doc average
     * is combinable again. Nothing ranks globally — no sort anywhere.
+    *
+    * Every post-explode stage keys on `xxhash64(ngram)`, never the
+    * string: no output column needs the n-gram text, so the distinct,
+    * the df aggregate, and the join all move 8-byte keys instead of
+    * arbitrary-length strings (~3-8× fewer shuffle bytes, and hot
+    * stopword-grade keys stop inflating their reduce partitions —
+    * the skew AQE would otherwise have to split). Two n-grams colliding
+    * in 64 bits would merge their df counts; at P ≈ vocab²/2⁶⁴ that is
+    * the same vanishing-collision contract [[graft.dedup.Dedup]]'s
+    * hashed-shingle joins already carry.
     */
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 2): DataFrame = {
     val grams = graft.util.Par.spread(df)
       .select(col(idCol),
         explode(ngrams(TextOps.tokens(lower(col(textCol))), n)).as("ngram"))
+      .select(col(idCol), xxhash64(col("ngram")).as("_gh"))
       .distinct()
-    val dfreq = grams.groupBy(col("ngram")).agg(count(lit(1)).as("_df"))
-    grams.join(dfreq, "ngram")
+    val dfreq = grams.groupBy(col("_gh")).agg(count(lit(1)).as("_df"))
+    grams.join(dfreq, "_gh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         round(avg(when(col("_df") === 1, 1.0).otherwise(0.0)), 6)
@@ -117,10 +128,13 @@ object Vocab {
     * Scale shape: the (doc, term) tf aggregate and the term df
     * aggregate are both map-side combinable; N rides in as a 1-row
     * broadcast cross join (one DAG, no driver action); tf⋈df is keyed
-    * on the term — the document-frequency side is one row per distinct
-    * term (O(vocab)), so even stopword-grade hot terms join 1:1 against
-    * the tf rows that carry them. The final top-k window partitions by
-    * document id — millions of independent partitions, no global sort.
+    * on `xxhash64(term)` — the document-frequency side is one row per
+    * distinct term (O(vocab)) carrying an 8-byte key and a count, no
+    * strings, so even stopword-grade hot terms join 1:1 against the tf
+    * rows that carry them and the join's build/shuffle bytes stay
+    * fixed-width (the term STRING rides only the tf side, where the
+    * output needs it). The final top-k window partitions by document
+    * id — millions of independent partitions, no global sort.
     */
   def tfidfTerms(df: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame = {
@@ -129,11 +143,14 @@ object Vocab {
       .select(col(idCol),
         explode(TextOps.tokens(lower(col(textCol)))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("_th", xxhash64(col("term")))
     // tf is unique per (doc, term), so the term's document frequency is
-    // a plain count — no count(distinct) expansion needed
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // a plain count — no count(distinct) expansion needed (two terms
+    // colliding in 64 bits would merge df counts: the same vanishing
+    // P ≈ vocab²/2⁶⁴ contract as noveltyScore)
+    val dfreq = tf.groupBy(col("_th")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("_n_docs"))
-    tf.join(dfreq, "term")
+    tf.join(dfreq, "_th")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") *
         log((col("_n_docs") + 1.0) / (col("df") + 1.0)), 6))

@@ -218,6 +218,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("novelty_score and tfidf_terms join n-grams on 8-byte hashes, not strings") {
+    // the df-side joins key on xxhash64(ngram/term): fixed-width shuffle
+    // keys, and a stopword-grade hot key no longer drags its string
+    // payload into one reduce partition. The string survives only where
+    // the output needs it (tfidf's term column).
+    val pn = plan("novelty_score")
+    assert(pn.contains("xxhash64"), pn)
+    // no exchange may partition on the n-gram STRING
+    assert(!pn.linesIterator.exists(l =>
+      l.contains("hashpartitioning(ngram")), pn)
+    val pt = plan("tfidf_terms")
+    assert(pt.contains("hashpartitioning(_th"), pt)
+  }
+
   test("corpus_profile is one scan into one stratum-keyed aggregate") {
     val p = plan("corpus_profile")
     // exchanges: the stratum hash agg + the distinct-lang expand path;
