@@ -51,7 +51,14 @@ object Bench {
           "embedding_quantize", "multimodal_meta"))
         SparkEntry.queries(q)(spark, sfDir).count()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // TWO timed passes per query, min reported (the ScaleBench /
+    // BASELINE.md convention): the generic warmup above covers the hot
+    // kernel families but not each query's own composed-plan codegen,
+    // so in a single pass whichever query first exercises a plan shape
+    // absorbs its JIT — r4's dedup_exact read 1.63s in the suite vs
+    // 0.72s warmed (plan unchanged). The min of two full passes charges
+    // every query its steady-state cost.
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       // drain garbage from previous queries OUTSIDE the timed window so
       // a full GC doesn't land mid-query (standard benchmark hygiene)
       System.gc()
@@ -59,6 +66,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val first = pass()
+    val second = pass()
+    val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
