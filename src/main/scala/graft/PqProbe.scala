@@ -16,6 +16,19 @@ object PqProbe {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"PQPROBE m=$m k=$k recall=${pq.intersect(brute).size.toDouble / brute.size}%.3f")
     }
+    // residual vs raw encoding at fixed m/k: IVFADC quantizes the
+    // within-list residual cell, so recall should rise at the same
+    // code budget. nprobe=16/nlist=16 scans every list — isolates the
+    // ENCODING effect from list-pruning recall loss.
+    for ((m, k) <- Seq((8, 16), (16, 16))) {
+      def ivfpq(res: Boolean) = graft.simops.Embed.ivfPqTopK(q, emb,
+          "vec_id", "embedding", kNN = 5, nlist = 16, nprobe = 16,
+          m = m, k = k, iters = 1, fitSamplePct = 60, residual = res)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val raw = ivfpq(false); val res = ivfpq(true)
+      println(f"PQPROBE ivfpq m=$m k=$k raw=${raw.intersect(brute).size.toDouble / brute.size}%.3f" +
+        f" residual=${res.intersect(brute).size.toDouble / brute.size}%.3f")
+    }
     spark.stop()
   }
 }

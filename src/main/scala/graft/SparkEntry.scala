@@ -1304,10 +1304,12 @@ object SparkEntry {
 
     "similarity_ivfpq" -> {
       // both shared fit replays in one query: asg2 (IVF list per
-      // vector) from duckIvfFitCtes, recon (PQ reconstruction per
-      // vector) from duckPqFitCtes; queries probe their 4 nearest
-      // lists (same window/tiebreak as similarity_ivf) and ADC-score
-      // only the probed candidates
+      // vector) from duckIvfFitCtes, then the RESIDUAL frames (vector
+      // minus assigned centroid — IVFADC) feed the PQ fit/encode, so
+      // recon holds residual reconstructions; queries probe their 4
+      // nearest lists (same window/tiebreak as similarity_ivf),
+      // subtract the PROBED list's centroid, and ADC-score only the
+      // probed candidates in that list's residual space
       val cosQC = duckCosine("q.vv", "c.c")
       val reconJoins = (0 until pqM).map(mi =>
         (if (mi == 0) "FROM enc_0" else s"JOIN enc_$mi ON enc_$mi.id = enc_0.id") +
@@ -1315,21 +1317,25 @@ object SparkEntry {
       val reconCols = (0 until pqM).map(mi => s"r$mi.c AS c$mi").mkString(", ")
       val adcSum = (0 until pqM).map { mi =>
         val off = mi * pqSub
-        duckL2(s"qpf.qv[${off + 1}:${off + pqSub}]", s"r.c$mi")
+        duckL2(s"qr.qrv[${off + 1}:${off + pqSub}]", s"r.c$mi")
       }.mkString(" + ")
       s"""WITH $duckIvfFitCtes,
-         $duckPqFitCtes,
+         $duckIvfResidualCtes,
+         ${duckPqFitCtesOn("rsv", "rv")},
          recon AS (SELECT enc_0.id, $reconCols $reconJoins),
          qp AS (SELECT q.id AS query_id, q.vv AS qv, c.list_id,
                  row_number() OVER (PARTITION BY q.id
                    ORDER BY $cosQC DESC, c.list_id) AS rn
                 FROM v q, cent c WHERE q.id < 10),
          qpf AS (SELECT query_id, qv, list_id FROM qp WHERE rn <= 4),
-         scored AS (SELECT qpf.query_id, a.id AS neighbor_id,
+         qr AS (SELECT qpf.query_id, qpf.list_id,
+                 ${duckResidual.format("qpf.qv", "c.c").replace(" AS vv", " AS qrv")}
+                FROM qpf JOIN cent c USING (list_id)),
+         scored AS (SELECT qr.query_id, a.id AS neighbor_id,
              round($adcSum, 6) AS adist
-           FROM qpf JOIN asg2 a USING (list_id)
+           FROM qr JOIN asg2 a USING (list_id)
            JOIN recon r ON r.id = a.id
-           WHERE a.id <> qpf.query_id)
+           WHERE a.id <> qr.query_id)
          SELECT query_id, neighbor_id, adist, rank FROM (
            SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY adist ASC, neighbor_id) AS rank
@@ -1554,32 +1560,52 @@ object SparkEntry {
 
   /** The PQ codebook fit + full-corpus encode as DuckDB CTEs, per
     * subspace `mi`: `cb_mi` is the post-Lloyd codebook, `enc_mi` each
-    * vector's (id, code, d2). Shared by the `embedding_pq` and
-    * `similarity_pq` oracles so the codebook replay can never drift.
-    * Mirrors Embed.fitBooks(m=8, k=16, iters=1, fitSamplePct=60,
-    * dim=64): seeds = 16 lowest-id SAMPLE subvectors, one Lloyd step
-    * with 6dp-rounded means, argmin-L2 with ties to the lowest code.
+    * vector's (id, code, d2). Shared by the `embedding_pq` /
+    * `similarity_pq` oracles (raw vectors: `sv`/`v`) and the
+    * `similarity_ivfpq` oracle (residual frames: `rsv`/`rv`) so the
+    * codebook replay can never drift. Mirrors
+    * Embed.fitBooks(m=8, k=16, iters=1, fitSamplePct=60, dim=64):
+    * seeds = 16 lowest-id SAMPLE subvectors, one Lloyd step with
+    * 6dp-rounded means, argmin-L2 with ties to the lowest code.
+    * @param svN the fit-sample CTE (id, vv); @param vN the full frame
     */
-  private lazy val duckPqFitCtes: String =
+  private def duckPqFitCtesOn(svN: String, vN: String): String =
     (0 until pqM).map { mi =>
       val off = mi * pqSub
       val sl = s"[${off + 1}:${off + pqSub}]"
       s"""init_$mi AS (SELECT row_number() OVER (ORDER BY id) - 1 AS code, vv$sl AS c
-                  FROM (SELECT id, vv FROM sv ORDER BY id LIMIT 16)),
-         a_$mi AS (SELECT sv.id, sv.vv$sl AS s, i.code,
-                 row_number() OVER (PARTITION BY sv.id
-                   ORDER BY ${duckL2(s"sv.vv$sl", "i.c")} ASC, i.code) AS rn
-                FROM sv, init_$mi i),
+                  FROM (SELECT id, vv FROM $svN ORDER BY id LIMIT 16)),
+         a_$mi AS (SELECT $svN.id, $svN.vv$sl AS s, i.code,
+                 row_number() OVER (PARTITION BY $svN.id
+                   ORDER BY ${duckL2(s"$svN.vv$sl", "i.c")} ASC, i.code) AS rn
+                FROM $svN, init_$mi i),
          g_$mi AS (SELECT s, code FROM a_$mi WHERE rn = 1),
          cd_$mi AS (SELECT code, d, round(avg(s[d]), 6) AS md FROM g_$mi,
                  (SELECT unnest(generate_series(1, $pqSub)) AS d) GROUP BY 1, 2),
          cb_$mi AS (SELECT code, list(md ORDER BY d) AS c FROM cd_$mi GROUP BY code),
-         e_$mi AS (SELECT v.id, c.code, ${duckL2(s"v.vv$sl", "c.c")} AS d2,
-                 row_number() OVER (PARTITION BY v.id
-                   ORDER BY ${duckL2(s"v.vv$sl", "c.c")} ASC, c.code) AS rn
-                FROM v, cb_$mi c),
+         e_$mi AS (SELECT $vN.id, c.code, ${duckL2(s"$vN.vv$sl", "c.c")} AS d2,
+                 row_number() OVER (PARTITION BY $vN.id
+                   ORDER BY ${duckL2(s"$vN.vv$sl", "c.c")} ASC, c.code) AS rn
+                FROM $vN, cb_$mi c),
          enc_$mi AS (SELECT id, code, d2 FROM e_$mi WHERE rn = 1)"""
     }.mkString(",\n         ")
+
+  private lazy val duckPqFitCtes: String = duckPqFitCtesOn("sv", "v")
+
+  /** Residual frames for the `similarity_ivfpq` oracle: each vector
+    * minus its assigned list's (post-Lloyd) centroid — the IVFADC
+    * encode space — and the md5-bucket fit sample of the same. Exact
+    * elementwise double subtraction, the arithmetic
+    * [[graft.simops.Embed.ivfPqTopK]]'s residual projection performs.
+    */
+  private val duckResidual =
+    "list_transform(list_zip(%s, %s), " +
+      "p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS vv"
+  private lazy val duckIvfResidualCtes: String =
+    s"""rv AS (SELECT a.id, a.list_id,
+             ${duckResidual.format("a.vv", "c.c")}
+           FROM asg2 a JOIN cent c USING (list_id)),
+         rsv AS (SELECT rv.id, rv.vv FROM rv JOIN sv ON sv.id = rv.id)"""
 
   /** The winnowing fingerprint rows `(doc_id, fp)` as DuckDB CTEs
     * (k = 8, w = 4 — the registered parameters), shared by the

@@ -189,6 +189,15 @@ object Embed {
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
   }
 
+  /** `v − centroid(list_id)` as a pure Column projection: the centroid
+    * table is driver-resident index metadata, pinned into the plan as a
+    * map LITERAL keyed by list id (the [[Ivf]] literal-centroid
+    * discipline), so the subtraction adds no join and no shuffle.
+    */
+  private def residualCol(cents: Seq[(Int, Seq[Double])], v: Column,
+                          listId: Column): Column =
+    zip_with(v, element_at(typedlit(cents.toMap), listId), (x, c) => x - c)
+
   /** IVF + PQ composed — the standard billion-scale ANN architecture:
     * candidates partition into [[Ivf]] lists AND compress to PQ codes;
     * a query probes its `nprobe` nearest lists and ADC-scores ONLY
@@ -198,37 +207,62 @@ object Embed {
     * index fits are sample-bounded; assignment, encode, probe and
     * score are pure codegen'd projections; the only data-sized
     * exchange is the list_id-keyed probe join (queries broadcast).
+    *
+    * `residual` (default true) encodes `v − centroid(list(v))` instead
+    * of the raw vector — the standard IVFADC composition (Jégou et
+    * al.): within a list the residuals span a far smaller cell than
+    * the whole space, so the same m/k code budget quantizes finer and
+    * recall rises at identical storage (measured on the worst-case
+    * random-direction twin at nprobe=nlist, isolating the encoding:
+    * recall@5 0.30 vs 0.24 raw at m=8/k=16, 0.40 vs 0.30 at m=16/k=16
+    * — `graft.PqProbe`; clustered production embeddings gain more).
+    * The query side subtracts the SAME probed list's
+    * centroid before ADC, so distances stay comparable; both
+    * subtractions are literal-centroid projections (no extra shuffle),
+    * and the DuckDB oracle replays the identical residual arithmetic.
+    * `residual = false` keeps the raw-encoding twin for comparison.
     */
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
                 vecCol: String, kNN: Int, nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, k: Int = 16, iters: Int = 1,
-                fitSamplePct: Int = 100, dim: Int = 64): DataFrame = {
+                fitSamplePct: Int = 100, dim: Int = 64,
+                residual: Boolean = true): DataFrame = {
     val cents = Ivf.fitSeq(candidates, idCol, vecCol, nlist, iters,
       fitSamplePct)
-    val (codes, books) = fitBooks(candidates, idCol, vecCol, m, k, iters,
-      fitSamplePct, dim)
-    val idx = codeIndex(codes, k)
-    val cand = graft.util.Par.spread(candidates)
+    val assigned = graft.util.Par.spread(candidates)
       .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
       .withColumn("_sims", Ivf.simsCol(cents, col("_cv")))
       .withColumn("list_id", Ivf.nearestList(cents, col("_sims")))
-      .select(col("neighbor_id"), col("list_id"),
-        graft.functions.PqCodesExpr(col("_cv"), codes, books).as("_codes"))
+      .withColumn("_ev",
+        if (residual) residualCol(cents, col("_cv"), col("list_id"))
+        else col("_cv"))
+      .select(col("neighbor_id"), col("list_id"), col("_ev"))
+    // codebooks fit on the ENCODED space (residuals when enabled): the
+    // assignment upstream is a pure projection, so the fit's sample
+    // scan stays one narrow pass
+    val (codes, books) = fitBooks(assigned, "neighbor_id", "_ev", m, k,
+      iters, fitSamplePct, dim)
+    val idx = codeIndex(codes, k)
+    val cand = assigned.select(col("neighbor_id"), col("list_id"),
+      graft.functions.PqCodesExpr(col("_ev"), codes, books).as("_codes"))
     val qp = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_qv"))
       .withColumn("_sims", Ivf.simsCol(cents, col("_qv")))
       .withColumn("list_id",
         explode(Ivf.probeLists(cents, col("_sims"), nprobe)))
-      .drop("_sims")
+      .withColumn("_qe",
+        if (residual) residualCol(cents, col("_qv"), col("list_id"))
+        else col("_qv"))
+      .select(col("query_id"), col("list_id"), col("_qe"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     cand.join(broadcast(qp), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", round(graft.functions.PqAdcExpr(
-        col("_qv"), col("_codes"), idx, books), 6))
+        col("_qe"), col("_codes"), idx, books), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)
       .select(col("query_id"), col("neighbor_id"), col("adist"), col("rank"))
