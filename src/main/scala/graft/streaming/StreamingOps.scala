@@ -163,33 +163,64 @@ object StreamingOps {
   }
 
   /** Gap-based sessionization with explicit state: the custom-state
-    * example (`mapGroupsWithState` family). State per user is one running
-    * session — bounded, timeout-evicted; exactly the pattern a 1000-node
-    * streaming job uses for per-entity state.
+    * example (`mapGroupsWithState` family). State per user is one open
+    * session, and it is BOUNDED two ways — the non-negotiables for
+    * per-entity state on a long-running 1000-node job:
+    *
+    *  - `ProcessingTimeTimeout`: a user who goes quiet does not park an
+    *    open session in the state store forever — after `idleTimeout`
+    *    of no input the state times out, the open session flushes as a
+    *    summary, and the key's state is removed;
+    *  - `maxOpenEvents` eviction: a NEVER-idle user (bot traffic, a
+    *    metrics firehose keyed to one entity) would otherwise grow the
+    *    open-session list without bound — an open session reaching the
+    *    cap force-closes and emits, the max-session-length compromise
+    *    every production sessionizer makes.
+    *
+    * In batch execution timeouts never fire (there is no "later"), so
+    * the batch-parity contract is unchanged: closed sessions equal the
+    * gaps-and-islands rewrite, the open tail stays in state.
     */
-  def sessionize(events: Dataset[EventRow], gapMinutes: Long = 30)
+  def sessionize(events: Dataset[EventRow], gapMinutes: Long = 30,
+                 maxOpenEvents: Int = 10000,
+                 idleTimeout: String = "1 hour")
       : Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    require(maxOpenEvents >= 1, s"maxOpenEvents must be >= 1, got $maxOpenEvents")
     val gapMs = gapMinutes * 60000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[EventRow], SessionSummary](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[List[EventRow]]) =>
-          val sorted = (state.getOption.getOrElse(Nil) ++ rows.toList)
-            .sortBy(e => (StreamingLag.tsNanos(e.ts), e.event_id))
-          // split into gap-delimited sessions; keep the open tail as state
-          val sessions = scala.collection.mutable.ListBuffer[List[EventRow]]()
-          var cur = List.empty[EventRow]
-          sorted.foreach { e =>
-            if (cur.nonEmpty && e.ts.getTime - cur.head.ts.getTime > gapMs) {
-              sessions += cur.reverse; cur = Nil
-            }
-            cur = e :: cur
-          }
-          state.update(cur.reverse)
-          sessions.iterator.map { s =>
+          def summarize(s: List[EventRow]) =
             SessionSummary(userId, s.head.ts, s.last.ts,
               s.size.toLong, s.map(_.value).sum)
+          if (state.hasTimedOut) {
+            // idle key: flush the open session, drop the state entry
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            if (open.nonEmpty) Iterator.single(summarize(open))
+            else Iterator.empty
+          } else {
+            val sorted = (state.getOption.getOrElse(Nil) ++ rows.toList)
+              .sortBy(e => (StreamingLag.tsNanos(e.ts), e.event_id))
+            // split into gap-delimited sessions; keep the open tail as state
+            val sessions = scala.collection.mutable.ListBuffer[List[EventRow]]()
+            var cur = List.empty[EventRow]
+            sorted.foreach { e =>
+              if (cur.nonEmpty && e.ts.getTime - cur.head.ts.getTime > gapMs) {
+                sessions += cur.reverse; cur = Nil
+              }
+              cur = e :: cur
+            }
+            // eviction cap: an over-long open session closes NOW
+            if (cur.size > maxOpenEvents) { sessions += cur.reverse; cur = Nil }
+            if (cur.isEmpty) state.remove()
+            else {
+              state.update(cur.reverse)
+              state.setTimeoutDuration(idleTimeout)
+            }
+            sessions.iterator.map(summarize)
           }
       }
   }

@@ -173,6 +173,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sessionize: maxOpenEvents evicts a never-idle key's open session") {
+    import spark.implicits._
+    // 20 events 1s apart (all inside the 30-min gap) for one user: the
+    // uncapped operator parks all 20 in the open tail and emits nothing;
+    // with the cap at 8 the over-long open session force-closes and
+    // emits instead of growing state without bound
+    val ev = (0 until 20).map(i => EventRow(i.toLong,
+      new java.sql.Timestamp(1000L * i), 7L, "click", 1.0)).toDS()
+    val uncapped = StreamingOps.sessionize(ev, 30).collect()
+    assert(uncapped.isEmpty)
+    val evicted = StreamingOps.sessionize(ev, 30, maxOpenEvents = 8).collect()
+    assert(evicted.length == 1 && evicted.head.n_events == 20)
+  }
+
+  test("sessionize streaming: open-session state bounded across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventRow]
+    val q = StreamingOps.sessionize(mem.toDS(), 30, maxOpenEvents = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_evict").start()
+    // a ProcessingTimeTimeout query ALWAYS schedules another batch (that
+    // is how timeouts get a chance to fire), so `noNewData` is never
+    // signalled and processAllAvailable would block forever — poll the
+    // sink for the expected emission instead, the StreamTest idiom.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("sess_evict").count() < n) {
+        assert(System.nanoTime() < deadline, "timed out waiting for sink rows")
+        assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      // two micro-batches of 4 in-gap events for ONE user. Without the
+      // cap the open list would grow 4 -> 8 across state versions; with
+      // the cap at 5 the second batch's 8-event open session evicts
+      // (emits one 8-event summary) instead of persisting.
+      mem.addData((0 until 4).map(i => EventRow(i.toLong,
+        new java.sql.Timestamp(1000L * i), 7L, "c", 1.0)))
+      mem.addData((4 until 8).map(i => EventRow(i.toLong,
+        new java.sql.Timestamp(1000L * i), 7L, "c", 1.0)))
+      awaitRows(1)
+      val emitted = spark.table("sess_evict").as[SessionSummary].collect()
+      assert(emitted.map(_.n_events).toSeq == Seq(8L))
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits sessions consistent with batch rewrite") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
