@@ -493,6 +493,13 @@ object SparkEntry {
       graft.textops.Vocab.corpusProfile(Tables.documents(s, dir),
         "source", "lang", "text")),
 
+    "corpus_profile_approx" -> ((s, dir) =>
+      // the sketched-percentile datasheet: bounded-memory GK sketch per
+      // stratum instead of the exact buffering percentile — the form
+      // for strata that outgrow executor memory
+      graft.textops.Vocab.corpusProfileApprox(Tables.documents(s, dir),
+        "source", "lang", "text")),
+
     "novelty_score" -> ((s, dir) =>
       // per-doc fraction of corpus-unique bigrams: the templated-text
       // signal exact and near-dup passes both miss
@@ -959,6 +966,34 @@ object SparkEntry {
            round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
            count(DISTINCT lang) AS n_langs
          FROM s GROUP BY source""",
+
+    "corpus_profile_approx" ->
+      // below the sketch's compression threshold approx_percentile IS
+      // the exact discrete quantile: the value at 1-based rank
+      // ceil(p * n) of the stratum's sorted values (QuantileSummaries'
+      // rank rule with exact samples) — replayed here as an explicit
+      // row_number selection, so even the "approximate" datasheet row
+      // hash-checks
+      s"""WITH b AS (SELECT source, lang, $duckQualityParts FROM documents),
+         s AS (SELECT source, lang, n_tok,
+               $duckQualityFromParts AS quality FROM b),
+         a AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               round(avg(quality), 6) AS mean_quality,
+               count(DISTINCT lang) AS n_langs
+             FROM s GROUP BY source),
+         r AS (SELECT source, n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+               count(*) OVER (PARTITION BY source) AS n FROM s),
+         p AS (SELECT source,
+               max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                   THEN n_tok END) AS p50_tokens,
+               max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+                   THEN n_tok END) AS p90_tokens
+             FROM r GROUP BY source)
+         SELECT a.source, a.n_docs, a.n_tokens, a.mean_quality,
+           p.p50_tokens, p.p90_tokens, a.n_langs
+         FROM a JOIN p USING (source)""",
 
     "doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint

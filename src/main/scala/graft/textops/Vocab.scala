@@ -82,6 +82,39 @@ object Vocab {
         count_distinct(col(langCol)).as("n_langs"))
   }
 
+  /** [[corpusProfile]] with SKETCHED percentiles: `approx_percentile`
+    * (Greenwald-Khanna, bounded-memory) replaces the exact buffering
+    * `percentile`, so no stratum ever materializes its value list on a
+    * reducer — the form to reach for when a stratum outgrows executor
+    * memory (the exact twin documents this trade; everything else is
+    * identical). At `accuracy` = 1/ε the sketch holds O((1/ε)·log(εN))
+    * samples regardless of stratum size.
+    *
+    * approx_percentile returns an ELEMENT of the group (a discrete
+    * quantile, not interpolated) — for strata smaller than `accuracy`
+    * the sketch never compresses, so the answer is the exact discrete
+    * quantile: deterministic, order-independent, and oracle-checkable
+    * by an explicit rank selection. Giant strata trade that for the
+    * ε-rank guarantee.
+    */
+  def corpusProfileApprox(df: DataFrame, strataCol: String, langCol: String,
+                          textCol: String, accuracy: Int = 10000): DataFrame = {
+    val t = col(textCol)
+    graft.util.Par.spread(df)
+      .select(col(strataCol), col(langCol),
+        TextOps.tokenCount(t).cast("double").as("_n_tok"),
+        TextOps.qualityScore(t).as("_q"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n_tok")).cast("long").as("n_tokens"),
+        round(avg(col("_q")), 6).as("mean_quality"),
+        approx_percentile(col("_n_tok"), lit(0.5), lit(accuracy))
+          .as("p50_tokens"),
+        approx_percentile(col("_n_tok"), lit(0.9), lit(accuracy))
+          .as("p90_tokens"),
+        count_distinct(col(langCol)).as("n_langs"))
+  }
+
   /** Per-document n-gram novelty: the fraction of the document's
     * DISTINCT n-grams that occur in no other document (corpus df = 1).
     * Low novelty marks templated/recombined text that exact and

@@ -37,6 +37,25 @@ class VocabSpec extends AnyFunSuite {
     assert(top == Seq("the cat" -> 2L, "a dog" -> 1L, "cat ran" -> 1L))
   }
 
+  test("corpusProfileApprox: discrete quantile at rank ceil(p*n), rest equals exact") {
+    import spark.implicits._
+    // one stratum, token counts 1..4: below the sketch's compression
+    // threshold approx_percentile is the exact discrete quantile —
+    // p50 = value at rank ceil(0.5*4) = 2, p90 = rank ceil(0.9*4) = 4
+    val d = Seq((1L, "a", "en", "s"), (2L, "a b", "en", "s"),
+        (3L, "a b c", "zh", "s"), (4L, "a b c d", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = Vocab.corpusProfileApprox(d, "source", "lang", "text")
+      .collect().head
+    assert(r.getDouble(r.fieldIndex("p50_tokens")) == 2.0)
+    assert(r.getDouble(r.fieldIndex("p90_tokens")) == 4.0)
+    // the non-percentile columns are identical to the exact datasheet
+    val exact = Vocab.corpusProfile(d, "source", "lang", "text")
+      .collect().head
+    for (c <- Seq("n_docs", "n_tokens", "mean_quality", "n_langs"))
+      assert(r.get(r.fieldIndex(c)) == exact.get(exact.fieldIndex(c)), c)
+  }
+
   test("tfidfTerms: ubiquitous terms score zero-ish, distinctive terms rank first") {
     val d = docs(
       1L -> "shared shared quantum",
