@@ -5,11 +5,23 @@ import org.apache.spark.sql.functions._
 
 /** Dev tool: generates a scaled-up synthetic twin of the driver's
   * `documents` / `embeddings` / `events` tables (TESTDATA.md
-  * conventions: token-soup text over the same vocabulary, 10-cluster
-  * embeddings, one-month event stream) so the 100 TB design claims get
-  * an empirical scaling anchor beyond sf0.1. Everything is a pure
-  * deterministic function of the row id (xxhash64 seeding) — no RNG
-  * state, no driver-side loops, so generation itself distributes.
+  * conventions: token-soup text, 10-cluster embeddings, one-month
+  * event stream) so the 100 TB design claims get an empirical scaling
+  * anchor beyond sf0.1. Everything is a pure deterministic function of
+  * the row id (xxhash64 seeding) — no RNG state, no driver-side loops,
+  * so generation itself distributes.
+  *
+  * Documents draw tokens from a ZIPFIAN vocabulary (round 5): the
+  * driver's own ~40 tokens are the hot head (ranks 1-40 — the
+  * stopword-grade keys the skew guards exist for) and synthetic
+  * `tokR` tokens extend the tail to rank 4000, with P(rank≈r) ∝ 1/r
+  * via the V^u inverse-CDF draw. The r4 anchor's uniform-40-token soup
+  * saturated the 3-gram/fingerprint spaces at 50k docs, so
+  * candidate-generation ops measured saturation skew, not scaling
+  * (BASELINE.md r4 analysis); with a realistic rank-frequency law the
+  * distinct n-gram / posting / fingerprint spaces grow with the corpus
+  * the way a real crawl's do. Compare ScaleGen outputs at two mults
+  * (e.g. 1 vs 10) so both anchor points share the generator.
   *
   * Duplicate structure is planted at fixed rates so the dedup/CC
   * workload keeps its character as rows grow: every 503rd document is
@@ -51,7 +63,18 @@ object ScaleGen {
     def u(salt: String, seed: Column, mod: Long): Column =
       pmod(xxhash64(lit(salt), seed), lit(mod))
 
-    // ---- documents: 5000·mult rows of token soup --------------------
+    // ---- documents: 5000·mult rows of Zipfian token soup ------------
+    // rank = floor(V^u), u ~ U[0,1): P(rank=r) = ln((r+1)/r)/ln(V)
+    // ∝ 1/r — the classic inverse-CDF Zipf(s=1) draw, engine-pure.
+    // Ranks 1..|driver vocab| reuse the driver's tokens (hot head);
+    // deeper ranks mint deterministic tail tokens.
+    val zipfV = 4000.0
+    def zipfToken(seed: Column, i: Column): Column = {
+      val uu = pmod(xxhash64(lit("tok"), seed, i), lit(1000000L)) / 1000000.0
+      val rank = floor(pow(lit(zipfV), uu)).cast("int")
+      when(rank <= vocab.length, element_at(vocabLit, rank))
+        .otherwise(concat(lit("tok"), rank))
+    }
     val nDocs = 5000L * mult
     val docSeed = when(pmod(col("id"), lit(503)) === 0, col("id") + 1)
       .when(pmod(col("id"), lit(701)) === 0, col("id") + 2)
@@ -60,9 +83,7 @@ object ScaleGen {
       .select(col("id").as("doc_id"), docSeed.as("_seed"))
       .withColumn("_toks", transform(
         sequence(lit(1), (u("len", col("_seed"), 56) + 20).cast("int")),
-        i => element_at(vocabLit,
-          (pmod(xxhash64(lit("tok"), col("_seed"), i), lit(vocab.length.toLong))
-            + 1).cast("int"))))
+        i => zipfToken(col("_seed"), i)))
       .withColumn("text", when(pmod(col("doc_id"), lit(503)) === 0,
         concat(array_join(col("_toks"), " "), lit(" extra")))
         .otherwise(array_join(col("_toks"), " ")))

@@ -23,15 +23,8 @@ def parse(path):
 
 def main():
     a, b = parse(sys.argv[1]), parse(sys.argv[2])
-    order = [q for q in (
-        "text_stats quality_score lang_id doc_fingerprint rep_stats "
-        "pii_scrub sample_stratified seq_pack dedup_exact dedup_minhash "
-        "dedup_simhash ngram_jaccard dedup_clusters dedup_clusters_simhash "
-        "dedup_resolve doc_winnow decontaminate corpus_clean "
-        "multimodal_meta embedding_quantize embedding_neardup "
-        "embedding_clusters similarity_topk similarity_lsh similarity_ivf "
-        "lag_1d lag_2d_partitioned lag_distributed rolling_agg sessionize "
-        "json_props").split() if q in a and q in b]
+    # first log's emission order = ScaleBench.queryNames order
+    order = [q for q in a if q in b]
     print("| query | sf0.1 s | sf1 s | ratio | rows sf0.1 | rows sf1 |")
     print("| --- | --- | --- | --- | --- | --- |")
     ta = tb = 0.0
