@@ -238,11 +238,23 @@ object Embed {
         if (residual) residualCol(cents, col("_cv"), col("list_id"))
         else col("_cv"))
       .select(col("neighbor_id"), col("list_id"), col("_ev"))
-    // codebooks fit on the ENCODED space (residuals when enabled): the
-    // assignment upstream is a pure projection, so the fit's sample
-    // scan stays one narrow pass
-    val (codes, books) = fitBooks(assigned, "neighbor_id", "_ev", m, k,
-      iters, fitSamplePct, dim)
+    // codebooks fit on the ENCODED space (residuals when enabled). The
+    // fit frame is the md5-bucket SAMPLE of the assigned vectors,
+    // materialized once (localCheckpoint): the fit's seed collect and
+    // every Lloyd pass re-read this frame, and without the checkpoint
+    // each re-read re-runs the centroid-assignment + residual subplan
+    // over the sample (measured ~2× the operator's fixed cost).
+    // O(sample) storage — index-fit scale, never corpus scale. Passing
+    // fitSamplePct=100 below is NOT a semantics change: the frame is
+    // already the pct-bucket sample, so the fit sees the same rows,
+    // same seeds, same Lloyd input as an in-fit filter would give.
+    val fitFrame = (if (fitSamplePct >= 100) assigned
+      else assigned.filter(
+        graft.util.Sampling.md5Bucket(col("neighbor_id")) < lit(fitSamplePct)))
+      .select(col("neighbor_id"), col("_ev"))
+      .localCheckpoint()
+    val (codes, books) = fitBooks(fitFrame, "neighbor_id", "_ev", m, k,
+      iters, 100, dim)
     val idx = codeIndex(codes, k)
     val cand = assigned.select(col("neighbor_id"), col("list_id"),
       graft.functions.PqCodesExpr(col("_ev"), codes, books).as("_codes"))
