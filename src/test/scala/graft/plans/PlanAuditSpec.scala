@@ -232,6 +232,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pt.contains("hashpartitioning(_th"), pt)
   }
 
+  test("n-gram df joins stay AQE-splittable under skew (no forced broadcast)") {
+    // a deliberately skewed corpus: every doc shares the same hot
+    // bigram, so one join key carries half the posting rows. With
+    // size-based broadcasts disabled the df joins must still plan as
+    // SortMergeJoin — the shape AQE's skew-split can rewrite — which
+    // proves no hint forces broadcasting a side that grows with the
+    // corpus. (tfidf's single allowed broadcast is the 1-row N frame.)
+    import spark.implicits._
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = (0 until 500).map(i => (i.toLong, s"of the w$i of the"))
+        .toDF("doc_id", "text")
+      val pn = graft.textops.Vocab.noveltyScore(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(opCount(pn, "SortMergeJoin") >= 1, pn)
+      assert(!pn.contains("BroadcastHashJoin") &&
+        !pn.contains("BroadcastNestedLoopJoin"), pn)
+      val pt = graft.textops.Vocab.tfidfTerms(docs, "doc_id", "text", 3)
+        .queryExecution.executedPlan.toString
+      assert(opCount(pt, "SortMergeJoin") >= 1, pt)
+      assert(opCount(pt, "BroadcastNestedLoopJoin") <= 1, pt)
+      assert(!pt.contains("CartesianProduct"), pt)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("corpus_profile is one scan into one stratum-keyed aggregate") {
     val p = plan("corpus_profile")
     // exchanges: the stratum hash agg + the distinct-lang expand path;
