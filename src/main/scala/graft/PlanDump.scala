@@ -152,12 +152,24 @@ object PlanDump {
           "to the fingerprint projection; batch-internal dups collapse " +
           "min-id-first like dedup_exact."),
       "similarity_ivfpq" ->
-        ("IVF+PQ composed: candidates carry (id, list_id, m-byte " +
-          "codes) — the vector is pruned after the assignment/encode " +
-          "projection; queries broadcast into the list_id-keyed probe " +
-          "join and ADC-score only the probed lists' codes. Candidate " +
-          "volume ~N·nprobe/nlist, scored payload 32× smaller than " +
-          "vectors."))
+        ("IVF+PQ composed (residual/IVFADC encoding): candidates carry " +
+          "(id, list_id, m-byte codes of v − centroid(list)) — the " +
+          "vector is pruned after the assignment/residual/encode " +
+          "projection (all literal-centroid, no extra shuffle); queries " +
+          "broadcast into the list_id-keyed probe join, subtract the " +
+          "probed list's centroid, and ADC-score only that list's " +
+          "codes. Candidate volume ~N·nprobe/nlist, scored payload 32× " +
+          "smaller than vectors; the PQ fit reads a checkpointed " +
+          "O(sample) residual frame."),
+      "dedup_minhash_incremental" ->
+        ("Near-dup daily ingest: the increment's (band, bucket) keys " +
+          "BROADCAST against the corpus's banded signature frame, so " +
+          "corpus rows only ever stream through broadcast probes " +
+          "(signature scan → key probe; candidate ids → shingle fetch " +
+          "for the exact-Jaccard verify). Every ShuffleExchange in the " +
+          "plan sits above a broadcast probe or reads only the " +
+          "checkpointed increment — candidate-scale by construction " +
+          "(fenced in PlanAuditSpec)."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")
