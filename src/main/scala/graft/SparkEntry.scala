@@ -506,6 +506,13 @@ object SparkEntry {
       graft.textops.Vocab.noveltyScore(Tables.documents(s, dir),
         "doc_id", "text", n = 2)),
 
+    "lm_score" -> ((s, dir) =>
+      // per-doc fluency under the corpus's own add-one bigram LM —
+      // the model-based quality axis next to the heuristic
+      // quality_score
+      graft.textops.Vocab.lmScore(Tables.documents(s, dir),
+        "doc_id", "text")),
+
     "doc_winnow" -> ((s, dir) =>
       // rolling-hash (winnowing) fingerprints as (doc_id, fp) rows
       TextOps.winnowing(Tables.documents(s, dir), "doc_id", "text",
@@ -1070,6 +1077,26 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_ngrams,
            round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
          FROM ng JOIN d USING (ngram) GROUP BY doc_id""",
+
+    "lm_score" ->
+      // replays Vocab.lmScore on the string keys (the engine joins on
+      // xxhash64 of the same strings — identical up to the vanishing
+      // collision contract): corpus bigram/unigram counts, add-one
+      // smoothing, ln, 6dp-rounded per-doc average
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+                FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM toks WHERE len(w) >= 2)),
+         c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+         uni AS (SELECT unnest(w) AS tok FROM toks),
+         c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS vv FROM uni)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c12.c12 + 1.0) / (c1.c1 + v.vv))), 6) AS avg_logp
+         FROM bg JOIN c12 USING (bg) JOIN c1 ON c1.tok = bg.w1, v
+         GROUP BY doc_id""",
 
     "tfidf_terms" ->
       // smooth tf-idf: score = tf * ln((N+1)/(df+1)) rounded to 6dp on

@@ -153,6 +153,49 @@ object Vocab {
           .as("novelty"))
   }
 
+  /** Per-document corpus-LM fluency: the average natural-log
+    * probability of the document's bigrams under an add-one-smoothed
+    * bigram language model TRAINED ON THE CORPUS ITSELF —
+    * `avg over bigrams (w1,w2) of ln((c(w1,w2)+1) / (c(w1)+V))`, with
+    * `c` corpus occurrence counts and `V` the distinct-token count.
+    * The CCNet/KenLM-style quality axis the heuristic
+    * [[TextOps.qualityScore]] can't see: word-salad and shuffled text
+    * score far lower than fluent text built from the same tokens,
+    * because the MODEL is the corpus's own transition structure. Low
+    * scores flag junk/noise; docs with < 2 tokens emit no row (same
+    * contract as [[noveltyScore]]).
+    *
+    * Scale shape: the bigram and unigram count "model" is two
+    * map-side-combinable aggregates; model stats join FIRST among
+    * themselves (vocab-sized frames), so the exploded doc side joins
+    * exactly once, on `xxhash64(bigram)` (the [[noveltyScore]] 8-byte
+    * key discipline — strings never shuffle past the explode); V rides
+    * in as a 1-row broadcast; the per-doc average is combinable. No
+    * sort anywhere. Collision contract as in [[noveltyScore]].
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = graft.util.Par.spread(df)
+      .select(col(idCol), TextOps.tokens(lower(col(textCol))).as("_toks"))
+    val big = base.select(col(idCol),
+        explode(ngrams(col("_toks"), 2)).as("bg"))
+      .select(col(idCol), xxhash64(col("bg")).as("_h2"),
+        xxhash64(substring_index(col("bg"), " ", 1)).as("_h1"))
+    val c12 = big.groupBy(col("_h2")).agg(count(lit(1)).as("c12"))
+    val uni = base.select(explode(col("_toks")).as("w"))
+      .select(xxhash64(col("w")).as("_h1"))
+    val c1 = uni.groupBy(col("_h1")).agg(count(lit(1)).as("c1"))
+    val vocabN = uni.agg(count_distinct(col("_h1")).as("_v"))
+    // model assembly on vocab-sized frames: (bigram, c12, c1-of-left)
+    val bstats = big.select(col("_h2"), col("_h1")).distinct()
+      .join(c12, "_h2").join(c1, "_h1")
+    big.join(bstats, Seq("_h2", "_h1"))
+      .crossJoin(broadcast(vocabN))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1.0) / (col("c1") + col("_v")))), 6)
+          .as("avg_logp"))
+  }
+
   /** Per-document top-k TF-IDF terms:
     * `score = tf * ln((N + 1) / (df + 1))`, rounded to 6dp (the smooth
     * variant keeps every-doc terms finite); rank ties break on the term

@@ -37,6 +37,29 @@ class VocabSpec extends AnyFunSuite {
     assert(top == Seq("the cat" -> 2L, "a dog" -> 1L, "cat ran" -> 1L))
   }
 
+  test("lmScore: add-one bigram model probabilities by hand") {
+    // tokens: a:3 b:2 c:1, V=3; bigrams: "a b":2, "a c":1
+    // doc1 = ln((2+1)/(3+3)) = ln(0.5); doc3 = ln((1+1)/(3+3)) = ln(1/3)
+    val d = docs(1L -> "a b", 2L -> "a b", 3L -> "a c")
+    val out = Vocab.lmScore(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (1L, BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(3L)._2 == BigDecimal(math.log(1.0 / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("lmScore: shuffled text scores below fluent text of the same tokens") {
+    // the model IS the corpus's transition structure: a doc whose token
+    // order contradicts the dominant order has rare bigrams -> lower
+    // average log-probability, though its unigram profile is identical
+    val fluent = (1L to 20L).map(_ -> "the quick brown fox jumps")
+    val shuffled = Seq(21L -> "fox the jumps brown quick")
+    val out = Vocab.lmScore(docs(fluent ++ shuffled: _*), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(21L) < out(1L))
+  }
+
   test("corpusProfileApprox: discrete quantile at rank ceil(p*n), rest equals exact") {
     import spark.implicits._
     // one stratum, token counts 1..4: below the sketch's compression
