@@ -282,6 +282,34 @@ class DedupSpec extends AnyFunSuite {
       r.getDouble(2) == 1.0 && !r.getBoolean(3))
   }
 
+  test("minhashIncremental agrees with batch LSH over the union corpus") {
+    // the incremental probe must reproduce exactly the inc-corpus pairs
+    // the BATCH operator finds on incoming ∪ corpus (restricted to
+    // cross pairs; bucket caps lifted so both see identical buckets)
+    val corpus = docs(1L -> base, 2L -> other, 3L -> "some unrelated words here")
+    val incoming = docs(10L -> nearDup, 11L -> base,
+      12L -> ("fresh text that should match nothing in the store " * 3))
+    val batchPairs = Dedup.minhashLsh(
+        corpus.union(incoming), "doc_id", "text",
+        threshold = 0.3, maxBucket = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a < 10) != (b < 10) } // cross pairs only
+      .map { case (a, b) => if (a < 10) (b, a) else (a, b) } // (inc, corp)
+      .toSet
+    val incDups = Dedup.minhashIncremental(incoming, corpus, "doc_id",
+        "text", threshold = 0.3, maxBucket = 1000)
+      .collect().filter(!_.getBoolean(3))
+      .map(r => r.getLong(0)).toSet
+    assert(incDups == batchPairs.map(_._1))
+    // and each flagged doc's dup_of is one of its batch counterparts
+    val best = Dedup.minhashIncremental(incoming, corpus, "doc_id",
+        "text", threshold = 0.3, maxBucket = 1000)
+      .collect().filter(!_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(best.subsetOf(batchPairs))
+  }
+
   test("ngram jaccard inverted-index join matches brute-force definition") {
     val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val rows = Dedup.ngramJaccard(df, "doc_id", "text",
