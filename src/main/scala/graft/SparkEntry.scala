@@ -691,6 +691,14 @@ object SparkEntry {
         "doc_id", "lang",
         pctByStratum = Map("en" -> 80, "zh" -> 50), defaultPct = 25)),
 
+    "sample_mixture" -> ((s, dir) =>
+      // token-share domain mixing: output token mass targets
+      // en:zh:fr:es = 6:2:1:1, German drops (weight 0); rates are
+      // computed from the corpus's own token counts in-plan
+      graft.pipeline.Pipeline.sampleMixture(Tables.documents(s, dir),
+        "doc_id", "lang", "text",
+        weights = Map("en" -> 6.0, "zh" -> 2.0, "fr" -> 1.0, "es" -> 1.0))),
+
     "corpus_clean" -> ((s, dir) =>
       // the whole corpus-prep pipeline composed in one DAG: quality
       // gate -> exact dedup -> stratified sample -> sequence packing
@@ -1470,6 +1478,33 @@ object SparkEntry {
          SELECT doc_id, shuffle_key, n_tokens,
            CAST(pre // 2048 AS BIGINT) AS pack_id,
            CAST(pre % 2048 AS BIGINT) AS pack_offset FROM p""",
+
+    "sample_mixture" ->
+      // replays Pipeline.sampleMixture(en 6, zh 2, fr 1, es 1, de 0):
+      // per-stratum token sums, in-data weight normalization,
+      // T_out = min(T_s/share_s), basis-point keep rates, md5 draw at
+      // mod 10000 — the identical double arithmetic in the same order
+      """WITH b AS (SELECT doc_id, lang,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+           FROM documents),
+         sw AS (SELECT lang, sum(n_tokens) AS ts,
+               CASE lang WHEN 'en' THEN 6.0 WHEN 'zh' THEN 2.0
+                         WHEN 'fr' THEN 1.0 WHEN 'es' THEN 1.0
+                         ELSE 0.0 END AS w
+             FROM b GROUP BY lang),
+         sf AS (SELECT lang, ts, w FROM sw WHERE w > 0),
+         ws AS (SELECT sum(w) AS wsum FROM sf),
+         sh AS (SELECT lang, ts, w / ws.wsum AS share FROM sf, ws),
+         t0 AS (SELECT min(ts / share) AS tout FROM sh),
+         r AS (SELECT lang,
+               CAST(floor(share * t0.tout / ts * 10000) AS BIGINT) AS keep
+             FROM sh, t0)
+         SELECT b.doc_id, b.lang, b.n_tokens
+         FROM b JOIN r USING (lang)
+         WHERE list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(b.doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 10000 < r.keep""",
 
     "sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,

@@ -237,6 +237,64 @@ object Pipeline {
         pctFor(col(strataCol), pctByStratum, defaultPct))
   }
 
+  /** TOKEN-SHARE data mixing — the domain-reweighting step (the
+    * Pile/DoReMi-style mixture knob) a pretraining build runs between
+    * cleaning and packing: subsample strata so the OUTPUT corpus's
+    * token mass lands on target weights, not whatever the crawl
+    * happened to contain.
+    *
+    * Rates are COMPUTED, not configured. With `T_s` each stratum's
+    * token count and `share_s` its normalized weight (normalization is
+    * over the strata PRESENT in the data; weight-0 strata drop), the
+    * largest downsampling-only output is `T_out = min_s T_s/share_s`
+    * (the binding stratum keeps everything), and each stratum keeps
+    * `rate_s = share_s · T_out / T_s` of its documents, decided by the
+    * deterministic md5 draw at basis-point resolution
+    * (`md5Bucket(id, 10000) < floor(rate_s · 10000)`) — reproducible
+    * under retries and replayed exactly by the DuckDB oracle. Float
+    * rounding can price the binding stratum at 9999/10000 instead of
+    * 10000; both engines compute the identical doubles, so the draw
+    * still agrees bit for bit. Weights should be short binary-exact
+    * decimals (6.0, 0.5, …) so the in-plan weight sum is
+    * association-order-free.
+    *
+    * Scale shape: one map-side-combinable token-sum aggregate down to
+    * O(strata) rows, two 1-row reductions over that frame, the rate
+    * table broadcast back, and a narrow filter on the corpus scan —
+    * the corpus itself never shuffles. Output: one row per kept doc
+    * (id, stratum, n_tokens).
+    */
+  def sampleMixture(df: DataFrame, idCol: String, strataCol: String,
+                    textCol: String, weights: Map[String, Double],
+                    defaultWeight: Double = 0.0): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0 && !w.isNaN && !w.isInfinite,
+        s"weights must be finite and >= 0, got $w"))
+    require(weights.values.exists(_ > 0) || defaultWeight > 0,
+      "at least one stratum must have positive weight")
+    val wCol = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (s, w)) => when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    val base = graft.util.Par.spread(df)
+      .select(col(idCol), col(strataCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val strata = base.groupBy(col(strataCol))
+      .agg(sum(col("n_tokens")).as("_ts"))
+      .withColumn("_w", wCol)
+      .filter(col("_w") > 0)
+    val wsum = strata.agg(sum(col("_w")).as("_wsum"))
+    val withShare = strata.crossJoin(broadcast(wsum))
+      .withColumn("_share", col("_w") / col("_wsum"))
+    val tout = withShare.agg(min(col("_ts") / col("_share")).as("_tout"))
+    val rates = withShare.crossJoin(broadcast(tout))
+      .select(col(strataCol),
+        floor(col("_share") * col("_tout") / col("_ts") * 10000)
+          .cast("long").as("_keep"))
+    base.join(broadcast(rates), strataCol)
+      .filter(graft.util.Sampling.md5Bucket(col(idCol), 10000) < col("_keep"))
+      .select(col(idCol), col(strataCol), col("n_tokens"))
+  }
+
   /** Deterministic [0,100) bucket from the id's md5 — the reproducible
     * sampling key shared by [[sampleStratified]], [[corpusClean]] and
     * [[graft.simops.Ivf]] (hoisted to [[graft.util.Sampling]]).

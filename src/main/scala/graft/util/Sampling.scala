@@ -14,13 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic [0,100) bucket from the id's md5 (first 15 hex chars
-    * → long → mod 100). Shared by [[graft.pipeline.Pipeline]]'s
-    * stratified sampler and [[graft.simops.Ivf]]'s fit sampling; the
-    * DuckDB twin is the `list_sum(list_transform(...))` fold used in
-    * their oracles.
+  /** Deterministic [0,mod) bucket from the id's md5 (first 15 hex chars
+    * → long → mod). Shared by [[graft.pipeline.Pipeline]]'s
+    * stratified/mixture samplers and [[graft.simops.Ivf]]'s fit
+    * sampling; the DuckDB twin is the `list_sum(list_transform(...))`
+    * fold used in their oracles. The default mod 100 is the percent
+    * draw; the mixture sampler draws at 10000 for basis-point rates.
     */
-  def md5Bucket(id: Column): Column = pmod(
+  def md5Bucket(id: Column, mod: Long = 100L): Column = pmod(
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
-      .cast("long"), lit(100L))
+      .cast("long"), lit(mod))
 }

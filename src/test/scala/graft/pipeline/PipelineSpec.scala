@@ -198,4 +198,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(byLang("en") > 200 && byLang("zh") > 100 && byLang("de") > 40)
     assert(byLang("en") > byLang("zh") && byLang("zh") > byLang("de"))
   }
+
+  test("sampleMixture lands output token shares on the target weights") {
+    import spark.implicits._
+    // 3000 docs, 5 tokens each, equal thirds by language; target
+    // shares en:zh:de = 3:1:1. de/zh are co-binding? No: equal input
+    // mass, en wants 3/5 of output — en binds (keeps all), zh/de
+    // downsample to 1/3 of en's tokens each.
+    val df = (0 until 3000)
+      .map(i => (i.toLong, Seq("en", "zh", "de")(i % 3), "a b c d e"))
+      .toDF("doc_id", "lang", "text")
+    val out = Pipeline.sampleMixture(df, "doc_id", "lang", "text",
+        Map("en" -> 3.0, "zh" -> 1.0, "de" -> 1.0)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // deterministic
+    val again = Pipeline.sampleMixture(df, "doc_id", "lang", "text",
+      Map("en" -> 3.0, "zh" -> 1.0, "de" -> 1.0)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val tokensByLang = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // binding stratum keeps (almost) everything: 1000 docs x 5 tokens
+    assert(tokensByLang("en") >= 4995L * 1, s"en kept ${tokensByLang("en")}")
+    // zh and de land near 1/3 of en's mass (md5 draw is uniform-ish)
+    for (l <- Seq("zh", "de")) {
+      val ratio = tokensByLang(l).toDouble / tokensByLang("en")
+      assert(ratio > 0.25 && ratio < 0.42, s"$l share ratio $ratio")
+    }
+    // weight-0 strata drop entirely
+    val dropped = Pipeline.sampleMixture(df, "doc_id", "lang", "text",
+      Map("en" -> 1.0)).collect().map(_.getString(1)).toSet
+    assert(dropped == Set("en"))
+  }
 }
