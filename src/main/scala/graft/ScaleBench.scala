@@ -23,7 +23,7 @@ object ScaleBench {
     "topk_ngrams", "tfidf_terms", "dedup_spans", "corpus_profile",
     "novelty_score", "stream_trending_ngrams", "dedup_incremental",
     "dedup_minhash_incremental", "lm_score", "corpus_profile_approx",
-    "sample_mixture",
+    "sample_mixture", "decontaminate_pairs",
     // embeddings family
     "embedding_quantize", "embedding_neardup", "embedding_clusters",
     "similarity_topk", "similarity_lsh", "similarity_ivf",

@@ -716,6 +716,15 @@ object SparkEntry {
         shingleSize = 5, minShared = 1)
     }),
 
+    "decontaminate_pairs" -> ((s, dir) => {
+      // the provenance report behind the gate: which probe doc leaked
+      // into which corpus doc, with the distinct shared-5-gram count
+      val d = Tables.documents(s, dir)
+      graft.pipeline.Pipeline.decontaminatePairs(d,
+        d.filter(col("doc_id") < 20), "doc_id", "text",
+        shingleSize = 5, minShared = 1)
+    }),
+
     // ---- multimodal plumbing (north star; codec stubbed, see Multimodal) ----
     "multimodal_meta" -> ((s, dir) => {
       // pure projection — no DeserializeToObject/mapPartitions in this
@@ -1559,6 +1568,24 @@ object SparkEntry {
          FROM sh c JOIN ph ON ph.s = c.s
          WHERE c.doc_id >= 20
          GROUP BY 1""",
+
+    "decontaminate_pairs" ->
+      // the provenance form: same shingle/probe definitions, grouped
+      // by (corpus doc, probe doc) instead of corpus doc alone
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         idx AS (SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+           CASE WHEN len(w) < 5 THEN array_to_string(w, ' ')
+                ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                     w[i+3] || ' ' || w[i+4] END AS s FROM idx),
+         ph AS (SELECT DISTINCT doc_id AS probe_id, s FROM sh WHERE doc_id < 20)
+         SELECT c.doc_id, ph.probe_id, count(DISTINCT c.s) AS n_shared
+         FROM sh c JOIN ph ON ph.s = c.s
+         WHERE c.doc_id >= 20
+         GROUP BY 1, 2""",
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,

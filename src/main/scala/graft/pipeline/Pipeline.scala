@@ -183,31 +183,80 @@ object Pipeline {
                     textCol: String, shingleSize: Int = 5,
                     minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    def shingleHashes(df: DataFrame) = graft.util.Par.spread(df)
-      .select(col(idCol).as("doc_id"),
-        TextOps.tokens(lower(col(textCol))).as("_toks"))
-      .select(col("doc_id"),
-        explode_outer(graft.functions.XxSortedHashesExpr(
-          TextOps.shinglesFromTokens(col("_toks"), shingleSize))).as("h"))
     val probeIds = probes.select(col(idCol).as("doc_id")).distinct()
     // materialized once: the count, the bloom build, and the broadcast
     // join all re-read this tiny-by-contract frame
-    val probeHashes = shingleHashes(probes).select(col("h")).distinct()
+    val probeHashes = shingleHashes(probes, idCol, textCol, shingleSize)
+      .select(col("h")).distinct()
       .localCheckpoint()
-    val nProbe = math.max(1L, probeHashes.count())
-    val bloom = probeHashes.stat.bloomFilter("h", nProbe, 0.01)
-    val bloomBytes = {
-      val os = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(os)
-      os.toByteArray
-    }
-    shingleHashes(corpus)
+    val bloomBytes = bloomOf(probeHashes)
+    shingleHashes(corpus, idCol, textCol, shingleSize)
       .join(broadcast(probeIds), Seq("doc_id"), "left_anti")
       .filter(mightContain(bloomBytes, col("h")))
       .join(broadcast(probeHashes), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** Contamination PROVENANCE: the per-(corpus doc, probe doc) overlap
+    * report behind [[decontaminate]]'s boolean gate — which eval
+    * document leaked into which training document, and how hard. The
+    * audit artifact a release review wants next to the drop decision
+    * (and the input for probe-set attribution: one leaky benchmark
+    * shard shows up as a column of rows here).
+    *
+    * Identical scale shape to [[decontaminate]] — probe (id, hash)
+    * rows broadcast instead of bare hashes (same tiny-side contract;
+    * an eval suite is a few thousand docs), bloom pre-filter on the
+    * corpus scan, corpus shingles never shuffle; the only addition is
+    * the probe id in the join payload and the (corpus, probe) group
+    * key. Output: (doc_id, probe_id, n_shared) for pairs sharing at
+    * least `minShared` distinct n-grams.
+    */
+  def decontaminatePairs(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleSize: Int = 5,
+                         minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val probeIds = probes.select(col(idCol).as("doc_id")).distinct()
+    val probeHashes = shingleHashes(probes, idCol, textCol, shingleSize)
+      .dropDuplicates("doc_id", "h")
+      .select(col("doc_id").as("probe_id"), col("h"))
+      .localCheckpoint()
+    val bloomBytes = bloomOf(probeHashes.select(col("h")).distinct())
+    shingleHashes(corpus, idCol, textCol, shingleSize)
+      .join(broadcast(probeIds), Seq("doc_id"), "left_anti")
+      .filter(mightContain(bloomBytes, col("h")))
+      .join(broadcast(probeHashes), Seq("h"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** One narrow pass to (doc_id, shingle-hash) rows — shared by the
+    * decontamination pair/gate forms so the shingle definition cannot
+    * drift between them.
+    */
+  private def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int): DataFrame =
+    graft.util.Par.spread(df)
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc_id"),
+        explode_outer(graft.functions.XxSortedHashesExpr(
+          TextOps.shinglesFromTokens(col("_toks"), shingleSize))).as("h"))
+
+  /** Driver-built Bloom filter bytes over a (small, checkpointed)
+    * hash frame — the corpus-scan pre-filter for the decontamination
+    * joins.
+    */
+  private def bloomOf(hashes: DataFrame): Array[Byte] = {
+    val n = math.max(1L, hashes.count())
+    val bloom = hashes.stat.bloomFilter("h", n, 0.01)
+    val os = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(os)
+    os.toByteArray
   }
 
   /** Codegen'd Bloom membership probe over a driver-built filter pinned

@@ -177,6 +177,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.contains(1L))  // probe rows are not findings
   }
 
+  test("decontaminatePairs attributes each leak to its probe document") {
+    import spark.implicits._
+    val leakA = "the capital of france is paris and the answer is forty two"
+    val leakB = "neural networks memorize benchmark answers when data leaks badly"
+    val corpus = Seq(
+      10L -> s"quotes first probe: $leakA verbatim here",
+      11L -> s"quotes second probe: $leakB in the middle",
+      12L -> s"quotes both: $leakA also $leakB",
+      13L -> "entirely clean content about catalyst optimizer rules"
+    ).toDF("doc_id", "text")
+    val probes = Seq(1L -> leakA, 2L -> leakB).toDF("doc_id", "text")
+    val pairs = Pipeline.decontaminatePairs(corpus, probes, "doc_id",
+      "text", shingleSize = 5, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (11L, 2L), (12L, 1L), (12L, 2L)))
+    // pairs aggregate to exactly the gate's per-doc decision
+    val gate = Pipeline.decontaminate(corpus, probes, "doc_id", "text",
+      shingleSize = 5, minShared = 1).collect().map(_.getLong(0)).toSet
+    assert(pairs.map(_._1) == gate)
+  }
+
   test("sampleStratified applies per-stratum rates deterministically") {
     import spark.implicits._
     val df = (0 until 1000)
