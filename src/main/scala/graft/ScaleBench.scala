@@ -23,9 +23,10 @@ object ScaleBench {
     "topk_ngrams", "tfidf_terms", "dedup_spans", "corpus_profile",
     "novelty_score", "stream_trending_ngrams", "dedup_incremental",
     "dedup_minhash_incremental", "lm_score", "corpus_profile_approx",
-    "sample_mixture", "decontaminate_pairs",
+    "sample_mixture", "decontaminate_pairs", "pack_manifest",
     // embeddings family
-    "embedding_quantize", "embedding_neardup", "embedding_clusters",
+    "embedding_profile", "embedding_quantize", "embedding_neardup",
+    "embedding_clusters",
     "similarity_topk", "similarity_lsh", "similarity_ivf",
     "dedup_semantic", "embedding_pq", "similarity_pq", "similarity_ivfpq",
     // events family (window_rank excluded: it reads the TPC-H `orders`

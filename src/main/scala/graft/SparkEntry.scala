@@ -131,6 +131,22 @@ object SparkEntry {
                FROM scapped x JOIN scapped y USING (b, key)
                WHERE x.doc_id < y.doc_id),
          spairs AS (SELECT doc_a, doc_b, hamming FROM sp WHERE hamming <= 3)"""
+  /** The global sequence-packing CTE chain (budget 2048), ending in
+    * `packed(doc_id, n_tokens, pack_id, pack_offset)` — shared by the
+    * `seq_pack` (per-doc) and `pack_manifest` (per-pack) oracles so
+    * the packing definition can never drift between them.
+    */
+  private val duckSeqPackCtes =
+    """b AS (SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+           FROM documents),
+         p AS (SELECT doc_id, n_tokens,
+           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM b),
+         packed AS (SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS pack_id,
+           CAST(pre % 2048 AS BIGINT) AS pack_offset FROM p)"""
+
   /** Order/partition clause shared by all events-window oracles. */
   private val EvW = "ORDER BY ts, event_id"
   private val EvWP = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -678,6 +694,18 @@ object SparkEntry {
       // single-partition window over the data
       graft.pipeline.Pipeline.seqPack(Tables.documents(s, dir),
         "doc_id", "text", budget = 2048)),
+
+    "pack_manifest" -> ((s, dir) =>
+      // the per-pack reader view: member doc ids + attention-boundary
+      // offsets as deterministic CSV, one combinable agg over seq_pack
+      graft.pipeline.Pipeline.packManifest(Tables.documents(s, dir),
+        "doc_id", "text", budget = 2048)),
+
+    "embedding_profile" -> ((s, dir) =>
+      // the embedding-column datasheet: per-label counts, dim, norm
+      // distribution — one scan + one label-keyed agg
+      graft.simops.Embed.profile(Tables.embeddings(s, dir),
+        "embedding", "label")),
 
     "corpus_shuffle" -> ((s, dir) =>
       // deterministic shuffle-before-pack: same distributed prefix sum
@@ -1459,15 +1487,37 @@ object SparkEntry {
     "seq_pack" ->
       // the distributed two-pass prefix sum equals this single global
       // window by construction (base + within-bucket prefix telescopes)
-      """WITH b AS (SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
-           FROM documents),
-         p AS (SELECT doc_id, n_tokens,
-           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-           FROM b)
-         SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS pack_id,
-           CAST(pre % 2048 AS BIGINT) AS pack_offset FROM p""",
+      s"""WITH $duckSeqPackCtes
+         SELECT doc_id, n_tokens, pack_id, pack_offset FROM packed""",
+
+    "pack_manifest" ->
+      // the per-pack reader view on the shared packing CTEs: member
+      // offsets/ids as CSV ordered by (offset, doc_id) — the same
+      // total order Spark's sorted struct array produces
+      s"""WITH $duckSeqPackCtes
+         SELECT pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           string_agg(pack_offset::VARCHAR, ','
+             ORDER BY pack_offset, doc_id) AS offsets_csv,
+           string_agg(doc_id::VARCHAR, ','
+             ORDER BY pack_offset, doc_id) AS doc_ids_csv
+         FROM packed GROUP BY pack_id""",
+
+    "embedding_profile" ->
+      // norm = sqrt of the same sequential double dot the engine's
+      // kernel computes; exact interpolating median (q_quantile /
+      // corpus_profile precedent)
+      """WITH v AS (SELECT label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+         n AS (SELECT label, len(vv) AS d,
+           sqrt(list_sum(list_transform(list_zip(vv, vv),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS nrm
+           FROM v)
+         SELECT label, count(*) AS n_vecs, max(d) AS dim,
+           round(avg(nrm), 6) AS mean_norm,
+           round(quantile_cont(nrm, 0.5), 6) AS p50_norm
+         FROM n GROUP BY label""",
 
     "corpus_shuffle" ->
       // same single-global-window statement as seq_pack, ordered by the

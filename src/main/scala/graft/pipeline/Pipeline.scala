@@ -286,6 +286,39 @@ object Pipeline {
         pctFor(col(strataCol), pctByStratum, defaultPct))
   }
 
+  /** Pack MANIFEST: the per-pack view of [[seqPack]] a training reader
+    * actually consumes — each pack's document ids and their start
+    * offsets (the attention-mask boundary list), emitted as CSV in
+    * pack order so the row is engine-portable and hash-checkable.
+    * `n_tokens` sums the member documents' tokens; a document
+    * straddling a pack boundary is listed in the pack where it STARTS
+    * (seqPack's contract), so a pack's sum can exceed the budget by
+    * its tail document's overhang.
+    *
+    * Scale shape: [[seqPack]]'s two-pass distributed prefix sum plus
+    * ONE combinable aggregate keyed on pack_id; the per-pack member
+    * list is bounded by the token budget (a pack holds at most
+    * `budget` one-token docs), so the collect_list is O(budget), never
+    * O(corpus). Offsets tie-break on doc_id (zero-token docs share an
+    * offset), keeping the CSV deterministic on both engines.
+    */
+  def packManifest(df: DataFrame, idCol: String, textCol: String,
+                   budget: Int, numBuckets: Int = 32): DataFrame = {
+    val packed = seqPack(df, idCol, textCol, budget, numBuckets)
+    packed.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        array_sort(collect_list(struct(col("pack_offset"), col(idCol))))
+          .as("_ord"))
+      .select(col("pack_id"), col("n_docs"), col("n_tokens"),
+        array_join(transform(col("_ord"),
+          x => x.getField("pack_offset").cast("string")), ",")
+          .as("offsets_csv"),
+        array_join(transform(col("_ord"),
+          x => x.getField(idCol).cast("string")), ",")
+          .as("doc_ids_csv"))
+  }
+
   /** TOKEN-SHARE data mixing — the domain-reweighting step (the
     * Pile/DoReMi-style mixture knob) a pretraining build runs between
     * cleaning and packing: subsample strata so the OUTPUT corpus's

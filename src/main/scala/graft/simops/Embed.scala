@@ -47,6 +47,31 @@ object Embed {
         .as("rmse"))
   }
 
+  /** Embedding-column DATASHEET, per label stratum: vector counts,
+    * dimension, and norm distribution — the first query run on an
+    * incoming embedding batch (a truncated/zero-padded/un-normalized
+    * batch shows up immediately as a dim or norm anomaly), and the
+    * regression check after any encoder change. The embedding twin of
+    * [[graft.textops.Vocab.corpusProfile]].
+    *
+    * Scale shape: one scan computing the norm per row (codegen'd
+    * sequential dot — the [[Similarity.norm]] kernel), then ONE
+    * aggregate keyed on the label. The exact percentile buffers each
+    * stratum's norms (the corpusProfile trade, documented there; swap
+    * to approx_percentile for outsized strata).
+    */
+  def profile(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val base = graft.util.Par.spread(df)
+      .select(col(labelCol),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_n", Similarity.norm(col("_v")))
+    base.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(size(col("_v"))).as("dim"),
+        round(avg(col("_n")), 6).as("mean_norm"),
+        round(percentile(col("_n"), lit(0.5)), 6).as("p50_norm"))
+  }
+
   /** Product-quantization codebooks, driver-resident: per subspace, the
     * surviving code ids and their centroids. O(m·k·subDim) — index
     * metadata, never O(rows). Same deterministic conventions as

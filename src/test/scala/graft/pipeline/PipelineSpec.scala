@@ -220,6 +220,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(byLang("en") > byLang("zh") && byLang("zh") > byLang("de"))
   }
 
+  test("packManifest: per-pack member lists with boundary offsets in order") {
+    import spark.implicits._
+    // budget 10: docs of 4/4/4 tokens -> doc 3 starts at offset 8 and
+    // straddles into pack 1; doc 4 (2 tokens) lands at pack 1 offset 2
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"), (4L, "a b")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.packManifest(df, "doc_id", "text", budget = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(out(0L) == (3L, 12L, "0,4,8", "1,2,3")) // straddler counted at start
+    assert(out(1L) == (1L, 2L, "2", "4"))
+  }
+
   test("sampleMixture lands output token shares on the target weights") {
     import spark.implicits._
     // 3000 docs, 5 tokens each, equal thirds by language; target

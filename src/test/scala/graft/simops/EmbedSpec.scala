@@ -54,6 +54,20 @@ class EmbedSpec extends AnyFunSuite {
     assert(minCos > 0.995, s"quantization distorted cosine: $minCos")
   }
 
+  test("profile: per-label norm datasheet with exact median") {
+    import spark.implicits._
+    // label 0: norms 3,4,5 (3-4-5 triangles); label 1: one unit vector
+    val df = Seq(
+      (0, Seq(3f, 0f)), (0, Seq(0f, 4f)), (0, Seq(3f, 4f)),
+      (1, Seq(1f, 0f))
+    ).toDF("label", "embedding")
+    val out = Embed.profile(df, "embedding", "label").collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0) == (3L, 2, 4.0, 4.0))
+    assert(out(1) == (1L, 2, 1.0, 1.0))
+  }
+
   test("pqEncode: m codes per vector, exact-centroid vectors reconstruct losslessly") {
     import spark.implicits._
     // 4-dim, 2 subspaces of 2 dims; k=2 codebooks seeded by ids 1,2 —
