@@ -22,7 +22,8 @@ object ScaleBench {
     "doc_winnow", "decontaminate", "corpus_clean", "multimodal_meta",
     "topk_ngrams", "tfidf_terms", "dedup_spans", "corpus_profile",
     "novelty_score", "stream_trending_ngrams", "dedup_incremental",
-    "dedup_minhash_incremental", "lm_score", "corpus_profile_approx",
+    "dedup_minhash_incremental", "dedup_minhash_stored", "lm_score",
+    "corpus_profile_approx",
     "sample_mixture", "decontaminate_pairs", "pack_manifest",
     // embeddings family
     "embedding_profile", "embedding_quantize", "embedding_neardup",

@@ -103,6 +103,52 @@ object SparkEntry {
 
   private val minhashClusterCtes = minhashPairCtes + closureCtes("mpairs")
 
+  /** Oracle replay of [[graft.dedup.Dedup.minhashIncremental]] on the
+    * shared banded-signature CTEs: same md5-bucket split as
+    * dedup_incremental (>= 70 incoming), increment band keys probe the
+    * corpus side, matched buckets capped at 64, exact Jaccard >= 0.5
+    * verify, best match = (jaccard desc, corpus id). Shared verbatim
+    * by `dedup_minhash_incremental` and `dedup_minhash_stored` — the
+    * stored-probe form computes the identical decision, so one oracle
+    * pins both.
+    */
+  private lazy val minhashIncrementalOracle: String =
+    s"""WITH $minhashBandedCtes,
+         sb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
+           FROM documents),
+         incb AS (SELECT b.doc_id, bnd, bucket FROM banded b
+                  JOIN sb USING (doc_id) WHERE sb.sbucket >= 70),
+         corb AS (SELECT b.doc_id, bnd, bucket FROM banded b
+                  JOIN sb USING (doc_id) WHERE sb.sbucket < 70),
+         ikeys AS (SELECT DISTINCT bnd, bucket FROM incb),
+         mat AS (SELECT c.doc_id, c.bnd, c.bucket FROM corb c
+                 JOIN ikeys USING (bnd, bucket)),
+         mcap AS (SELECT doc_id, bnd, bucket FROM mat
+                  QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
+         cand AS (SELECT DISTINCT i.doc_id AS inc_id, m.doc_id AS dup_id
+                  FROM incb i JOIN mcap m USING (bnd, bucket)),
+         isz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         iiv AS (SELECT cand.inc_id, cand.dup_id, count(*) AS inter
+                 FROM cand JOIN sh x ON x.doc_id = cand.inc_id
+                 JOIN sh y ON y.doc_id = cand.dup_id AND y.shingle = x.shingle
+                 GROUP BY 1, 2),
+         ver AS (SELECT iiv.inc_id, iiv.dup_id,
+             round(iiv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iiv.inter), 6) AS jaccard
+           FROM iiv JOIN isz sx ON sx.doc_id = iiv.inc_id
+           JOIN isz sy ON sy.doc_id = iiv.dup_id
+           WHERE round(iiv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iiv.inter), 6) >= 0.5),
+         best AS (SELECT inc_id, dup_id, jaccard FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY jaccard DESC, dup_id) AS rn FROM ver) WHERE rn = 1)
+         SELECT i.doc_id, best.dup_id AS dup_of, best.jaccard,
+           (best.dup_id IS NULL) AS is_new
+         FROM (SELECT doc_id FROM sb WHERE sbucket >= 70) i
+         LEFT JOIN best ON best.inc_id = i.doc_id"""
+
   /** Shared CTE chain mirroring [[graft.dedup.Dedup.simhashPairs]],
     * ending in `spairs(doc_a, doc_b, hamming)`; selected directly by the
     * `dedup_simhash` oracle and closed over by `dedup_clusters_simhash`.
@@ -603,6 +649,20 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       Dedup.minhashIncremental(d.filter(bucket >= 70), d.filter(bucket < 70),
+        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5)
+    }),
+
+    "dedup_minhash_stored" -> ((s, dir) => {
+      // the persisted-signature-store form of the same ingest decision:
+      // the store frames stand in for parquet the corpus wrote at its
+      // own ingest time (SinksSpec-style round-trip pinned in
+      // DedupSpec), so probing touches no corpus text
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val store = graft.dedup.SignatureStore.build(d.filter(bucket < 70),
+        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2)
+      Dedup.minhashIncrementalStored(d.filter(bucket >= 70), store,
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
         threshold = 0.5)
     }),
@@ -1314,46 +1374,13 @@ object SparkEntry {
          FROM inc i JOIN keepb k USING (fingerprint)
          LEFT JOIN hit h ON h.fingerprint = i.fingerprint""",
 
-    "dedup_minhash_incremental" ->
-      // replays Dedup.minhashIncremental on the shared banded-signature
-      // CTEs: same md5-bucket split as dedup_incremental, increment band
-      // keys probe the corpus side, matched buckets capped at 64, exact
-      // Jaccard >= 0.5 verify, best match = (jaccard desc, corpus id)
-      s"""WITH $minhashBandedCtes,
-         sb AS (SELECT doc_id,
-           list_sum(list_transform(generate_series(1, 15),
-             p -> ((strpos('0123456789abcdef',
-                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
-                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
-           FROM documents),
-         incb AS (SELECT b.doc_id, bnd, bucket FROM banded b
-                  JOIN sb USING (doc_id) WHERE sb.sbucket >= 70),
-         corb AS (SELECT b.doc_id, bnd, bucket FROM banded b
-                  JOIN sb USING (doc_id) WHERE sb.sbucket < 70),
-         ikeys AS (SELECT DISTINCT bnd, bucket FROM incb),
-         mat AS (SELECT c.doc_id, c.bnd, c.bucket FROM corb c
-                 JOIN ikeys USING (bnd, bucket)),
-         mcap AS (SELECT doc_id, bnd, bucket FROM mat
-                  QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
-         cand AS (SELECT DISTINCT i.doc_id AS inc_id, m.doc_id AS dup_id
-                  FROM incb i JOIN mcap m USING (bnd, bucket)),
-         isz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         iiv AS (SELECT cand.inc_id, cand.dup_id, count(*) AS inter
-                 FROM cand JOIN sh x ON x.doc_id = cand.inc_id
-                 JOIN sh y ON y.doc_id = cand.dup_id AND y.shingle = x.shingle
-                 GROUP BY 1, 2),
-         ver AS (SELECT iiv.inc_id, iiv.dup_id,
-             round(iiv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iiv.inter), 6) AS jaccard
-           FROM iiv JOIN isz sx ON sx.doc_id = iiv.inc_id
-           JOIN isz sy ON sy.doc_id = iiv.dup_id
-           WHERE round(iiv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iiv.inter), 6) >= 0.5),
-         best AS (SELECT inc_id, dup_id, jaccard FROM (
-             SELECT *, row_number() OVER (PARTITION BY inc_id
-               ORDER BY jaccard DESC, dup_id) AS rn FROM ver) WHERE rn = 1)
-         SELECT i.doc_id, best.dup_id AS dup_of, best.jaccard,
-           (best.dup_id IS NULL) AS is_new
-         FROM (SELECT doc_id FROM sb WHERE sbucket >= 70) i
-         LEFT JOIN best ON best.inc_id = i.doc_id""",
+    "dedup_minhash_incremental" -> minhashIncrementalOracle,
+
+    "dedup_minhash_stored" ->
+      // the stored-probe form computes the IDENTICAL decision (hashed
+      // verify arrays intersect like the string sets, same rounded
+      // jaccard), so it shares the incremental oracle verbatim
+      minhashIncrementalOracle,
 
     "dedup_semantic" -> {
       // replay the shared fitted index, then the greedy rule: a vector

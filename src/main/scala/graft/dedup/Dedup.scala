@@ -97,7 +97,7 @@ object Dedup {
     * ([[minhashIncremental]]) operators can never drift on what a
     * shingle is.
     */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+  private[dedup] def shingleSetsOf(df: DataFrame, idCol: String, textCol: String,
                           shingleSize: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
         TextOps.tokens(lower(col(textCol))).as("_toks"))
@@ -123,7 +123,7 @@ object Dedup {
     * size(...)>0 filter a plain posexplode would push down (the band
     * array is never empty).
     */
-  private def bandKeys(shingles: DataFrame, bands: Int,
+  private[dedup] def bandKeysOf(shingles: DataFrame, bands: Int,
                        rowsPerBand: Int): DataFrame = {
     val withSig = shingles.select(col("doc_id"),
       graft.functions.MinHashSigExpr(col("sh"), bands * rowsPerBand).as("sig"))
@@ -146,8 +146,8 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    val banded = bandKeys(
-      shingleSets(graft.util.Par.spread(df), idCol, textCol, shingleSize),
+    val banded = bandKeysOf(
+      shingleSetsOf(graft.util.Par.spread(df), idCol, textCol, shingleSize),
       bands, rowsPerBand)
 
     val bucketed = banded
@@ -163,7 +163,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
-    val shs = shingleSets(graft.util.Par.spread(df), idCol, textCol,
+    val shs = shingleSetsOf(graft.util.Par.spread(df), idCol, textCol,
       shingleSize)
     pairs
       .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -211,12 +211,12 @@ object Dedup {
                          maxBucket: Int = 64): DataFrame = {
     // the increment's shingle frame forks three ways (band keys, verify
     // side, output doc list) — checkpoint once, like spanPairs' fps
-    val incSh = shingleSets(graft.util.Par.spread(incoming), idCol,
+    val incSh = shingleSetsOf(graft.util.Par.spread(incoming), idCol,
       textCol, shingleSize).localCheckpoint()
-    val incBanded = bandKeys(incSh, bands, rowsPerBand)
+    val incBanded = bandKeysOf(incSh, bands, rowsPerBand)
     val incKeys = incBanded.select(col("band"), col("bucket")).distinct()
-    val corpusBanded = bandKeys(
-      shingleSets(graft.util.Par.spread(corpus), idCol, textCol,
+    val corpusBanded = bandKeysOf(
+      shingleSetsOf(graft.util.Par.spread(corpus), idCol, textCol,
         shingleSize), bands, rowsPerBand)
     // the probe: corpus streams through a broadcast join on the
     // increment's band keys — no corpus shuffle, ids-only payload
@@ -234,7 +234,7 @@ object Dedup {
     // corpus shingle scan (again no corpus shuffle); increment shingles
     // come from the checkpoint
     val candIds = pairs.select(col("dup_id").as("doc_id")).distinct()
-    val corpusSh = shingleSets(graft.util.Par.spread(corpus), idCol,
+    val corpusSh = shingleSetsOf(graft.util.Par.spread(corpus), idCol,
         textCol, shingleSize)
       .join(broadcast(candIds), "doc_id")
     val verified = pairs
@@ -246,6 +246,69 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("jaccard").desc, col("dup_id").asc)
+    val best = verified
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("inc_id").cast("long").as("doc_id"),
+        col("dup_id").cast("long").as("dup_of"), col("jaccard"))
+    incSh.select(col("doc_id").cast("long").as("doc_id"))
+      .join(broadcast(best), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
+  /** [[minhashIncremental]] against a PERSISTED [[SignatureStore]] —
+    * the form a daily 100 TB pipeline actually runs: the corpus's
+    * signatures and shingle-hash arrays were computed once at ingest
+    * time, so probing a new increment touches NO corpus text at all.
+    * Only the increment is signed (O(increment) narrow work); its band
+    * keys broadcast against the stored banded frame, candidate ids
+    * broadcast against the stored hash arrays, and the exact-Jaccard
+    * verify runs on the 8-byte hash arrays (set intersection equal to
+    * the string-set intersection up to vanishing 64-bit collisions —
+    * the [[ngramJaccardSortedPrefix]] verify contract, so the output
+    * matches [[minhashIncremental]] bit for bit on the rounded
+    * jaccard, equivalence-tested).
+    *
+    * Same output contract as [[minhashIncremental]]:
+    * (doc_id, dup_of, jaccard, is_new), one row per incoming doc.
+    */
+  def minhashIncrementalStored(incoming: DataFrame,
+                               store: SignatureStore.Store,
+                               idCol: String, textCol: String,
+                               shingleSize: Int = 3, bands: Int = 8,
+                               rowsPerBand: Int = 2,
+                               threshold: Double = 0.5,
+                               maxBucket: Int = 64): DataFrame = {
+    // the increment's shingle frame forks three ways; checkpoint once
+    val incSh = shingleSetsOf(graft.util.Par.spread(incoming), idCol,
+      textCol, shingleSize).localCheckpoint()
+    val incBanded = bandKeysOf(incSh, bands, rowsPerBand)
+    val incKeys = incBanded.select(col("band"), col("bucket")).distinct()
+    val matched = store.banded.join(broadcast(incKeys), Seq("band", "bucket"))
+    val capped = matched.withColumn("_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("_n") <= maxBucket)
+    val pairs = capped.join(
+        broadcast(incBanded.select(col("band"), col("bucket"),
+          col("doc_id").as("inc_id"))), Seq("band", "bucket"))
+      .select(col("inc_id"), col("doc_id").as("dup_id"))
+      .dropDuplicates("inc_id", "dup_id")
+    val candIds = pairs.select(col("dup_id").as("doc_id")).distinct()
+    val corpusHs = store.shingleHashes.join(broadcast(candIds), "doc_id")
+    val verified = pairs
+      .join(broadcast(incSh.select(col("doc_id").as("inc_id"),
+        graft.functions.XxSortedHashesExpr(col("sh")).as("hs_a"))), "inc_id")
+      .join(corpusHs.select(col("doc_id").as("dup_id"),
+        col("hs").as("hs_b")), "dup_id")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("inc_id"))

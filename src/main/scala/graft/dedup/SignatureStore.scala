@@ -1,0 +1,68 @@
+package graft.dedup
+
+import graft.textops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted MinHash SIGNATURE STORE — the artifact that makes
+  * incremental near-dedup a zero-corpus-reprocessing operation.
+  *
+  * [[Dedup.minhashIncremental]] recomputes the corpus's signatures on
+  * every ingest (two narrow corpus scans: band keys + verify
+  * shingles). At 100 TB that is the dominant cost, and it is the SAME
+  * work every day — so a real pipeline computes it once and persists
+  * it. The store holds the two corpus-derived frames the probe needs:
+  *
+  *  - `banded(doc_id, band, bucket)` — the LSH band keys
+  *    ([[Dedup.minhashLsh]]'s signature definition, shared helper);
+  *  - `shingleHashes(doc_id, hs)` — each document's SORTED xxhash64
+  *    shingle-hash array for the exact-Jaccard verify (longs: ~8×
+  *    fewer bytes than the shingle strings, and set intersection on
+  *    them equals string-set intersection up to vanishing 64-bit
+  *    collisions — the [[Dedup.ngramJaccardSortedPrefix]] contract).
+  *
+  * Ingest then runs [[Dedup.minhashIncrementalStored]]: the increment
+  * is signed (O(increment) work), its band keys broadcast-probe the
+  * stored banded frame, and the verify re-joins the stored hash
+  * arrays for candidate ids only — the corpus TEXT is never read at
+  * all, and nothing corpus-sized ever shuffles. After the ingest
+  * decision, append the accepted increment's own store rows
+  * ([[build]] of the survivors) — the store grows with the corpus
+  * without ever being rebuilt.
+  */
+object SignatureStore {
+
+  final case class Store(banded: DataFrame, shingleHashes: DataFrame)
+
+  /** Build the store frames from a corpus: two narrow projections of
+    * one logical definition (the shared [[Dedup]] shingle/band-key
+    * helpers), no shuffle in either.
+    */
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+            shingleSize: Int = 3, bands: Int = 8,
+            rowsPerBand: Int = 2): Store = {
+    val sh = Dedup.shingleSetsOf(graft.util.Par.spread(corpus), idCol,
+      textCol, shingleSize)
+    Store(
+      banded = Dedup.bandKeysOf(sh, bands, rowsPerBand),
+      shingleHashes = sh.select(col("doc_id"),
+        graft.functions.XxSortedHashesExpr(col("sh")).as("hs")))
+  }
+
+  /** Persist both frames as parquet under `dir` (`signatures/`,
+    * `shingle_hashes/`). Plain columnar layout: the probe path reads
+    * both frames as the STREAMED side of broadcast joins, so scan
+    * parallelism (row groups) is what matters, not co-location; at
+    * cluster scale, bucket `shingle_hashes` by doc_id if the verify
+    * fetch should prune files.
+    */
+  def write(store: Store, dir: String): Unit = {
+    store.banded.write.mode("overwrite").parquet(s"$dir/signatures")
+    store.shingleHashes.write.mode("overwrite")
+      .parquet(s"$dir/shingle_hashes")
+  }
+
+  def read(spark: SparkSession, dir: String): Store = Store(
+    banded = spark.read.parquet(s"$dir/signatures"),
+    shingleHashes = spark.read.parquet(s"$dir/shingle_hashes"))
+}

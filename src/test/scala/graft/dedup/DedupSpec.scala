@@ -282,6 +282,29 @@ class DedupSpec extends AnyFunSuite {
       r.getDouble(2) == 1.0 && !r.getBoolean(3))
   }
 
+  test("signature store round-trips and the stored probe equals the direct one") {
+    // write the corpus's signature store to parquet, read it back, and
+    // probe: the persisted form must make the IDENTICAL decision the
+    // text-rescanning incremental makes (hashed verify arrays intersect
+    // like the string sets)
+    val corpus = docs(1L -> base, 2L -> other, 3L -> "some third doc here")
+    val incoming = docs(10L -> nearDup, 11L -> base, 12L ->
+      "entirely new content that matches nothing stored at all " * 3)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val direct = rowsOf(Dedup.minhashIncremental(incoming, corpus,
+      "doc_id", "text", threshold = 0.3))
+    val tmp = java.nio.file.Files.createTempDirectory("sigstore").toString
+    SignatureStore.write(SignatureStore.build(corpus, "doc_id", "text"), tmp)
+    val store = SignatureStore.read(spark, tmp)
+    val stored = rowsOf(Dedup.minhashIncrementalStored(incoming, store,
+      "doc_id", "text", threshold = 0.3))
+    assert(stored == direct)
+    assert(stored.exists(r => !r._4) && stored.exists(_._4))
+  }
+
   test("minhashIncremental agrees with batch LSH over the union corpus") {
     // the incremental probe must reproduce exactly the inc-corpus pairs
     // the BATCH operator finds on incoming ∪ corpus (restricted to
