@@ -360,10 +360,14 @@ object Pipeline {
     val base = graft.util.Par.spread(df)
       .select(col(idCol), col(strataCol),
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // O(strata) rows, materialized ONCE: the frame forks three ways
+    // below (weight sum, T_out reduction, rate table) and each fork
+    // would otherwise re-run the corpus token-count aggregate
     val strata = base.groupBy(col(strataCol))
       .agg(sum(col("n_tokens")).as("_ts"))
       .withColumn("_w", wCol)
       .filter(col("_w") > 0)
+      .localCheckpoint()
     val wsum = strata.agg(sum(col("_w")).as("_wsum"))
     val withShare = strata.crossJoin(broadcast(wsum))
       .withColumn("_share", col("_w") / col("_wsum"))

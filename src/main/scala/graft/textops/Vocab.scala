@@ -180,15 +180,20 @@ object Vocab {
         explode(ngrams(col("_toks"), 2)).as("bg"))
       .select(col(idCol), xxhash64(col("bg")).as("_h2"),
         xxhash64(substring_index(col("bg"), " ", 1)).as("_h1"))
-    val c12 = big.groupBy(col("_h2")).agg(count(lit(1)).as("c12"))
-    val uni = base.select(explode(col("_toks")).as("w"))
+    // ONE corpus-scale aggregate builds the bigram model: the left
+    // token is functionally determined by the bigram, so min(_h1)
+    // carries it through without a second distinct pass over `big`
+    val c12 = big.groupBy(col("_h2"))
+      .agg(count(lit(1)).as("c12"), min(col("_h1")).as("_h1"))
+    val c1 = base.select(explode(col("_toks")).as("w"))
       .select(xxhash64(col("w")).as("_h1"))
-    val c1 = uni.groupBy(col("_h1")).agg(count(lit(1)).as("c1"))
-    val vocabN = uni.agg(count_distinct(col("_h1")).as("_v"))
+      .groupBy(col("_h1")).agg(count(lit(1)).as("c1"))
+    // V = rows of the unigram count frame — vocab-sized, no extra
+    // corpus scan
+    val vocabN = c1.agg(count(lit(1)).as("_v"))
     // model assembly on vocab-sized frames: (bigram, c12, c1-of-left)
-    val bstats = big.select(col("_h2"), col("_h1")).distinct()
-      .join(c12, "_h2").join(c1, "_h1")
-    big.join(bstats, Seq("_h2", "_h1"))
+    val bstats = c12.join(c1, "_h1").drop("_h1")
+    big.select(col(idCol), col("_h2")).join(bstats, "_h2")
       .crossJoin(broadcast(vocabN))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
