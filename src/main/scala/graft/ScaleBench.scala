@@ -25,6 +25,7 @@ object ScaleBench {
     "dedup_minhash_incremental", "dedup_minhash_stored", "lm_score",
     "corpus_profile_approx",
     "sample_mixture", "decontaminate_pairs", "pack_manifest",
+    "ingest_clean",
     // embeddings family
     "embedding_profile", "embedding_quantize", "embedding_neardup",
     "embedding_clusters",

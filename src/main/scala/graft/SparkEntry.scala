@@ -795,6 +795,18 @@ object SparkEntry {
         pctByStratum = Map("en" -> 80, "zh" -> 50), defaultPct = 25,
         budget = 2048)),
 
+    "ingest_clean" -> ((s, dir) => {
+      // the daily-ingest pipeline in one DAG: gate the increment, check
+      // it against the corpus for exact and near duplicates, emit the
+      // composite accept decision (same md5-bucket split as the
+      // incremental dedup queries)
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      graft.pipeline.Pipeline.ingestClean(d.filter(bucket >= 70),
+        d.filter(bucket < 70), "doc_id", "text", minQuality = 0.3,
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+    }),
+
     "decontaminate" -> ((s, dir) => {
       // benchmark-leak check: docs 0-19 stand in for an eval suite;
       // corpus docs sharing any 5-gram with them are flagged
@@ -1375,6 +1387,67 @@ object SparkEntry {
          LEFT JOIN hit h ON h.fingerprint = i.fingerprint""",
 
     "dedup_minhash_incremental" -> minhashIncrementalOracle,
+
+    "ingest_clean" ->
+      // composes the corpus_clean quality gate with BOTH incremental
+      // duplicate checks' oracle logic: exact (batch min-id survivor +
+      // corpus fingerprint absence, over GATED docs only) and near
+      // (the banded-probe chain, incb restricted to gated docs; the
+      // boolean only needs pair existence, not the best-match rank)
+      s"""WITH $minhashBandedCtes,
+         sb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
+           FROM documents),
+         qb AS (SELECT doc_id, $duckQualityParts FROM documents),
+         qv AS (SELECT doc_id, $duckQualityFromParts AS quality FROM qb),
+         incq AS (SELECT s.doc_id, qv.quality FROM sb s
+                  JOIN qv ON qv.doc_id = s.doc_id WHERE s.sbucket >= 70),
+         gated AS (SELECT doc_id FROM incq WHERE quality >= 0.3),
+         fps AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+         keepb AS (SELECT fp, min(f.doc_id) AS keep_id FROM fps f
+                   JOIN gated g ON g.doc_id = f.doc_id GROUP BY fp),
+         corpfp AS (SELECT DISTINCT f.fp FROM fps f
+                    JOIN sb ON sb.doc_id = f.doc_id WHERE sb.sbucket < 70),
+         hitx AS (SELECT DISTINCT k.fp FROM keepb k
+                  JOIN corpfp c ON c.fp = k.fp),
+         exn AS (SELECT f.doc_id,
+             (f.doc_id = k.keep_id AND h.fp IS NULL) AS is_new_exact
+           FROM fps f JOIN gated g ON g.doc_id = f.doc_id
+           JOIN keepb k ON k.fp = f.fp LEFT JOIN hitx h ON h.fp = f.fp),
+         incb AS (SELECT b.doc_id, bnd, bucket FROM banded b
+                  JOIN gated g USING (doc_id)),
+         corb AS (SELECT b.doc_id, bnd, bucket FROM banded b
+                  JOIN sb USING (doc_id) WHERE sb.sbucket < 70),
+         ikeys AS (SELECT DISTINCT bnd, bucket FROM incb),
+         mat AS (SELECT c.doc_id, c.bnd, c.bucket FROM corb c
+                 JOIN ikeys USING (bnd, bucket)),
+         mcap AS (SELECT doc_id, bnd, bucket FROM mat
+                  QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
+         cand AS (SELECT DISTINCT i.doc_id AS inc_id, m.doc_id AS dup_id
+                  FROM incb i JOIN mcap m USING (bnd, bucket)),
+         isz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         iiv AS (SELECT cand.inc_id, cand.dup_id, count(*) AS inter
+                 FROM cand JOIN sh x ON x.doc_id = cand.inc_id
+                 JOIN sh y ON y.doc_id = cand.dup_id AND y.shingle = x.shingle
+                 GROUP BY 1, 2),
+         ver AS (SELECT DISTINCT iiv.inc_id FROM iiv
+           JOIN isz sx ON sx.doc_id = iiv.inc_id
+           JOIN isz sy ON sy.doc_id = iiv.dup_id
+           WHERE round(iiv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iiv.inter), 6) >= 0.5),
+         nearn AS (SELECT g.doc_id, (v.inc_id IS NULL) AS is_new_near
+                   FROM gated g LEFT JOIN ver v ON v.inc_id = g.doc_id)
+         SELECT i.doc_id, i.quality,
+           COALESCE(e.is_new_exact, false) AS is_new_exact,
+           COALESCE(n.is_new_near, false) AS is_new_near,
+           (i.quality >= 0.3 AND COALESCE(e.is_new_exact, false)
+             AND COALESCE(n.is_new_near, false)) AS accepted
+         FROM incq i LEFT JOIN exn e ON e.doc_id = i.doc_id
+         LEFT JOIN nearn n ON n.doc_id = i.doc_id""",
 
     "dedup_minhash_stored" ->
       // the stored-probe form computes the IDENTICAL decision (hashed

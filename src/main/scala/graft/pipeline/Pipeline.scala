@@ -286,6 +286,57 @@ object Pipeline {
         pctFor(col(strataCol), pctByStratum, defaultPct))
   }
 
+  /** The DAILY-INGEST pipeline composed in ONE DAG — the incremental
+    * twin of [[corpusClean]]: a crawl increment is quality-gated, then
+    * checked against the existing corpus for exact duplicates
+    * ([[graft.dedup.Dedup.exactIncremental]]) and near-duplicates
+    * ([[graft.dedup.Dedup.minhashIncremental]]), and each incoming doc
+    * gets the composite ACCEPT decision a real pipeline appends on.
+    *
+    * Scale shape is the union of its parts, all corpus-safe: the gate
+    * is a narrow filter on the increment scan; both duplicate checks
+    * broadcast increment-derived frames and stream the corpus through
+    * probes (the corpus never shuffles — see the component docs; with
+    * a persisted [[graft.dedup.SignatureStore]] the near-dup leg reads
+    * no corpus text either). Only GATED docs run the duplicate checks
+    * — a rejected doc must not burn signature work or, worse, shadow a
+    * later clean copy in the batch min-id rule.
+    *
+    * Output: one row per INCOMING doc —
+    * (doc_id, quality, is_new_exact, is_new_near, accepted). The
+    * duplicate-check flags read FALSE for gate-rejected docs (they
+    * were not evaluated and cannot be accepted; the quality column
+    * records why) — false-not-null keeps every output column
+    * non-nullable, the portable choice for the oracle compare.
+    */
+  def ingestClean(incoming: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String, minQuality: Double,
+                  shingleSize: Int = 3, bands: Int = 8,
+                  rowsPerBand: Int = 2, threshold: Double = 0.5,
+                  maxBucket: Int = 64): DataFrame = {
+    val inc = graft.util.Par.spread(incoming)
+      .select(col(idCol), col(textCol),
+        TextOps.qualityScore(col(textCol)).as("quality"))
+    val gated = inc.filter(
+      graft.util.Par.noPushdown(col("quality") >= minQuality))
+    val ex = graft.dedup.Dedup
+      .exactIncremental(gated, corpus, idCol, textCol)
+      .select(col("doc_id"), col("is_new").as("is_new_exact"))
+    val near = graft.dedup.Dedup
+      .minhashIncremental(gated, corpus, idCol, textCol, shingleSize,
+        bands, rowsPerBand, threshold, maxBucket)
+      .select(col("doc_id"), col("is_new").as("is_new_near"))
+    inc.select(col(idCol).cast("long").as("doc_id"), col("quality"))
+      .join(ex, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("is_new_exact"), lit(false)).as("is_new_exact"),
+        coalesce(col("is_new_near"), lit(false)).as("is_new_near"),
+        (col("quality") >= minQuality &&
+          coalesce(col("is_new_exact"), lit(false)) &&
+          coalesce(col("is_new_near"), lit(false))).as("accepted"))
+  }
+
   /** Pack MANIFEST: the per-pack view of [[seqPack]] a training reader
     * actually consumes — each pack's document ids and their start
     * offsets (the attention-mask boundary list), emitted as CSV in

@@ -220,6 +220,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(byLang("en") > byLang("zh") && byLang("zh") > byLang("de"))
   }
 
+  test("ingestClean: gate, exact and near checks compose into the accept bit") {
+    import spark.implicits._
+    val kept = ("spark catalyst and tungsten keep the query plan both " +
+      "declarative and fast for everyone involved in it ") * 3
+    val near = kept.replace("fast", "quick")
+    val corpus = Seq(1L -> kept).toDF("doc_id", "text")
+    val incoming = Seq(
+      10L -> "??", // gate-rejected (too short / low quality)
+      11L -> kept, // exact dup of corpus doc 1
+      12L -> near, // near-dup of corpus doc 1
+      13L -> ("a genuinely new document about entirely different things " +
+        "with plenty of common words that clear the quality bar here ") * 3,
+      14L -> (("another brand new passage that should be accepted and is " +
+        "long enough to pass the quality threshold comfortably today ") * 3)
+    ).toDF("doc_id", "text")
+    val out = Pipeline.ingestClean(incoming, corpus, "doc_id", "text",
+        minQuality = 0.3, threshold = 0.3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(out(10L) == (false, false, false)) // rejected, never evaluated
+    assert(out(11L) == (false, false, false)) // exact dup (near also fires)
+    assert(out(12L)._2 == false && !out(12L)._3) // near-dup rejected
+    assert(out(12L)._1 == true) // ...but not an exact dup
+    assert(out(13L) == (true, true, true))
+    assert(out(14L) == (true, true, true))
+  }
+
   test("packManifest: per-pack member lists with boundary offsets in order") {
     import spark.implicits._
     // budget 10: docs of 4/4/4 tokens -> doc 3 starts at offset 8 and
