@@ -169,7 +169,14 @@ object PlanDump {
           "for the exact-Jaccard verify). Every ShuffleExchange in the " +
           "plan sits above a broadcast probe or reads only the " +
           "checkpointed increment — candidate-scale by construction " +
-          "(fenced in PlanAuditSpec)."))
+          "(fenced in PlanAuditSpec)."),
+      "ingest_clean" ->
+        ("The daily-ingest pipeline in ONE DAG (incremental twin of " +
+          "corpus_clean): quality gate on the increment scan, then the " +
+          "exact and near duplicate checks against the corpus — all " +
+          "corpus touches are broadcast probes (no corpus shuffle), " +
+          "and only GATED docs reach the signature work. The accept " +
+          "bit composes the three decisions per incoming doc."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")

@@ -49,6 +49,31 @@ class VocabSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("lmScore invariants hold on random corpora (fuzz)") {
+    // P(w2|w1) = (c12+1)/(c1+V) with c12 <= c1 and V >= 1 forces
+    // p <= 1, so avg_logp <= 0 for EVERY doc; n_bigrams must equal
+    // the doc's token count minus one; docs under 2 tokens emit no row
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val vocab = (0 until 5 + rnd.nextInt(20)).map(i => s"t$i")
+      val ds = (0L until 40L).map { i =>
+        val n = rnd.nextInt(8) // 0..7 tokens
+        i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val expected = ds.collect {
+        case (id, t) if t.split("\\s+").count(_.nonEmpty) >= 2 =>
+          id -> (t.split("\\s+").count(_.nonEmpty) - 1).toLong
+      }.toMap
+      val out = Vocab.lmScore(docs(ds: _*), "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(out.keySet == expected.keySet, s"trial $trial")
+      out.foreach { case (id, (nb, lp)) =>
+        assert(nb == expected(id), s"trial $trial doc $id")
+        assert(lp <= 0.0, s"trial $trial doc $id avg_logp $lp")
+      }
+    }
+  }
+
   test("lmScore: shuffled text scores below fluent text of the same tokens") {
     // the model IS the corpus's transition structure: a doc whose token
     // order contradicts the dominant order has rare bigrams -> lower
