@@ -314,11 +314,16 @@ object Pipeline {
                   shingleSize: Int = 3, bands: Int = 8,
                   rowsPerBand: Int = 2, threshold: Double = 0.5,
                   maxBucket: Int = 64): DataFrame = {
+    // the increment (id, text, quality) materialized ONCE: the base
+    // list, the exact leg, and the near leg all re-read it, and an
+    // unmaterialized frame would re-run the quality scoring (and the
+    // increment scan) per leg. Increment-sized by contract — the same
+    // checkpoint discipline as minhashIncremental's shingle frame.
     val inc = graft.util.Par.spread(incoming)
       .select(col(idCol), col(textCol),
         TextOps.qualityScore(col(textCol)).as("quality"))
-    val gated = inc.filter(
-      graft.util.Par.noPushdown(col("quality") >= minQuality))
+      .localCheckpoint()
+    val gated = inc.filter(col("quality") >= minQuality)
     val ex = graft.dedup.Dedup
       .exactIncremental(gated, corpus, idCol, textCol)
       .select(col("doc_id"), col("is_new").as("is_new_exact"))

@@ -267,44 +267,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("dedup_minhash_incremental: every shuffle is post-probe (corpus never shuffles)") {
-    // the incremental contract: corpus-sized frames reach ONLY broadcast
-    // probes as the streamed side. So every ShuffleExchange in the plan
-    // must sit above a BroadcastHashJoin (i.e. its input was already
-    // pruned to candidate scale by a broadcast probe) — except the
-    // RoundRobin spread guard, which is a no-op on any at-scale source
-    // (Par.spread), and scans of the increment's checkpoint RDD.
+  /** The incremental-ingest contract: corpus-sized frames reach ONLY
+    * broadcast probes as the streamed side. So every ShuffleExchange in
+    * the plan must sit above a BroadcastHashJoin (its input was already
+    * pruned to candidate scale by a broadcast probe) — except the
+    * RoundRobin spread guard, a no-op on any at-scale source
+    * (Par.spread), and shuffles whose subtree reads no file source
+    * (increment-derived frames off the checkpoint RDD, batch-sized by
+    * definition).
+    */
+  private def assertShufflesPostProbe(query: String, minProbes: Int): Unit = {
     val conf = spark.conf
     val prevAqe = conf.get("spark.sql.adaptive.enabled")
     conf.set("spark.sql.adaptive.enabled", "false")
     try {
-    val exec = SparkEntry.queries("dedup_minhash_incremental")(spark, dir)
-      .queryExecution.executedPlan
-    val shuffles = exec.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(shuffles.nonEmpty, "expected candidate-stage shuffles")
-    for (e <- shuffles) {
-      val roundRobin = e.outputPartitioning
-        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
-      val postProbe = e.child.collect {
-        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
-      }.nonEmpty
-      // increment-only frames (the checkpointed incSh and everything
-      // derived from it) read no file source — they may shuffle freely,
-      // being batch-sized by definition
-      val incrementOnly = e.child.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.isEmpty
-      assert(roundRobin || postProbe || incrementOnly,
-        s"corpus-scale shuffle (no broadcast probe beneath it):\n$e")
-    }
-    // and the probes themselves must be broadcasts, not sort-merges of
-    // the corpus side: band-key probe, candidate-id shingle probe, and
-    // the increment-side verify/base joins
-    val p = exec.toString
-    assert(opCount(p, "BroadcastHashJoin") >= 3, p)
+      val exec = SparkEntry.queries(query)(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty, "expected candidate-stage shuffles")
+      for (e <- shuffles) {
+        val roundRobin = e.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
+        val postProbe = e.child.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }.nonEmpty
+        val incrementOnly = e.child.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.isEmpty
+        assert(roundRobin || postProbe || incrementOnly,
+          s"$query: corpus-scale shuffle (no broadcast probe beneath it):\n$e")
+      }
+      val p = exec.toString
+      assert(opCount(p, "BroadcastHashJoin") >= minProbes, p)
     } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("dedup_minhash_incremental: every shuffle is post-probe (corpus never shuffles)") {
+    // probes: band-key probe, candidate-id shingle probe, and the
+    // increment-side verify/base joins
+    assertShufflesPostProbe("dedup_minhash_incremental", minProbes = 3)
+  }
+
+  test("ingest_clean: the composed daily pipeline keeps the no-corpus-shuffle contract") {
+    // the composite runs the gate + BOTH incremental checks; its exact
+    // leg adds two more broadcast probes on top of the near leg's three
+    assertShufflesPostProbe("ingest_clean", minProbes = 5)
   }
 
   test("dedup_spans: both self-join sides reuse the one checkpointed fp frame") {
