@@ -743,6 +743,17 @@ object SparkEntry {
         .select(col("event_id"), col("key"), col("last_price"))
     }),
 
+    "asof_join_forward" -> ((s, dir) => {
+      // the next-observation twin: earliest order at-or-after each
+      // event (same union-window machinery run toward the future)
+      val ev = Tables.events(s, dir).withColumn("key", col("user_id") % 5)
+      val oa = Tables.orders(s, dir)
+        .groupBy((col("o_custkey") % 5).as("key"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("next_price"))
+      AsOfJoin.forward(ev, oa, "key", "ts", "o_orderdate", Seq("next_price"))
+        .select(col("event_id"), col("key"), col("next_price"))
+    }),
+
     // ---- corpus-preparation pipeline (north star) ----
     "pii_scrub" -> ((s, dir) =>
       graft.pipeline.Pipeline.piiScrub(Tables.documents(s, dir),
@@ -1572,6 +1583,15 @@ object SparkEntry {
          SELECT e.event_id, e.user_id % 5 AS key, oa.last_price
          FROM events e ASOF LEFT JOIN oa
          ON (e.user_id % 5) = oa.key AND e.ts >= oa.o_orderdate""",
+
+    "asof_join_forward" ->
+      // DuckDB ASOF with <= picks the nearest right row at-or-after
+      // the left time — the forward twin's exact semantics
+      """WITH oa AS (SELECT o_custkey % 5 AS key, o_orderdate,
+           max(o_totalprice) AS next_price FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id % 5 AS key, oa.next_price
+         FROM events e ASOF LEFT JOIN oa
+         ON (e.user_id % 5) = oa.key AND e.ts <= oa.o_orderdate""",
 
     "pii_scrub" -> {
       val email = graft.pipeline.Pipeline.emailPattern
