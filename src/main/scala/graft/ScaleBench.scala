@@ -33,7 +33,7 @@ object ScaleBench {
     "dedup_semantic", "embedding_pq", "similarity_pq", "similarity_ivfpq",
     // events family (window_rank excluded: it reads the TPC-H `orders`
     // table, which ScaleGen does not scale up)
-    "lag_1d", "lag_2d_partitioned", "lag_distributed", "rolling_agg",
+    "lag_1d", "lag_2d_partitioned", "lag_distributed", "rolling_agg", "ewma",
     "sessionize", "json_props", "q_window_stats")
 
   def main(args: Array[String]): Unit = {

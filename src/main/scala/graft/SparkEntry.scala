@@ -309,6 +309,16 @@ object SparkEntry {
           col("value_roll_n_4").as("roll_n"))
     }),
 
+    "ewma" -> ((s, dir) => {
+      // per-user exponentially-weighted value (alpha 0.3, 16 terms):
+      // one collapsed Window pass over all 16 weighted lag columns
+      val ev = Tables.events(s, dir)
+      graft.lagops.Ewma.over(ev, "value",
+          LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1), None),
+          alpha = 0.3, window = 16)
+        .select("user_id", "event_id", "value", "value_ewma")
+    }),
+
     "rolling_time_window" -> ((s, dir) => {
       // time-RANGE frame (all events in the trailing hour), vs. the
       // row-count frame in rolling_agg. Range frames include all peers of
@@ -911,6 +921,25 @@ object SparkEntry {
          CASE WHEN i <= 2 THEN NULL ELSE CAST(embedding[i-2] AS DOUBLE) END AS val
          FROM (SELECT vec_id, embedding,
                unnest(generate_series(1, len(embedding))) AS i FROM embeddings)""",
+
+    "ewma" -> {
+      // the identical truncated weighted sum, left-associated in the
+      // same order, weights embedded as the same shortest-round-trip
+      // double literals Spark's plan carries (duckPlaneDot precedent)
+      val alpha = 0.3; val win = 16
+      val ws = (0 until win).map(j => math.pow(1.0 - alpha, j).toString)
+      def lagSql(j: Int) =
+        if (j == 0) "value" else s"lag(value, $j) OVER w"
+      val numer = (0 until win).map(j =>
+        s"(CASE WHEN ${lagSql(j)} IS NULL THEN 0.0 ELSE ${ws(j)} * ${lagSql(j)} END)")
+        .mkString(" + ")
+      val denom = (0 until win).map(j =>
+        s"(CASE WHEN ${lagSql(j)} IS NULL THEN 0.0 ELSE ${ws(j)} END)")
+        .mkString(" + ")
+      s"""SELECT user_id, event_id, value,
+          round(($numer) / ($denom), 6) AS value_ewma
+          FROM events WINDOW w AS ($EvWP)"""
+    },
 
     "rolling_agg" ->
       s"""SELECT user_id, event_id, value,

@@ -192,6 +192,48 @@ object Lead {
 /** Rolling aggregates over the same Window machinery — the natural
   * window-adjacent extension of lagging (SURVEY.md §2.4 `rolling_agg`).
   */
+/** Truncated exponentially-weighted moving average — the classic
+  * lag-matrix APPLICATION: each output is a weighted combination of
+  * the series' lag columns,
+  * `ewma_t = Σ_{j<W} wⱼ·x_{t−j} / Σ_{j<W, x_{t−j} exists} wⱼ` with
+  * `wⱼ = (1−α)ʲ` (the pandas `adjust=true` normalization, so series
+  * heads weight only what exists). TRUNCATED at `window` terms by
+  * contract: the dropped tail mass is (1−α)^W — pick W so that is
+  * negligible for the α in play — and the DuckDB oracle replays the
+  * identical truncated sum, weights embedded as the same shortest-
+  * round-trip double literals.
+  *
+  * Plan shape: all `window` lag terms share ONE WindowSpec, so
+  * Catalyst's CollapseWindow evaluates the whole weighted matrix in a
+  * single Window pass over one (series-key) exchange — the planner
+  * analogue of reading W lag-matrix columns at once (the same
+  * property LagMatrixSpec pins for the plain lag family).
+  */
+object Ewma {
+  def over(df: DataFrame, valueCol: String, spec: LagSpec, alpha: Double,
+           window: Int): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    require(window > 0, "window must be positive")
+    val base =
+      if (spec.seriesCols.isEmpty) Window.orderBy(spec.orderCols.map(col): _*)
+      else Window.partitionBy(spec.seriesCols.map(col): _*)
+             .orderBy(spec.orderCols.map(col): _*)
+    val weights = (0 until window).map(j => math.pow(1.0 - alpha, j))
+    def lagAt(j: Int): Column =
+      if (j == 0) col(valueCol) else lag(col(valueCol), j).over(base)
+    val numer = (0 until window).map(j =>
+        when(lagAt(j).isNotNull, lit(weights(j)) * lagAt(j))
+          .otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    val denom = (0 until window).map(j =>
+        when(lagAt(j).isNotNull, lit(weights(j))).otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    val keep = (spec.seriesCols ++ spec.orderCols).distinct.map(col)
+    df.select(keep ++ Seq(col(valueCol),
+      round(numer / denom, 6).as(s"${valueCol}_ewma")): _*)
+  }
+}
+
 object Rolling {
   def over(df: DataFrame, valueCol: String, spec: LagSpec,
            window: Int): DataFrame = {

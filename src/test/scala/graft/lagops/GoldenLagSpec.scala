@@ -182,4 +182,23 @@ class GoldenLagSpec extends AnyFunSuite {
       .collect().toSeq.map(_.getDouble(0))
     assert(sums == Seq(1.0, 3.0, 5.0, 7.0))
   }
+
+  test("ewma: adjust-normalized weighted lags, by hand, one Window pass") {
+    // alpha=0.5, W=3 over [1,2,4]: weights 1, .5, .25
+    //   t0: 1
+    //   t1: (2 + .5*1)        / 1.5  = 5/3
+    //   t2: (4 + .5*2 + .25*1)/ 1.75 = 3
+    val df = seriesDf(Seq(1, 2, 4))
+    val out = Ewma.over(df, "value",
+      LagSpec(Seq("t"), Nil, Seq(1), None), alpha = 0.5, window = 3)
+    val vals = out.orderBy("t").select("value_ewma")
+      .collect().toSeq.map(_.getDouble(0))
+    assert(vals == Seq(1.0, BigDecimal(5.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 3.0))
+    // the lag-matrix planner property: all W weighted lag terms
+    // collapse into ONE Window operator
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(
+      _.matches(".*(\\*\\(\\d+\\) )?Window( |\\[).*")) == 1, p)
+  }
 }
