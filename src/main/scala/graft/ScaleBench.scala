@@ -34,6 +34,7 @@ object ScaleBench {
     // events family (window_rank excluded: it reads the TPC-H `orders`
     // table, which ScaleGen does not scale up)
     "lag_1d", "lag_2d_partitioned", "lag_distributed", "rolling_agg", "ewma",
+    "lag_ffill", "resample_ohlc", "asof_join_tolerance",
     "sessionize", "json_props", "q_window_stats")
 
   def main(args: Array[String]): Unit = {

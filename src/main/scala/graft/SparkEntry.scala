@@ -319,6 +319,35 @@ object SparkEntry {
         .select("user_id", "event_id", "value", "value_ewma")
     }),
 
+    "lag_ffill" -> ((s, dir) => {
+      // gap-filling: ~20% of values knocked out deterministically, then
+      // forward-filled per user (LOCF); leading gaps -> -1 sentinel so
+      // the nullable double survives the oracle hash-compare
+      val ev = Tables.events(s, dir)
+        .withColumn("v_sparse",
+          when(col("event_id") % 5 =!= 0, col("value")))
+      graft.lagops.Ffill.over(ev, "v_sparse",
+          LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1), None))
+        .select(col("user_id"), col("event_id"),
+          round(coalesce(col("v_sparse"), lit(-1.0)), 6).as("v_sparse"),
+          round(coalesce(col("v_sparse_ffill"), lit(-1.0)), 6).as("v_filled"))
+    }),
+
+    "resample_ohlc" -> ((s, dir) => {
+      // per-user hourly OHLC downsample in ONE combinable agg (min_by/
+      // max_by on the (ts_ns, event_id) struct order key — no window
+      // pass, map-side partials); bucket emitted as epoch micros
+      val ev = Tables.events(s, dir)
+      graft.lagops.Resample.ohlc(ev, "value", "ts", Seq("user_id"),
+          Seq("ts_ns", "event_id"), "hour")
+        .select(col("user_id"), unix_micros(col("bucket")).as("bucket_us"),
+          round(col("value_open"), 6).as("open"),
+          round(col("value_high"), 6).as("high"),
+          round(col("value_low"), 6).as("low"),
+          round(col("value_close"), 6).as("close"),
+          col("n"))
+    }),
+
     "rolling_time_window" -> ((s, dir) => {
       // time-RANGE frame (all events in the trailing hour), vs. the
       // row-count frame in rolling_agg. Range frames include all peers of
@@ -764,6 +793,26 @@ object SparkEntry {
         .select(col("event_id"), col("key"), col("next_price"))
     }),
 
+    "asof_join_tolerance" -> ((s, dir) => {
+      // tolerance-bounded as-of (the pandas merge_asof `tolerance`
+      // contract): latest purchase by the same user at-or-before each
+      // event, kept only if within 24h — else the -1 sentinel. The
+      // match time rides along in the payload; the tolerance test is a
+      // post-join projection, so the plan is byte-identical to plain
+      // backward as-of (one key-shuffle, no row amplification).
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(col("value")).as("p_value"))
+      val tolUs = 24L * 3600 * 1000000
+      AsOfJoin.backward(ev, purchases, "user_id", "ts", "p_ts",
+          Seq("p_value", "p_ts"))
+        .select(col("event_id"), col("user_id"),
+          round(coalesce(
+            when(unix_micros(col("ts")) - unix_micros(col("p_ts")) <= tolUs,
+              col("p_value")), lit(-1.0)), 6).as("p_value_24h"))
+    }),
+
     // ---- corpus-preparation pipeline (north star) ----
     "pii_scrub" -> ((s, dir) =>
       graft.pipeline.Pipeline.piiScrub(Tables.documents(s, dir),
@@ -940,6 +989,37 @@ object SparkEntry {
           round(($numer) / ($denom), 6) AS value_ewma
           FROM events WINDOW w AS ($EvWP)"""
     },
+
+    "lag_ffill" ->
+      s"""SELECT user_id, event_id,
+          round(coalesce(v_sparse, -1.0), 6) AS v_sparse,
+          round(coalesce(last_value(v_sparse IGNORE NULLS) OVER
+            ($EvWP ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            -1.0), 6) AS v_filled
+          FROM (SELECT user_id, event_id, ts,
+                CASE WHEN event_id % 5 <> 0 THEN value END AS v_sparse
+                FROM events)""",
+
+    "resample_ohlc" ->
+      // window formulation of the same OHLC semantics (first/last value
+      // in (ts, event_id) order per (user, hour) bucket); open/close are
+      // constant within the bucket, so grouping by them reduces to the
+      // (user, bucket) grain
+      """WITH w AS (SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+           first_value(value) OVER pw AS open,
+           last_value(value) OVER pwf AS close
+         FROM events
+         WINDOW pw AS (PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts, event_id),
+                pwf AS (PARTITION BY user_id, date_trunc('hour', ts)
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING))
+         SELECT user_id, epoch_us(bucket) AS bucket_us,
+           round(open, 6) AS open, round(max(value), 6) AS high,
+           round(min(value), 6) AS low, round(close, 6) AS close,
+           count(*) AS n
+         FROM w GROUP BY user_id, bucket, open, close""",
 
     "rolling_agg" ->
       s"""SELECT user_id, event_id, value,
@@ -1621,6 +1701,17 @@ object SparkEntry {
          SELECT e.event_id, e.user_id % 5 AS key, oa.next_price
          FROM events e ASOF LEFT JOIN oa
          ON (e.user_id % 5) = oa.key AND e.ts <= oa.o_orderdate""",
+
+    "asof_join_tolerance" ->
+      // ASOF picks the nearest at-or-before purchase; the 24h tolerance
+      // is the same post-join µs test as the Spark projection
+      """WITH p AS (SELECT user_id, ts AS p_ts, max(value) AS p_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id,
+           round(coalesce(CASE WHEN epoch_us(e.ts) - epoch_us(p.p_ts)
+                 <= 86400000000 THEN p.p_value END, -1.0), 6) AS p_value_24h
+         FROM events e ASOF LEFT JOIN p
+         ON e.user_id = p.user_id AND e.ts >= p.p_ts""",
 
     "pii_scrub" -> {
       val email = graft.pipeline.Pipeline.emailPattern

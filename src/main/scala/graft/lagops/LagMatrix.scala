@@ -234,6 +234,32 @@ object Ewma {
   }
 }
 
+/** Forward-fill (last observation carried forward) — the gap-filling
+  * fill STRATEGY the reference's fill-sentinel padding gestures at
+  * (ref `src/lib.rs:541-658` pads head cells with a constant; a real
+  * time-series pipeline also needs interior gaps filled from the
+  * series' own past). `last(col, ignoreNulls).over(unboundedPreceding
+  * ..current)` is the running latest-non-null — the same carried-
+  * observation kernel AsOfJoin uses (`plans/AsOfJoin.scala`), here
+  * within a single series. Leading gaps (no prior observation) stay
+  * NULL by contract; callers pick their sentinel.
+  *
+  * Scale: one exchange on the series key + per-key sort — identical
+  * shuffle shape to any lag; the running window is a single forward
+  * pass with O(1) state per row.
+  */
+object Ffill {
+  def over(df: DataFrame, valueCol: String, spec: LagSpec): DataFrame = {
+    val base =
+      if (spec.seriesCols.isEmpty) Window.orderBy(spec.orderCols.map(col): _*)
+      else Window.partitionBy(spec.seriesCols.map(col): _*)
+             .orderBy(spec.orderCols.map(col): _*)
+    df.withColumn(s"${valueCol}_ffill",
+      last(col(valueCol), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+}
+
 object Rolling {
   def over(df: DataFrame, valueCol: String, spec: LagSpec,
            window: Int): DataFrame = {

@@ -201,4 +201,17 @@ class GoldenLagSpec extends AnyFunSuite {
     assert(p.linesIterator.count(
       _.matches(".*(\\*\\(\\d+\\) )?Window( |\\[).*")) == 1, p)
   }
+
+  test("ffill: interior gaps take the last observation, leading gaps stay null") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // t: 0    1     2     3     4
+    // v: null 1.0   null  null  4.0
+    val df = Seq((0L, None), (1L, Some(1.0)), (2L, None), (3L, None),
+      (4L, Some(4.0))).toDF("t", "value")
+    val out = Ffill.over(df, "value", LagSpec(Seq("t"), Nil, Seq(1), None))
+      .orderBy("t").select("value_ffill")
+      .collect().toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out == Seq(None, Some(1.0), Some(1.0), Some(1.0), Some(4.0)))
+  }
 }
