@@ -760,7 +760,16 @@ object Dedup {
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
       .select(col("fp"))
-    val pruned = fps.join(rare, "fp")
+    // materialize the pruned frame too: it feeds BOTH sides of the
+    // self-join, so without this the df aggregate above runs twice —
+    // and, worse, the pre-checkpoint size ESTIMATE (derived from the
+    // text-sized scan) undersells the fingerprint volume enough that
+    // the planner broadcasts a data-sized side (measured at the 10×
+    // anchor: a ~5M-row broadcast build, 9s → 18s bimodal). The
+    // checkpoint pins exact stats, so the join is broadcast only when
+    // the pruned frame genuinely fits — Spark's own threshold
+    // philosophy, which is the shape that survives 100 TB.
+    val pruned = fps.join(rare, "fp").localCheckpoint()
     pruned.as("a").join(pruned.as("b"),
         col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))

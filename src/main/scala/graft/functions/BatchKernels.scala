@@ -126,6 +126,53 @@ object BatchKernelUtil {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Winnowing fingerprint SET of a document in one pass — equals the
+    * relational formulation in `TextOps.winnowingViaWindow` (hash every
+    * character k-gram via [[kgramHashes]]'s md5-prefix hash, keep the
+    * min of each full sliding window of `w` hashes — truncated to the
+    * whole array when fewer than `w` k-grams exist — then dedupe),
+    * pinned by an equivalence spec. Sliding min is the monotonic-deque
+    * algorithm, O(k-grams) amortized; dedup is per-document, which
+    * equals the relational DISTINCT because document ids are unique.
+    *
+    * The point is plan shape, not arithmetic: the windowed form
+    * explodes O(chars) rows per document through a (doc)-keyed Window
+    * exchange plus a global DISTINCT exchange just to compute a
+    * per-document value — this kernel keeps the whole computation
+    * inside the scan stage and emits only the final fingerprints.
+    */
+  def winnowFps(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val len = text.numChars()
+    val n = math.max(len - k + 1, 1)
+    val h = new Array[Long](n)
+    val md = mdLocal.get()
+    var i = 0
+    while (i < n) {
+      h(i) = hexPrefix15(md.digest(text.substringSQL(i + 1, k).getBytes))
+      i += 1
+    }
+    if (n <= w) {
+      var m = Long.MaxValue; i = 0
+      while (i < n) { if (h(i) < m) m = h(i); i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(Array(m))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](n)
+    var head = 0; var tail = 0
+    i = 0
+    while (i < n) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) seen.add(h(dq(head)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator(); i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Distinct word shingles from a token array — equals
     * `array_distinct(when(size < n, array(array_join(toks, " ")))
     *   .otherwise(transform(seq, i => array_join(slice(toks,i+1,n), " "))))`
@@ -285,6 +332,37 @@ object KgramHashesExpr {
   def apply(c: Column, k: Int): Column =
     GraftColumnBridge.toColumn(
       new KgramHashesExpr(GraftColumnBridge.toExpression(c), k))
+}
+
+/** `winnow_fps(text, k, w)` — see [[BatchKernelUtil.winnowFps]]. */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0, s"k must be positive, got $k")
+  require(w > 0, s"w must be positive, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BatchKernelUtil.winnowFps(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BatchKernelUtil.winnowFps($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowFpsExpr {
+  def apply(c: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.toColumn(
+      new WinnowFpsExpr(GraftColumnBridge.toExpression(c), k, w))
 }
 
 /** `word_shingles(tokens, n)` — see [[BatchKernelUtil.wordShingles]]. */

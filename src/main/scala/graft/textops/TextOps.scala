@@ -116,16 +116,45 @@ object TextOps {
     */
   /** Output: distinct `(idCol, fp)` rows.
     *
-    * The window-minimum step is RELATIONAL (posexplode + running-min
-    * window over positions), not a nested array lambda: Catalyst's
-    * filter-inference + pushdown will happily substitute a projected
-    * array alias INTO a lambda body, re-evaluating the k-gram hashing
-    * once per window — an O(chars × windows) interpreted-md5 blowup
-    * (measured: minutes per partition). Exploded form keeps every hash
-    * evaluated exactly once and parallelizes across the shuffle.
+    * One codegen'd kernel ([[graft.functions.WinnowFpsExpr]]) computes
+    * each document's deduplicated fingerprint set inside the scan
+    * stage, and only the final fingerprints are exploded. The
+    * relational twin below ([[winnowingViaWindow]]) is the
+    * equivalence-tested spec — and the measured reason it is not the
+    * implementation: it explodes every k-gram (O(chars) rows per doc,
+    * ~20× the fingerprint count) through a (doc)-keyed Window exchange
+    * plus a global DISTINCT exchange, two data-sized shuffles this
+    * form never pays (10.0s → 3.1s for the zsf1 winnow+materialize
+    * stage; a per-doc quantity should never have needed a shuffle).
+    *
+    * Null texts are filtered (the relational form drops them via its
+    * null-propagating position filter); non-null texts always yield at
+    * least one fingerprint, so `explode_outer` — which skips Catalyst's
+    * inferred `size(arr) > 0` pre-filter, a trap that would re-run the
+    * whole md5 kernel once per row just to test non-emptiness — emits
+    * exactly the fingerprint rows.
     */
   def winnowing(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, w: Int = 4): DataFrame = {
+    val src = graft.util.Par.spread(df).filter(col(textCol).isNotNull)
+    src.select(col(idCol),
+      explode_outer(graft.functions.WinnowFpsExpr(col(textCol), k, w))
+        .as("fp"))
+  }
+
+  /** The relational formulation [[winnowing]] is equivalence-tested
+    * against: posexplode the k-gram hashes, running-min Window over
+    * positions, DISTINCT. Kept as the executable spec of the window
+    * semantics (full windows only; short texts truncate to one whole-
+    * array window). The window-minimum step is RELATIONAL, not a nested
+    * array lambda: Catalyst's filter-inference + pushdown will happily
+    * substitute a projected array alias INTO a lambda body,
+    * re-evaluating the k-gram hashing once per window — an
+    * O(chars × windows) interpreted-md5 blowup (measured: minutes per
+    * partition).
+    */
+  def winnowingViaWindow(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
     val text = col(textCol)
     // one codegen'd pass over the text (KgramHashesExpr); the HOF twin
     // below ([[kgramHashesExpanded]]) is the equivalence-tested spec

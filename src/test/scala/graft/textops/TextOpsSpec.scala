@@ -93,6 +93,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(shared13 < shared12)
   }
 
+  test("winnowing kernel equals the relational window spec, edge cases included") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on"),
+      (2L, "aaaaaaaaaaaaaaaa"),    // all-equal hashes: tie handling
+      (3L, "short"),               // len < k: single truncated k-gram
+      (4L, "exactly11ch"),         // len - k + 1 = w: one full window
+      (5L, ""),                    // empty: one k-gram of ""
+      (6L, null.asInstanceOf[String])) // null text: no rows, both forms
+      .toDF("doc_id", "text")
+    def sets(out: Array[org.apache.spark.sql.Row]) =
+      out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val kernel = sets(TextOps.winnowing(df, "doc_id", "text").collect())
+    val spec = sets(TextOps.winnowingViaWindow(df, "doc_id", "text").collect())
+    assert(kernel == spec)
+    assert(!kernel.contains(6L))
+  }
+
   test("punct ratio counts ASCII punctuation only") {
     assert(one("ab!?", TextOps.punctRatio(col("t"))) == 0.5)
     assert(one("", TextOps.punctRatio(col("t"))) == 0.0)
