@@ -471,9 +471,11 @@ object Pipeline {
   /** The WHOLE corpus-preparation pipeline as ONE DAG — the operators
     * above composed the way a real pretraining data build runs them:
     *
-    *   1. quality gate (narrow filter on the scan);
+    *   1. quality gate (narrow filter on the scan), with the token
+    *      count and content fingerprint computed in the same scan
+    *      stage so the text never crosses an exchange;
     *   2. exact dedup keeping the smallest id per content fingerprint
-    *      (one shuffle on the fingerprint);
+    *      (one shuffle on the fingerprint, five narrow columns wide);
     *   3. deterministic stratified sampling (narrow filter);
     *   4. global sequence packing of the survivors ([[seqPack]]'s
     *      literal-boundary distributed prefix sum), joined back to the
@@ -485,30 +487,51 @@ object Pipeline {
     * data shuffles are the dedup fingerprint exchange, the pack-bucket
     * window exchange, and the final id join.
     */
+  /** The pre-checkpoint stage of [[corpusClean]]: gate → narrow
+    * projection → fingerprint dedup → stratified sample. Exposed so the
+    * plan audit can pin its shuffle payload (the composite's survivors
+    * checkpoint truncates lineage, hiding this stage from its plan).
+    *
+    * Everything downstream of the gate needs only (id, stratum,
+    * quality, n_tokens, fingerprint) — so the two text derivatives are
+    * computed IN the scan stage and the text is projected away BEFORE
+    * the dedup exchange. The fingerprint window then shuffles five
+    * narrow columns instead of document bodies: at 100 TB that is the
+    * difference between shuffling ids and shuffling the corpus.
+    * (Token counts are computed for dup docs that dedup then drops —
+    * a narrow per-row cost, bounded by the dup rate, traded for a
+    * corpus-sized reduction in shuffle bytes.)
+    */
+  def cleanedNarrow(docs: DataFrame, idCol: String, textCol: String,
+                    strataCol: String, minQuality: Double,
+                    pctByStratum: Map[String, Int],
+                    defaultPct: Int): DataFrame = {
+    val gated = qualityGate(docs, idCol, strataCol, textCol, minQuality)
+    val narrow = gated.select(col(idCol), col(strataCol), col("quality"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      TextOps.fingerprint(col(textCol)).as("_fp"))
+    val w = Window
+      .partitionBy(col("_fp")).orderBy(col(idCol))
+    narrow
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+      .filter(md5Bucket(col(idCol)) <
+        pctFor(col(strataCol), pctByStratum, defaultPct))
+  }
+
   def corpusClean(docs: DataFrame, idCol: String, textCol: String,
                   strataCol: String, minQuality: Double,
                   pctByStratum: Map[String, Int], defaultPct: Int,
                   budget: Int, numBuckets: Int = 32): DataFrame = {
-    val gated = qualityGate(docs, idCol, strataCol, textCol, minQuality)
-    val w = Window
-      .partitionBy(col("_fp")).orderBy(col(idCol))
-    val deduped = gated
-      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_fp", "_rn")
-    // materialize the cleaned survivors ONCE, already tokenized and
-    // WITHOUT the text column: seqPack's boundary sampling, its two
-    // prefix-sum branches, and the final projection all re-read this
-    // frame — without the checkpoint the gate+dedup subplan would run
-    // ~4×, and checkpointing text would spill the whole corpus body.
-    // (A real deployment writes the cleaned corpus to storage at
-    // exactly this point; the pack assignment needs only the counts.)
-    val sampled = deduped
-      .filter(md5Bucket(col(idCol)) <
-        pctFor(col(strataCol), pctByStratum, defaultPct))
-      .select(col(idCol), col(strataCol), col("quality"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // materialize the cleaned survivors ONCE: seqPack's boundary
+    // sampling, its two prefix-sum branches, and the final projection
+    // all re-read this frame — without the checkpoint the gate+dedup
+    // subplan would run ~4×. (A real deployment writes the cleaned
+    // corpus to storage at exactly this point; the pack assignment
+    // needs only the counts.)
+    val sampled = cleanedNarrow(docs, idCol, textCol, strataCol,
+        minQuality, pctByStratum, defaultPct)
       .localCheckpoint()
     seqPackCounted(sampled, idCol, budget, numBuckets)
       .join(sampled.select(col(idCol), col(strataCol), col("quality")),

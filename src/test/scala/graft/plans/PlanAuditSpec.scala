@@ -84,6 +84,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quality expression leaked into a scan:\n${scans.mkString("\n")}")
   }
 
+  test("corpus_clean's dedup exchange carries no text column") {
+    // the fingerprint window dedups on a derived md5; the text
+    // derivatives (n_tokens, quality, _fp) are computed in the scan
+    // stage so the exchange moves five narrow columns, never document
+    // bodies — at 100 TB the difference between shuffling ids and
+    // shuffling the corpus. Audited on the exposed pre-checkpoint
+    // stage (the composite's checkpoint truncates lineage).
+    // AQE off so the exchanges are visible in the executed tree (same
+    // convention as the neardup payload fence); only HASH exchanges are
+    // audited — Par.spread's round-robin scan spread rightly carries
+    // text, it IS the scan stage.
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val staged = graft.pipeline.Pipeline.cleanedNarrow(
+        docs, "doc_id", "text", "lang", 0.3, Map("en" -> 60), 40)
+      val exchanges = staged.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(exchanges.nonEmpty, "expected the fingerprint dedup exchange")
+      for (e <- exchanges; attr <- e.output)
+        assert(attr.name != "text",
+          s"dedup exchange carries the text column:\n${e.output.mkString(", ")}")
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("pii_scrub and sample_stratified stay narrow (no exchange)") {
     for (q <- Seq("pii_scrub", "sample_stratified")) {
       val p = plan(q)
