@@ -30,6 +30,7 @@ object ScaleBench {
     "embedding_profile", "embedding_quantize", "embedding_neardup",
     "embedding_clusters",
     "similarity_topk", "similarity_lsh", "similarity_ivf",
+    "knn_classify", "label_centroids",
     "dedup_semantic", "embedding_pq", "similarity_pq", "similarity_ivfpq",
     // events family (window_rank excluded: it reads the TPC-H `orders`
     // table, which ScaleGen does not scale up)

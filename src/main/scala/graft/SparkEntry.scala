@@ -759,6 +759,21 @@ object SparkEntry {
         "vec_id", "embedding", 5)
     }),
 
+    "knn_classify" -> ((s, dir) => {
+      // label propagation: modal label of the 5 nearest neighbors,
+      // labels riding the one broadcast-queries candidate pass
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnClassify(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "label", 5)
+    }),
+
+    "label_centroids" -> ((s, dir) =>
+      // per-class mean vector in long format: ONE combinable (label,
+      // dim)-keyed average — the exchange carries partial sums, not
+      // vectors
+      graft.simops.Embed.labelCentroids(Tables.embeddings(s, dir),
+        "embedding", "label")),
+
     "similarity_lsh" -> ((s, dir) => {
       // params must stay in sync with the literal-plane oracle below
       val emb = Tables.embeddings(s, dir)
@@ -1463,6 +1478,32 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
            FROM scored) WHERE rank <= 5"""
     },
+
+    "knn_classify" -> {
+      // same scored/rank CTEs as similarity_topk, then a vote count
+      // and the (votes DESC, label ASC) modal pick
+      val cos = duckCosine("q.qv", "c.embedding")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS lbl,
+                     round($cos, 4) AS sim
+                    FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+         top AS (SELECT query_id, lbl FROM (
+                   SELECT query_id, lbl, row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rank
+                   FROM scored) WHERE rank <= 5),
+         votes AS (SELECT query_id, lbl, count(*) AS votes FROM top GROUP BY 1, 2)
+         SELECT query_id, lbl AS pred_label, votes FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY votes DESC, lbl) AS rn FROM votes) WHERE rn = 1"""
+    },
+
+    "label_centroids" ->
+      """SELECT label, i - 1 AS dim,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_c,
+           count(*) AS n_vecs
+         FROM (SELECT label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+         GROUP BY 1, 2""",
 
     "similarity_ivf" -> {
       // replays Ivf.topK(nlist=16, nprobe=4, k=5, iters=1,

@@ -72,6 +72,26 @@ object Embed {
         round(percentile(col("_n"), lit(0.5)), 6).as("p50_norm"))
   }
 
+  /** Per-label mean vector (class centroids), long format: one row per
+    * (label, dimension). The class-prototype primitive — seed vectors
+    * for label propagation ([[Similarity.knnClassify]]), per-domain
+    * drift monitoring, or a nearest-centroid classifier.
+    *
+    * Scale shape: posexplode to (label, dim, component) then ONE
+    * combinable average keyed on (label, dim) — map-side partials cap
+    * each partition's contribution at labels × dim rows, so the
+    * exchange carries index-sized partial sums, never vectors. No
+    * driver-side collect; the centroid table stays distributed.
+    */
+  def labelCentroids(df: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame =
+    graft.util.Par.spread(df)
+      .select(col(labelCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "_c")))
+      .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("_c")), 6).as("mean_c"),
+        count(lit(1)).as("n_vecs"))
+
   /** Product-quantization codebooks, driver-resident: per subspace, the
     * surviving code ids and their centroids. O(m·k·subDim) — index
     * metadata, never O(rows). Same deterministic conventions as

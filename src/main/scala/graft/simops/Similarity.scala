@@ -64,6 +64,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
   }
 
+  /** k-NN majority-vote classification: each query takes the modal
+    * label of its k nearest candidates (exact cosine, same rounded-sim
+    * + id tiebreak as [[bruteForceTopK]]; vote ties break to the
+    * smallest label). The label-propagation primitive a corpus pipeline
+    * uses to spread sparse quality/domain annotations onto unlabeled
+    * documents via embedding neighborhoods.
+    *
+    * Plan shape: labels ride the ONE broadcast-queries candidate pass
+    * (no second scan of the candidate table), the per-query top-k is
+    * the same window as the top-k baseline, and the vote is a
+    * combinable count over Q×k rows — everything after the scan is
+    * query-scale, not corpus-scale.
+    */
+  def knnClassify(queries: DataFrame, candidates: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("_lbl"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(
+        cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("_lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("_lbl").asc)
+    votes.withColumn("_rn", row_number().over(wv))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("_lbl").as("pred_label"), col("votes"))
+  }
+
   /** Deterministic random hyperplanes: `numPlanes` × `dim` in [-1, 1),
     * fixed seed — same planes on every run and every executor.
     */

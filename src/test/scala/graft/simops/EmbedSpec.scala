@@ -167,4 +167,18 @@ class EmbedSpec extends AnyFunSuite {
     assert(out.count() == 3)
     assert(out.filter(!org.apache.spark.sql.functions.col("kept")).count() == 0)
   }
+
+  test("labelCentroids: per-(label, dim) mean and count, by hand") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(3.0f, 2.0f), 7),
+      (3L, Seq(10.0f, -4.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Embed.labelCentroids(vecs, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out == Map(
+      (7, 0L) -> ((2.0, 2L)), (7, 1L) -> ((1.0, 2L)),
+      (9, 0L) -> ((10.0, 1L)), (9, 1L) -> ((-4.0, 1L))))
+  }
 }

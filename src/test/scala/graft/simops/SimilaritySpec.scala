@@ -61,4 +61,24 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((0L, 1L)))
   }
+
+  test("knn classify: majority label wins, vote ties break to smaller label") {
+    import spark.implicits._
+    // k=2. query 0 (x-axis): nearest two are 1 and 2, both label 7 →
+    // unanimous. query 10 (y-axis): nearest two are 11 (label 5) and
+    // 12 (label 3) — a 1-1 vote tie, which breaks to the SMALLER label.
+    val df = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0.99f, 0.1f), 7), (2L, Seq(0.98f, 0.15f), 7),
+      (3L, Seq(0.97f, 0.2f), 1),
+      (10L, Seq(0f, 1f), 0),
+      (11L, Seq(0.1f, 0.99f), 5), (12L, Seq(0.15f, 0.98f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(
+        df.filter(df("vec_id") === 0L || df("vec_id") === 10L),
+        df, "vec_id", "embedding", "label", 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(0L) == ((7, 2L)))
+    assert(out(10L) == ((3, 1L)))
+  }
 }
