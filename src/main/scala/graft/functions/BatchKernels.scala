@@ -744,3 +744,138 @@ object PqAdcExpr {
       new PqAdcExpr(GraftColumnBridge.toExpression(qv),
         GraftColumnBridge.toExpression(codes), idx, books))
 }
+
+/** One-pass token/char/punct/stopword counts — see
+  * [[TextGateStatsUtil.gateStats]].
+  */
+object TextGateStatsUtil {
+
+  /** Build the lookup set once per expression instance; entries are the
+    * dictionary words exactly as given (callers pass lowercase words).
+    */
+  def buildDict(words: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def maxBytes(words: Seq[String]): Int =
+    if (words.isEmpty) 0
+    else words.map(w => UTF8String.fromString(w).numBytes()).max
+
+  /** Single byte-scan over the UTF-8 payload computing, together:
+    *
+    *   - `n_tokens`: maximal runs of non-whitespace bytes, where
+    *     whitespace is Java regex `\s` = `[ \t\n\x0B\f\r]` (bytes
+    *     9-13 and 32) — exactly `size(filter(split(text, "\\s+"),
+    *     t => t != ""))`, because ASCII whitespace bytes never occur
+    *     inside multi-byte UTF-8 sequences;
+    *   - `n_chars`: code points (bytes that are not 10xxxxxx
+    *     continuations) — exactly `length(text)`;
+    *   - `n_punct`: bytes in the ASCII ranges `!-/`, `:-@`, `` [-` ``,
+    *     `{-~` — exactly `length(regexp_replace(text,
+    *     "[^!-/:-@\\[-`{-~]", ""))` (the class is pure ASCII, so code
+    *     points and bytes coincide);
+    *   - `n_stop`: tokens whose lowercase form (Spark's own
+    *     `UTF8String.toLowerCase`, the `lower()` runtime) is in `dict`
+    *     — exactly `size(filter(tokens(lower(text)), t =>
+    *     array_contains(dict, t)))` for any text where lowercasing
+    *     preserves token boundaries (no Unicode lowercase mapping
+    *     produces whitespace). Tokens longer than `maxTokBytes` skip
+    *     the allocation + lookup entirely.
+    *
+    * Replaces the two `split` passes, two `regexp_replace` passes and
+    * the whole-string `lower` the Column form pays per document —
+    * the quality/token/gate family becomes one pass over the bytes.
+    */
+  def gateStats(text: UTF8String,
+                dict: java.util.HashSet[UTF8String],
+                maxTokBytes: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nBytes = text.numBytes()
+    var nTok = 0
+    var nChars = 0
+    var nPunct = 0
+    var nStop = 0
+    var tokStart = -1
+    var i = 0
+    while (i < nBytes) {
+      val b = text.getByte(i)
+      if ((b & 0xC0) != 0x80) nChars += 1
+      val ws = b == 32 || (b >= 9 && b <= 13)
+      if (!ws) {
+        if ((b >= 33 && b <= 47) || (b >= 58 && b <= 64) ||
+            (b >= 91 && b <= 96) || (b >= 123 && b <= 126)) nPunct += 1
+        if (tokStart < 0) tokStart = i
+      } else if (tokStart >= 0) {
+        nTok += 1
+        if (i - tokStart <= maxTokBytes &&
+            dictHit(text, tokStart, i - tokStart, dict)) nStop += 1
+        tokStart = -1
+      }
+      i += 1
+    }
+    if (tokStart >= 0) {
+      nTok += 1
+      if (nBytes - tokStart <= maxTokBytes &&
+          dictHit(text, tokStart, nBytes - tokStart, dict)) nStop += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, nChars, nPunct, nStop))
+  }
+
+  private def dictHit(text: UTF8String, start: Int, len: Int,
+                      dict: java.util.HashSet[UTF8String]): Boolean = {
+    val buf = new Array[Byte](len)
+    var j = 0
+    while (j < len) { buf(j) = text.getByte(start + j); j += 1 }
+    dict.contains(UTF8String.fromBytes(buf).toLowerCase)
+  }
+}
+
+/** `text_gate_stats(text)` — see [[TextGateStatsUtil.gateStats]]. The
+  * dictionary rides the expression as a literal parameter (reference
+  * object in codegen), so the struct is a pure function of the text and
+  * common-subexpression elimination collapses repeated uses inside one
+  * projection to a single scan.
+  */
+case class TextGateStatsExpr(child: Expression, dict: Seq[String])
+    extends UnaryExpression {
+
+  @transient private lazy val dictSet = TextGateStatsUtil.buildDict(dict)
+  private val maxTokBytes = TextGateStatsUtil.maxBytes(dict)
+
+  override def dataType: DataType = TextGateStatsExpr.schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text_gate_stats needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextGateStatsUtil.gateStats(input.asInstanceOf[UTF8String], dictSet,
+      maxTokBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("gateDict", dictSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextGateStatsUtil.gateStats($c, " +
+        s"$dictRef, $maxTokBytes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextGateStatsExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+
+  def apply(c: Column, dict: Seq[String]): Column =
+    GraftColumnBridge.toColumn(
+      new TextGateStatsExpr(GraftColumnBridge.toExpression(c), dict))
+}

@@ -506,9 +506,18 @@ object Pipeline {
                     strataCol: String, minQuality: Double,
                     pctByStratum: Map[String, Int],
                     defaultPct: Int): DataFrame = {
-    val gated = qualityGate(docs, idCol, strataCol, textCol, minQuality)
+    // ONE gate-kernel pass feeds both the quality filter and the token
+    // count: the struct is materialized as a column BELOW the filter, so
+    // `n_tokens` above it is a free field extraction, not a second scan
+    // of the text (projections don't collapse across the Filter, so the
+    // inline-qualityGate form would run the kernel twice).
+    val gated = graft.util.Par.spread(docs)
+      .select(col(idCol), col(strataCol), col(textCol),
+        TextOps.gateStats(col(textCol)).as("_ts"))
+      .withColumn("quality", TextOps.qualityScoreFrom(col("_ts")))
+      .filter(graft.util.Par.noPushdown(col("quality") >= minQuality))
     val narrow = gated.select(col(idCol), col(strataCol), col("quality"),
-      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      col("_ts").getField("n_tokens").cast("long").as("n_tokens"),
       TextOps.fingerprint(col(textCol)).as("_fp"))
     val w = Window
       .partitionBy(col("_fp")).orderBy(col(idCol))

@@ -21,7 +21,13 @@ object TextOps {
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = gateStats(text).getField("n_tokens")
+
+  /** Column-form twin of [[tokenCount]], kept for the kernel-equivalence
+    * spec.
+    */
+  private[graft] def tokenCountViaSplit(text: Column): Column =
+    size(tokens(text))
 
   /** BPE-ish subword count: word pieces + digits + punctuation runs, the
     * usual pre-tokenizer regex family (public GPT-2 style pre-tokenizer,
@@ -32,7 +38,17 @@ object TextOps {
       length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
 
   /** Ratio of punctuation characters to total characters. */
-  def punctRatio(text: Column): Column =
+  def punctRatio(text: Column): Column = {
+    val ts = gateStats(text)
+    when(ts.getField("n_chars") === 0, 0.0).otherwise(
+      ts.getField("n_punct").cast("double") /
+        ts.getField("n_chars").cast("double"))
+  }
+
+  /** Column-form twin of [[punctRatio]], kept for the kernel-equivalence
+    * spec.
+    */
+  private[graft] def punctRatioViaRegex(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
       length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double") /
         length(text).cast("double"))
@@ -47,6 +63,26 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "de", "es", "para", "que", "en", "un"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "他"))
 
+  /** Union stopword inventory, the dictionary the fused gate kernel
+    * carries.
+    */
+  private val unionStopwords: Seq[String] =
+    stopwords.values.flatten.toSeq.distinct
+
+  /** Fused one-pass counts backing the token/punct/stopword/quality
+    * family: struct `(n_tokens, n_chars, n_punct, n_stop)` from ONE
+    * codegen'd byte-scan ([[graft.functions.TextGateStatsExpr]]) instead
+    * of the two `split` passes, two `regexp_replace` passes and the
+    * whole-string `lower` the Column forms pay per document. The derived
+    * columns below are field extractions; repeated uses inside one
+    * projection collapse to a single scan via codegen subexpression
+    * elimination (the expression is deterministic and parameter-pinned).
+    * Counts are bit-identical to the Column forms (equivalence-tested in
+    * TextGateKernelSpec), so every DuckDB oracle replays unchanged.
+    */
+  def gateStats(text: Column): Column =
+    graft.functions.TextGateStatsExpr(text, unionStopwords)
+
   /** Count of distinct tokens of `text` that appear in `words`. Distinct on
     * the document side so repeated filler doesn't dominate.
     */
@@ -58,8 +94,17 @@ object TextOps {
 
   /** Stopword ratio against the union inventory (all languages). */
   def stopwordRatio(text: Column): Column = {
-    val all = stopwords.values.flatten.toSeq.distinct
-    val dict = array(all.map(lit): _*)
+    val ts = gateStats(text)
+    when(ts.getField("n_tokens") === 0, 0.0).otherwise(
+      ts.getField("n_stop").cast("double") /
+        ts.getField("n_tokens").cast("double"))
+  }
+
+  /** Column-form twin of [[stopwordRatio]], kept for the
+    * kernel-equivalence spec.
+    */
+  private[graft] def stopwordRatioViaSplit(text: Column): Column = {
+    val dict = array(unionStopwords.map(lit): _*)
     val toks = tokens(lower(text))
     when(size(toks) === 0, 0.0).otherwise(
       size(filter(toks, t => array_contains(dict, t))).cast("double") /
@@ -85,11 +130,38 @@ object TextOps {
     * public corpus-filtering pipelines (e.g. C4/Gopher rules), reduced to
     * components both engines compute identically.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column = qualityScoreFrom(gateStats(text))
+
+  /** [[qualityScore]] over an already-computed [[gateStats]] struct —
+    * lets a caller that also needs `n_tokens` (the corpus-clean scan)
+    * share the single kernel pass explicitly. The double arithmetic is
+    * shape-identical to the original Column form (same operation order,
+    * same `when` guards), so rounded values — and the DuckDB oracles —
+    * are unchanged.
+    */
+  def qualityScoreFrom(ts: Column): Column = {
+    val nTok = ts.getField("n_tokens").cast("double")
+    val punctR = when(ts.getField("n_chars") === 0, 0.0).otherwise(
+      ts.getField("n_punct").cast("double") /
+        ts.getField("n_chars").cast("double"))
+    val stopR = when(ts.getField("n_tokens") === 0, 0.0).otherwise(
+      ts.getField("n_stop").cast("double") /
+        ts.getField("n_tokens").cast("double"))
     val lenScore = least(nTok / 50.0, lit(1.0))             // saturates at 50 tokens
-    val punctPen = least(punctRatio(text) * 5.0, lit(1.0))  // >20% punct = max penalty
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPen = least(punctR * 5.0, lit(1.0))            // >20% punct = max penalty
+    val stopScore = least(stopR * 4.0, lit(1.0))
+    round(greatest(lit(0.0),
+      lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPen) * 0.2), 6)
+  }
+
+  /** Column-form twin of [[qualityScore]], kept for the
+    * kernel-equivalence spec.
+    */
+  private[graft] def qualityScoreViaColumns(text: Column): Column = {
+    val nTok = tokenCountViaSplit(text).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val punctPen = least(punctRatioViaRegex(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatioViaSplit(text) * 4.0, lit(1.0))
     round(greatest(lit(0.0),
       lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPen) * 0.2), 6)
   }
