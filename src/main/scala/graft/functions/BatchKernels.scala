@@ -879,3 +879,183 @@ object TextGateStatsExpr {
     GraftColumnBridge.toColumn(
       new TextGateStatsExpr(GraftColumnBridge.toExpression(c), dict))
 }
+
+/** Word n-gram kernels — see [[WordNgramUtil]]. */
+object WordNgramUtil {
+
+  private val sep = UTF8String.fromString(" ")
+
+  private def joinRange(toks: ArrayData, from: Int, n: Int): UTF8String = {
+    val parts = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) {
+      parts(j) = if (toks.isNullAt(from + j)) null
+                 else toks.getUTF8String(from + j)
+      j += 1
+    }
+    UTF8String.concatWs(sep, parts: _*) // skips nulls, like concat_ws
+  }
+
+  /** All order-preserving word n-grams (duplicates kept), EMPTY when the
+    * doc has fewer than `n` tokens — equals
+    * `when(size(toks) >= n, transform(sequence(1, size - n + 1),
+    *    i => concat_ws(" ", toks[i], ..., toks[i+n-1]))).otherwise(array())`
+    * without the per-element interpreted-lambda cost.
+    */
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](m - n + 1)
+    var i = 0
+    while (i <= m - n) { out(i) = joinRange(toks, i, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The document's DISTINCT n-gram xxhash64 set in one pass —
+    * `array_distinct(transform(word_ngrams(toks, n), g => xxhash64(g)))`
+    * (first-occurrence order, Spark's XXH64 seed 42). Exploding this is
+    * exactly the `(doc, hash)`-distinct frame the df-style corpus
+    * aggregates start from, WITHOUT the corpus-sized distinct exchange:
+    * the doc id is in that distinct key, so the dedup is per-document
+    * and per-document work belongs in the scan stage, not a shuffle.
+    */
+  def ngramXxSet(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= m - n) {
+      val g = joinRange(toks, i, n)
+      seen.add(XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset,
+        g.numBytes, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `word_ngrams(toks, n)` — see [[WordNgramUtil.wordNgrams]]. */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramUtil.wordNgrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgramUtil.wordNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgramsExpr {
+  def apply(c: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(
+      new WordNgramsExpr(GraftColumnBridge.toExpression(c), n))
+}
+
+/** `ngram_xx_set(toks, n)` — see [[WordNgramUtil.ngramXxSet]]. */
+case class NgramXxSetExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_xx_set needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramUtil.ngramXxSet(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgramUtil.ngramXxSet($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramXxSetExpr {
+  def apply(c: Column, n: Int): Column =
+    GraftColumnBridge.toColumn(
+      new NgramXxSetExpr(GraftColumnBridge.toExpression(c), n))
+}
+
+/** Per-document word counts — see [[WordCountsUtil.wordCounts]]. */
+object WordCountsUtil {
+
+  /** The document's per-token occurrence counts in one pass,
+    * first-occurrence order: `array<struct<term, tf>>` equal as an
+    * UNORDERED multiset to `groupBy(doc, term).count()` restricted to
+    * this doc. Any aggregation whose grouping key contains the document
+    * id is per-document work — this moves it into the scan stage, so
+    * the exploded output is already (doc, term)-unique and the
+    * corpus-sized first shuffle of the tf/df family disappears.
+    */
+  def wordCounts(toks: ArrayData): ArrayData = {
+    val m = toks.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Long]()
+    var i = 0
+    while (i < m) {
+      val t = toks.getUTF8String(i)
+      val prev = counts.get(t)
+      counts.put(t, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_counts(toks)` — see [[WordCountsUtil.wordCounts]]. */
+case class WordCountsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_counts needs array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordCountsUtil.wordCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordCountsUtil.wordCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordCountsExpr {
+  def apply(c: Column): Column =
+    GraftColumnBridge.toColumn(
+      new WordCountsExpr(GraftColumnBridge.toExpression(c)))
+}

@@ -21,7 +21,14 @@ object Vocab {
     * long n-gram). The `sequence` upper bound is guarded because Spark's
     * `sequence(1, 0)` yields a DESCENDING [1,0], not an empty array.
     */
-  def ngrams(toks: Column, n: Int): Column = {
+  def ngrams(toks: Column, n: Int): Column =
+    graft.functions.WordNgramsExpr(toks, n)
+
+  /** HOF-form twin of [[ngrams]], kept for the kernel-equivalence spec.
+    * (The `transform` lambda runs interpreted per element — the kernel
+    * form is the one every registered query uses.)
+    */
+  private[graft] def ngramsViaTransform(toks: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
@@ -123,14 +130,17 @@ object Vocab {
     * crawl slice is the "new content" signal. Docs with fewer than `n`
     * tokens emit no row (same contract as [[topNgrams]]).
     *
-    * Scale shape: distinct (doc, n-gram) and the per-n-gram document
-    * frequency are both map-side-combinable aggregates; the df side of
-    * the join is one row per distinct n-gram; the final per-doc average
-    * is combinable again. Nothing ranks globally — no sort anywhere.
+    * Scale shape: the (doc, n-gram)-distinct frame is computed per
+    * document IN THE SCAN STAGE ([[graft.functions.NgramXxSetExpr]] —
+    * the doc id is in the distinct key, so the dedup never needed a
+    * corpus-sized exchange); the per-n-gram document frequency is a
+    * map-side-combinable aggregate over it; the df side of the join is
+    * one row per distinct n-gram; the final per-doc average is
+    * combinable again. Nothing ranks globally — no sort anywhere.
     *
-    * Every post-explode stage keys on `xxhash64(ngram)`, never the
-    * string: no output column needs the n-gram text, so the distinct,
-    * the df aggregate, and the join all move 8-byte keys instead of
+    * Every post-explode stage keys on the kernel's 64-bit n-gram hash,
+    * never the string: no output column needs the n-gram text, so the
+    * df aggregate and the join move 8-byte keys instead of
     * arbitrary-length strings (~3-8× fewer shuffle bytes, and hot
     * stopword-grade keys stop inflating their reduce partitions —
     * the skew AQE would otherwise have to split). Two n-grams colliding
@@ -140,9 +150,58 @@ object Vocab {
     */
   def noveltyScore(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 2): DataFrame = {
+    // the (doc, hash)-DISTINCT frame has the doc id in its key, so the
+    // dedup is per-document work — one kernel pass in the scan stage
+    // ([[graft.functions.NgramXxSetExpr]]), not a corpus-sized distinct
+    // exchange. The per-hash doc frequency stays an AGGREGATE + JOIN
+    // (not a window count riding one exchange): partial aggregation
+    // collapses a stopword-grade hot key to one row per map task, and
+    // AQE's skew-join splitting can split the probe side — a window
+    // keyed on the hash would instead pin every row of the hot key in
+    // ONE sort partition, the straggler AQE cannot split.
+    val grams = graft.util.Par.spread(df)
+      .select(col(idCol), explode(graft.functions.NgramXxSetExpr(
+        TextOps.tokens(lower(col(textCol))), n)).as("_gh"))
+    val dfreq = grams.groupBy(col("_gh")).agg(count(lit(1)).as("_df"))
+    grams.join(dfreq, "_gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(avg(when(col("_df") === 1, 1.0).otherwise(0.0)), 6)
+          .as("novelty"))
+  }
+
+  /** Window-form twin of [[noveltyScore]] — the df count rides the one
+    * hash-keyed exchange as a window aggregate. One fewer pass over the
+    * corpus, but every row of a hot n-gram lands in ONE window sort
+    * partition (AQE splits skewed joins, never windows), so the
+    * registered form keeps the aggregate + join. Kept for the
+    * equivalence spec.
+    */
+  private[graft] def noveltyScoreViaWindow(df: DataFrame, idCol: String,
+                                           textCol: String,
+                                           n: Int = 2): DataFrame = {
+    val grams = graft.util.Par.spread(df)
+      .select(col(idCol), explode(graft.functions.NgramXxSetExpr(
+        TextOps.tokens(lower(col(textCol))), n)).as("_gh"))
+    val wdf = Window.partitionBy(col("_gh"))
+    grams.withColumn("_df", count(lit(1)).over(wdf))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(avg(when(col("_df") === 1, 1.0).otherwise(0.0)), 6)
+          .as("novelty"))
+  }
+
+  /** All-built-ins twin of [[noveltyScore]] (interpreted `transform`
+    * n-grams + a relational distinct exchange), kept for the
+    * kernel-equivalence spec.
+    */
+  private[graft] def noveltyScoreViaJoin(df: DataFrame, idCol: String,
+                                         textCol: String,
+                                         n: Int = 2): DataFrame = {
     val grams = graft.util.Par.spread(df)
       .select(col(idCol),
-        explode(ngrams(TextOps.tokens(lower(col(textCol))), n)).as("ngram"))
+        explode(ngramsViaTransform(TextOps.tokens(lower(col(textCol))), n))
+          .as("ngram"))
       .select(col(idCol), xxhash64(col("ngram")).as("_gh"))
       .distinct()
     val dfreq = grams.groupBy(col("_gh")).agg(count(lit(1)).as("_df"))
@@ -206,25 +265,30 @@ object Vocab {
     * variant keeps every-doc terms finite); rank ties break on the term
     * string. Emits (doc, term, tf, df, score, rank).
     *
-    * Scale shape: the (doc, term) tf aggregate and the term df
-    * aggregate are both map-side combinable; N rides in as a 1-row
-    * broadcast cross join (one DAG, no driver action); tf⋈df is keyed
-    * on `xxhash64(term)` — the document-frequency side is one row per
-    * distinct term (O(vocab)) carrying an 8-byte key and a count, no
-    * strings, so even stopword-grade hot terms join 1:1 against the tf
-    * rows that carry them and the join's build/shuffle bytes stay
-    * fixed-width (the term STRING rides only the tf side, where the
-    * output needs it). The final top-k window partitions by document
-    * id — millions of independent partitions, no global sort.
+    * Scale shape: the (doc, term) tf counts are computed per-document
+    * in the scan stage ([[graft.functions.WordCountsExpr]] — the
+    * grouping key contains the doc id, so the corpus-sized
+    * groupBy(doc, term) shuffle disappears and the exploded frame
+    * arrives (doc, term)-unique); the term df is a map-side-combinable
+    * aggregate over it, joined back on `xxhash64(term)` — the df side
+    * is one fixed-width row per distinct term (O(vocab)), partial
+    * aggregation collapses stopword-grade hot terms to one row per map
+    * task, and AQE can skew-split the probe side (a window count would
+    * pin a hot term's rows in one unsplittable sort partition); N rides
+    * in as a 1-row broadcast cross join (one DAG, no driver action).
+    * The final top-k window partitions by document id — millions of
+    * independent partitions, no global sort.
     */
   def tfidfTerms(df: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val tf = graft.util.Par.spread(df)
       .select(col(idCol),
-        explode(TextOps.tokens(lower(col(textCol)))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("_th", xxhash64(col("term")))
+        explode(graft.functions.WordCountsExpr(
+          TextOps.tokens(lower(col(textCol))))).as("_kv"))
+      .select(col(idCol), col("_kv").getField("term").as("term"),
+        col("_kv").getField("tf").as("tf"),
+        xxhash64(col("_kv").getField("term")).as("_th"))
     // tf is unique per (doc, term), so the term's document frequency is
     // a plain count — no count(distinct) expansion needed (two terms
     // colliding in 64 bits would merge df counts: the same vanishing

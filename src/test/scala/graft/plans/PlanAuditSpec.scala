@@ -248,16 +248,20 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("novelty_score and tfidf_terms join n-grams on 8-byte hashes, not strings") {
-    // the df-side joins key on xxhash64(ngram/term): fixed-width shuffle
-    // keys, and a stopword-grade hot key no longer drags its string
-    // payload into one reduce partition. The string survives only where
-    // the output needs it (tfidf's term column).
+    // the df-side joins key on the 64-bit n-gram/term hash: fixed-width
+    // shuffle keys, and a stopword-grade hot key no longer drags its
+    // string payload into one reduce partition. The string survives only
+    // where the output needs it (tfidf's term column). novelty's hash is
+    // computed INSIDE the scan-stage kernel (NgramXxSetExpr) — the
+    // distinct (doc, hash) frame never pays a distinct exchange.
     val pn = plan("novelty_score")
-    assert(pn.contains("xxhash64"), pn)
+    assert(pn.contains("ngramxxsetexpr"), pn)
+    assert(pn.contains("hashpartitioning(_gh"), pn)
     // no exchange may partition on the n-gram STRING
     assert(!pn.linesIterator.exists(l =>
       l.contains("hashpartitioning(ngram")), pn)
     val pt = plan("tfidf_terms")
+    assert(pt.contains("wordcountsexpr"), pt)
     assert(pt.contains("hashpartitioning(_th"), pt)
   }
 
@@ -267,7 +271,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // size-based broadcasts disabled the df joins must still plan as
     // SortMergeJoin — the shape AQE's skew-split can rewrite — which
     // proves no hint forces broadcasting a side that grows with the
-    // corpus. (tfidf's single allowed broadcast is the 1-row N frame.)
+    // corpus, AND that the df attach-back is a join at all (a window
+    // count would pin the hot key's rows in one unsplittable sort
+    // partition). (tfidf's single allowed broadcast is the 1-row N.)
     import spark.implicits._
     val conf = spark.conf
     val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")

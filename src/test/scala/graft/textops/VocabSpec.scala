@@ -169,6 +169,32 @@ class VocabSpec extends AnyFunSuite {
     assert(books.getLong(6) == 1)
   }
 
+  test("ngrams kernel equals the transform form, boundary cases included") {
+    import spark.implicits._
+    val fixtures = Seq(
+      Seq("a", "b", "c", "a", "b"),   // duplicates preserved in order
+      Seq("a", "b"),                  // exactly n
+      Seq("only"),                    // fewer than n -> empty
+      Seq.empty[String],
+      Seq("x", "y", "z", "x", "y", "z"))
+    val df = fixtures.toDF("toks")
+    for (n <- Seq(1, 2, 3)) {
+      val bad = df.select(Vocab.ngrams(col("toks"), n).as("k"),
+          Vocab.ngramsViaTransform(col("toks"), n).as("c"))
+        .filter(col("k") =!= col("c")).count()
+      assert(bad == 0, s"n=$n kernel != transform form")
+    }
+  }
+
+  test("noveltyScore kernel form equals the window and all-built-ins twins") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def m(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val a = m(Vocab.noveltyScore(d, "doc_id", "text"))
+    assert(a == m(Vocab.noveltyScoreViaWindow(d, "doc_id", "text")))
+    assert(a == m(Vocab.noveltyScoreViaJoin(d, "doc_id", "text")))
+  }
+
   test("topNgrams plan: partial aggregation + TakeOrdered, no global sort exchange") {
     val d = docs(1L -> "a b c a b", 2L -> "b c d")
     val plan = Vocab.topNgrams(d, "text", n = 2, k = 2)
