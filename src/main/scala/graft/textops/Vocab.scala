@@ -159,9 +159,14 @@ object Vocab {
     // AQE's skew-join splitting can split the probe side — a window
     // keyed on the hash would instead pin every row of the hot key in
     // ONE sort partition, the straggler AQE cannot split.
+    // the (id, hash) frame feeds BOTH the df aggregate and the join
+    // probe: materialize it once (16-byte rows — cheaper than running
+    // tokenize + the kernel twice, and the exact post-checkpoint stats
+    // let AQE size the df join from reality, the spanPairs lesson)
     val grams = graft.util.Par.spread(df)
       .select(col(idCol), explode(graft.functions.NgramXxSetExpr(
         TextOps.tokens(lower(col(textCol))), n)).as("_gh"))
+      .localCheckpoint()
     val dfreq = grams.groupBy(col("_gh")).agg(count(lit(1)).as("_df"))
     grams.join(dfreq, "_gh")
       .groupBy(col(idCol))
@@ -282,6 +287,11 @@ object Vocab {
   def tfidfTerms(df: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // tf feeds BOTH the df aggregate and the join probe: materialize it
+    // once — the old groupBy(doc, term) form paid a full exchange here
+    // that doubled as the reuse point; the kernel form materializes the
+    // same (doc, term)-unique frame WITHOUT the shuffle, and the exact
+    // post-checkpoint stats let AQE size the df join from reality
     val tf = graft.util.Par.spread(df)
       .select(col(idCol),
         explode(graft.functions.WordCountsExpr(
@@ -289,6 +299,7 @@ object Vocab {
       .select(col(idCol), col("_kv").getField("term").as("term"),
         col("_kv").getField("tf").as("tf"),
         xxhash64(col("_kv").getField("term")).as("_th"))
+      .localCheckpoint()
     // tf is unique per (doc, term), so the term's document frequency is
     // a plain count — no count(distinct) expansion needed (two terms
     // colliding in 64 bits would merge df counts: the same vanishing

@@ -254,15 +254,26 @@ class PlanAuditSpec extends AnyFunSuite {
     // where the output needs it (tfidf's term column). novelty's hash is
     // computed INSIDE the scan-stage kernel (NgramXxSetExpr) — the
     // distinct (doc, hash) frame never pays a distinct exchange.
+    // the kernels themselves are truncated out of the registered plans
+    // by the fork-point localCheckpoint (dedup_spans pattern: they must
+    // appear ZERO times, proving the scan pass cannot re-run per fork);
+    // their presence in the un-checkpointed lineage is pinned on the
+    // window twin below
     val pn = plan("novelty_score")
-    assert(pn.contains("ngramxxsetexpr"), pn)
+    assert(!pn.contains("ngramxxsetexpr"), pn)
+    assert(pn.contains("Scan ExistingRDD") || pn.contains("LocalTableScan"), pn)
     assert(pn.contains("hashpartitioning(_gh"), pn)
     // no exchange may partition on the n-gram STRING
     assert(!pn.linesIterator.exists(l =>
       l.contains("hashpartitioning(ngram")), pn)
     val pt = plan("tfidf_terms")
-    assert(pt.contains("wordcountsexpr"), pt)
+    assert(!pt.contains("wordcountsexpr"), pt)
+    assert(pt.contains("Scan ExistingRDD") || pt.contains("LocalTableScan"), pt)
     assert(pt.contains("hashpartitioning(_th"), pt)
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val pw = graft.textops.Vocab.noveltyScoreViaWindow(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(pw.contains("ngramxxsetexpr"), pw)
   }
 
   test("n-gram df joins stay AQE-splittable under skew (no forced broadcast)") {
