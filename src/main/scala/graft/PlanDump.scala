@@ -110,11 +110,15 @@ object PlanDump {
           "TakeOrderedAndProject — a per-partition top-k merged on the " +
           "driver. No global sort, no single-partition exchange."),
       "tfidf_terms" ->
-        ("Two map-side-combinable aggregates (tf on (doc, term), df on " +
-          "term); the corpus size N rides in as a one-row broadcast; " +
-          "tf⋈df is an equi-join on the term whose build side is one " +
-          "row per distinct term; the final top-k window partitions by " +
-          "document — millions of independent partitions at scale."),
+        ("Per-doc (term, tf) counts are computed by the word_counts " +
+          "kernel IN the scan stage (the grouping key contains the doc " +
+          "id — per-document work never needed a corpus exchange) and " +
+          "the frame is checkpointed once at its fork; the term df is " +
+          "a map-side-combinable aggregate joined back on " +
+          "xxhash64(term) (build side one fixed-width row per distinct " +
+          "term, AQE-skew-splittable probe); N rides in as a one-row " +
+          "broadcast; the final top-k window partitions by document — " +
+          "millions of independent partitions at scale."),
       "corpus_profile" ->
         ("The per-source datasheet: one scan computing narrow per-row " +
           "stats feeds ONE stratum-keyed aggregate; no joins. The exact " +
@@ -146,10 +150,15 @@ object PlanDump {
           "as a pure projection); the sampled codebook fit runs ONE " +
           "job per Lloyd pass for all subspaces."),
       "novelty_score" ->
-        ("Per-doc corpus-unique n-gram fraction: distinct (doc, ngram), " +
-          "per-ngram document frequency, and the per-doc average are " +
-          "all map-side-combinable aggregates; the df join side is one " +
-          "row per distinct n-gram. No sort anywhere."),
+        ("Per-doc corpus-unique n-gram fraction: the ngram_xx_set " +
+          "kernel emits each doc's DISTINCT n-gram hashes in the scan " +
+          "stage (no distinct exchange — the doc id is in the distinct " +
+          "key), checkpointed once at the df fork; the per-ngram " +
+          "document frequency is a map-side-combinable aggregate whose " +
+          "join side is one 8-byte row per distinct n-gram (kept a " +
+          "JOIN, not a window count, so AQE can split a stopword-grade " +
+          "hot key); the per-doc average is combinable. No sort " +
+          "anywhere."),
       "dedup_incremental" ->
         ("Daily-ingest decision: the incoming batch's fingerprints " +
           "BROADCAST (decontaminate's probe shape) and the deduped " +
@@ -181,7 +190,16 @@ object PlanDump {
           "exact and near duplicate checks against the corpus — all " +
           "corpus touches are broadcast probes (no corpus shuffle), " +
           "and only GATED docs reach the signature work. The accept " +
-          "bit composes the three decisions per incoming doc."))
+          "bit composes the three decisions per incoming doc."),
+      "corpus_clean_near" ->
+        ("corpus_clean's near-dup-aware sibling: the gate + exact-dedup " +
+          "survivors checkpoint as the same NARROW frame (text never " +
+          "crosses that exchange); survivor text re-enters via ONE " +
+          "id-keyed semi join and runs the standard banded-LSH pipeline " +
+          "(codegen'd signature kernel, ids-only band shuffles, bucket " +
+          "cap, exact verify); the greedy smaller-id-wins drop is an " +
+          "anti join bounded by the near-dup rate — no " +
+          "connected-components loop on the clean path."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")

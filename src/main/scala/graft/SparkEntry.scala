@@ -30,12 +30,15 @@ object SparkEntry {
     * (`banded(doc_id, bnd, bucket)`). [[minhashPairCtes]] appends the
     * batch pair pipeline; the `dedup_minhash_incremental` oracle appends
     * the broadcast-probe pipeline — both replay the SAME signature
-    * definition, so they can never drift.
+    * definition, so they can never drift. Parameterized on the source
+    * relation (default `documents`) so composed pipelines
+    * (`corpus_clean_near`) replay the identical signature over their
+    * own survivor CTE.
     */
-  private val minhashBandedCtes =
-    """toks AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
-           FROM documents),
+  private def minhashBandedCtesFrom(src: String) =
+    s"""toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+           FROM $src),
          idx AS (SELECT doc_id, w,
            unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks),
          sh AS (SELECT DISTINCT doc_id,
@@ -57,6 +60,8 @@ object SparkEntry {
              md5((j // 2) || '#' || string_agg(m::VARCHAR, ',' ORDER BY j)) AS bucket
            FROM sig GROUP BY doc_id, j // 2)"""
 
+  private val minhashBandedCtes = minhashBandedCtesFrom("documents")
+
   /** [[minhashBandedCtes]] + the batch pair pipeline mirroring
     * [[graft.dedup.Dedup.minhashLsh]] (bucket cap → candidate pairs →
     * exact-Jaccard verify), ending in `mpairs(doc_a, doc_b, jaccard)`.
@@ -65,7 +70,7 @@ object SparkEntry {
     * transitive closure over the same pairs, so all three rows check
     * the same pipeline.
     */
-  private val minhashPairCtes = minhashBandedCtes +
+  private def minhashPairCtesFrom(src: String) = minhashBandedCtesFrom(src) +
     """,
          capped AS (SELECT bnd, bucket, doc_id FROM banded
            QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
@@ -82,6 +87,8 @@ object SparkEntry {
          FROM iv JOIN sz sx ON sx.doc_id = iv.doc_a
          JOIN sz sy ON sy.doc_id = iv.doc_b
          WHERE round(iv.inter::DOUBLE / (sx.n_sh + sy.n_sh - iv.inter), 6) >= 0.5)"""
+
+  private val minhashPairCtes = minhashPairCtesFrom("documents")
 
   /** Recursive min-label transitive closure over a `(doc_a, doc_b)` pair
     * CTE (appended to its chain; the whole WITH is declared RECURSIVE),
@@ -879,6 +886,12 @@ object SparkEntry {
         "doc_id", "text", "lang", minQuality = 0.3,
         pctByStratum = Map("en" -> 80, "zh" -> 50), defaultPct = 25,
         budget = 2048)),
+
+    "corpus_clean_near" -> ((s, dir) =>
+      // gate -> exact dedup -> MinHash near-dedup in one DAG (greedy
+      // smaller-id-wins drop rule; closure form stays dedup_resolve)
+      graft.pipeline.Pipeline.corpusCleanNear(Tables.documents(s, dir),
+        "doc_id", "text", "lang", minQuality = 0.3)),
 
     "ingest_clean" -> ((s, dir) => {
       // the daily-ingest pipeline in one DAG: gate the increment, check
@@ -1880,6 +1893,23 @@ object SparkEntry {
          SELECT doc_id, lang, quality, n_tokens,
            CAST(pre // 2048 AS BIGINT) AS pack_id,
            CAST(pre % 2048 AS BIGINT) AS pack_offset FROM p""",
+
+    "corpus_clean_near" ->
+      // same gate + exact-dedup CTEs as corpus_clean (no sampling),
+      // then the SHARED minhash pair pipeline replayed over the
+      // survivor CTE; a survivor is dropped iff it pairs with a
+      // smaller-id survivor (mpairs already has doc_a < doc_b)
+      s"""WITH qb AS (SELECT doc_id, lang, text, $duckQualityParts FROM documents),
+         q AS (SELECT doc_id, lang, text, $duckQualityFromParts AS quality FROM qb),
+         g AS (SELECT * FROM q WHERE quality >= 0.3),
+         sdocs AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn FROM g) WHERE rn = 1),
+         ${minhashPairCtesFrom("sdocs")}
+         SELECT doc_id, lang, quality,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+         FROM sdocs
+         WHERE doc_id NOT IN (SELECT doc_b FROM mpairs)""",
 
     "decontaminate" ->
       // joins on shingle STRINGS where Spark joins on xxhash64 of the

@@ -548,4 +548,45 @@ object Pipeline {
       .select(col(idCol), col(strataCol), col("quality"),
         col("n_tokens"), col("pack_id"), col("pack_offset"))
   }
+
+  /** [[corpusClean]]'s NEAR-dup-aware sibling: quality gate → exact
+    * dedup → MinHash near-dedup, in one DAG. The drop rule is the
+    * greedy/online one — a survivor is dropped iff it near-matches
+    * (LSH candidate, verified Jaccard ≥ `threshold`) a SMALLER-id
+    * survivor — i.e. the decision an ingest stream applies per
+    * document, cheaper than the full transitive closure (which remains
+    * the `dedup_clusters` → `dedup_resolve` path: in a chain a–b–c
+    * where only a–b and b–c pair, the closure keeps a alone, while the
+    * greedy rule keeps a and drops b and c only if a larger-id partner
+    * exists for each — deterministic either way, but different
+    * contracts).
+    *
+    * Scale shape: the gate + exact-dedup survivors checkpoint as the
+    * same NARROW frame [[corpusClean]] uses (text never crosses that
+    * exchange); a real deployment has written the cleaned corpus at
+    * exactly that point, so the near-dup pass re-reads survivor text
+    * via ONE id-keyed semi join against the source and runs the
+    * standard banded-LSH pipeline ([[graft.dedup.Dedup.minhashLsh]]:
+    * codegen'd signature kernel, ids-only band shuffles, bucket cap,
+    * exact verify). The final drop is an anti join on the id — the
+    * dropped-id side is bounded by the near-dup rate.
+    */
+  def corpusCleanNear(docs: DataFrame, idCol: String, textCol: String,
+                      strataCol: String, minQuality: Double,
+                      shingleSize: Int = 3, bands: Int = 8,
+                      rowsPerBand: Int = 2, threshold: Double = 0.5,
+                      maxBucket: Int = 64): DataFrame = {
+    // sampling disabled (pct = 100): every gated, exact-unique doc
+    // reaches the near-dup stage
+    val kept = cleanedNarrow(docs, idCol, textCol, strataCol, minQuality,
+        Map.empty, 100)
+      .localCheckpoint()
+    val survivorText = docs.select(col(idCol), col(textCol))
+      .join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+    val pairs = graft.dedup.Dedup.minhashLsh(survivorText, idCol, textCol,
+      shingleSize, bands, rowsPerBand, threshold, maxBucket)
+    val drop = pairs.select(col("doc_b").as(idCol)).distinct()
+    kept.join(drop, Seq(idCol), "left_anti")
+      .select(col(idCol), col(strataCol), col("quality"), col("n_tokens"))
+  }
 }

@@ -70,6 +70,41 @@ object Sinks {
                   path: String): DataFrame =
     spark.read.option("basePath", path).parquet(path)
 
+  /** Bucketed-table writer: pay the corpus's key shuffle ONCE at write
+    * time so every downstream join/aggregate on that key is
+    * exchange-free. `bucketBy(n, key)` records the bucket spec in the
+    * catalog; a scan of the table then reports
+    * `HashPartitioning(key, n)`, and Catalyst drops the Exchange for
+    * joins against any table bucketed the same way and for
+    * `groupBy(key)` aggregates. With `sortCols` each bucket's files are
+    * written key-sorted, so a sort-merge join can skip its Sort too —
+    * Spark trusts the file order only when a bucket holds ONE file
+    * (hence the `repartition` below, which also makes re-runs
+    * byte-identical) AND the reader opts in via
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (since
+    * 3.0 the scan does not advertise ordering by default, SPARK-28595).
+    *
+    * This is the 100 TB answer to "we join/group on doc_id every day":
+    * the nightly build writes the corpus bucketed by doc_id, and the
+    * daily queries never shuffle it again — the same trade
+    * [[graft.dedup.SignatureStore]] makes for signatures, applied to
+    * the relational layout. (HIVE-style bucketed parquet: readable by
+    * any engine that understands the catalog's bucket spec; plain
+    * parquet readers just see the files.)
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    bucketCols: Seq[String],
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    val w = df
+      .repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).saveAsTable(table)
+  }
+
   /** Append-mode streaming parquet sink with mandatory checkpointing —
     * exactly-once file output keyed by the checkpoint's offset log. The
     * caller picks the trigger; the helper only refuses the footguns

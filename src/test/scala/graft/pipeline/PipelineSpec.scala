@@ -160,6 +160,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusCleanNear: gate, exact-dup, then greedy smaller-id near-dedup") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then the " +
+      "small cat walks near the old tree while a bird sings of summer " +
+      "days in the town square"
+    val other = "catalyst plans the shuffle stages while tungsten packs " +
+      "the rows into unsafe buffers and the scheduler assigns every task " +
+      "to an executor core until the whole stage completes"
+    val docs = Seq(
+      (1L, base, "en"),              // keeper (smallest id of its group)
+      (2L, base + " tonight", "en"), // near-dup of 1 -> dropped
+      (3L, base, "en"),              // exact dup of 1 -> dropped in stage 2
+      (4L, other, "en"),             // unrelated keeper
+      (5L, "junk", "en")             // one token: below the quality floor
+    ).toDF("doc_id", "text", "lang")
+    val out = Pipeline.corpusCleanNear(docs, "doc_id", "text", "lang",
+      minQuality = 0.3).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 4L), out.mkString(";"))
+    // survivors keep the narrow-stage columns
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0.3)
+      assert(r.getLong(3) > 0)
+    }
+  }
+
   test("decontaminate flags n-gram overlap with probes, excludes probes") {
     import spark.implicits._
     val leak = "the capital of france is paris and the answer is forty two"

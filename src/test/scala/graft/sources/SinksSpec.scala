@@ -12,19 +12,22 @@ class SinksSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val src = "/root/testdata/sf0.001"
 
-  test("bucketed tables join with zero exchanges") {
+  test("bucketed tables join with zero exchanges and zero sorts") {
     // warehouse dir is a temp dir set statically in TestSpark
     val li = Tables.lineitem(spark, src)
     val o = Tables.orders(spark, src)
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("li_b")
-    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("o_b")
+    Sinks.writeBucketed(li, "li_b", 8, Seq("l_orderkey"), Seq("l_orderkey"))
+    Sinks.writeBucketed(o, "o_b", 8, Seq("o_orderkey"), Seq("o_orderkey"))
     // bucket-compatible layout: the join itself needs no shuffle — with
     // broadcast disabled it must plan a SortMergeJoin over bucket scans
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val orderingKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prevOrdering = spark.conf.get(orderingKey)
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // sort elision needs the reader opt-in (SPARK-28595) plus the one
+      // file per bucket writeBucketed's repartition guarantees
+      spark.conf.set(orderingKey, "true")
       val joined = spark.table("li_b").join(spark.table("o_b"),
         col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus").count()
@@ -34,9 +37,22 @@ class SinksSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
         !plan.contains("Exchange hashpartitioning(o_orderkey"),
         s"bucketed join should not re-shuffle its inputs:\n$plan")
+      // writeBucketed's repartition leaves ONE file per bucket, so the
+      // sortBy order is usable and the merge join needs no Sort either
+      assert(!plan.contains("Sort [l_orderkey") &&
+        !plan.contains("Sort [o_orderkey"),
+        s"sorted buckets should elide the SMJ sorts:\n$plan")
       assert(joined.count() > 0)
+      // aggregates on the bucket key skip their exchange too
+      val agg = spark.table("li_b").groupBy("l_orderkey")
+        .agg(sum("l_quantity"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"groupBy(bucket key) should not shuffle:\n$aggPlan")
+      assert(agg.count() > 0)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set(orderingKey, prevOrdering)
       spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
     }
   }
