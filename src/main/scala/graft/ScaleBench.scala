@@ -29,7 +29,7 @@ object ScaleBench {
     "ingest_clean",
     // embeddings family
     "embedding_profile", "embedding_quantize", "embedding_neardup",
-    "embedding_clusters",
+    "embedding_neardup_incremental", "embedding_clusters",
     "similarity_topk", "similarity_lsh", "similarity_ivf",
     "knn_classify", "label_centroids",
     "dedup_semantic", "embedding_pq", "similarity_pq", "similarity_ivfpq",

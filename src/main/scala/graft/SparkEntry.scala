@@ -752,6 +752,19 @@ object SparkEntry {
       Similarity.nearDupPairsBanded(Tables.embeddings(s, dir), "vec_id",
         "embedding", 0.4, numPlanes = 64, bands = 8, dim = 64)),
 
+    "embedding_neardup_incremental" -> ((s, dir) => {
+      // the near-dup daily-ingest decision for the vector modality:
+      // same md5-bucket split as dedup_minhash_incremental (>= 70 plays
+      // the incoming batch); the increment's band keys broadcast
+      // against the corpus's banded signature frame — the corpus never
+      // shuffles, and full vectors move only for verified candidates
+      val e = Tables.embeddings(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
+      Similarity.nearDupIncremental(e.filter(bucket >= 70),
+        e.filter(bucket < 70), "vec_id", "embedding", 0.4,
+        numPlanes = 64, bands = 8, dim = 64)
+    }),
+
     "embedding_clusters" -> ((s, dir) =>
       // the dedup decision for embeddings: same connected-components
       // closure, over the cosine near-dup pair graph
@@ -1449,6 +1462,40 @@ object SparkEntry {
       s"""WITH $embPairCtes
          SELECT doc_a AS id_a, doc_b AS id_b, sim FROM epairs""",
 
+    "embedding_neardup_incremental" -> {
+      // mirrors Similarity.nearDupIncremental over the md5-bucket split:
+      // increment band keys probe the corpus's banded frame, exact
+      // cosine verifies candidates, best match per incoming vector
+      val cos = duckCosine("a.embedding", "b.embedding")
+      s"""WITH $embBanded64Ctes,
+         esb AS (SELECT vec_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(vec_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
+           FROM embeddings),
+         incb AS (SELECT e.vec_id, band, key FROM ebanded e
+                  JOIN esb USING (vec_id) WHERE esb.sbucket >= 70),
+         corb AS (SELECT e.vec_id, band, key FROM ebanded e
+                  JOIN esb USING (vec_id) WHERE esb.sbucket < 70),
+         ikeys AS (SELECT DISTINCT band, key FROM incb),
+         mat AS (SELECT c.vec_id, band, key FROM corb c
+                 JOIN ikeys USING (band, key)),
+         cand AS (SELECT DISTINCT i.vec_id AS inc_id, m.vec_id AS dup_id
+                  FROM incb i JOIN mat m USING (band, key)),
+         ver AS (SELECT cand.inc_id, cand.dup_id, round($cos, 4) AS sim
+                 FROM cand JOIN embeddings a ON a.vec_id = cand.inc_id
+                 JOIN embeddings b ON b.vec_id = cand.dup_id
+                 WHERE round($cos, 4) >= 0.4),
+         best AS (SELECT inc_id, dup_id, sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY sim DESC, dup_id) AS rn FROM ver) WHERE rn = 1)
+         SELECT i.vec_id, best.dup_id AS dup_of, best.sim,
+           (best.dup_id IS NULL) AS is_new
+         FROM (SELECT vec_id FROM esb WHERE sbucket >= 70) i
+         LEFT JOIN best ON best.inc_id = i.vec_id"""
+    },
+
     "embedding_clusters" ->
       s"""WITH RECURSIVE ${embPairCtes + closureCtes("epairs")}
          SELECT node AS doc_id, cluster_id,
@@ -1962,6 +2009,25 @@ object SparkEntry {
     * the same pairs the `embedding_neardup` row checks.
     */
   private lazy val embPairCtes: String = {
+    val cos = duckCosine("a.embedding", "b.embedding")
+    s"""$embBanded64Ctes,
+         ep AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+               FROM ebanded x JOIN ebanded y USING (band, key)
+               WHERE x.vec_id < y.vec_id),
+         epairs AS (SELECT ep.id_a AS doc_a, ep.id_b AS doc_b, round($cos, 4) AS sim
+         FROM ep JOIN embeddings a ON a.vec_id = ep.id_a
+         JOIN embeddings b ON b.vec_id = ep.id_b
+         WHERE round($cos, 4) >= 0.4)"""
+  }
+
+  /** `sigs`/`ebanded` — every vector's 64-plane/8-band signature band
+    * keys, the literal-plane mirror of the banded projection inside
+    * [[graft.simops.Similarity.nearDupPairsBanded]] /
+    * [[graft.simops.Similarity.nearDupIncremental]]. Shared by
+    * [[embPairCtes]] and the `embedding_neardup_incremental` oracle so
+    * the signature derivation can never drift between them.
+    */
+  private lazy val embBanded64Ctes: String = {
     val planes = Similarity.hyperplanes(64, 64)
     val bands = 8; val bits = 8
     val keys = (0 until bands)
@@ -1970,16 +2036,8 @@ object SparkEntry {
     val banded = (0 until bands)
       .map(b => s"SELECT vec_id, $b AS band, key_$b AS key FROM sigs")
       .mkString(" UNION ALL ")
-    val cos = duckCosine("a.embedding", "b.embedding")
     s"""sigs AS (SELECT vec_id, $keys FROM embeddings),
-         ebanded AS ($banded),
-         ep AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-               FROM ebanded x JOIN ebanded y USING (band, key)
-               WHERE x.vec_id < y.vec_id),
-         epairs AS (SELECT ep.id_a AS doc_a, ep.id_b AS doc_b, round($cos, 4) AS sim
-         FROM ep JOIN embeddings a ON a.vec_id = ep.id_a
-         JOIN embeddings b ON b.vec_id = ep.id_b
-         WHERE round($cos, 4) >= 0.4)"""
+         ebanded AS ($banded)"""
   }
 
   /** The IVF index fit as DuckDB CTEs — `asg2` ends as every vector's

@@ -278,4 +278,81 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** The near-dup DAILY-INGEST decision for the embedding modality —
+    * the vector twin of [[graft.dedup.Dedup.minhashIncremental]]: for
+    * each incoming vector, is it a cosine near-dup (≥ `threshold`) of
+    * something already in the corpus, and of what?
+    *
+    * Scale shape (the corpus NEVER shuffles):
+    *  - only the increment's banded signature frame is checkpointed and
+    *    broadcast — O(increment × bands) rows of (band, key);
+    *  - the corpus streams map-side through a broadcast join on those
+    *    band keys; its banded projection carries ids only, no vectors;
+    *  - surviving candidate ids broadcast back against the corpus scan
+    *    to fetch ONLY candidate vectors for the exact-cosine verify, so
+    *    false candidates never corrupt output and full vectors move for
+    *    candidates alone. Bucket fan-out is bounded by the 2^(planes/
+    *    bands) key space per band — widen `numPlanes` to thin buckets.
+    *
+    * Output: one row per incoming vector — (id, dup_of: best-matching
+    * corpus id or null, sim of that match or null, is_new). "Best"
+    * breaks ties deterministically: highest cosine, then lowest corpus
+    * id. Within-batch near-dups are out of scope by design — run
+    * [[nearDupPairsBanded]] over the (small) increment for those.
+    *
+    * PRECONDITION: `idCol` unique within each frame (the [[lshTopK]]
+    * payload-free-pairs contract).
+    */
+  def nearDupIncremental(incoming: DataFrame, corpus: DataFrame,
+                         idCol: String, vecCol: String, threshold: Double,
+                         numPlanes: Int = 64, bands: Int = 8,
+                         dim: Int = -1): DataFrame = {
+    val d = inferDim(corpus, vecCol, dim, "nearDupIncremental")
+    val planes = hyperplanes(numPlanes, d)
+    val bits = numPlanes / bands
+    def banded(df0: DataFrame, id: String) =
+      graft.util.Par.spread(df0)
+        .select(col(idCol).as(id), lshSignature(col(vecCol), planes).as("sig"))
+        .select(col(id),
+          posexplode(array((0 until bands).map { b =>
+            shiftright(col("sig"), b * bits).bitwiseAND((1L << bits) - 1)
+          }: _*)).as(Seq("band", "key")))
+    // the increment's banded frame forks three ways (key set, pair
+    // attach, output doc list) — checkpoint once, the
+    // minhashIncremental convention
+    val incB = banded(incoming, "inc_id").localCheckpoint()
+    val incKeys = incB.select(col("band"), col("key")).distinct()
+    // the probe: corpus streams through a broadcast join on the
+    // increment's band keys — no corpus shuffle, ids-only payload
+    val pairs = banded(corpus, "dup_id")
+      .join(broadcast(incKeys), Seq("band", "key"))
+      .join(broadcast(incB), Seq("band", "key"))
+      .filter(col("inc_id") =!= col("dup_id"))
+      .select(col("inc_id"), col("dup_id"))
+      .dropDuplicates("inc_id", "dup_id")
+    // verify payloads: candidate ids broadcast back against the corpus
+    // scan (again no corpus shuffle); increment vectors broadcast whole
+    val candIds = pairs.select(col("dup_id")).distinct()
+    val corV = corpus.select(col(idCol).as("dup_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn"))
+      .join(broadcast(candIds), "dup_id")
+    val incV = incoming.select(col(idCol).as("inc_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val verified = pairs
+      .join(corV, "dup_id")
+      .join(broadcast(incV), "inc_id")
+      .withColumn("sim", round(
+        cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")), 4))
+      .filter(col("sim") >= threshold)
+    val w = Window.partitionBy(col("inc_id"))
+      .orderBy(col("sim").desc, col("dup_id").asc)
+    val best = verified
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("inc_id"), col("dup_id").as("dup_of"), col("sim"))
+    incoming.select(col(idCol).as("inc_id"))
+      .join(broadcast(best), Seq("inc_id"), "left")
+      .select(col("inc_id").as(idCol), col("dup_of"), col("sim"),
+        col("dup_of").isNull.as("is_new"))
+  }
 }

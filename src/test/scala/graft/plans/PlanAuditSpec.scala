@@ -356,6 +356,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assertShufflesPostProbe("dedup_minhash_incremental", minProbes = 3)
   }
 
+  test("embedding_neardup_incremental: every shuffle is post-probe (corpus never shuffles)") {
+    // probes: band-key probe, increment band attach, candidate-id
+    // vector probe, increment vector attach, best-match left join
+    assertShufflesPostProbe("embedding_neardup_incremental", minProbes = 3)
+  }
+
   test("ingest_clean: the composed daily pipeline keeps the no-corpus-shuffle contract") {
     // the composite runs the gate + BOTH incremental checks; its exact
     // leg adds two more broadcast probes on top of the near leg's three

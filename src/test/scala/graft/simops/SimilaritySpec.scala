@@ -81,4 +81,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(0L) == ((7, 2L)))
     assert(out(10L) == ((3, 1L)))
   }
+
+  test("nearDupIncremental: flags corpus near-dups, leaves fresh vectors new") {
+    // corpus: an x-axis vector and a y-axis vector; increment: a
+    // near-copy of the x-axis one, an exact copy, and an orthogonal
+    // fresh direction nothing stored matches
+    val corpus = vecs(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f))
+    val incoming = vecs(
+      10L -> Seq(0.99f, 0.05f, 0f, 0f), // near-dup of 1
+      11L -> Seq(1f, 0f, 0f, 0f),       // exact dup of 1
+      12L -> Seq(0f, 0f, 0f, 1f))       // fresh
+    val out = Similarity.nearDupIncremental(incoming, corpus, "vec_id",
+        "embedding", 0.9, numPlanes = 64, bands = 8, dim = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3)
+    assert(!out(10L).getBoolean(3) && out(10L).getLong(1) == 1L)
+    assert(!out(11L).getBoolean(3) && out(11L).getLong(1) == 1L)
+    assert(out(11L).getDouble(2) == 1.0)
+    assert(out(12L).getBoolean(3) && out(12L).isNullAt(1))
+  }
+
+  test("nearDupIncremental: best match is (sim desc, lowest corpus id)") {
+    // two identical corpus vectors both match at cosine 1.0; the
+    // deterministic winner is the lower id
+    val corpus = vecs(5L -> Seq(1f, 0f), 3L -> Seq(1f, 0f),
+      9L -> Seq(0f, 1f))
+    val incoming = vecs(100L -> Seq(1f, 0f))
+    val r = Similarity.nearDupIncremental(incoming, corpus, "vec_id",
+      "embedding", 0.9, numPlanes = 64, bands = 8, dim = 2).collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 3L &&
+      r.getDouble(2) == 1.0 && !r.getBoolean(3))
+  }
+
+  test("nearDupIncremental agrees with banded pairs over the union corpus") {
+    // each incoming vector's accepted match must appear in the batch
+    // banded pair set over corpus ∪ increment, at the same rounded sim
+    val rng = new scala.util.Random(11)
+    def noisy(base: Seq[Float]) =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * 0.02f)
+    val base = (0 until 8).map(_ => Seq.fill(8)(rng.nextFloat() * 2 - 1))
+    val corpus = vecs((0L until 8L).map(i => i -> base(i.toInt)): _*)
+    val incoming = vecs(
+      (100L until 104L).map(i => i -> noisy(base(i.toInt - 100))) :+
+        (200L -> Seq.fill(8)(rng.nextFloat() * 2 - 1)): _*)
+    val inc = Similarity.nearDupIncremental(incoming, corpus, "vec_id",
+        "embedding", 0.9, numPlanes = 64, bands = 8, dim = 8)
+      .collect().filter(!_.getBoolean(3))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc.nonEmpty)
+    val batch = Similarity.nearDupPairsBanded(corpus.unionByName(incoming),
+        "vec_id", "embedding", 0.9, numPlanes = 64, bands = 8, dim = 8)
+      .collect()
+      .map(r => (math.max(r.getLong(0), r.getLong(1)),
+        math.min(r.getLong(0), r.getLong(1))) -> r.getDouble(2)).toMap
+    inc.foreach { case (pair, sim) =>
+      assert(batch.get(pair).contains(sim),
+        s"incremental match $pair not in batch pair set at the same sim")
+    }
+  }
 }
