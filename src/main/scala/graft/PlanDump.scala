@@ -175,6 +175,13 @@ object PlanDump {
           "codes. Candidate volume ~N·nprobe/nlist, scored payload 32× " +
           "smaller than vectors; the PQ fit reads a checkpointed " +
           "O(sample) residual frame."),
+      "embedding_neardup_incremental" ->
+        ("The vector-modality ingest near-dup twin: the increment's " +
+          "hyperplane band keys broadcast against the corpus's banded " +
+          "signature frame (ids only — no vector payload), candidate " +
+          "ids broadcast back against the corpus scan for the exact " +
+          "cosine verify. Same no-corpus-shuffle contract as " +
+          "dedup_minhash_incremental, fenced in PlanAuditSpec."),
       "dedup_minhash_incremental" ->
         ("Near-dup daily ingest: the increment's (band, bucket) keys " +
           "BROADCAST against the corpus's banded signature frame, so " +
