@@ -20,7 +20,7 @@ object ScaleBench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
     "dedup_clusters", "dedup_clusters_simhash", "dedup_resolve",
     "doc_winnow", "decontaminate", "corpus_clean", "corpus_clean_near",
-    "multimodal_meta",
+    "multimodal_meta", "multimodal_features",
     "topk_ngrams", "tfidf_terms", "dedup_spans", "corpus_profile",
     "novelty_score", "stream_trending_ngrams", "dedup_incremental",
     "dedup_minhash_incremental", "dedup_minhash_stored", "lm_score",

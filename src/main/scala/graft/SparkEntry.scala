@@ -943,6 +943,27 @@ object SparkEntry {
       // MultimodalSpec and stays equivalent on the metadata columns
       val d = Tables.documents(s, dir)
       Multimodal.meta(d, "doc_id", encode(col("text"), "UTF-8"))
+    }),
+
+    "multimodal_features" -> ((s, dir) => {
+      // the batch decode pipeline itself, end-to-end through the
+      // mapPartitions codec contract (per-partition decoder context —
+      // the Scala analogue of arrow-batched UDF execution): binary
+      // payload in, fixed-width feature out, payload never shuffled.
+      // The stub decode is a 16-bucket high-nibble byte histogram, so
+      // the oracle replays it exactly from hex(content); exported in
+      // long format with the per-bucket COUNT reconstructed from the
+      // normalized float feature (f·n_bytes rounds to the exact count
+      // for any payload < 8 MB — integer-exact, hash-stable)
+      val media = Multimodal.fromText(s, Tables.documents(s, dir),
+        "doc_id", "text")
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("media_id"), col("sniffed_format"), col("n_bytes"),
+          posexplode(col("feature")).as(Seq("bucket", "f")))
+        .select(col("media_id"), col("sniffed_format"), col("n_bytes"),
+          col("bucket").cast("long").as("bucket"),
+          round(col("f").cast("double") * col("n_bytes"))
+            .cast("long").as("n_in_bucket"))
     })
   )
 
@@ -1998,7 +2019,30 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
          md5(text) AS content_md5, 'unknown' AS sniffed_format
-         FROM documents"""
+         FROM documents""",
+
+    "multimodal_features" ->
+      // replays the stubbed decode exactly: the high nibble of byte i
+      // is hex digit 2i-1 of hex(content); UTF-8 text can only ever
+      // sniff as 'gif' (0xFF/0x89 are not valid UTF-8 lead bytes)
+      """WITH mb AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           CASE WHEN substr(text, 1, 3) = 'GIF' THEN 'gif'
+                ELSE 'unknown' END AS sniffed_format
+           FROM documents),
+         midx AS (SELECT media_id, hx,
+           unnest(generate_series(1, len(hx) // 2)) AS i FROM mb),
+         mcnt AS (SELECT media_id,
+             strpos('0123456789ABCDEF', substr(hx, 2 * i - 1, 1)) - 1 AS bucket,
+             count(*)::BIGINT AS n
+           FROM midx GROUP BY 1, 2),
+         grid AS (SELECT media_id, sniffed_format, n_bytes,
+           unnest(generate_series(0, 15)) AS bucket FROM mb)
+         SELECT g.media_id, g.sniffed_format, g.n_bytes,
+           g.bucket::BIGINT AS bucket,
+           coalesce(c.n, 0)::BIGINT AS n_in_bucket
+         FROM grid g LEFT JOIN mcnt c
+           ON c.media_id = g.media_id AND c.bucket = g.bucket"""
   )
 
   /** CTE chain mirroring [[graft.simops.Similarity.nearDupPairsBanded]]

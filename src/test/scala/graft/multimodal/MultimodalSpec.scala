@@ -67,6 +67,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(recon.toSeq == vid.toSeq) // 100/4 divides evenly → lossless
   }
 
+  test("feature counts reconstruct exactly from the normalized histogram") {
+    // the registered multimodal_features query exports round(f·n_bytes)
+    // as the per-bucket count — pin that the float round-trip is
+    // integer-exact and sums back to the payload size
+    val rng = new scala.util.Random(3)
+    val payload = Array.fill(4096)(rng.nextInt(256).toByte)
+    val f = Multimodal.decodeFeatures(media(1L -> payload)).collect().head
+    val counts = f.feature.map(x => math.round(x.toDouble * f.n_bytes))
+    assert(counts.sum == f.n_bytes)
+    // recompute the histogram directly and compare bucket by bucket
+    val direct = new Array[Long](16)
+    payload.foreach(b => direct((b & 0xFF) >> 4) += 1L)
+    assert(counts.toSeq == direct.toSeq)
+  }
+
   test("fromText round-trip: bytes are exact UTF-8 of the text") {
     import spark.implicits._
     val df = Seq((7L, "héllo")).toDF("doc_id", "text")
