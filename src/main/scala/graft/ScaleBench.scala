@@ -21,7 +21,8 @@ object ScaleBench {
     "dedup_clusters", "dedup_clusters_simhash", "dedup_resolve",
     "doc_winnow", "decontaminate", "corpus_clean", "corpus_clean_near",
     "multimodal_meta", "multimodal_features",
-    "topk_ngrams", "tfidf_terms", "dedup_spans", "corpus_profile",
+    "topk_ngrams", "tfidf_terms", "dedup_spans", "dedup_spans_incremental",
+    "corpus_profile",
     "novelty_score", "stream_trending_ngrams", "dedup_incremental",
     "dedup_minhash_incremental", "dedup_minhash_stored", "lm_score",
     "corpus_profile_approx",

@@ -677,6 +677,18 @@ object SparkEntry {
       Dedup.spanPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 8, w = 4, minShared = 5, maxDf = 16)),
 
+    "dedup_spans_incremental" -> ((s, dir) => {
+      // passage-level daily ingest: same md5-bucket split (>= 70 plays
+      // the increment); the increment's winnow fp keys broadcast
+      // against the corpus fingerprint stream — the corpus never
+      // shuffles, and the boilerplate cap runs post-probe where the
+      // matched count per fp IS its corpus df
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      Dedup.spanIncremental(d.filter(bucket >= 70), d.filter(bucket < 70),
+        "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // daily-ingest decision: md5-bucket >= 70 plays the incoming
       // batch, the rest the already-deduped corpus; the incoming
@@ -1429,6 +1441,37 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 5""",
+
+    "dedup_spans_incremental" ->
+      // mirrors Dedup.spanIncremental over the md5-bucket split: the
+      // post-probe df cap counts corpus rows per PROBED fp (equal to
+      // that fp's corpus df among increment-present fps)
+      s"""WITH $duckWinnowFpCtes,
+         wsb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
+           FROM documents),
+         fi AS (SELECT f.doc_id AS inc_id, fp FROM f
+                JOIN wsb USING (doc_id) WHERE wsb.sbucket >= 70),
+         fc AS (SELECT f.doc_id AS dup_id, fp FROM f
+                JOIN wsb USING (doc_id) WHERE wsb.sbucket < 70),
+         wik AS (SELECT DISTINCT fp FROM fi),
+         wmat AS (SELECT fc.dup_id, fc.fp FROM fc JOIN wik USING (fp)),
+         wcap AS (SELECT dup_id, fp FROM wmat
+                  QUALIFY count(*) OVER (PARTITION BY fp) <= 16),
+         wsh AS (SELECT fi.inc_id, m.dup_id, count(*) AS n_shared
+                 FROM fi JOIN wcap m USING (fp)
+                 GROUP BY 1, 2 HAVING count(*) >= 5),
+         wbest AS (SELECT inc_id, dup_id, n_shared FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY n_shared DESC, dup_id) AS rn FROM wsh)
+             WHERE rn = 1)
+         SELECT i.doc_id, wbest.dup_id AS dup_of, wbest.n_shared,
+           (wbest.dup_id IS NULL) AS is_new
+         FROM (SELECT doc_id FROM wsb WHERE sbucket >= 70) i
+         LEFT JOIN wbest ON wbest.inc_id = i.doc_id""",
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

@@ -777,6 +777,65 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Passage-level reuse against the EXISTING corpus — the span twin of
+    * [[minhashIncremental]]: for each incoming document, which corpus
+    * document shares the most winnow fingerprints (≥ `minShared`), i.e.
+    * did this crawl increment re-serve passages the corpus already has?
+    *
+    * Scale shape (the corpus NEVER shuffles):
+    *  - both sides' fingerprints come from the one-pass codegen'd
+    *    winnow kernel (narrow, per-doc);
+    *  - only the increment's (id, fp) frame is checkpointed and
+    *    broadcast; the corpus fp stream passes through a broadcast
+    *    join on the increment's fingerprint keys;
+    *  - the `maxDf` boilerplate cap runs POST-probe — every corpus row
+    *    carrying a probed fp matches the probe, so the matched count
+    *    per fp IS that fp's corpus df, and capping it there bounds
+    *    per-fp fan-out at maxDf before the pair aggregate without an
+    *    aggregate over the full corpus (the [[minhashIncremental]]
+    *    skew-guard placement).
+    *
+    * Output: one row per incoming document — (doc_id, dup_of: corpus
+    * doc sharing the most fingerprints or null, n_shared or null,
+    * is_new). Ties break (n_shared desc, lowest corpus id).
+    */
+  def spanIncremental(incoming: DataFrame, corpus: DataFrame,
+                      idCol: String, textCol: String, k: Int = 8,
+                      w: Int = 4, minShared: Int = 5,
+                      maxDf: Int = 16): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val incFps = graft.textops.TextOps
+      .winnowing(graft.util.Par.spread(incoming), idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("inc_id"), col("fp"))
+      .localCheckpoint()
+    val incKeys = incFps.select(col("fp")).distinct()
+    val corFps = graft.textops.TextOps
+      .winnowing(graft.util.Par.spread(corpus), idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("dup_id"), col("fp"))
+    // the probe: corpus fingerprints stream through a broadcast join on
+    // the increment's fp keys — no corpus shuffle, (id, fp) payload
+    val matched = corFps.join(broadcast(incKeys), "fp")
+    val capped = matched.withColumn("_df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fp"))))
+      .filter(col("_df") <= maxDf)
+    val shared = capped
+      .join(broadcast(incFps), "fp")
+      .groupBy(col("inc_id"), col("dup_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("n_shared").desc, col("dup_id").asc)
+    val best = shared
+      .withColumn("_rn", row_number().over(w2)).filter(col("_rn") === 1)
+      .select(col("inc_id"), col("dup_id").as("dup_of"), col("n_shared"))
+    incoming.select(col(idCol).cast("long").as("inc_id"))
+      .join(broadcast(best), Seq("inc_id"), "left")
+      .select(col("inc_id").as("doc_id"), col("dup_of"), col("n_shared"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
   /** The dedup DECISION over a whole corpus: every document mapped to the
     * id that survives for it. Docs in a near-dup component map to the
     * component's smallest id; untouched docs keep themselves. One row per

@@ -115,6 +115,36 @@ class DedupSpec extends AnyFunSuite {
       s"only the passage-sharing pair should link, got $out")
   }
 
+  test("spanIncremental: embedded passage flags the incoming doc, fresh stays new") {
+    val passage = "copied paragraph with enough characters to fingerprint well"
+    val corpus = docs(
+      1L -> s"alpha beta gamma $passage delta epsilon",
+      2L -> "unrelated corpus text about spark physical plans entirely")
+    val incoming = docs(
+      10L -> s"totally other words around $passage zeta eta",
+      11L -> "genuinely fresh prose sharing no passage with anything stored")
+    val out = Dedup.spanIncremental(incoming, corpus, "doc_id", "text",
+        k = 8, w = 4, minShared = 5, maxDf = 16)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2)
+    assert(!out(10L).getBoolean(3) && out(10L).getLong(1) == 1L)
+    assert(out(10L).getLong(2) >= 5L)
+    assert(out(11L).getBoolean(3) && out(11L).isNullAt(1))
+  }
+
+  test("spanIncremental: best match is (n_shared desc, lowest corpus id)") {
+    // two identical corpus docs share the incoming doc's full
+    // fingerprint set; the deterministic winner is the lower id
+    val corpus = docs(5L -> base, 3L -> base, 9L -> other)
+    val incoming = docs(100L -> base)
+    val r = Dedup.spanIncremental(incoming, corpus, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = 16).collect().head
+    val fpCount = graft.textops.TextOps.winnowing(
+      docs(1L -> base), "doc_id", "text", k = 8, w = 4).count()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 3L &&
+      r.getLong(2) == fpCount && !r.getBoolean(3))
+  }
+
   test("spanPairs: n_shared counts distinct shared fingerprints, ordered pairs") {
     val df = docs(1L -> base, 2L -> base, 3L -> other)
     val rows = Dedup.spanPairs(df, "doc_id", "text",

@@ -356,6 +356,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assertShufflesPostProbe("dedup_minhash_incremental", minProbes = 3)
   }
 
+  test("dedup_spans_incremental: every shuffle is post-probe (corpus never shuffles)") {
+    // probes: fp-key probe on the corpus fingerprint stream, increment
+    // fp attach, best-match left join
+    assertShufflesPostProbe("dedup_spans_incremental", minProbes = 3)
+  }
+
   test("embedding_neardup_incremental: every shuffle is post-probe (corpus never shuffles)") {
     // probes: band-key probe, increment band attach, candidate-id
     // vector probe, increment vector attach, best-match left join
