@@ -175,6 +175,14 @@ object PlanDump {
           "codes. Candidate volume ~N·nprobe/nlist, scored payload 32× " +
           "smaller than vectors; the PQ fit reads a checkpointed " +
           "O(sample) residual frame."),
+      "dedup_spans_incremental" ->
+        ("Passage-level ingest reuse: the increment's winnow fingerprint " +
+          "keys broadcast against the corpus fingerprint stream (the " +
+          "codegen'd one-pass winnow kernel — narrow, per-doc), so " +
+          "corpus rows only ever pass through broadcast probes. The " +
+          "maxDf boilerplate cap runs post-probe, where the matched " +
+          "count per fingerprint equals its corpus df — no corpus-wide " +
+          "aggregate. Fenced in PlanAuditSpec."),
       "embedding_neardup_incremental" ->
         ("The vector-modality ingest near-dup twin: the increment's " +
           "hyperplane band keys broadcast against the corpus's banded " +
