@@ -55,6 +55,18 @@ object ProbeSigStore {
       graft.dedup.Dedup.minhashIncrementalStored(inc, s, "doc_id", "text") }
     time("persisted_store") { graft.dedup.Dedup.minhashIncrementalStored(
       inc, store, "doc_id", "text") }
+
+    // the span (winnow-fingerprint) family, same three-way comparison
+    val tmp2 = java.nio.file.Files.createTempDirectory("spanstore").toString
+    val t1 = System.nanoTime()
+    graft.dedup.SignatureStore.writeSpans(
+      graft.dedup.SignatureStore.buildSpans(corpus, "doc_id", "text"), tmp2)
+    println(f"PROBESIGSTORE span_build+write=${(System.nanoTime() - t1) / 1e9}%.3f")
+    val spanStore = graft.dedup.SignatureStore.readSpans(spark, tmp2)
+    time("span_direct") { graft.dedup.Dedup.spanIncremental(
+      inc, corpus, "doc_id", "text") }
+    time("span_persisted") { graft.dedup.Dedup.spanIncrementalStored(
+      inc, spanStore, "doc_id", "text") }
     spark.stop()
   }
 }

@@ -22,7 +22,7 @@ object ScaleBench {
     "doc_winnow", "decontaminate", "corpus_clean", "corpus_clean_near",
     "multimodal_meta", "multimodal_features",
     "topk_ngrams", "tfidf_terms", "dedup_spans", "dedup_spans_incremental",
-    "corpus_profile",
+    "dedup_spans_stored", "corpus_profile",
     "novelty_score", "stream_trending_ngrams", "dedup_incremental",
     "dedup_minhash_incremental", "dedup_minhash_stored", "lm_score",
     "corpus_profile_approx",

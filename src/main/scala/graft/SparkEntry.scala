@@ -156,6 +156,41 @@ object SparkEntry {
          FROM (SELECT doc_id FROM sb WHERE sbucket >= 70) i
          LEFT JOIN best ON best.inc_id = i.doc_id"""
 
+  /** Mirrors [[graft.dedup.Dedup.spanIncremental]] over the md5-bucket
+    * split: the post-probe df cap counts corpus rows per PROBED fp
+    * (equal to that fp's corpus df among increment-present fps — and
+    * equal to the persisted store's denormalized df column), so this
+    * one oracle serves both `dedup_spans_incremental` and
+    * `dedup_spans_stored`.
+    */
+  private lazy val spanIncrementalOracle: String =
+    s"""WITH $duckWinnowFpCtes,
+         wsb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
+           FROM documents),
+         fi AS (SELECT f.doc_id AS inc_id, fp FROM f
+                JOIN wsb USING (doc_id) WHERE wsb.sbucket >= 70),
+         fc AS (SELECT f.doc_id AS dup_id, fp FROM f
+                JOIN wsb USING (doc_id) WHERE wsb.sbucket < 70),
+         wik AS (SELECT DISTINCT fp FROM fi),
+         wmat AS (SELECT fc.dup_id, fc.fp FROM fc JOIN wik USING (fp)),
+         wcap AS (SELECT dup_id, fp FROM wmat
+                  QUALIFY count(*) OVER (PARTITION BY fp) <= 16),
+         wsh AS (SELECT fi.inc_id, m.dup_id, count(*) AS n_shared
+                 FROM fi JOIN wcap m USING (fp)
+                 GROUP BY 1, 2 HAVING count(*) >= 5),
+         wbest AS (SELECT inc_id, dup_id, n_shared FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY n_shared DESC, dup_id) AS rn FROM wsh)
+             WHERE rn = 1)
+         SELECT i.doc_id, wbest.dup_id AS dup_of, wbest.n_shared,
+           (wbest.dup_id IS NULL) AS is_new
+         FROM (SELECT doc_id FROM wsb WHERE sbucket >= 70) i
+         LEFT JOIN wbest ON wbest.inc_id = i.doc_id"""
+
   /** Shared CTE chain mirroring [[graft.dedup.Dedup.simhashPairs]],
     * ending in `spairs(doc_a, doc_b, hamming)`; selected directly by the
     * `dedup_simhash` oracle and closed over by `dedup_clusters_simhash`.
@@ -686,6 +721,20 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       Dedup.spanIncremental(d.filter(bucket >= 70), d.filter(bucket < 70),
+        "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
+    }),
+
+    "dedup_spans_stored" -> ((s, dir) => {
+      // the persisted-store form of the passage-level ingest check:
+      // the store frame stands in for parquet the corpus wrote at its
+      // own ingest time (round-trip pinned in DedupSpec); stored df ==
+      // post-probe matched count for probed fps, so output is
+      // identical to dedup_spans_incremental (same oracle)
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val store = graft.dedup.SignatureStore.buildSpans(
+        d.filter(bucket < 70), "doc_id", "text", k = 8, w = 4)
+      Dedup.spanIncrementalStored(d.filter(bucket >= 70), store,
         "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
     }),
 
@@ -1442,36 +1491,11 @@ object SparkEntry {
          FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 5""",
 
-    "dedup_spans_incremental" ->
-      // mirrors Dedup.spanIncremental over the md5-bucket split: the
-      // post-probe df cap counts corpus rows per PROBED fp (equal to
-      // that fp's corpus df among increment-present fps)
-      s"""WITH $duckWinnowFpCtes,
-         wsb AS (SELECT doc_id,
-           list_sum(list_transform(generate_series(1, 15),
-             p -> ((strpos('0123456789abcdef',
-                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
-                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
-           FROM documents),
-         fi AS (SELECT f.doc_id AS inc_id, fp FROM f
-                JOIN wsb USING (doc_id) WHERE wsb.sbucket >= 70),
-         fc AS (SELECT f.doc_id AS dup_id, fp FROM f
-                JOIN wsb USING (doc_id) WHERE wsb.sbucket < 70),
-         wik AS (SELECT DISTINCT fp FROM fi),
-         wmat AS (SELECT fc.dup_id, fc.fp FROM fc JOIN wik USING (fp)),
-         wcap AS (SELECT dup_id, fp FROM wmat
-                  QUALIFY count(*) OVER (PARTITION BY fp) <= 16),
-         wsh AS (SELECT fi.inc_id, m.dup_id, count(*) AS n_shared
-                 FROM fi JOIN wcap m USING (fp)
-                 GROUP BY 1, 2 HAVING count(*) >= 5),
-         wbest AS (SELECT inc_id, dup_id, n_shared FROM (
-             SELECT *, row_number() OVER (PARTITION BY inc_id
-               ORDER BY n_shared DESC, dup_id) AS rn FROM wsh)
-             WHERE rn = 1)
-         SELECT i.doc_id, wbest.dup_id AS dup_of, wbest.n_shared,
-           (wbest.dup_id IS NULL) AS is_new
-         FROM (SELECT doc_id FROM wsb WHERE sbucket >= 70) i
-         LEFT JOIN wbest ON wbest.inc_id = i.doc_id""",
+    "dedup_spans_incremental" -> spanIncrementalOracle,
+
+    // the stored probe makes the IDENTICAL decision from the persisted
+    // (doc_id, fp, df) frame — same oracle, like dedup_minhash_stored
+    "dedup_spans_stored" -> spanIncrementalOracle,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

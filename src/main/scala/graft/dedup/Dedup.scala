@@ -836,6 +836,49 @@ object Dedup {
         col("dup_of").isNull.as("is_new"))
   }
 
+  /** [[spanIncremental]] against a PERSISTED winnow-fingerprint store
+    * ([[SignatureStore.buildSpans]]) — probing an increment touches NO
+    * corpus text: only the increment is fingerprinted (O(increment)
+    * narrow work), its fp keys broadcast against the stored frame, and
+    * the boilerplate cap is the store's own denormalized `df` column —
+    * a parquet-pushable predicate, so boilerplate rows die at the scan.
+    * The stored df equals the direct form's post-probe matched count
+    * for every probed fingerprint (all corpus rows carrying a probed fp
+    * match the probe), so the output is IDENTICAL to
+    * [[spanIncremental]] — equivalence pinned in DedupSpec.
+    *
+    * Same output contract: (doc_id, dup_of, n_shared, is_new), one row
+    * per incoming document.
+    */
+  def spanIncrementalStored(incoming: DataFrame, storeFps: DataFrame,
+                            idCol: String, textCol: String, k: Int = 8,
+                            w: Int = 4, minShared: Int = 5,
+                            maxDf: Int = 16): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val incFps = graft.textops.TextOps
+      .winnowing(graft.util.Par.spread(incoming), idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("inc_id"), col("fp"))
+      .localCheckpoint()
+    val incKeys = incFps.select(col("fp")).distinct()
+    val shared = storeFps.filter(col("df") <= maxDf)
+      .select(col("doc_id").as("dup_id"), col("fp"))
+      .join(broadcast(incKeys), "fp")
+      .join(broadcast(incFps), "fp")
+      .groupBy(col("inc_id"), col("dup_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("n_shared").desc, col("dup_id").asc)
+    val best = shared
+      .withColumn("_rn", row_number().over(w2)).filter(col("_rn") === 1)
+      .select(col("inc_id"), col("dup_id").as("dup_of"), col("n_shared"))
+    incoming.select(col(idCol).cast("long").as("inc_id"))
+      .join(broadcast(best), Seq("inc_id"), "left")
+      .select(col("inc_id").as("doc_id"), col("dup_of"), col("n_shared"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
   /** The dedup DECISION over a whole corpus: every document mapped to the
     * id that survives for it. Docs in a near-dup component map to the
     * component's smallest id; untouched docs keep themselves. One row per

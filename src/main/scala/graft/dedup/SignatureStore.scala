@@ -72,4 +72,28 @@ object SignatureStore {
   def read(spark: SparkSession, dir: String): Store = Store(
     banded = spark.read.parquet(s"$dir/signatures"),
     shingleHashes = spark.read.parquet(s"$dir/shingle_hashes"))
+
+  /** The winnow-fingerprint store — the persisted form of the
+    * passage-level ingest check ([[Dedup.spanIncremental]]'s corpus
+    * side, computed once at corpus ingest): `(doc_id, fp, df)` where
+    * `df` is the fingerprint's corpus document frequency, DENORMALIZED
+    * onto every row so the probe's boilerplate cap (`df <= maxDf`)
+    * becomes a parquet-pushable scan predicate — the store build pays
+    * the one df aggregate + attach join; every subsequent ingest skips
+    * both the corpus text scan AND any df computation.
+    */
+  def buildSpans(corpus: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8, w: Int = 4): DataFrame = {
+    val fps = TextOps
+      .winnowing(graft.util.Par.spread(corpus), idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("doc_id"), col("fp"))
+    val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    fps.join(dfreq, "fp").select(col("doc_id"), col("fp"), col("df"))
+  }
+
+  def writeSpans(fps: DataFrame, dir: String): Unit =
+    fps.write.mode("overwrite").parquet(s"$dir/span_fps")
+
+  def readSpans(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/span_fps")
 }

@@ -145,6 +145,33 @@ class DedupSpec extends AnyFunSuite {
       r.getLong(2) == fpCount && !r.getBoolean(3))
   }
 
+  test("span store round-trips and the stored probe equals the direct one") {
+    // write the corpus's winnow-fp store to parquet, read it back, and
+    // probe: the persisted form (df denormalized at build) must make
+    // the IDENTICAL decision the text-rescanning incremental makes
+    val passage = "copied paragraph with enough characters to fingerprint well"
+    val corpus = docs(
+      1L -> s"alpha beta gamma $passage delta epsilon",
+      2L -> "unrelated corpus text about spark physical plans entirely")
+    val incoming = docs(
+      10L -> s"totally other words around $passage zeta eta",
+      11L -> "genuinely fresh prose sharing no passage with anything stored")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val direct = rowsOf(Dedup.spanIncremental(incoming, corpus,
+      "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16))
+    val tmp = java.nio.file.Files.createTempDirectory("spanstore").toString
+    SignatureStore.writeSpans(
+      SignatureStore.buildSpans(corpus, "doc_id", "text", k = 8, w = 4), tmp)
+    val stored = rowsOf(Dedup.spanIncrementalStored(incoming,
+      SignatureStore.readSpans(spark, tmp), "doc_id", "text",
+      k = 8, w = 4, minShared = 5, maxDf = 16))
+    assert(stored == direct)
+    assert(direct.exists(r => !r._4), "fixture must contain a span match")
+  }
+
   test("spanPairs: n_shared counts distinct shared fingerprints, ordered pairs") {
     val df = docs(1L -> base, 2L -> base, 3L -> other)
     val rows = Dedup.spanPairs(df, "doc_id", "text",
