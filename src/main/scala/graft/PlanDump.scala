@@ -175,6 +175,14 @@ object PlanDump {
           "codes. Candidate volume ~N·nprobe/nlist, scored payload 32× " +
           "smaller than vectors; the PQ fit reads a checkpointed " +
           "O(sample) residual frame."),
+      "dedup_spans_stored" ->
+        ("The persisted-store form of the span ingest check. The " +
+          "registered query builds the store in-plan (oracle " +
+          "self-containment), so the df aggregate + attach join appear " +
+          "here — at a real deployment those ran once at corpus ingest " +
+          "and the probe reads (doc_id, fp, df) parquet with the " +
+          "df <= maxDf cap PUSHED TO THE SCAN (ProbeSigStore: 1.00s " +
+          "persisted vs 2.25s direct at a 1% zsf1 increment)."),
       "dedup_spans_incremental" ->
         ("Passage-level ingest reuse: the increment's winnow fingerprint " +
           "keys broadcast against the corpus fingerprint stream (the " +
