@@ -120,6 +120,32 @@ object StreamingOps {
     else fp.dropDuplicates("fingerprint")
   }
 
+  /** The streaming daily-ingest probe — foreachBatch over a document
+    * feed: each micro-batch is decided against the FIXED persisted
+    * corpus span store with
+    * [[graft.dedup.Dedup.spanIncrementalStored]] and handed to `sink`.
+    * Per-document decisions depend only on (document, store) — never
+    * on other increment documents — so the output is independent of
+    * micro-batch boundaries and equals the batch probe over the same
+    * feed (parity pinned in StreamingSpec). The stream itself keeps NO
+    * state: the store IS the state, grown outside the query by the
+    * compaction that appends accepted survivors' store rows (the
+    * [[graft.dedup.SignatureStore]] contract). At scale each
+    * micro-batch is O(increment) narrow work whose keys broadcast
+    * against the store scan — the 100 TB corpus is only ever the
+    * streamed side of a broadcast probe, exactly the batch plan's
+    * shape, once per trigger.
+    */
+  def ingestProbe(docs: DataFrame, storeFps: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  k: Int = 8, w: Int = 4, minShared: Int = 5,
+                  maxDf: Int = 16)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.dedup.Dedup.spanIncrementalStored(batch, storeFps,
+        idCol, textCol, k, w, minShared, maxDf), batchId)
+    }
+
   /** Quality-gate filter (stateless): identical plan batch or stream —
     * the shape of an inline corpus filter in a streaming ingest path.
     */

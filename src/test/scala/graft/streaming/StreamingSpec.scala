@@ -9,6 +9,49 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("ingestProbe: micro-batched stored probe equals the batch decision") {
+    import spark.implicits._
+    val passage = "copied paragraph with enough characters to fingerprint well"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, "unrelated corpus text about spark physical plans entirely"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, s"totally other words around $passage zeta eta"),
+      (11L, "genuinely fresh prose sharing no passage with anything stored"),
+      (12L, s"a third increment doc also carrying $passage inside it"))
+      .toDF("doc_id", "text")
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("ingest_store").toString
+    graft.dedup.SignatureStore.writeSpans(
+      graft.dedup.SignatureStore.buildSpans(corpus, "doc_id", "text"),
+      storeDir)
+    val store = graft.dedup.SignatureStore.readSpans(spark, storeDir)
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val batch = canon(graft.dedup.Dedup.spanIncrementalStored(
+      incoming, store, "doc_id", "text").collect())
+    // stream the increment one FILE per trigger — three docs across two
+    // files, so the probe runs across multiple micro-batches
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("ingest_feed").toString
+    incoming.repartition(2).write.mode("overwrite").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var batches = 0
+    val q = StreamingOps.ingestProbe(stream, store) { (df, _) =>
+      out.synchronized { out ++= df.collect(); batches += 1 }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    assert(canon(out.toArray) == batch)
+  }
+
   test("windowedCounts: streaming (memory sink) equals batch on same data") {
     val batchEv = Tables.events(spark, dir)
     val batch = StreamingOps.windowedCounts(batchEv)
