@@ -20,7 +20,7 @@ object PqProbe {
     // within-list residual cell, so recall should rise at the same
     // code budget. nprobe=16/nlist=16 scans every list — isolates the
     // ENCODING effect from list-pruning recall loss.
-    for ((m, k) <- Seq((8, 16), (16, 16))) {
+    for ((m, k) <- Seq((8, 16), (16, 16), (32, 16))) {
       def ivfpq(res: Boolean) = graft.simops.Embed.ivfPqTopK(q, emb,
           "vec_id", "embedding", kNN = 5, nlist = 16, nprobe = 16,
           m = m, k = k, iters = 1, fitSamplePct = 60, residual = res)
