@@ -495,6 +495,25 @@ object SparkEntry {
                WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
     }),
 
+    "sql_q17_small_qty" -> ((s, dir) => {
+      // TPC-H q17 shape: CORRELATED scalar subquery (per-part 20%-of-
+      // average quantity threshold), written as SQL so Catalyst's
+      // DecorrelateInnerQuery rewrites it into the aggregate + join the
+      // DataFrame form would hand-build — one lineitem scan feeds both
+      // the threshold aggregate and the probe side, parts broadcast.
+      // l_quantity values are small integers in doubles, so the avg is
+      // exact and the threshold comparison is engine-identical.
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+                      COUNT(*) AS n_small_qty
+               FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+               WHERE p.p_brand = 'Brand#4'
+               AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                                   FROM lineitem_v l2
+                                   WHERE l2.l_partkey = p.p_partkey)""")
+    }),
+
     "window_rank" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val w = org.apache.spark.sql.expressions.Window
@@ -1214,6 +1233,15 @@ object SparkEntry {
          COUNT(*) AS n
          FROM lineitem
          WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "sql_q17_small_qty" ->
+      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+         COUNT(*) AS n_small_qty
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_brand = 'Brand#4'
+         AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p.p_partkey)""",
 
     "window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (

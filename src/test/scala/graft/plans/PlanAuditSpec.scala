@@ -356,6 +356,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assertShufflesPostProbe("dedup_minhash_incremental", minProbes = 3)
   }
 
+  test("sql_q17_small_qty: correlated subquery decorrelates to aggregate + join") {
+    // Catalyst must rewrite the per-part scalar subquery into one
+    // threshold aggregate joined back — never a per-row re-execution
+    // (which would surface as a nested-loop join over the big side)
+    val exec = SparkEntry.queries("sql_q17_small_qty")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!exec.contains("BroadcastNestedLoopJoin") &&
+      !exec.contains("CartesianProduct"), exec)
+    // the decorrelated threshold: a partkey-keyed aggregate feeding a
+    // hash join, plus the final global aggregate
+    assert(exec.linesIterator.count(_.contains("HashAggregate(keys=[l_partkey")) >= 1, exec)
+    assert(exec.linesIterator.count(_.contains("HashAggregate")) >= 2, exec)
+  }
+
   test("dedup_spans_incremental: every shuffle is post-probe (corpus never shuffles)") {
     // probes: fp-key probe on the corpus fingerprint stream, increment
     // fp attach, best-match left join
