@@ -1017,6 +1017,21 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (north star; codec stubbed, see Multimodal) ----
+    "jsonl_roundtrip" -> ((s, dir) => {
+      // the corpus interchange gate: documents -> JSONL (gzip) -> read
+      // back under the explicit schema. Registered so the ORACLE hash
+      // checks the round-trip — any lossy escape of newlines/quotes/
+      // unicode in text would mismatch against the parquet original
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("jsonl_rt").toString
+      graft.sources.Sinks.writeJsonl(d, tmp)
+      graft.sources.Sinks.readJsonl(s, tmp, d.schema)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("text"))
+    }),
+
     "multimodal_meta" -> ((s, dir) => {
       // pure projection — no DeserializeToObject/mapPartitions in this
       // plan; decodeFeatures (the codec contract) is exercised by
@@ -2110,6 +2125,11 @@ object SparkEntry {
          FROM sh c JOIN ph ON ph.s = c.s
          WHERE c.doc_id >= 20
          GROUP BY 1, 2""",
+
+    "jsonl_roundtrip" ->
+      // the Spark side went parquet -> JSONL -> frame; a lossless
+      // round-trip must hash-equal the original columns
+      """SELECT doc_id, lang, source, n_chars, text FROM documents""",
 
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,

@@ -105,6 +105,35 @@ object Sinks {
      else w).saveAsTable(table)
   }
 
+  /** JSONL (one JSON object per line) sink — the interchange format
+    * LLM-corpus tooling speaks. Same one-exchange discipline as
+    * [[writeSharded]] when `shardKey` is given (md5-derived shard dirs,
+    * gzip per part file); a bare write stays a narrow pass. JSON
+    * escaping makes the round-trip exact for arbitrary text (newlines,
+    * quotes, unicode) — pinned by the oracle-gated `jsonl_roundtrip`
+    * query, whose hash compare would catch any lossy encode.
+    */
+  def writeJsonl(df: DataFrame, path: String, shardKey: String = "",
+                 numShards: Int = 0): Unit = {
+    val w =
+      if (shardKey.nonEmpty && numShards > 0)
+        df.withColumn("_shard", shardCol(col(shardKey), numShards))
+          .repartition(numShards, col("_shard"))
+          .write.partitionBy("_shard")
+      else df.write
+    w.mode("overwrite").option("compression", "gzip").json(path)
+  }
+
+  /** Schema-enforced JSONL read-back. The explicit schema is mandatory:
+    * schema inference is a full extra pass over 100 TB and can widen
+    * types on dirty rows; a fixed schema makes bad rows NULL out
+    * (columnNameOfCorruptRecord stays available upstream) instead of
+    * corrupting the frame's types.
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Append-mode streaming parquet sink with mandatory checkpointing —
     * exactly-once file output keyed by the checkpoint's offset log. The
     * caller picks the trigger; the helper only refuses the footguns

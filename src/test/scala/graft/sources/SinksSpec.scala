@@ -117,6 +117,31 @@ class SinksSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checkpoint"))
   }
 
+  test("jsonl round-trip is exact on adversarial text; sharded form prunes") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "line\nbreaks\r\nand\ttabs"),
+      (3L, "\"quotes\" and \\backslashes\\ and {\"json\":1}"),
+      (4L, "unicode: héllo wörld — ∑∫ 中文 🚀"),
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Sinks.writeJsonl(nasty, out)
+    val back = Sinks.readJsonl(spark, out, nasty.schema)
+    assert(back.orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq ==
+      nasty.orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq)
+    // sharded write: md5-derived shard dirs, read-back complete
+    val out2 = java.nio.file.Files.createTempDirectory("graft_jsonl2").toString
+    Sinks.writeJsonl(nasty, out2, shardKey = "doc_id", numShards = 4)
+    val back2 = spark.read.schema(
+        nasty.schema.add("_shard", "int")).json(out2)
+    assert(back2.count() == 5)
+    assert(back2.select("_shard").distinct().count() >= 2)
+  }
+
   test("partitioned write prunes partitions on read") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val ev = Tables.events(spark, src)
