@@ -1024,8 +1024,15 @@ object SparkEntry {
       // unicode in text would mismatch against the parquet original
       val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         col("source"), col("n_chars"), col("text"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("jsonl_rt").toString
+      // fixed per-JVM path, NOT createTempDirectory: writeJsonl is
+      // mode("overwrite"), so repeated invocations (bench warmup + two
+      // timed passes, repeated verify runs) reuse one directory instead
+      // of accumulating gzipped corpus copies under /tmp. Local-FS path
+      // is fine here because the query's purpose is the round-trip hash
+      // gate; on a real cluster the caller hands writeJsonl shared
+      // storage (s3://, hdfs://) — nothing in the sink is driver-local.
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_jsonl_rt").toString
       graft.sources.Sinks.writeJsonl(d, tmp)
       graft.sources.Sinks.readJsonl(s, tmp, d.schema)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),

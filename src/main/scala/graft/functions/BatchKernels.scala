@@ -761,7 +761,13 @@ object TextGateStatsUtil {
 
   def maxBytes(words: Seq[String]): Int =
     if (words.isEmpty) 0
-    else words.map(w => UTF8String.fromString(w).numBytes()).max
+    // 3x slack: membership is tested on the LOWERCASED token, and a
+    // Unicode case fold can shrink a code point from 3 bytes to 1
+    // (U+212A KELVIN SIGN -> 'k'), so a raw token up to 3x the longest
+    // dict entry can still fold into the dict. The prefilter only needs
+    // to be sound, not tight — it exists to skip paragraph-length
+    // "tokens" (URLs, base64 runs), not to be exact.
+    else words.map(w => UTF8String.fromString(w).numBytes()).max * 3
 
   /** Single byte-scan over the UTF-8 payload computing, together:
     *

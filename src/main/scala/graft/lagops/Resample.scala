@@ -40,6 +40,9 @@ object Resample {
         max(v).as(s"${valueCol}_high"),
         min(v).as(s"${valueCol}_low"),
         max_by(v, ord).as(s"${valueCol}_close"),
-        count(v).as("n"))
+        // count(lit(1)), not count(v): the DuckDB oracle counts rows
+        // (count(*)); count(v) would silently skip null values and
+        // diverge the moment the value column is nullable
+        count(lit(1)).as("n"))
   }
 }

@@ -31,25 +31,42 @@ object StreamingLag {
   def tsNanos(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
 
-  def lagged(events: Dataset[EventRow], lags: Seq[Int]): Dataset[LaggedEvent] = {
+  /** Per-key state is O(maxLag) by construction, but a high-cardinality
+    * dead-key population (users that never return) would park those
+    * rings in the state store forever. `ProcessingTimeTimeout` evicts a
+    * key after `idleTimeout` of no input — a returning user simply
+    * starts with an empty history, exactly what the batch engine
+    * computes for a series' first rows. In batch execution timeouts
+    * never fire, so batch≡stream parity is unchanged.
+    */
+  def lagged(events: Dataset[EventRow], lags: Seq[Int],
+             idleTimeout: String = "1 hour"): Dataset[LaggedEvent] = {
     require(lags.nonEmpty && lags.forall(_ > 0), s"positive lags, got $lags")
     import events.sparkSession.implicits._
     val maxLag = lags.max
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Double], LaggedEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[List[Double]]) =>
-          // history head = most recent prior value
-          var hist = state.getOption.getOrElse(Nil)
-          val out = rows.toSeq.sortBy(e => (tsNanos(e.ts), e.event_id)).map { e =>
-            val lagVec = lags.map { k =>
-              if (hist.length >= k) Some(hist(k - 1)) else None
-            }.toArray
-            hist = (e.value :: hist).take(maxLag)
-            LaggedEvent(e.event_id, e.ts, userId, e.value, lagVec)
+          if (state.hasTimedOut) {
+            // dead key: the lag ring is derived data (unlike an open
+            // session it owes no output) — just drop it
+            state.remove()
+            Iterator.empty
+          } else {
+            // history head = most recent prior value
+            var hist = state.getOption.getOrElse(Nil)
+            val out = rows.toSeq.sortBy(e => (tsNanos(e.ts), e.event_id)).map { e =>
+              val lagVec = lags.map { k =>
+                if (hist.length >= k) Some(hist(k - 1)) else None
+              }.toArray
+              hist = (e.value :: hist).take(maxLag)
+              LaggedEvent(e.event_id, e.ts, userId, e.value, lagVec)
+            }
+            state.update(hist)
+            state.setTimeoutDuration(idleTimeout)
+            out.iterator
           }
-          state.update(hist)
-          out.iterator
       }
   }
 }

@@ -216,6 +216,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("lagged streaming: idle key's ring evicts, returning user restarts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventRow]
+    val q = StreamingLag.lagged(mem.toDS(), Seq(1), idleTimeout = "1 second")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lag_evict").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("lag_evict").count() < n) {
+        assert(System.nanoTime() < deadline, "timed out waiting for sink rows")
+        assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      mem.addData(EventRow(1L, new java.sql.Timestamp(1000L), 7L, "c", 5.0))
+      awaitRows(1)
+      // let the 1s idle timeout fire (ProcessingTimeTimeout queries keep
+      // scheduling batches, so the eviction runs during the quiet gap) —
+      // generous margin so the assert is about semantics, not scheduling
+      Thread.sleep(4000)
+      mem.addData(EventRow(2L, new java.sql.Timestamp(2000L), 7L, "c", 9.0))
+      awaitRows(2)
+      val byId = spark.table("lag_evict").as[LaggedEvent]
+        .collect().map(l => l.event_id -> l.lags.toSeq).toMap
+      assert(byId(1L) == Seq(None))
+      // evicted ring: the returning user starts fresh — lag_1 is None,
+      // NOT Some(5.0) as an unbounded state store would answer
+      assert(byId(2L) == Seq(None))
+    } finally q.stop()
+  }
+
   test("sessionize: maxOpenEvents evicts a never-idle key's open session") {
     import spark.implicits._
     // 20 events 1s apart (all inside the 30-min gap) for one user: the
