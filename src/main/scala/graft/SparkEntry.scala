@@ -235,6 +235,51 @@ object SparkEntry {
          packed AS (SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS pack_id,
            CAST(pre % 2048 AS BIGINT) AS pack_offset FROM p)"""
 
+  /** BPE token-count CTE chain, ending in `bcounts(doc_id, n_bpe)` —
+    * shared by every `_bpe` budget oracle. The merge table is
+    * interpolated from [[graft.functions.BpeVocab.merges]] (the same
+    * fixture the Spark kernel carries, so the two sides cannot drift),
+    * and the recursive CTE replays the kernel's exact SentencePiece
+    * segmentation rule: merge the LEFTMOST occurrence of the
+    * lowest-rank adjacent pair until no pair is in the table. Words are
+    * encoded once each (DISTINCT), vocabulary-scale work, then joined
+    * back to (doc, word) occurrences. Queries using this chain must
+    * open with `WITH RECURSIVE`.
+    */
+  private lazy val duckBpeCtes: String = {
+    val values = graft.functions.BpeVocab.merges.zipWithIndex
+      .map { case ((l, r), i) =>
+        s"('${l.replace("'", "''")}','${r.replace("'", "''")}',$i)" }
+      .mkString(", ")
+    s"""bmerges(l, r, rank) AS (VALUES $values),
+         brk AS (SELECT map(list(l || chr(1) || r ORDER BY rank),
+                            list(rank ORDER BY rank)) AS m FROM bmerges),
+         btok AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+           FROM documents),
+         bw AS (SELECT DISTINCT unnest(toks) AS w FROM btok),
+         bseed AS (SELECT w, list_transform(generate_series(1, length(w)),
+             i -> substr(w, i, 1)) AS syms FROM bw),
+         benc AS (
+           SELECT w, syms FROM bseed
+           UNION ALL
+           SELECT w, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms
+           FROM (SELECT w, syms,
+                   CASE WHEN list_min(rks) < 2147483647
+                        THEN list_position(rks, list_min(rks)) END AS bi
+                 FROM (SELECT w, syms,
+                         list_transform(generate_series(1, len(syms) - 1),
+                           i -> coalesce(map_extract(m, syms[i] || chr(1) || syms[i+1])[1],
+                                         2147483647)) AS rks
+                       FROM benc, brk))
+           WHERE bi IS NOT NULL),
+         bwc AS (SELECT w, min(len(syms))::BIGINT AS wtok FROM benc GROUP BY w),
+         bflat AS (SELECT doc_id, unnest(toks) AS w FROM btok),
+         bcounts AS (SELECT t.doc_id, COALESCE(s.n_bpe, 0)::BIGINT AS n_bpe
+           FROM btok t LEFT JOIN (SELECT doc_id, sum(wtok) AS n_bpe
+             FROM bflat JOIN bwc USING (w) GROUP BY doc_id) s USING (doc_id))"""
+  }
+
   /** Order/partition clause shared by all events-window oracles. */
   private val EvW = "ORDER BY ts, event_id"
   private val EvWP = "PARTITION BY user_id ORDER BY ts, event_id"
@@ -971,6 +1016,39 @@ object SparkEntry {
       graft.pipeline.Pipeline.sampleMixture(Tables.documents(s, dir),
         "doc_id", "lang", "text",
         weights = Map("en" -> 6.0, "zh" -> 2.0, "fr" -> 1.0, "es" -> 1.0))),
+
+    // ---- REAL-tokenizer (BPE) budget family: the same operators
+    // metered in the subword units a trainer actually consumes. One
+    // codegen'd scan-stage kernel (BpeCountExpr, memoized per distinct
+    // word) replaces the whitespace count; everything downstream —
+    // prefix sums, pack cuts, mixture rates — is unchanged plan shape.
+    "bpe_tokens" -> ((s, dir) =>
+      // the tokenizer itself as a query: per-doc whitespace vs BPE
+      // token counts under the fixture merge table
+      graft.util.Par.spread(Tables.documents(s, dir)).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    "seq_pack_bpe" -> ((s, dir) =>
+      graft.pipeline.Pipeline.seqPack(Tables.documents(s, dir),
+        "doc_id", "text", budget = 2048,
+        counter = TextOps.bpeTokenCount)),
+
+    "pack_manifest_bpe" -> ((s, dir) =>
+      graft.pipeline.Pipeline.packManifest(Tables.documents(s, dir),
+        "doc_id", "text", budget = 2048,
+        counter = TextOps.bpeTokenCount)),
+
+    "sample_mixture_bpe" -> ((s, dir) =>
+      graft.pipeline.Pipeline.sampleMixture(Tables.documents(s, dir),
+        "doc_id", "lang", "text",
+        weights = Map("en" -> 6.0, "zh" -> 2.0, "fr" -> 1.0, "es" -> 1.0),
+        counter = TextOps.bpeTokenCount)),
+
+    "corpus_profile_bpe" -> ((s, dir) =>
+      graft.textops.Vocab.corpusProfile(Tables.documents(s, dir),
+        "source", "lang", "text",
+        counter = TextOps.bpeTokenCount)),
 
     "corpus_clean" -> ((s, dir) =>
       // the whole corpus-prep pipeline composed in one DAG: quality
@@ -2043,6 +2121,81 @@ object SparkEntry {
              p -> ((strpos('0123456789abcdef',
                     substr(md5(b.doc_id::VARCHAR), p, 1)) - 1)::BIGINT
                    << (4 * (15 - p)))))::BIGINT % 10000 < r.keep""",
+
+    "bpe_tokens" ->
+      // the fixture tokenizer replayed as a recursive CTE (encode each
+      // DISTINCT word once, join back to occurrences) next to the
+      // whitespace count
+      s"""WITH RECURSIVE $duckBpeCtes
+         SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens, c.n_bpe
+         FROM btok t JOIN bcounts c USING (doc_id)""",
+
+    "seq_pack_bpe" ->
+      // the seq_pack prefix-sum chain metered in BPE tokens
+      s"""WITH RECURSIVE $duckBpeCtes,
+         bp AS (SELECT doc_id, n_bpe AS n_tokens,
+           COALESCE(sum(n_bpe) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM bcounts)
+         SELECT doc_id, n_tokens, CAST(pre // 2048 AS BIGINT) AS pack_id,
+           CAST(pre % 2048 AS BIGINT) AS pack_offset FROM bp""",
+
+    "pack_manifest_bpe" ->
+      s"""WITH RECURSIVE $duckBpeCtes,
+         bp AS (SELECT doc_id, n_bpe AS n_tokens,
+           COALESCE(sum(n_bpe) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM bcounts),
+         bpacked AS (SELECT doc_id, n_tokens,
+           CAST(pre // 2048 AS BIGINT) AS pack_id,
+           CAST(pre % 2048 AS BIGINT) AS pack_offset FROM bp)
+         SELECT pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           string_agg(pack_offset::VARCHAR, ','
+             ORDER BY pack_offset, doc_id) AS offsets_csv,
+           string_agg(doc_id::VARCHAR, ','
+             ORDER BY pack_offset, doc_id) AS doc_ids_csv
+         FROM bpacked GROUP BY pack_id""",
+
+    "sample_mixture_bpe" ->
+      // sample_mixture's rate computation with T_s summed in BPE tokens
+      s"""WITH RECURSIVE $duckBpeCtes,
+         mb AS (SELECT d.doc_id, d.lang, c.n_bpe AS n_tokens
+             FROM documents d JOIN bcounts c USING (doc_id)),
+         sw AS (SELECT lang, sum(n_tokens) AS ts,
+               CASE lang WHEN 'en' THEN 6.0 WHEN 'zh' THEN 2.0
+                         WHEN 'fr' THEN 1.0 WHEN 'es' THEN 1.0
+                         ELSE 0.0 END AS w
+             FROM mb GROUP BY lang),
+         sf AS (SELECT lang, ts, w FROM sw WHERE w > 0),
+         ws AS (SELECT sum(w) AS wsum FROM sf),
+         sh AS (SELECT lang, ts, w / ws.wsum AS share FROM sf, ws),
+         t0 AS (SELECT min(ts / share) AS tout FROM sh),
+         r AS (SELECT lang,
+               CAST(floor(share * t0.tout / ts * 10000) AS BIGINT) AS keep
+             FROM sh, t0)
+         SELECT mb.doc_id, mb.lang, mb.n_tokens
+         FROM mb JOIN r USING (lang)
+         WHERE list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(mb.doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 10000 < r.keep""",
+
+    "corpus_profile_bpe" ->
+      // the per-source datasheet with token mass in BPE units; quality
+      // stays on the shared heuristic parts
+      s"""WITH RECURSIVE $duckBpeCtes,
+         pqb AS (SELECT doc_id, source, lang, $duckQualityParts FROM documents),
+         ps AS (SELECT pqb.source, pqb.lang, c.n_bpe AS bt,
+               $duckQualityFromParts AS quality
+             FROM pqb JOIN bcounts c USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(bt) AS BIGINT) AS n_tokens,
+           round(avg(quality), 6) AS mean_quality,
+           round(quantile_cont(bt, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(bt, 0.9), 6) AS p90_tokens,
+           count(DISTINCT lang) AS n_langs
+         FROM ps GROUP BY source""",
 
     "sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,

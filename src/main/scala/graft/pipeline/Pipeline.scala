@@ -60,15 +60,18 @@ object Pipeline {
     * thing as one plain global window.
     */
   def seqPack(df: DataFrame, idCol: String, textCol: String,
-              budget: Int, numBuckets: Int = 32): DataFrame =
+              budget: Int, numBuckets: Int = 32,
+              counter: Column => Column = TextOps.tokenCount): DataFrame =
     // materialize the narrow counted frame ONCE (id + token count, no
     // text): seqPackCounted's two prefix-sum branches each re-read
     // their input, so an unmaterialized frame would tokenize the whole
     // corpus twice ([[corpusClean]] checkpoints at the same point for
-    // the same reason)
+    // the same reason). `counter` picks the token unit — whitespace by
+    // default, [[TextOps.bpeTokenCount]] for budgets in real tokenizer
+    // units.
     seqPackCounted(
       graft.util.Par.spread(df).select(col(idCol),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        counter(col(textCol)).cast("long").as("n_tokens"))
         .localCheckpoint(),
       idCol, budget, numBuckets)
 
@@ -359,8 +362,9 @@ object Pipeline {
     * offset), keeping the CSV deterministic on both engines.
     */
   def packManifest(df: DataFrame, idCol: String, textCol: String,
-                   budget: Int, numBuckets: Int = 32): DataFrame = {
-    val packed = seqPack(df, idCol, textCol, budget, numBuckets)
+                   budget: Int, numBuckets: Int = 32,
+                   counter: Column => Column = TextOps.tokenCount): DataFrame = {
+    val packed = seqPack(df, idCol, textCol, budget, numBuckets, counter)
     packed.groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"),
@@ -404,7 +408,8 @@ object Pipeline {
     */
   def sampleMixture(df: DataFrame, idCol: String, strataCol: String,
                     textCol: String, weights: Map[String, Double],
-                    defaultWeight: Double = 0.0): DataFrame = {
+                    defaultWeight: Double = 0.0,
+                    counter: Column => Column = TextOps.tokenCount): DataFrame = {
     (weights.values.toSeq :+ defaultWeight).foreach(w =>
       require(w >= 0 && !w.isNaN && !w.isInfinite,
         s"weights must be finite and >= 0, got $w"))
@@ -415,7 +420,7 @@ object Pipeline {
     }
     val base = graft.util.Par.spread(df)
       .select(col(idCol), col(strataCol),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        counter(col(textCol)).cast("long").as("n_tokens"))
     // O(strata) rows, materialized ONCE: the frame forks three ways
     // below (weight sum, T_out reduction, rate table) and each fork
     // would otherwise re-run the corpus token-count aggregate

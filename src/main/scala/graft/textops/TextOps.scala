@@ -29,6 +29,16 @@ object TextOps {
   private[graft] def tokenCountViaSplit(text: Column): Column =
     size(tokens(text))
 
+  /** REAL BPE token count under the fixed merge table
+    * ([[graft.functions.BpeVocab]]): sum over whitespace words of the
+    * word's symbol count after SentencePiece-style merges. One
+    * codegen'd scan-stage pass with a process-wide word→count memo —
+    * the unit every `_bpe` budget variant (seq_pack_bpe,
+    * sample_mixture_bpe, …) meters in.
+    */
+  def bpeTokenCount(text: Column): Column =
+    graft.functions.BpeCountExpr(text)
+
   /** BPE-ish subword count: word pieces + digits + punctuation runs, the
     * usual pre-tokenizer regex family (public GPT-2 style pre-tokenizer,
     * simplified to an ASCII-safe form both Spark and DuckDB agree on).

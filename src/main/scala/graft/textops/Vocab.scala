@@ -74,11 +74,12 @@ object Vocab {
     * bounded by the language inventory, which is small by nature.
     */
   def corpusProfile(df: DataFrame, strataCol: String, langCol: String,
-                    textCol: String): DataFrame = {
+                    textCol: String,
+                    counter: Column => Column = TextOps.tokenCount): DataFrame = {
     val t = col(textCol)
     graft.util.Par.spread(df)
       .select(col(strataCol), col(langCol),
-        TextOps.tokenCount(t).cast("double").as("_n_tok"),
+        counter(t).cast("double").as("_n_tok"),
         TextOps.qualityScore(t).as("_q"))
       .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"),
