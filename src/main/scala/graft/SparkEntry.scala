@@ -776,6 +776,12 @@ object SparkEntry {
       Dedup.spanPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 8, w = 4, minShared = 5, maxDf = 16)),
 
+    "dedup_substrings" -> ((s, dir) =>
+      // EXACT substring dedup (Lee et al. ExactSubstr at word
+      // granularity): maximal runs of duplicated 20-token grams; one
+      // hash-only corpus exchange, candidate-scale after the dup filter
+      Dedup.substrings(Tables.documents(s, dir), "doc_id", "text", k = 20)),
+
     "dedup_spans_incremental" -> ((s, dir) => {
       // passage-level daily ingest: same md5-bucket split (>= 70 plays
       // the increment); the increment's winnow fp keys broadcast
@@ -1618,6 +1624,30 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 5""",
+
+    "dedup_substrings" ->
+      // Lee et al. ExactSubstr replayed relationally: positional word
+      // 20-grams (the Spark side joins on the gram's 64-bit hash; the
+      // oracle joins on the gram string — equal absent collisions, the
+      // standing contract of every hashed candidate generator), window
+      // count marks duplicated positions, pos - row_number() groups
+      // maximal runs
+      """WITH t AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 19)) AS i,
+           toks FROM t WHERE len(toks) >= 20),
+         g2 AS (SELECT doc_id, i - 1 AS pos,
+           array_to_string(toks[i:i+19], ' ') AS gram FROM g),
+         m AS (SELECT doc_id, pos FROM
+           (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g2)
+           WHERE n >= 2),
+         r AS (SELECT doc_id, pos, pos - row_number()
+             OVER (PARTITION BY doc_id ORDER BY pos) AS run FROM m)
+         SELECT doc_id, min(pos)::BIGINT AS start_tok,
+           (max(pos) + 20)::BIGINT AS end_tok,
+           (max(pos) + 20 - min(pos))::BIGINT AS n_tokens
+         FROM r GROUP BY doc_id, run""",
 
     "dedup_spans_incremental" -> spanIncrementalOracle,
 

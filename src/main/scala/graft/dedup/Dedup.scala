@@ -879,6 +879,48 @@ object Dedup {
         col("dup_of").isNull.as("is_new"))
   }
 
+  /** EXACT substring-duplication spans, the published gold standard for
+    * training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — ExactSubstr semantics,
+    * here at word granularity): a token position is duplicated when its
+    * k-token gram occurs at ≥ 2 (doc, pos) sites corpus-wide (including
+    * within one document), and every maximal run of consecutive
+    * duplicated positions extends to one span of `end_tok - start_tok`
+    * tokens. Output: one row per maximal duplicated span —
+    * `(doc_id, start_tok, end_tok, n_tokens)`, token offsets 0-based,
+    * `end_tok` exclusive.
+    *
+    * The paper builds a suffix array — O(corpus) with a machine-global
+    * sort. The relational formulation pays the same one corpus-sized
+    * exchange but on 8-byte gram HASHES (the scan-stage kernel
+    * [[graft.functions.WordKgramXxExpr]] tokenizes and hashes in place,
+    * so text never leaves the scan): a window count over the gram hash
+    * marks duplicated positions in the SAME exchange that counts them
+    * (no second scan, no self-join), and everything downstream — the
+    * run-grouping window keyed by doc — is duplicated-position-scale
+    * only. Skewed grams (a boilerplate 20-gram shared by millions of
+    * docs) cost O(occurrences) rows, never O(occurrences²).
+    */
+  def substrings(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.util.Par.spread(df)
+      .select(col(idCol),
+        posexplode(graft.functions.WordKgramXxExpr(col(textCol), k))
+          .as(Seq("pos", "h")))
+    val dup = grams
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n_occ") >= 2)
+    val runs = dup
+      .withColumn("run", col("pos") -
+        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+    runs.groupBy(col(idCol), col("run"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        (max(col("pos")) + lit(k)).cast("long").as("end_tok"))
+      .select(col(idCol), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok")).as("n_tokens"))
+  }
+
   /** The dedup DECISION over a whole corpus: every document mapped to the
     * id that survives for it. Docs in a near-dup component map to the
     * component's smallest id; untouched docs keep themselves. One row per

@@ -195,6 +195,50 @@ object BatchKernelUtil {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 
+  /** Positional word-k-gram hashes for exact-substring dedup: tokenize
+    * on the ASCII whitespace bytes (the same boundaries as
+    * [[TextGateStatsUtil.gateStats]] — safe because ASCII whitespace
+    * never occurs inside multi-byte UTF-8 sequences), xxhash64 each
+    * token in place (no token strings allocate), then fold k
+    * consecutive token hashes with an LCG combine. Element i is the
+    * hash of tokens i..i+k-1; fewer than k tokens yields an empty
+    * array. Two positions collide iff their k token hash sequences
+    * collide — the oracle joins on the literal gram STRING, so the
+    * 64-bit hash only has to be collision-free on the data, the same
+    * contract every hashed candidate generator in this file relies on.
+    */
+  def wordKgramXx(text: UTF8String, k: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    var th = new Array[Long](32)
+    var n = 0
+    var tokStart = -1
+    var i = 0
+    while (i <= nBytes) {
+      val ws = i == nBytes || {
+        val b = text.getByte(i); b == 32 || (b >= 9 && b <= 13) }
+      if (!ws) { if (tokStart < 0) tokStart = i }
+      else if (tokStart >= 0) {
+        if (n == th.length) th = java.util.Arrays.copyOf(th, n * 2)
+        th(n) = XXH64.hashUnsafeBytes(text.getBaseObject,
+          text.getBaseOffset + tokStart, i - tokStart, 42L)
+        n += 1
+        tokStart = -1
+      }
+      i += 1
+    }
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var s = 0
+    while (s <= n - k) {
+      var acc = 42L
+      var j = 0
+      while (j < k) { acc = acc * 6364136223846793005L + th(s + j); j += 1 }
+      out(s) = acc
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Cosine similarity of `vec` against every centroid of a literal
     * matrix, in one pass: the vector unpacks once and its norm computes
     * once for ALL centroids. Arithmetic is bit-identical to the expanded
@@ -363,6 +407,35 @@ object WinnowFpsExpr {
   def apply(c: Column, k: Int, w: Int): Column =
     GraftColumnBridge.toColumn(
       new WinnowFpsExpr(GraftColumnBridge.toExpression(c), k, w))
+}
+
+/** `word_kgram_xx(text, k)` — see [[BatchKernelUtil.wordKgramXx]]. */
+case class WordKgramXxExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_kgram_xx needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BatchKernelUtil.wordKgramXx(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BatchKernelUtil.wordKgramXx($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordKgramXxExpr {
+  def apply(c: Column, k: Int): Column =
+    GraftColumnBridge.toColumn(
+      new WordKgramXxExpr(GraftColumnBridge.toExpression(c), k))
 }
 
 /** `word_shingles(tokens, n)` — see [[BatchKernelUtil.wordShingles]]. */

@@ -16,6 +16,33 @@ class DedupSpec extends AnyFunSuite {
   private val nearDup = base.replace("lazy", "sleepy") // one token differs
   private val other = "completely different content about spark window functions " * 4
 
+  test("substrings: planted verbatim overlap yields exactly its maximal spans") {
+    // a 12-word passage shared verbatim by docs 1 and 2 at different
+    // offsets, plus a doc that repeats its own first 5 words — k=5
+    val passage = (0 until 12).map(i => s"p$i").mkString(" ")
+    val a = ((0 until 10).map(i => s"a$i") ++ Seq(passage) ++
+      Seq("x0", "x1", "x2")).mkString(" ")
+    val b = ((0 until 8).map(i => s"b$i") :+ passage).mkString(" ")
+    val c = (0 until 5).map(i => s"r$i").mkString(" ")
+    val df = docs(1L -> a, 2L -> b, 3L -> (c + " " + c))
+    val out = Dedup.substrings(df, "doc_id", "text", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 10L, 22L, 12L),  // the passage inside doc 1
+      (2L, 8L, 20L, 12L),   // the passage inside doc 2
+      (3L, 0L, 5L, 5L),     // both copies of doc 3's self-repeat:
+      (3L, 5L, 10L, 5L)))   // runs {0} and {5} are not adjacent
+  }
+
+  test("substrings: no spans on a corpus with no k-gram repeated") {
+    val df = docs(
+      1L -> (0 until 30).map(i => s"u$i").mkString(" "),
+      2L -> (0 until 30).map(i => s"v$i").mkString(" "),
+      3L -> "short doc")
+    assert(Dedup.substrings(df, "doc_id", "text", k = 5).count() == 0)
+  }
+
   test("exact: whitespace/case-normalized duplicates collapse") {
     val df = docs(1L -> "Hello  World", 2L -> "hello world ",
       3L -> "something else")

@@ -44,6 +44,36 @@ class BatchKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("WordKgramXxExpr == string-tokenized reference fold") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent path: regex tokenization on String, xx64 of each
+    // token re-encoded through UTF8String, then the same LCG fold
+    def ref(text: String, k: Int): Seq[Long] = {
+      val ts = text.split("[ \t\n\u000B\f\r]+").filter(_.nonEmpty)
+      if (ts.length < k) Seq.empty
+      else {
+        val th = ts.map { t =>
+          val u = UTF8String.fromString(t)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        }
+        (0 to ts.length - k).map { s =>
+          var acc = 42L
+          for (j <- 0 until k) acc = acc * 6364136223846793005L + th(s + j)
+          acc
+        }
+      }
+    }
+    for (k <- Seq(1, 2, 5)) {
+      val rows = docs.select(col("text"),
+        WordKgramXxExpr(col("text"), k).as("g")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == ref(r.getString(0), k),
+          s"k=$k text='${r.getString(0)}'")
+      }
+    }
+  }
+
   test("MinHashSigExpr == staged md5/conv/zip_with form") {
     val staged = docs.select(col("doc_id"), toks.as("_t"))
       .select(col("doc_id"), TextOps.shinglesFromTokens(col("_t"), 3).as("sh"))

@@ -350,6 +350,30 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("dedup_substrings: shuffles carry gram hashes and positions, never text") {
+    // the exact-substring exchange is the honest O(corpus) cost of the
+    // operator (Lee et al.'s suffix array pays the same) — but it must
+    // move (hash, doc, pos) triples only; the text column stays inside
+    // the scan stage where the k-gram kernel consumed it
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("dedup_substrings")(spark, dir)
+        .queryExecution.executedPlan
+      val shuffles = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val keyed = shuffles.filterNot(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+      assert(keyed.nonEmpty, "expected the gram-hash and run-group exchanges")
+      for (e <- keyed; a <- e.output)
+        assert(a.dataType != org.apache.spark.sql.types.StringType &&
+          a.name != "text",
+          s"text-typed column ${a.name} crosses a keyed shuffle:\n$e")
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("dedup_minhash_incremental: every shuffle is post-probe (corpus never shuffles)") {
     // probes: band-key probe, candidate-id shingle probe, and the
     // increment-side verify/base joins
