@@ -110,6 +110,16 @@ object SparkEntry {
 
   private val minhashClusterCtes = minhashPairCtes + closureCtes("mpairs")
 
+  /** Repo-local cache dir for the persisted-store probe queries, keyed
+    * by the sf dir so sf0.01 (correctness) and sf0.1 (bench) never
+    * share a store. First invocation of a `_probe` query builds and
+    * writes the store here (the bench's warmup pass); timed passes
+    * only read it — the row measures the O(increment) probe, which is
+    * the operator the stored family exists for.
+    */
+  private def storeDir(dir: String, family: String): String =
+    s"benchdata/stores/${new java.io.File(dir).getName}/$family"
+
   /** Oracle replay of [[graft.dedup.Dedup.minhashIncremental]] on the
     * shared banded-signature CTEs: same md5-bucket split as
     * dedup_incremental (>= 70 incoming), increment band keys probe the
@@ -842,6 +852,44 @@ object SparkEntry {
       Dedup.minhashIncrementalStored(d.filter(bucket >= 70), store,
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
         threshold = 0.5)
+    }),
+
+    "dedup_minhash_probe" -> ((s, dir) => {
+      // the PROBE-ONLY form: reads the signature store from parquet
+      // persisted at "corpus ingest time" (first invocation builds and
+      // writes it — the bench's warmup pass — so the TIMED passes and
+      // this row measure what a daily ingest actually pays: O(increment)
+      // signing + broadcast probes against the stored frames, no corpus
+      // text, no signature kernel). Decision identical to
+      // dedup_minhash_stored — same oracle.
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "minhash")
+      if (!new java.io.File(s"$sd/signatures/_SUCCESS").exists())
+        graft.dedup.SignatureStore.write(
+          graft.dedup.SignatureStore.build(d.filter(bucket < 70),
+            "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2), sd)
+      Dedup.minhashIncrementalStored(d.filter(bucket >= 70),
+        graft.dedup.SignatureStore.read(s, sd),
+        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5)
+    }),
+
+    "dedup_spans_probe" -> ((s, dir) => {
+      // probe-only passage-level ingest: winnow-fp store read from
+      // parquet (built+written on first invocation, i.e. bench warmup);
+      // the denormalized df makes the boilerplate cap a pushed scan
+      // predicate. Decision identical to dedup_spans_stored.
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "spans")
+      if (!new java.io.File(s"$sd/span_fps/_SUCCESS").exists())
+        graft.dedup.SignatureStore.writeSpans(
+          graft.dedup.SignatureStore.buildSpans(d.filter(bucket < 70),
+            "doc_id", "text", k = 8, w = 4), sd)
+      Dedup.spanIncrementalStored(d.filter(bucket >= 70),
+        graft.dedup.SignatureStore.readSpans(s, sd),
+        "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
     }),
 
     "dedup_semantic" -> ((s, dir) =>
@@ -1921,6 +1969,12 @@ object SparkEntry {
       // verify arrays intersect like the string sets, same rounded
       // jaccard), so it shares the incremental oracle verbatim
       minhashIncrementalOracle,
+
+    // the parquet-persisted probe rows make the SAME decision again —
+    // the store round-trip changes the physics (what the bench row
+    // measures), never the answer
+    "dedup_minhash_probe" -> minhashIncrementalOracle,
+    "dedup_spans_probe" -> spanIncrementalOracle,
 
     "dedup_semantic" -> {
       // replay the shared fitted index, then the greedy rule: a vector
