@@ -345,6 +345,38 @@ object Embed {
     *
     * Output: one row per input vector — (vec_id, list_id, kept).
     */
+  /** The nlist sizing CONTRACT made executable: nlist ∝ N /
+    * targetListSize, clamped to [minNlist, maxNlist]. With it the
+    * within-list self-join's per-list fan-out is bounded at
+    * ~targetListSize² rows regardless of corpus size — the knob stops
+    * being a constant someone forgot to retune at 100 TB. At the
+    * defaults, 1e11 vectors → nlist ≈ 2²⁶ · 48, still far below the
+    * clamp; the clamp exists so degenerate inputs (empty frame, tiny
+    * fixture) keep a sane k-means problem.
+    */
+  def autoNlist(n: Long, targetListSize: Int = 32,
+                minNlist: Int = 4, maxNlist: Int = 1 << 20): Int = {
+    require(targetListSize > 0, s"targetListSize must be > 0")
+    // overflow-safe ceil (n + target - 1 wraps near Long.MaxValue)
+    val want = n / targetListSize + (if (n % targetListSize == 0) 0 else 1)
+    math.min(math.max(want, minNlist.toLong), maxNlist.toLong).toInt
+  }
+
+  /** [[semanticDedup]] with nlist derived from the corpus size: ONE
+    * cheap count action (a column-pruned scan — parquet answers it
+    * from footer metadata) picks nlist = [[autoNlist]](N), so the
+    * operator self-tunes as the corpus grows instead of shipping a
+    * fixed cluster count. The count is the same class of bounded
+    * driver action the index fit already performs.
+    */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, targetListSize: Int = 32,
+                        iters: Int = 1,
+                        fitSamplePct: Int = 100): DataFrame =
+    semanticDedup(df, idCol, vecCol, threshold,
+      nlist = autoNlist(df.select(col(idCol)).count(), targetListSize),
+      iters = iters, fitSamplePct = fitSamplePct)
+
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nlist: Int = 16, iters: Int = 1,
                     fitSamplePct: Int = 100): DataFrame = {

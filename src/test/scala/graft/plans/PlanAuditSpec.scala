@@ -374,6 +374,32 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("semanticDedup pair join stays AQE-splittable under a one-hot-list skew") {
+    // a degenerate corpus where k-means puts EVERY vector in one list —
+    // the worst skew the within-list join can see. With size-based
+    // broadcasts disabled it must still plan as SortMergeJoin keyed on
+    // list_id (the shape AQE's skew-split can rewrite), proving no hint
+    // forces broadcasting a side that grows with the corpus and no
+    // cartesian fallback sneaks in via the vec_id inequality.
+    import spark.implicits._
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rng = new scala.util.Random(3)
+      val vecs = (0 until 256).map { i =>
+        (i.toLong, Seq.fill(8)(0.9f + rng.nextFloat() * 0.1f)) }
+        .toDF("vec_id", "embedding")
+      val p = graft.simops.Embed.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, nlist = 8, iters = 1)
+        .queryExecution.executedPlan.toString
+      assert(opCount(p, "SortMergeJoin") >= 1, p)
+      assert(!p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("dedup_minhash_incremental: every shuffle is post-probe (corpus never shuffles)") {
     // probes: band-key probe, candidate-id shingle probe, and the
     // increment-side verify/base joins

@@ -168,6 +168,32 @@ class EmbedSpec extends AnyFunSuite {
     assert(out.filter(!org.apache.spark.sql.functions.col("kept")).count() == 0)
   }
 
+  test("autoNlist: N/targetListSize with clamps at both ends") {
+    assert(Embed.autoNlist(0) == 4)                 // empty → min clamp
+    assert(Embed.autoNlist(100, 32) == 4)           // ceil(100/32)=4
+    assert(Embed.autoNlist(500, 32) == 16)          // the sf0.01 fixture
+    assert(Embed.autoNlist(1000, 32) == 32)
+    assert(Embed.autoNlist(1001, 32) == 32)         // ceil rounds up
+    assert(Embed.autoNlist(1025, 32) == 33)
+    assert(Embed.autoNlist(Long.MaxValue, 32) == (1 << 20)) // max clamp
+  }
+
+  test("semanticDedupAuto equals semanticDedup at the derived nlist") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1)) }
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val auto = rows(Embed.semanticDedupAuto(vecs, "vec_id", "embedding",
+      threshold = 0.8, targetListSize = 16))
+    val explicit = rows(Embed.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.8, nlist = Embed.autoNlist(64, 16)))
+    assert(auto == explicit)
+    assert(auto.length == 64)
+  }
+
   test("labelCentroids: per-(label, dim) mean and count, by hand") {
     import spark.implicits._
     val vecs = Seq(
