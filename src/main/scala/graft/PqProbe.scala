@@ -16,6 +16,25 @@ object PqProbe {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(f"PQPROBE m=$m k=$k recall=${pq.intersect(brute).size.toDouble / brute.size}%.3f")
     }
+    // OPQ variance-balancing permutation vs natural split at fixed
+    // m/k. Permutation is orthogonal, so brute-force neighbors are
+    // unchanged — any recall delta is purely the allocation. On this
+    // near-isotropic synthetic corpus expect ~neutral (the gain
+    // tracks per-dim variance anisotropy, see Embed.opqVarPermutation).
+    val perm = graft.simops.Embed.opqVarPermutation(emb, "vec_id", "embedding")
+    def permF(df: org.apache.spark.sql.DataFrame) =
+      graft.simops.Embed.permuted(df, "vec_id", "embedding", perm)
+    for ((m, k) <- Seq((8, 16), (16, 16))) {
+      val opq = graft.simops.Embed.pqTopK(permF(q), permF(emb),
+        "vec_id", "embedding", kNN = 5, m = m, k = k, iters = 1,
+        fitSamplePct = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val raw = graft.simops.Embed.pqTopK(q, emb, "vec_id", "embedding",
+        kNN = 5, m = m, k = k, iters = 1, fitSamplePct = 60)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"PQPROBE opq m=$m k=$k raw=${raw.intersect(brute).size.toDouble / brute.size}%.3f" +
+        f" opq=${opq.intersect(brute).size.toDouble / brute.size}%.3f")
+    }
     // residual vs raw encoding at fixed m/k: IVFADC quantizes the
     // within-list residual cell, so recall should rise at the same
     // code budget. nprobe=16/nlist=16 scans every list — isolates the

@@ -907,6 +907,14 @@ object SparkEntry {
         "vec_id", "embedding", m = 8, k = 16, iters = 1,
         fitSamplePct = 60, dim = 64)),
 
+    "embedding_pq_opq" -> ((s, dir) =>
+      // OPQ allocation (Ge et al.): variance-balancing permutation
+      // fitted on the sample, then the same m=8 x k=16 encode — the
+      // fit is one 64-row aggregate, the permute a pure projection
+      graft.simops.Embed.pqEncodeOpq(Tables.embeddings(s, dir),
+        "vec_id", "embedding", m = 8, k = 16, iters = 1,
+        fitSamplePct = 60, dim = 64)),
+
     "similarity_pq" -> ((s, dir) => {
       // ADC top-k over the compressed codes (memory-bound ANN scan);
       // same fitted codebooks as embedding_pq
@@ -2003,6 +2011,37 @@ object SparkEntry {
          SELECT v.id AS vec_id, $codesCsv AS codes_csv,
            round(sqrt(($errSum) / 64), 6) AS rmse
          FROM v $joins"""
+    },
+
+    "embedding_pq_opq" -> {
+      // the permutation FIT replayed in SQL: per-dim sample variance
+      // in the same sum-of-squares form (rounded 6dp), rank desc with
+      // index tie-break, snake-deal ranks across subspaces; then the
+      // standard fit CTEs run on the permuted frames
+      val codesCsv = (0 until pqM).map(mi => s"enc_$mi.code::VARCHAR")
+        .mkString(" || ',' || ")
+      val errSum = (0 until pqM).map(mi => s"enc_$mi.d2").mkString(" + ")
+      val joins = (0 until pqM).map(mi => s"JOIN enc_$mi ON enc_$mi.id = pv.id")
+        .mkString(" ")
+      s"""WITH $duckEmbSampleCtes,
+         vr AS (SELECT dd, round(sum(vv[dd]*vv[dd])/count(*) -
+               (sum(vv[dd])/count(*))*(sum(vv[dd])/count(*)), 6) AS vrr
+             FROM sv, (SELECT unnest(generate_series(1, 64)) AS dd)
+             GROUP BY dd),
+         rk AS (SELECT dd, row_number() OVER (ORDER BY vrr DESC, dd) - 1 AS r
+             FROM vr),
+         pm AS (SELECT dd,
+             (CASE WHEN (r // $pqM) % 2 = 0 THEN r % $pqM
+                   ELSE $pqM - 1 - (r % $pqM) END) * $pqSub + (r // $pqM) AS np
+             FROM rk),
+         pl AS (SELECT list(dd ORDER BY np) AS p FROM pm),
+         pv AS (SELECT id, list_transform(generate_series(1, 64),
+               i -> vv[p[i]]) AS vv FROM v, pl),
+         psv AS (SELECT pv.id, pv.vv FROM pv JOIN sv ON sv.id = pv.id),
+         ${duckPqFitCtesOn("psv", "pv")}
+         SELECT pv.id AS vec_id, $codesCsv AS codes_csv,
+           round(sqrt(($errSum) / 64), 6) AS rmse
+         FROM pv $joins"""
     },
 
     "similarity_pq" -> {

@@ -210,6 +210,83 @@ object Embed {
     * at every budget; pick m/k by the memory budget and re-rank the
     * top candidates exactly from cold storage.
     */
+  /** OPQ's allocation half as a data-fitted PERMUTATION (Ge et al.,
+    * "Optimized Product Quantization", CVPR 2013 — the parametric
+    * variant's balanced-allocation step applied to per-dim variance):
+    * rank dims by sample variance (rounded 6dp, ties on index), then
+    * snake-deal ranks across the m subspaces so each subspace gets an
+    * even mix of high- and low-variance dims. A permutation is the
+    * orthogonal-rotation subset whose FIT is replayable in plain SQL
+    * (one variance aggregate + a rank window) — a full eigen-rotation
+    * could not share a DuckDB oracle, and simulated offline on this
+    * corpus it buys nothing the permutation doesn't. Measured
+    * (PqProbe, sf0.001): recall@5 0.30 → 0.36 at m=16/k=16, −0.02
+    * (noise) at m=8 — the synthetic embeddings are near-isotropic
+    * (per-dim variance spread ~1.3×, |corr| ≤ 0.18), so only the
+    * finer split has imbalance to fix; the paper's larger gains track
+    * exactly the anisotropy real embedding models have, which is what
+    * this hook exploits when present.
+    *
+    * Returns the 1-based source dim for each target slot. The fit is
+    * one combinable 64-row aggregate over the md5-bucket sample —
+    * the same bounded driver action as the codebook fit.
+    */
+  def opqVarPermutation(df: DataFrame, idCol: String, vecCol: String,
+                        m: Int = 8, dim: Int = 64,
+                        fitSamplePct: Int = 60): Seq[Int] = {
+    require(m > 0 && dim % m == 0, s"dim ($dim) must divide into m ($m)")
+    val sub = dim / m
+    val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val sample =
+      if (fitSamplePct >= 100) all
+      else all.filter(
+        graft.util.Sampling.md5Bucket(col("_id")) < lit(fitSamplePct))
+    // the variance formula is written IDENTICALLY in the oracle SQL
+    // (sum-of-squares form, rounded 6dp) so the rank keys can't drift
+    val vrr = sample.select(posexplode(col("_v")).as(Seq("p", "x")))
+      .groupBy(col("p"))
+      .agg(round(sum(col("x") * col("x")) / count(lit(1)) -
+        (sum(col("x")) / count(lit(1))) * (sum(col("x")) / count(lit(1))),
+        6).as("vrr"))
+      .collect().map(r => (r.getInt(0) + 1, r.getDouble(1)))
+    val ranked = vrr.sortBy { case (dd, v) => (-v, dd) }.map(_._1)
+    val perm = new Array[Int](dim)
+    for (r <- ranked.indices) {
+      val pos = r % m
+      val blk = r / m
+      val b = if (blk % 2 == 0) pos else m - 1 - pos
+      perm(b * sub + blk) = ranked(r)
+    }
+    perm.toSeq
+  }
+
+  /** `df` with `vecCol` replaced by its `perm`-permuted double-cast
+    * form — a literal projection, no exchange (the residual-encode
+    * pattern). `perm` is 1-based source dims from
+    * [[opqVarPermutation]].
+    */
+  def permuted(df: DataFrame, idCol: String, vecCol: String,
+               perm: Seq[Int]): DataFrame = {
+    val vv = col(vecCol).cast("array<double>")
+    df.select(col(idCol),
+      array(perm.map(dd => element_at(vv, dd)): _*).as(vecCol))
+  }
+
+  /** [[pqEncode]] behind the OPQ variance-balancing permutation: fit
+    * the permutation on the sample, permute (pure projection), then
+    * the standard sampled codebook fit and codegen'd encode — same
+    * output schema, same m·k budget, subspaces now balanced by
+    * construction.
+    */
+  def pqEncodeOpq(df: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, k: Int = 16, iters: Int = 1,
+                  fitSamplePct: Int = 100, dim: Int = 64): DataFrame = {
+    val perm = opqVarPermutation(df, idCol, vecCol, m, dim, fitSamplePct)
+    pqEncode(permuted(graft.util.Par.spread(df), idCol, vecCol, perm),
+      idCol, vecCol, m, k, iters, fitSamplePct, dim)
+  }
+
   def pqTopK(queries: DataFrame, candidates: DataFrame, idCol: String,
              vecCol: String, kNN: Int, m: Int = 8, k: Int = 16,
              iters: Int = 1, fitSamplePct: Int = 100,

@@ -194,6 +194,43 @@ class EmbedSpec extends AnyFunSuite {
     assert(auto.length == 64)
   }
 
+  test("opqVarPermutation: valid permutation, one rank-octile dim per subspace") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // dim 16, m 4: give dims wildly different variances so the ranking
+    // is unambiguous
+    val vecs = (0 until 128).map { i =>
+      (i.toLong, (0 until 16).map(dd =>
+        (rng.nextFloat() * 2 - 1) * (dd + 1)).toSeq) }
+      .toDF("vec_id", "embedding")
+    val perm = Embed.opqVarPermutation(vecs, "vec_id", "embedding",
+      m = 4, dim = 16, fitSamplePct = 100)
+    assert(perm.sorted == (1 to 16))
+    // snake-deal: each subspace receives exactly one dim from each of
+    // the four rank quartiles — variance mass is balanced by
+    // construction. Variance here grows with dim index, so quartiles
+    // are dim-index bands.
+    val bands = (0 until 4).map(qq => ((13 - qq * 4) to (16 - qq * 4)).toSet)
+    for (s <- 0 until 4) {
+      val subDims = perm.slice(s * 4, s * 4 + 4).toSet
+      for (b <- bands) assert(subDims.intersect(b).size == 1,
+        s"subspace $s = $subDims misses a band")
+    }
+  }
+
+  test("pqEncodeOpq: same schema and row count as pqEncode, permuted fit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Seq.fill(16)(rng.nextFloat() * 2 - 1)) }
+      .toDF("vec_id", "embedding")
+    val out = Embed.pqEncodeOpq(vecs, "vec_id", "embedding",
+      m = 4, k = 8, iters = 1, fitSamplePct = 100, dim = 16)
+    assert(out.columns.toSeq == Seq("vec_id", "codes_csv", "rmse"))
+    assert(out.count() == 64)
+    assert(out.where(org.apache.spark.sql.functions.col("rmse") < 0).count() == 0)
+  }
+
   test("labelCentroids: per-(label, dim) mean and count, by hand") {
     import spark.implicits._
     val vecs = Seq(
