@@ -39,7 +39,8 @@ object StreamingOps {
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    graft.sources.Tables.normalizeEvents(
+      spark.readStream.schema(schema).parquet(s"$dir/events.parquet"))
   }
 
   /** Windowed n-gram heavy hitters over a document stream — the live
@@ -144,6 +145,48 @@ object StreamingOps {
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       sink(graft.dedup.Dedup.spanIncrementalStored(batch, storeFps,
         idCol, textCol, k, w, minShared, maxDf), batchId)
+    }
+
+  /** Streaming twin of the COMPOSITE daily-ingest decision
+    * ([[graft.pipeline.Pipeline.ingestClean]]): each micro-batch is
+    * quality-gated, then probed against the corpus for exact and near
+    * duplicates, and the sink receives one (doc_id, quality,
+    * is_new_exact, is_new_near, accepted) row per incoming doc.
+    *
+    * `corpus` is a THUNK, re-evaluated per trigger: the intended sink
+    * compacts each batch's accepted survivors back into the corpus
+    * (append their rows to the corpus path / SignatureStore), so the
+    * next micro-batch probes corpus ∪ previously-accepted — the
+    * arrival-order-wins semantics a production ingest loop runs. The
+    * query itself keeps NO state; the corpus is the state.
+    *
+    * Parity contract (pinned in StreamingSpec): with compaction, the
+    * stream decision equals the batch [[graft.pipeline.Pipeline.ingestClean]]
+    * over the whole increment whenever micro-batches split duplicate
+    * groups in id order (the batch min-id rule and the stream's
+    * earliest-arrival rule then pick the same survivor). Cross-batch
+    * NEAR-dup pairs inside one increment are the one divergence: the
+    * batch form does not test increment-vs-increment near-dups, while
+    * the compacting stream catches them — i.e. the stream is strictly
+    * stricter, never looser.
+    *
+    * Scale shape per trigger is the batch plan's: the gate is a narrow
+    * filter on the micro-batch scan, both probes broadcast
+    * increment-derived frames, and the corpus only ever streams
+    * through broadcast joins (never shuffles) — O(increment) work per
+    * trigger on a 100 TB corpus.
+    */
+  def ingestCleanProbe(docs: DataFrame, corpus: () => DataFrame,
+                       minQuality: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleSize: Int = 3, bands: Int = 8,
+                       rowsPerBand: Int = 2, threshold: Double = 0.5,
+                       maxBucket: Int = 64)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.pipeline.Pipeline.ingestClean(batch, corpus(), idCol,
+        textCol, minQuality, shingleSize, bands, rowsPerBand, threshold,
+        maxBucket), batchId)
     }
 
   /** Quality-gate filter (stateless): identical plan batch or stream —

@@ -52,6 +52,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(out.toArray) == batch)
   }
 
+  test("ingestCleanProbe: compacting multi-batch stream equals batch ingestClean") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog in the morning sun"
+    // corpus: one real doc (near-dup target) + one unrelated doc
+    val corpusRows = Seq(
+      (1L, s"$passage and then it was gone into the quiet woods again"),
+      (2L, "an unrelated corpus document about catalyst physical plans and shuffles"))
+    // increment, id-ascending across the two micro-batches:
+    //  b1: 10 fresh, 11 junk (gate-rejected), 12 exact-dup of corpus 1
+    //  b2: 20 exact-dup of ACCEPTED 10 (cross-batch exact group,
+    //      min-id in the earlier batch), 21 fresh
+    val fresh10 = "this is a genuinely new piece of text with plenty of the usual small words in it"
+    val b1 = Seq(
+      (10L, fresh10),
+      (11L, "!!! ??? ;;; ::: !!!"),
+      (12L, s"$passage and then it was gone into the quiet woods again"))
+    val b2 = Seq(
+      (20L, fresh10),
+      (21L, "another genuinely fresh document that is not similar to any of the others at all"))
+    val increment = (b1 ++ b2).toDF("doc_id", "text")
+
+    val corpusDir = java.nio.file.Files.createTempDirectory("ic_corpus").toString
+    corpusRows.toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    val minQ = 0.3
+
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    val batchDecision = canon(graft.pipeline.Pipeline.ingestClean(
+      increment, spark.read.parquet(corpusDir), "doc_id", "text", minQ)
+      .collect())
+    // sanity: the fixture exercises every leg of the composite decision
+    assert(batchDecision.map(d => d._1 -> d._5).toMap ==
+      Map(10L -> true, 11L -> false, 12L -> false, 20L -> false, 21L -> true))
+
+    // feed: two files with strictly ordered mtimes so the file source
+    // triggers them as two id-ordered micro-batches
+    val feedDir = java.nio.file.Files.createTempDirectory("ic_feed").toString
+    b1.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(feedDir)
+    Thread.sleep(1100)
+    b2.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var batches = 0
+    val q = StreamingOps.ingestCleanProbe(stream,
+        () => spark.read.parquet(corpusDir), minQ) { (df, _) =>
+      val rows = df.collect()
+      out.synchronized { out ++= rows; batches += 1 }
+      // compaction: accepted survivors join the corpus before the next
+      // trigger (the thunk re-reads the path) — arrival-order-wins
+      val acceptedIds = rows.filter(_.getBoolean(4)).map(_.getLong(0))
+      if (acceptedIds.nonEmpty)
+        increment.filter(col("doc_id").isin(acceptedIds: _*))
+          .write.mode("append").parquet(corpusDir)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val streamDecision = canon(out.toArray)
+    // the ACCEPT decision (and the gate) agree exactly — note doc 20's
+    // accept correctness REQUIRES compaction: without it the stream
+    // would wrongly accept the cross-batch copy of accepted doc 10
+    assert(streamDecision.map(d => (d._1, d._2, d._5)) ==
+      batchDecision.map(d => (d._1, d._2, d._5)))
+    // the is_new flags may only diverge in the documented direction:
+    // the compacting stream is strictly STRICTER (catches cross-batch
+    // intra-increment dups the batch min-id rule does not flag as
+    // corpus hits), never looser
+    streamDecision.zip(batchDecision).foreach { case (s, b) =>
+      assert(!s._3 || b._3, s"stream looser than batch on exact: $s vs $b")
+      assert(!s._4 || b._4, s"stream looser than batch on near: $s vs $b")
+    }
+    // and on docs with no cross-batch duplicate (all but 20) the rows
+    // are bit-identical
+    assert(streamDecision.filter(_._1 != 20L) ==
+      batchDecision.filter(_._1 != 20L))
+  }
+
   test("windowedCounts: streaming (memory sink) equals batch on same data") {
     val batchEv = Tables.events(spark, dir)
     val batch = StreamingOps.windowedCounts(batchEv)
@@ -59,14 +139,13 @@ class StreamingSpec extends AnyFunSuite {
         round(col("total_value"), 6).as("tv"))
       .collect().map(_.toSeq).toSet
 
-    // stream the same parquet through a file source; nanosAsLong applies to
-    // the stream schema too, so reuse the batch-derived ts column
+    // stream the same parquet through a file source, normalized to the
+    // canonical (ts_ns, ts) pair exactly as the batch loader does
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamEv = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")  // file source needs a dir
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val streamEv = Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  // file source needs a dir
+        .parquet(dir))
     val q = StreamingOps.windowedCounts(streamEv)
       .select(col("ts_hour"), col("event_type"), col("n_events"),
         round(col("total_value"), 6).as("tv"))
@@ -145,10 +224,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
 
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def stream() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    def stream() = Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
     val q = StreamingOps.attributionJoin(
         stream().filter(col("event_type") === "click"),
         stream().filter(col("event_type") === "purchase"), 30)
