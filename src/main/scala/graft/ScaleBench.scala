@@ -2,43 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: runs the document/embedding/event query families (the ones
-  * whose 100 TB story rests on fixed-vs-linear cost splits — CC loops,
-  * seq_pack's two-pass prefix sum, decontaminate's broadcast probe) at
-  * one scale directory and prints a JSON line per query. Run it at
-  * sf0.1 and at a ScaleGen output dir, and the ratio table shows which
+/** Dev tool: runs EVERY registered query at one scale directory and
+  * prints a JSON line per query. Run it at sf0.1 (or a mult=1 twin) and
+  * at a 10× ScaleGen output dir, and the ratio table shows which
   * operators scale linearly and which are dominated by fixed stage
-  * cost.
+  * cost. The list is derived from SparkEntry.queries (round 6:
+  * ScaleGen now twins the TPC-H tables too, so the relational family
+  * anchors alongside documents/embeddings/events — and a newly
+  * registered query can never silently fall out of the anchor).
   *
   * Usage: runMain graft.ScaleBench <sfDir>
   */
 object ScaleBench {
-  val queryNames: Seq[String] = Seq(
-    // documents family
-    "text_stats", "quality_score", "lang_id", "doc_fingerprint",
-    "rep_stats", "pii_scrub", "sample_stratified", "seq_pack",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
-    "dedup_clusters", "dedup_clusters_simhash", "dedup_resolve",
-    "doc_winnow", "decontaminate", "corpus_clean", "corpus_clean_near",
-    "multimodal_meta", "multimodal_features",
-    "topk_ngrams", "tfidf_terms", "dedup_spans", "dedup_spans_incremental",
-    "dedup_spans_stored", "corpus_profile",
-    "novelty_score", "stream_trending_ngrams", "dedup_incremental",
-    "dedup_minhash_incremental", "dedup_minhash_stored", "lm_score",
-    "corpus_profile_approx",
-    "sample_mixture", "decontaminate_pairs", "pack_manifest",
-    "ingest_clean",
-    // embeddings family
-    "embedding_profile", "embedding_quantize", "embedding_neardup",
-    "embedding_neardup_incremental", "embedding_clusters",
-    "similarity_topk", "similarity_lsh", "similarity_ivf",
-    "knn_classify", "label_centroids",
-    "dedup_semantic", "embedding_pq", "similarity_pq", "similarity_ivfpq",
-    // events family (window_rank excluded: it reads the TPC-H `orders`
-    // table, which ScaleGen does not scale up)
-    "lag_1d", "lag_2d_partitioned", "lag_distributed", "rolling_agg", "ewma",
-    "lag_ffill", "resample_ohlc", "asof_join_tolerance",
-    "sessionize", "json_props", "q_window_stats")
+  def queryNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

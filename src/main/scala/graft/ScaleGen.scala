@@ -144,11 +144,106 @@ object ScaleGen {
         concat(lit("{\"k\": "), u("k", col("id"), 100L), lit("}")).as("props"))
     events.write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
+    // ---- TPC-H family twins (round 6): the relational queries anchor
+    // too (q1/q3/q5/q17, window_rank, set/pivot/rollup/quantile). Value
+    // domains mirror the driver's sf0.1 measurements (TESTDATA.md) so
+    // filter selectivities — q6's discount band, q17's small-quantity
+    // cut, the date windows — keep their character as rows grow.
+    // region/nation are fixed dimensions (5 / 25 rows; they don't scale
+    // with SF in TPC-H either) and are copied through from the source.
+    val nCust = 15000L * mult
+    val nSupp = 1000L * mult
+    val nParts = 20000L * mult
+    val nOrders = 150000L * mult
+    val segsLit = array(Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY").map(lit): _*)
+    val prioLit = array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW").map(lit): _*)
+    val typesPLit = array(Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO",
+      "SMALL", "STANDARD").map(lit): _*)
+    val adjLit = array(Seq("blue", "cold", "hot", "large", "new", "old",
+      "red", "small").map(lit): _*)
+    val nounLit = array(Seq("anvil", "bolt", "gear", "gizmo", "plate",
+      "ring", "rod", "widget").map(lit): _*)
+    def pick(arr: Column, salt: String, seed: Column, n: Long): Column =
+      element_at(arr, (u(salt, seed, n) + 1).cast("int"))
+    // date at day granularity, stored as TIMESTAMP like the driver's
+    def day(salt: String, seed: Column, spanDays: Long): Column =
+      date_add(to_date(lit("1995-01-01")),
+        u(salt, seed, spanDays).cast("int")).cast("timestamp")
+
+    for (t <- Seq("region", "nation"))
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    spark.range(0, nCust, 1, cpus.toInt).select(
+        col("id").as("c_custkey"),
+        format_string("Customer#%09d", col("id")).as("c_name"),
+        u("cn", col("id"), 25).cast("int").as("c_nationkey"),
+        round(u("cb", col("id"), 1100000L) / 100.0 - 1000.0, 2)
+          .as("c_acctbal"),
+        pick(segsLit, "seg", col("id"), 5).as("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    spark.range(0, nSupp, 1, cpus.toInt).select(
+        col("id").as("s_suppkey"),
+        format_string("Supplier#%09d", col("id")).as("s_name"),
+        u("sn", col("id"), 25).cast("int").as("s_nationkey"),
+        round(u("sb", col("id"), 1100000L) / 100.0 - 1000.0, 2)
+          .as("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+
+    spark.range(0, nParts, 1, cpus.toInt).select(
+        col("id").as("p_partkey"),
+        concat(pick(adjLit, "pa", col("id"), 8), lit(" "),
+          pick(nounLit, "pn", col("id"), 8)).as("p_name"),
+        concat(lit("Brand#"), u("pb", col("id"), 25) + 1).as("p_brand"),
+        pick(typesPLit, "pt", col("id"), 6).as("p_type"),
+        (u("ps", col("id"), 50) + 1).cast("int").as("p_size"),
+        // the driver's retail price is a pure id ramp: 900.0 + (key mod
+        // 1000)/10 — keep it, some oracles group on exact prices
+        round(lit(900.0) + pmod(col("id"), lit(1000L)) / 10.0, 1)
+          .as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    spark.range(0, nOrders, 1, cpus.toInt).select(
+        col("id").as("o_orderkey"),
+        u("oc", col("id"), nCust).as("o_custkey"),
+        pick(array(lit("F"), lit("O"), lit("P")), "os", col("id"), 3)
+          .as("o_orderstatus"),
+        round(u("ot", col("id"), 49900000L) / 100.0 + 1000.0, 2)
+          .as("o_totalprice"),
+        day("od", col("id"), 2405).as("o_orderdate"),
+        pick(prioLit, "op", col("id"), 5).as("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    spark.range(0, 600000L * mult, 1, cpus.toInt).select(
+        // uniform order assignment ≈ Poisson(4) lines per order — the
+        // same shape as the driver's generator (its max is ~17 lines)
+        u("lo", col("id"), nOrders).as("l_orderkey"),
+        u("lp", col("id"), nParts).as("l_partkey"),
+        u("ls", col("id"), nSupp).as("l_suppkey"),
+        (u("ln", col("id"), 7) + 1).cast("int").as("l_linenumber"),
+        (u("lq", col("id"), 50) + 1).cast("double").as("l_quantity"),
+        round(u("le", col("id"), 10410000L) / 100.0 + 900.0, 2)
+          .as("l_extendedprice"),
+        (u("ld", col("id"), 11) / 100.0).as("l_discount"),
+        (u("lt", col("id"), 9) / 100.0).as("l_tax"),
+        pick(array(lit("A"), lit("N"), lit("R")), "lr", col("id"), 3)
+          .as("l_returnflag"),
+        pick(array(lit("F"), lit("O")), "ll", col("id"), 2)
+          .as("l_linestatus"),
+        day("lsd", col("id"), 2500).as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val tpchTables = Seq("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem")
+
     // collapse each table to a single bare file, like the driver's
     // layout (one parquet per table — what tools/check_oracle.py's
     // DuckDB views read; scan parallelism comes from row-group splits
     // and Par.spread, exactly as with the driver's files)
-    for (t <- Seq("documents", "embeddings", "events")) {
+    for (t <- Seq("documents", "embeddings", "events") ++ tpchTables) {
       val dir = java.nio.file.Paths.get(s"$outDir/$t.parquet")
       val tmp = java.nio.file.Paths.get(s"$outDir/_single_$t")
       spark.read.parquet(dir.toString).coalesce(1)
@@ -159,7 +254,7 @@ object ScaleGen {
       java.nio.file.Files.move(java.nio.file.Paths.get(part), dir)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
-    for (t <- Seq("documents", "embeddings", "events"))
+    for (t <- Seq("documents", "embeddings", "events") ++ tpchTables)
       println(s"SCALEGEN $t rows=" +
         spark.read.parquet(s"$outDir/$t.parquet").count())
     spark.stop()
