@@ -49,6 +49,38 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Shard count sized to a TARGET OUTPUT FILE SIZE — the small-file-storm
+    * guard. A writer that picks `numShards` by convention (per-day, per
+    * job, "what the last team used") produces 100k tiny objects at one
+    * scale and 40 GB monsters at another; deriving it from the frame's
+    * own size estimate keeps each shard's single file near `targetBytes`
+    * (the public lakehouse guidance band is 128 MB–1 GB) at EVERY scale.
+    *
+    * The estimate is Catalyst's `optimizedPlan.stats.sizeInBytes` — the
+    * same number the broadcast planner trusts — divided by a conservative
+    * 3× for parquet-on-disk vs in-memory width (encoding + compression on
+    * text-heavy corpora). It costs no job: stats come from file sizes and
+    * column widths, not a scan.
+    */
+  def shardCountFor(df: DataFrame, targetBytes: Long = 512L << 20,
+                    maxShards: Int = 1 << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes / 3
+    val bytes = est.min(BigInt(Long.MaxValue)).toLong.max(1L)
+    (((bytes + targetBytes - 1) / targetBytes).max(1L)
+      .min(maxShards.toLong)).toInt
+  }
+
+  /** [[writeSharded]] with the shard count derived from the frame's size
+    * estimate via [[shardCountFor]] — write governance by default: files
+    * near `targetBytes` regardless of the frame's scale, one file per
+    * shard (SinksSpec counts them).
+    */
+  def writeShardedAuto(df: DataFrame, path: String, shardKey: String,
+                       sortCols: Seq[String],
+                       targetBytes: Long = 512L << 20): Unit =
+    writeSharded(df, path, shardKey, shardCountFor(df, targetBytes), sortCols)
+
   /** The packed-corpus writer: persist [[graft.pipeline.Pipeline.seqPack]]
     * (or corpus_clean / corpus_shuffle) output so that each pack's
     * documents land in ONE shard, contiguous and offset-ordered — the

@@ -94,6 +94,36 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("file-size governance: auto shard count tracks the size estimate, one file per shard") {
+    val docs = Tables.documents(spark, src)
+    // shardCountFor scales inversely with the target and never hits 0
+    val small = Sinks.shardCountFor(docs, targetBytes = 16L << 10)
+    val big = Sinks.shardCountFor(docs, targetBytes = 512L << 20)
+    assert(small >= big, s"smaller target must mean >= shards ($small vs $big)")
+    assert(big >= 1)
+    // a frame 10x the rows gets proportionally more shards at a fixed
+    // small target (stats scale with size, so governance scales too)
+    val docs10 = (0 until 10).map(_ => docs).reduce(_ union _)
+    val small10 = Sinks.shardCountFor(docs10, targetBytes = 16L << 10)
+    assert(small10 > small, s"10x rows must raise the shard count ($small10 vs $small)")
+    // the auto writer emits exactly ONE parquet file per shard dir — the
+    // no-small-file-storm contract (a hot shard may split via
+    // maxRecordsPerFile, but at this size each shard is one file)
+    val out = java.nio.file.Files.createTempDirectory("graft_auto").toString
+    Sinks.writeShardedAuto(docs, out, "doc_id", Seq("doc_id"),
+      targetBytes = 64L << 10)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == Sinks.shardCountFor(docs, 64L << 10))
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName} has ${files.length} files — small-file storm")
+    }
+    // round-trip intact
+    assert(Sinks.readSharded(spark, out).count() == docs.count())
+  }
+
   test("streamToParquet: checkpointed append sink delivers each batch once") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime
