@@ -75,15 +75,23 @@ object AsOfJoin {
     }.select(lSel.columns.map(col): _*)
 
     val unioned = lSel.union(rAligned)
-    val base = Window.partitionBy(col(keyCol))
-      .orderBy(col("_t"), col("_side"))
-    val carried =
-      if (forward) unioned.withColumn("_match",
-        first(col("_rp"), ignoreNulls = true).over(
-          base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      else unioned.withColumn("_match",
-        last(col("_rp"), ignoreNulls = true).over(
-          base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // BOTH directions run as a running `last` over an unbounded-PRECEDING
+    // frame — Spark's incremental O(rows) frame. The forward scan gets
+    // there by REVERSING the per-key order (t desc, side desc): the
+    // running "most recently seen" in a descending scan IS the earliest
+    // right row >= t, and at equal t the right row (higher side tag)
+    // still sorts before the left row that must see it. The naive
+    // `first().over(current..unboundedFollowing)` frame recomputes its
+    // aggregate per row — O(partition²), measured as a multi-hour stall
+    // on a 200k-row key at the 10× anchor.
+    val base =
+      if (forward) Window.partitionBy(col(keyCol))
+        .orderBy(col("_t").desc, col("_side").desc)
+      else Window.partitionBy(col(keyCol))
+        .orderBy(col("_t"), col("_side"))
+    val carried = unioned.withColumn("_match",
+      last(col("_rp"), ignoreNulls = true).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     carried.filter(col("_side") === leftSide)
       .select(leftCols.map(col) ++
         rightPayload.map(p => col("_match").getField(p).as(p)): _*)
