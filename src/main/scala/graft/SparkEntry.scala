@@ -430,6 +430,38 @@ object SparkEntry {
           round(coalesce(col("v_sparse_ffill"), lit(-1.0)), 6).as("v_filled"))
     }),
 
+    "funnel_steps" -> ((s, dir) =>
+      // ordered view→click→purchase funnel: one user-keyed exchange,
+      // chained running-min windows over one sort (ts is unique per
+      // event — TESTDATA.md — so the struct order key reduces to ts
+      // and the oracle can chain scalar min-ts CTEs), then a
+      // combinable per-user reduce to one row of step counts
+      graft.lagops.EventAnalytics.funnel(Tables.events(s, dir),
+        "user_id", "event_type", Seq("ts_ns", "event_id"),
+        Seq("view", "click", "purchase"))),
+
+    "retention_cohorts" -> ((s, dir) =>
+      // weekly cohort retention: two aggregates share the user-keyed
+      // partitioning, the join is user-sized, the output matrix-sized
+      graft.lagops.EventAnalytics.retention(Tables.events(s, dir),
+          "user_id", "ts", "week")
+        .withColumnRenamed("offset", "week_offset")),
+
+    "lag_interp" -> ((s, dir) => {
+      // linear gap interpolation (same ~20% knockout as lag_ffill):
+      // two window frames over one (user, order) exchange; -1 sentinel
+      // keeps the nullable doubles hash-comparable
+      val ev = Tables.events(s, dir)
+        .withColumn("v_sparse",
+          when(col("event_id") % 5 =!= 0, col("value")))
+      graft.lagops.EventAnalytics.interpolate(ev, "v_sparse", "ts_ns",
+          Seq("user_id"), Seq("ts_ns", "event_id"))
+        .select(col("user_id"), col("event_id"),
+          round(coalesce(col("v_sparse"), lit(-1.0)), 6).as("v_sparse"),
+          round(coalesce(col("v_sparse_interp"), lit(-1.0)), 6)
+            .as("v_interp"))
+    }),
+
     "resample_ohlc" -> ((s, dir) => {
       // per-user hourly OHLC downsample in ONE combinable agg (min_by/
       // max_by on the (ts_ns, event_id) struct order key — no window
@@ -1303,6 +1335,62 @@ object SparkEntry {
           FROM (SELECT user_id, event_id, ts,
                 CASE WHEN event_id % 5 <> 0 THEN value END AS v_sparse
                 FROM events)""",
+
+    "funnel_steps" ->
+      // scalar min-ts CTE chain — equivalent to the engine's chained
+      // running-min windows because ts is unique per event, so "after
+      // an earlier qualifying step" == "after the MIN qualifying time"
+      """WITH q1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         q2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN q1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > q1.t1 GROUP BY 1),
+         q3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN q2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > q2.t2 GROUP BY 1)
+         SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM q1
+         UNION ALL SELECT 2, 'click', count(*) FROM q2
+         UNION ALL SELECT 3, 'purchase', count(*) FROM q3""",
+
+    "retention_cohorts" ->
+      """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+           FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+           FROM events)
+         SELECT c.cohort,
+           CAST(floor(date_diff('day', c.cohort, a.period) / 7.0) AS INT)
+             AS week_offset,
+           count(*) AS n_users
+         FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+
+    "lag_interp" ->
+      s"""WITH t AS (SELECT user_id, event_id, ts,
+             CAST(epoch_ns(ts) AS DOUBLE) AS tt,
+             CASE WHEN event_id % 5 <> 0 THEN value END AS v_sparse
+           FROM events),
+         w AS (SELECT user_id, event_id, v_sparse, tt,
+           last_value(v_sparse IGNORE NULLS) OVER
+             ($EvWP ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS pv,
+           last_value(CASE WHEN v_sparse IS NOT NULL THEN tt END
+             IGNORE NULLS) OVER
+             ($EvWP ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS pt,
+           first_value(v_sparse IGNORE NULLS) OVER
+             ($EvWP ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS nv,
+           first_value(CASE WHEN v_sparse IS NOT NULL THEN tt END
+             IGNORE NULLS) OVER
+             ($EvWP ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             AS nt
+           FROM t)
+         SELECT user_id, event_id,
+           round(coalesce(v_sparse, -1.0), 6) AS v_sparse,
+           round(coalesce(CASE WHEN v_sparse IS NOT NULL THEN v_sparse
+             WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (tt - pt) / (nt - pt) END, -1.0), 6)
+             AS v_interp
+         FROM w""",
 
     "resample_ohlc" ->
       // window formulation of the same OHLC semantics (first/last value

@@ -1,0 +1,155 @@
+package graft.lagops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the canonical events shape — the
+  * funnel / cohort-retention / gap-interpolation trio every
+  * product-analytics engine ships (and the natural consumers of the
+  * lag machinery's per-entity total order).
+  *
+  * Scale shape shared by all three: ONE exchange keyed by the entity
+  * (user / series), then window or combinable-aggregate passes over
+  * that partitioning. No operator here ever shuffles event rows a
+  * second time; the outputs are entity- or matrix-sized.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel conversion: how many users reach step 1, then step
+    * 2 STRICTLY AFTER their first qualifying step-1 event, then step 3
+    * after that, … for `steps` event types. The classic formulation
+    * (per-user earliest time of each step, each constrained to follow
+    * the previous step's earliest time) runs as ONE user-keyed
+    * shuffle + one sort, with one running-min window column per step:
+    *
+    *   a₁(row) = min earliest step-1 order key among STRICTLY EARLIER
+    *             rows (frame … to -1); a step-k row qualifies iff its
+    *             type is steps(k) and a₍k₋₁₎ is non-null (an earlier
+    *             qualifying step-(k-1) event exists); a_k is the
+    *             running min of qualifying step-k order keys.
+    *
+    * The chained window columns share one partitioning and one order,
+    * so Catalyst plans a single Exchange + Sort and stacked Window
+    * operators — no per-step shuffle. The final reduce is a combinable
+    * boolean aggregate per user, then a tiny per-step count.
+    *
+    * Output: (step_idx, step, n_users), n_users non-increasing in
+    * step_idx.
+    *
+    * @param orderCols total order within a user (include a unique
+    *                  tiebreak, same contract as [[LagSpec.orderCols]])
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String,
+             orderCols: Seq[String], steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(orderCols.nonEmpty, "orderCols must provide a total order")
+    val ord = struct(orderCols.map(col): _*)
+    val strictlyBefore = Window.partitionBy(col(userCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // qual_k: this row is a step-k event preceded by a qualifying
+    // step-(k-1) chain. reach_k: running evidence for step k.
+    var cur = df.withColumn("_q1",
+      when(col(typeCol) === steps.head, ord))
+    for (k <- 1 until steps.length) {
+      val prevReach = min(col(s"_q$k")).over(strictlyBefore)
+      cur = cur.withColumn(s"_q${k + 1}",
+        when(col(typeCol) === steps(k) && prevReach.isNotNull, ord))
+    }
+    val reachAggs = steps.indices.map(i =>
+      max(col(s"_q${i + 1}").isNotNull).as(s"_r${i + 1}"))
+    val reached = cur.groupBy(col(userCol))
+      .agg(reachAggs.head, reachAggs.tail: _*)
+    // ONE global reduce to a single row of per-step counts (combinable
+    // partials), then explode to the per-step output shape
+    val countAggs = steps.indices.map(i =>
+      sum(when(col(s"_r${i + 1}"), 1L).otherwise(0L)).as(s"_n${i + 1}"))
+    reached.agg(countAggs.head, countAggs.tail: _*)
+      .select(explode(array(steps.indices.map(i =>
+        struct(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+          col(s"_n${i + 1}").as("n_users"))): _*)).as("s"))
+      .select("s.*")
+  }
+
+  /** Cohort retention: users are cohorted by the period of their FIRST
+    * event, and each later active period counts toward
+    * (cohort, offset). Two aggregates over the same user-keyed
+    * partitioning — first-event per user, distinct active periods per
+    * user — then a user-sized join and a matrix-sized count. The
+    * output is |cohorts| × |offsets| rows: tiny at any corpus scale.
+    *
+    * @param bucket date_trunc unit for the cohort period ("week",
+    *               "day", "month"); offsets count whole periods via
+    *               day difference / period length, exact for "day" and
+    *               "week" (fixed-length periods)
+    */
+  def retention(df: DataFrame, userCol: String, timeCol: String,
+                bucket: String = "week"): DataFrame = {
+    val periodDays = bucket match {
+      case "day" => 1
+      case "week" => 7
+      case other => throw new IllegalArgumentException(
+        s"retention supports fixed-length buckets day/week, got $other")
+    }
+    val cohorts = df.groupBy(col(userCol))
+      .agg(date_trunc(bucket, min(col(timeCol))).as("cohort"))
+    val active = df
+      .select(col(userCol), date_trunc(bucket, col(timeCol)).as("period"))
+      .distinct()
+    active.join(cohorts, userCol)
+      .select(col("cohort"),
+        (datediff(col("period"), col("cohort")) / periodDays)
+          .cast("int").as("offset"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Linear interpolation of missing values (the gap-fill strategy
+    * beside [[Ffill]]'s LOCF): a null value between two observations
+    * is replaced by the time-weighted line through its neighbors;
+    * leading gaps back-fill from the next observation, trailing gaps
+    * forward-fill from the previous (pandas `interpolate(
+    * limit_direction="both")` semantics). Two window passes over one
+    * (series, order)-keyed exchange — ascending and descending sorts
+    * of the same partitioning.
+    *
+    * @param timeCol NUMERIC time axis (e.g. `ts_ns`) — the
+    *                interpolation weights divide time deltas
+    */
+  def interpolate(df: DataFrame, valueCol: String, timeCol: String,
+                  seriesCols: Seq[String], orderCols: Seq[String])
+      : DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must provide a total order")
+    // the look-ahead side runs as a running `last` over the REVERSED
+    // order — both frames are Spark's incremental unbounded-PRECEDING
+    // frame, O(rows); a `first().over(current..unboundedFollowing)`
+    // frame would recompute per row, O(partition²) (the AsOfJoin
+    // forward-scan lesson). Two sorts, one exchange.
+    val fwd = orderCols.map(col)
+    val rev = orderCols.map(col(_).desc)
+    val (before, after) =
+      if (seriesCols.isEmpty)
+        (Window.orderBy(fwd: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+         Window.orderBy(rev: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        (Window.partitionBy(seriesCols.map(col): _*).orderBy(fwd: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow),
+         Window.partitionBy(seriesCols.map(col): _*).orderBy(rev: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val v = col(valueCol)
+    val t = col(timeCol).cast("double")
+    val tObs = when(v.isNotNull, t)
+    val pv = last(v, ignoreNulls = true).over(before)
+    val pt = last(tObs, ignoreNulls = true).over(before)
+    val nv = last(v, ignoreNulls = true).over(after)
+    val nt = last(tObs, ignoreNulls = true).over(after)
+    df.withColumn(s"${valueCol}_interp",
+      when(v.isNotNull, v)
+        .when(pv.isNull, nv)                       // leading gap: back-fill
+        .when(nv.isNull, pv)                       // trailing gap: LOCF
+        .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt)))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.lagops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("funnel: steps must follow in order, per user, strictly after") {
+    import spark.implicits._
+    // u1: full ordered funnel; u2: click BEFORE view (step 2 not
+    // reached via that click), later click converts; u3: view only;
+    // u4: purchase first (no view → nothing counts), then view
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 15L),
+      (3L, "view", 7L),
+      (4L, "purchase", 1L), (4L, "view", 2L))
+      .toDF("user_id", "event_type", "ts_ns")
+      .withColumn("event_id", col("ts_ns"))
+    val got = EventAnalytics.funnel(ev, "user_id", "event_type",
+        Seq("ts_ns", "event_id"), Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, "view", 4L), (2, "click", 2L),
+      (3, "purchase", 1L)))
+  }
+
+  test("funnel: single user-keyed exchange feeds the chained windows") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val plan = EventAnalytics.funnel(ev, "user_id", "event_type",
+      Seq("ts_ns", "event_id"), Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    // the chained running-min windows and the per-user reduce all share
+    // the user_id partitioning: exactly ONE user-keyed exchange
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(userExchanges == 1, s"expected 1 user-keyed exchange:\n$plan")
+  }
+
+  test("retention: cohort by first-event week, offsets count whole weeks") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d)
+    val ev = Seq(
+      // u1 cohort = week of Mon 2024-01-01; active that week and +2w
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-04 10:00:00")),
+      (1L, ts("2024-01-16 10:00:00")),
+      // u2 cohort = next week; active cohort week only
+      (2L, ts("2024-01-08 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.retention(ev, "user_id", "ts", "week")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00.0", 0, 1L), ("2024-01-01 00:00:00.0", 2, 1L),
+      ("2024-01-08 00:00:00.0", 0, 1L)))
+  }
+
+  test("interpolate: interior gaps are time-weighted, edges clamp") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L, None: Option[Double]),   // leading gap → back-fill 10
+      (1L, 10L, Some(10.0)),
+      (1L, 14L, None),                  // 10 + (20-10)*(14-10)/(20-10) = 14
+      (1L, 20L, Some(20.0)),
+      (1L, 99L, None),                  // trailing gap → LOCF 20
+      (2L, 5L, None))                   // all-null series stays null
+      .toDF("user_id", "t", "v")
+    val got = EventAnalytics.interpolate(df, "v", "t",
+        Seq("user_id"), Seq("t"))
+      .select(col("user_id"), col("t"), col("v_interp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toSet
+    assert(got.contains((1L, 0L, 10.0)))
+    assert(got.contains((1L, 14L, 14.0)))
+    assert(got.contains((1L, 99L, 20.0)))
+    assert(got.exists(x => x._1 == 2L && x._3.isNaN))
+  }
+}
