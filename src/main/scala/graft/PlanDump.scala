@@ -92,6 +92,35 @@ object PlanDump {
           "exchange over |L|+|R| rows, a per-key sort, zero row " +
           "amplification — the shuffle shape of a sort-merge join, unlike " +
           "a range join which would explode candidates."),
+      "asof_join_forward" ->
+        ("Same union machinery scanning toward the FUTURE — as a running " +
+          "last() over a reversed (t desc, side desc) order, i.e. Spark's " +
+          "incremental unbounded-PRECEDING frame. The naive " +
+          "first().over(current..unboundedFollowing) frame recomputes per " +
+          "row — O(partition^2), a measured multi-hour stall on the 10x " +
+          "anchor's 200k-row keys before the round-6 fix."),
+      "funnel_steps" ->
+        ("Chained running-min step windows share ONE " +
+          "hashpartitioning(user_id) exchange and one sort (stacked " +
+          "Window operators, no per-step shuffle); the per-user reduce " +
+          "is a combinable hash aggregate over the same partitioning, " +
+          "then a single-row global reduce explodes into the per-step " +
+          "output. Spec-fenced to exactly one user-keyed exchange."),
+      "lag_interp" ->
+        ("Both neighbor scans are incremental unbounded-PRECEDING " +
+          "frames — the look-ahead side via a reversed-order running " +
+          "last() (the asof_join_forward lesson) — so the plan is one " +
+          "(user) exchange with an ascending and a descending sort, " +
+          "never a quadratic frame."),
+      "retention_cohorts" ->
+        ("First-event cohort agg and distinct-activity agg share the " +
+          "user_id partitioning; the join is user-sized and the final " +
+          "aggregate matrix-sized — event rows shuffle once."),
+      "dedup_substrings" ->
+        ("Positional 20-gram hashes from the codegen'd kernel; the df " +
+          "count joins on the 8-byte gram hash (strings never shuffle), " +
+          "and maximal duplicated runs group via pos - row_number() — " +
+          "window over (doc, run) partitions, candidate-scale rows only."),
       "decontaminate" ->
         ("Probe (eval-suite) shingle hashes are the tiny side: both the " +
           "id anti-join and the hash join are broadcasts, so corpus " +

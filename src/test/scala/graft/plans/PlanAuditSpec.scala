@@ -488,4 +488,33 @@ class PlanAuditSpec extends AnyFunSuite {
     // and the first join input other than the list_id clustering itself
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
+
+  test("no registered query plans a quadratic unbounded-following window frame") {
+    // Spark evaluates aggregate frames that START mid-partition and END
+    // at unboundedFollowing (UnboundedFollowingWindowFunctionFrame) by
+    // recomputing per row — O(partition^2). asof_join_forward shipped
+    // one and stalled for HOURS on the 10x anchor's 200k-row keys the
+    // first time the full surface ran at scale (fixed round 6 via the
+    // reversed-order running-last form). This fence keeps the whole
+    // registered surface on incremental frames forever. Whole-partition
+    // frames (unboundedPreceding..unboundedFollowing — the bare
+    // count().over(partitionBy) shape) compute ONCE per partition and
+    // are fine; only a non-unbounded lower bound paired with an
+    // unboundedfollowing upper bound is quadratic. (Planning only —
+    // nothing executes.)
+    val quadratic =
+      """specifiedwindowframe\([^,]+, ([^,]+), unboundedfollowing""".r
+    val offenders = graft.SparkEntry.queries.keys.toSeq.sorted.flatMap {
+      name =>
+        val p = try graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString.toLowerCase
+        catch { case e: Throwable => s"planning_failed: ${e.getMessage}" }
+        if (p.contains("planning_failed"))
+          Some(s"$name -> $p")
+        else quadratic.findAllMatchIn(p)
+          .find(!_.group(1).contains("unboundedpreceding"))
+          .map(m => s"$name -> quadratic frame: ${m.matched}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
