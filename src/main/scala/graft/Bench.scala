@@ -11,6 +11,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // dimension tables stay broadcast-side past the 10x anchor
+      // (orders at zsf1 is 25 MB — a trivial broadcast on any real
+      // executor, but over the 10 MB default, which flipped q3/q5
+      // to full shuffle joins); split single-file twin tables into
+      // enough scan partitions to feed the cores
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet footer caches, so the first

@@ -241,13 +241,21 @@ object ScaleGen {
 
     // collapse each table to a single bare file, like the driver's
     // layout (one parquet per table — what tools/check_oracle.py's
-    // DuckDB views read; scan parallelism comes from row-group splits
-    // and Par.spread, exactly as with the driver's files)
+    // DuckDB views read). Scan parallelism inside the single file comes
+    // from ROW-GROUP granularity: Spark assigns a row group to the
+    // split holding its midpoint, so a file written as one 128 MB
+    // default-size row group scans as ONE task no matter how many byte
+    // splits exist (measured: the whole map side of every lineitem join
+    // ran single-threaded at zsf1 — q5 7.1s). 16 MB row groups give the
+    // scheduler ~8 independent units per 128 MB, restoring the
+    // parallelism a multi-file table would have.
     for (t <- Seq("documents", "embeddings", "events") ++ tpchTables) {
       val dir = java.nio.file.Paths.get(s"$outDir/$t.parquet")
       val tmp = java.nio.file.Paths.get(s"$outDir/_single_$t")
       spark.read.parquet(dir.toString).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (16L << 20).toString)
+        .parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
