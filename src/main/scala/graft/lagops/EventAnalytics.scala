@@ -37,6 +37,15 @@ object EventAnalytics {
     * Output: (step_idx, step, n_users), n_users non-increasing in
     * step_idx.
     *
+    * Semantics note: "strictly after" means strictly earlier in the
+    * (orderCols) ROW order, not strictly earlier in time. The two agree
+    * exactly when the leading order column (typically the timestamp) is
+    * unique per user; with duplicate timestamps a step-k event at the
+    * same instant as its step-(k-1) predecessor counts or not according
+    * to the TIEBREAK column's order, where the classic min-time
+    * formulation would never count it. Callers comparing against a
+    * time-based oracle must guarantee unique per-user timestamps.
+    *
     * @param orderCols total order within a user (include a unique
     *                  tiebreak, same contract as [[LagSpec.orderCols]])
     */
@@ -150,6 +159,10 @@ object EventAnalytics {
       when(v.isNotNull, v)
         .when(pv.isNull, nv)                       // leading gap: back-fill
         .when(nv.isNull, pv)                       // trailing gap: LOCF
+        // duplicate-timestamp neighbors: nt == pt would make the slope
+        // term 0/0 (Spark Divide → null), silently dropping an interior
+        // fill; degenerate bracket takes the previous observation
+        .when(nt === pt, pv)
         .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt)))
   }
 }

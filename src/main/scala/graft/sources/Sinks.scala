@@ -19,6 +19,8 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
   */
 object Sinks {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Deterministic [0, numShards) shard from a key column — md5-derived
     * (the engine's portable hash family) so re-runs and engines agree,
     * and safe to re-evaluate anywhere in the plan (no RNG, no
@@ -61,14 +63,34 @@ object Sinks {
     * 3× for parquet-on-disk vs in-memory width (encoding + compression on
     * text-heavy corpora). It costs no job: stats come from file sizes and
     * column widths, not a scan.
+    *
+    * Guard: stat-less relations (in-memory ranges, some views) report the
+    * `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue by default),
+    * and joins MULTIPLY child estimates — so a garbage estimate overshoots
+    * by orders of magnitude and would saturate `maxShards`, creating the
+    * exact small-file storm this helper exists to prevent. Any estimate at
+    * or above the session's sentinel falls back to the session's shuffle
+    * parallelism (a sane write fan-out) instead of the cap, and `maxShards`
+    * itself defaults to 4096: at 512 MB/shard that already covers a 2 TB
+    * single write, and a larger job should size explicitly rather than
+    * inherit a million-directory layout from a bad estimate.
     */
   def shardCountFor(df: DataFrame, targetBytes: Long = 512L << 20,
-                    maxShards: Int = 1 << 20): Int = {
+                    maxShards: Int = 4096): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes / 3
-    val bytes = est.min(BigInt(Long.MaxValue)).toLong.max(1L)
-    (((bytes + targetBytes - 1) / targetBytes).max(1L)
-      .min(maxShards.toLong)).toInt
+    val conf = df.sparkSession.sessionState.conf
+    val raw = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (raw >= BigInt(conf.defaultSizeInBytes)) {
+      log.warn(
+        s"shardCountFor: plan stats report the defaultSizeInBytes sentinel " +
+          s"($raw); falling back to ${conf.numShufflePartitions} shards — " +
+          "pass an explicit shard count for stat-less frames")
+      conf.numShufflePartitions.min(maxShards).max(1)
+    } else {
+      val bytes = (raw / 3).min(BigInt(Long.MaxValue)).toLong.max(1L)
+      (((bytes + targetBytes - 1) / targetBytes).max(1L)
+        .min(maxShards.toLong)).toInt
+    }
   }
 
   /** [[writeSharded]] with the shard count derived from the frame's size

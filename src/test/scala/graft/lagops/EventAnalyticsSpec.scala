@@ -79,4 +79,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.contains((1L, 99L, 20.0)))
     assert(got.exists(x => x._1 == 2L && x._3.isNaN))
   }
+
+  test("interpolate: duplicate-timestamp bracket fills (no 0/0 null)") {
+    import spark.implicits._
+    // the null row's previous and next observations share t=10: the
+    // slope term is 0/0, which Spark's Divide nulls — the degenerate
+    // bracket must still fill (with the previous observation), keeping
+    // the 'interior gaps are filled' contract on duplicate-ts data
+    val df = Seq(
+      (1L, 10L, 1L, Some(3.0)),
+      (1L, 10L, 2L, None: Option[Double]),
+      (1L, 10L, 3L, Some(7.0)))
+      .toDF("user_id", "t", "seq", "v")
+    val got = EventAnalytics.interpolate(df, "v", "t",
+        Seq("user_id"), Seq("t", "seq"))
+      .select(col("seq"), col("v_interp")).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1), if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, false, 3.0), (2L, false, 3.0), (3L, false, 7.0)))
+  }
 }

@@ -124,6 +124,29 @@ class SinksSpec extends AnyFunSuite {
     assert(Sinks.readSharded(spark, out).count() == docs.count())
   }
 
+  test("shardCountFor: defaultSizeInBytes sentinel falls back, never storms") {
+    // a LogicalRDD-backed frame has no stats — Catalyst reports the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue); naive
+    // ceil-division would saturate maxShards and recreate the exact
+    // small-file storm the helper guards against
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val statless = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      schema)
+    val raw = statless.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(raw >= BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      s"precondition: expected sentinel stats, got $raw")
+    val n = Sinks.shardCountFor(statless)
+    assert(n == spark.sessionState.conf.numShufflePartitions,
+      s"sentinel must fall back to shuffle parallelism, got $n")
+    // and a join of sentinel frames (estimates MULTIPLY) stays sane too
+    val joined = statless.join(statless.withColumnRenamed("id", "id2"),
+      statless("id") === org.apache.spark.sql.functions.col("id2"))
+    assert(Sinks.shardCountFor(joined) <= 4096)
+  }
+
   test("streamToParquet: checkpointed append sink delivers each batch once") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime
