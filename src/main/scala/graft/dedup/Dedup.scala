@@ -210,10 +210,15 @@ object Dedup {
                          rowsPerBand: Int = 2, threshold: Double = 0.5,
                          maxBucket: Int = 64): DataFrame = {
     // the increment's shingle frame forks three ways (band keys, verify
-    // side, output doc list) — checkpoint once, like spanPairs' fps
+    // side, output doc list) — checkpoint once, like spanPairs' fps.
+    // The banded frame forks twice (key broadcast + pairing join):
+    // checkpoint it too so the increment signs exactly once (plan forks
+    // re-run MinHashSigExpr per branch otherwise; measured ~40% of the
+    // row at sf0.1). The CORPUS side stays lazy — corpus-sized frames
+    // are never checkpointed.
     val incSh = shingleSetsOf(graft.util.Par.spread(incoming), idCol,
       textCol, shingleSize).localCheckpoint()
-    val incBanded = bandKeysOf(incSh, bands, rowsPerBand)
+    val incBanded = bandKeysOf(incSh, bands, rowsPerBand).localCheckpoint()
     val incKeys = incBanded.select(col("band"), col("bucket")).distinct()
     val corpusBanded = bandKeysOf(
       shingleSetsOf(graft.util.Par.spread(corpus), idCol, textCol,
@@ -283,10 +288,15 @@ object Dedup {
                                rowsPerBand: Int = 2,
                                threshold: Double = 0.5,
                                maxBucket: Int = 64): DataFrame = {
-    // the increment's shingle frame forks three ways; checkpoint once
+    // the increment's shingle frame forks three ways; checkpoint once.
+    // The banded frame forks twice more (key broadcast + pairing join) —
+    // checkpoint it too, so the increment is SIGNED EXACTLY ONCE: plan
+    // forks would otherwise re-run MinHashSigExpr per branch (observed
+    // 4x in the executed plan), doubling the probe row's dominant
+    // O(increment) compute. Both checkpoints are increment-sized.
     val incSh = shingleSetsOf(graft.util.Par.spread(incoming), idCol,
       textCol, shingleSize).localCheckpoint()
-    val incBanded = bandKeysOf(incSh, bands, rowsPerBand)
+    val incBanded = bandKeysOf(incSh, bands, rowsPerBand).localCheckpoint()
     val incKeys = incBanded.select(col("band"), col("bucket")).distinct()
     val matched = store.banded.join(broadcast(incKeys), Seq("band", "bucket"))
     val capped = matched.withColumn("_n",

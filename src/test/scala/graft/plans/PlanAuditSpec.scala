@@ -406,6 +406,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assertShufflesPostProbe("dedup_minhash_incremental", minProbes = 3)
   }
 
+  test("dedup_minhash_probe: timed pass reads the store, never re-signs the corpus") {
+    // the probe row's claim is "daily ingest pays O(increment)": the
+    // corpus's signatures and shingle hashes must come from the
+    // persisted SignatureStore parquet, and the ONLY MinHash signing in
+    // the plan is the increment's. A regression that silently re-signs
+    // the corpus (store ignored, frames rebuilt) would keep the answer
+    // identical — only this plan fence catches it.
+    val p = plan("dedup_minhash_probe") // first call builds the store
+    val storePath = "stores/sf0.001/minhash"
+    assert(p.linesIterator.count(l => l.contains("Scan parquet") &&
+      l.contains(storePath)) >= 2 ||
+      p.linesIterator.count(_.contains(storePath)) >= 2,
+      s"expected both store parquet scans (signatures + shingle_hashes):\n$p")
+    // ZERO signing kernels in the timed plan: the increment signs once
+    // inside its checkpoint's eager job (plan forks would otherwise
+    // re-run MinHashSigExpr per branch), and the corpus's hashes are
+    // store COLUMNS — any minhashsigexpr here means corpus re-signing
+    // or a lost checkpoint, either way a probe-cost regression.
+    assert(!p.contains("minhashsigexpr"),
+      s"signature kernel in the timed probe plan:\n$p")
+    // the one xx hash pass allowed is the increment verify attach
+    // (expression display may span Project + Exchange lines)
+    assert(p.linesIterator.count(_.contains("xxsortedhashesexpr")) <= 2,
+      s"corpus shingle-hash recompute detected:\n$p")
+    // and no corpus text scan: the increment's is checkpoint-truncated,
+    // so documents.parquet must not appear anywhere in the timed plan
+    assert(!p.contains("documents.parquet"),
+      s"corpus/document text scan in the probe plan:\n$p")
+  }
+
+  test("dedup_spans_probe: timed pass reads the span store, never re-winnows the corpus") {
+    // same contract for the passage-level probe: corpus fingerprints
+    // (and their denormalized df) come from span_fps parquet; the only
+    // winnowing kernel in the plan is the increment's
+    val p = plan("dedup_spans_probe")
+    assert(p.linesIterator.exists(l => l.contains("stores/sf0.001/spans")),
+      s"expected the span_fps store parquet scan:\n$p")
+    assert(p.linesIterator.count(_.contains("winnowfpsexpr")) <= 1,
+      s"corpus re-winnowing detected:\n$p")
+    // the only allowed documents scan is the increment's id-list base
+    // frame — column-pruned to doc_id, never reading text
+    p.linesIterator.filter(l => l.contains("documents.parquet") &&
+        l.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text"), s"document text read in probe plan: $l")
+    }
+  }
+
   test("sql_q17_small_qty: correlated subquery decorrelates to aggregate + join") {
     // Catalyst must rewrite the per-part scalar subquery into one
     // threshold aggregate joined back — never a per-row re-execution
