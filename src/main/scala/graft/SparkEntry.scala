@@ -256,8 +256,11 @@ object SparkEntry {
     * back to (doc, word) occurrences. Queries using this chain must
     * open with `WITH RECURSIVE`.
     */
-  private lazy val duckBpeCtes: String = {
-    val values = graft.functions.BpeVocab.merges.zipWithIndex
+  private lazy val duckBpeCtes: String =
+    duckBpeCtesFor(graft.functions.BpeVocab.merges)
+
+  private def duckBpeCtesFor(merges: Seq[(String, String)]): String = {
+    val values = merges.zipWithIndex
       .map { case ((l, r), i) =>
         s"('${l.replace("'", "''")}','${r.replace("'", "''")}',$i)" }
       .mkString(", ")
@@ -1122,6 +1125,29 @@ object SparkEntry {
       graft.util.Par.spread(Tables.documents(s, dir)).select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    "bpe_tokens_ext" -> ((s, dir) => {
+      // budgets in a REAL tokenizer's units: the merge table comes from
+      // an EXTERNAL merges.txt (standard ordered-pair format), loaded
+      // via BpeVocab.fromFile — the path a production pipeline takes
+      // with its model's actual vocabulary. The fixture's first 100
+      // merges stand in as the "external" table (written on first
+      // invocation, probe-row convention): a genuinely different,
+      // coarser vocabulary than the 200-merge fixture, whose oracle CTE
+      // interpolates the same 100-merge prefix.
+      val sd = storeDir(dir, "bpe")
+      val path = s"$sd/merges.txt"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        graft.functions.BpeVocab.toFile(
+          graft.functions.BpeVocab.merges.take(100), path,
+          s.sparkContext.hadoopConfiguration)
+      val ext = graft.functions.BpeVocab.fromFile(path,
+        s.sparkContext.hadoopConfiguration)
+      graft.util.Par.spread(Tables.documents(s, dir)).select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text"), ext).as("n_bpe"))
+    }),
 
     "seq_pack_bpe" -> ((s, dir) =>
       graft.pipeline.Pipeline.seqPack(Tables.documents(s, dir),
@@ -2339,6 +2365,15 @@ object SparkEntry {
       // whitespace count
       s"""WITH RECURSIVE $duckBpeCtes
          SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens, c.n_bpe
+         FROM btok t JOIN bcounts c USING (doc_id)""",
+
+    "bpe_tokens_ext" ->
+      // the same CTE chain under the EXTERNAL 100-merge table the query
+      // loads from merges.txt — interpolated from the identical prefix,
+      // so kernel, file round-trip, and oracle all consume one table
+      s"""WITH RECURSIVE ${duckBpeCtesFor(
+            graft.functions.BpeVocab.merges.take(100))}
+         SELECT t.doc_id, c.n_bpe
          FROM btok t JOIN bcounts c USING (doc_id)""",
 
     "seq_pack_bpe" ->

@@ -110,6 +110,68 @@ object BpeVocab {
     out.result()
   }
 
+  /** Load an EXTERNAL merge table in the standard `merges.txt` format
+    * (the artifact every public BPE tokenizer distribution ships: one
+    * `left right` pair per line, rank = line order, an optional
+    * `#version: …` header). This is the path to metering budgets in a
+    * REAL model's tokenizer units instead of the embedded fixture's:
+    * load once on the driver (merge tables are vocabulary-sized, tens
+    * of thousands of lines — KBs to low MBs), and the ranks map rides
+    * to executors as a codegen reference object inside
+    * [[BpeCountExpr]], exactly like the fixture table.
+    *
+    * Reads through Hadoop's FileSystem so `file:/`, `hdfs:/`, `s3a:/`
+    * paths all work on a cluster; bare paths resolve against the
+    * default FS. Lines that are blank or `#`-prefixed are skipped;
+    * a line with other than two whitespace-separated symbols is a
+    * format error (fail loud — a silently mis-parsed vocabulary would
+    * quietly re-meter every budget downstream).
+    */
+  def fromFile(path: String,
+               hadoopConf: org.apache.hadoop.conf.Configuration =
+                 new org.apache.hadoop.conf.Configuration())
+      : Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val out = Vector.newBuilder[(String, String)]
+      var lineNo = 0
+      var line = in.readLine()
+      while (line != null) {
+        lineNo += 1
+        val t = line.trim
+        if (t.nonEmpty && !t.startsWith("#")) {
+          val parts = t.split("\\s+")
+          require(parts.length == 2,
+            s"$path:$lineNo: expected 'left right', got '$t'")
+          out += ((parts(0), parts(1)))
+        }
+        line = in.readLine()
+      }
+      val merges = out.result()
+      require(merges.nonEmpty, s"$path: no merge rules found")
+      merges
+    } finally in.close()
+  }
+
+  /** Write a merge table in the same `merges.txt` format [[fromFile]]
+    * reads — round-trip pinned in BpeSpec.
+    */
+  def toFile(merges: Seq[(String, String)], path: String,
+             hadoopConf: org.apache.hadoop.conf.Configuration =
+               new org.apache.hadoop.conf.Configuration()): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write("#version: 0.2\n")
+      merges.foreach { case (l, r) => out.write(s"$l $r\n") }
+    } finally out.close()
+  }
+
   /** Merge all left-to-right non-overlapping (l, r) adjacencies. */
   private def mergeAll(syms: Vector[String], l: String, r: String): Vector[String] = {
     val b = Vector.newBuilder[String]

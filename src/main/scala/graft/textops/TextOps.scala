@@ -39,6 +39,15 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     graft.functions.BpeCountExpr(text)
 
+  /** [[bpeTokenCount]] under an EXTERNAL merge table (e.g. loaded from
+    * a real tokenizer's `merges.txt` via
+    * [[graft.functions.BpeVocab.fromFile]]) — pass the result as the
+    * `counter` of any `_bpe` budget operator to meter packs/mixtures in
+    * the model's actual subword units.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeCountExpr(text, merges)
+
   /** BPE-ish subword count: word pieces + digits + punctuation runs, the
     * usual pre-tokenizer regex family (public GPT-2 style pre-tokenizer,
     * simplified to an ASCII-safe form both Spark and DuckDB agree on).

@@ -89,4 +89,65 @@ class BpeSpec extends AnyFunSuite {
         .sum)
     assert(got == want)
   }
+
+  test("merges.txt round-trips: toFile then fromFile preserves the table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val path = s"$dir/merges.txt"
+    BpeVocab.toFile(BpeVocab.merges, path)
+    assert(BpeVocab.fromFile(path) == BpeVocab.merges)
+    // the written artifact is the standard format: version header +
+    // one space-separated pair per line
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path))
+    assert(lines.get(0).startsWith("#version:"))
+    assert(lines.size == BpeVocab.merges.size + 1)
+  }
+
+  test("fromFile parses a hand-written external table; rejects malformed rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe2").toString
+    val path = s"$dir/ext_merges.txt"
+    // a NON-fixture vocabulary in the standard format, with the header,
+    // blank lines, and a comment — all of which real files contain
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "#version: 0.2\nt h\nth e\n\n# boundary\ne r\n".getBytes("UTF-8"))
+    val ext = BpeVocab.fromFile(path)
+    assert(ext == Seq(("t", "h"), ("th", "e"), ("e", "r")))
+    // segmentation under the external table: "there" = th+e merged,
+    // then r,e with only (e,r) unavailable mid-word after "the"
+    assert(BpeVocab.encodeReference("there", ext) == Seq("the", "r", "e"))
+    assert(BpeKernelUtil.wordCount("there",
+      BpeKernelUtil.buildRanks(ext)) == 3)
+    val bad = s"$dir/bad.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      "a b c\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](BpeVocab.fromFile(bad))
+  }
+
+  test("external table threads through the Column kernel and budget counter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe3").toString
+    val path = s"$dir/merges.txt"
+    // the fixture's first 100 merges as the "external" vocabulary — a
+    // genuinely coarser table (greedy training makes any prefix a valid
+    // standalone vocabulary), same artifact bpe_tokens_ext registers
+    BpeVocab.toFile(BpeVocab.merges.take(100), path)
+    val ext = BpeVocab.fromFile(path)
+    val texts = Seq(
+      "the training corpus for a large language model",
+      "deduplication statistics distribution")
+    val got = texts.toDF("text")
+      .select(graft.textops.TextOps.bpeTokenCount(col("text"), ext).as("n"))
+      .as[Long].collect().toSeq
+    val want = texts.map(t =>
+      t.split("\\s+").filter(_.nonEmpty)
+        .map(w => BpeVocab.encodeReference(w, ext).length.toLong).sum)
+    assert(got == want)
+    // and it is NOT the fixture segmentation: fewer merges => at least
+    // as many tokens, strictly more somewhere in these texts
+    val fix = texts.toDF("text")
+      .select(graft.textops.TextOps.bpeTokenCount(col("text")).as("n"))
+      .as[Long].collect().toSeq
+    assert(got.zip(fix).forall { case (e, f) => e >= f })
+    assert(got.sum > fix.sum, "100-merge table should segment finer somewhere")
+  }
 }
