@@ -1264,6 +1264,23 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"),
           round(col("f").cast("double") * col("n_bytes"))
             .cast("long").as("n_in_bucket"))
+    }),
+
+    "multimodal_decode" -> ((s, dir) => {
+      // REAL image decode, hash-verified: render one deterministic 8x8
+      // PNG per doc_id (closed-form pixels), push the bytes through the
+      // JDK's ImageIO codec in the per-partition contract, and emit the
+      // decoded dimensions + exact per-channel pixel sums. PNG is
+      // lossless, so the oracle recomputes the sums from the pixel
+      // formula alone — a hash-green row proves the actual codec
+      // round-trip pixel for pixel (a decoder bug, a channel swap, or a
+      // color-space drift all break the hash). Both halves are narrow
+      // mapPartitions passes; the payload never shuffles.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      Multimodal.imageFeatures(
+          Multimodal.syntheticImages(ids, "doc_id"))
+        .select(col("media_id"), col("sniffed_format"), col("width"),
+          col("height"), col("r_sum"), col("g_sum"), col("b_sum"))
     })
   )
 
@@ -2563,7 +2580,24 @@ object SparkEntry {
            g.bucket::BIGINT AS bucket,
            coalesce(c.n, 0)::BIGINT AS n_in_bucket
          FROM grid g LEFT JOIN mcnt c
-           ON c.media_id = g.media_id AND c.bucket = g.bucket"""
+           ON c.media_id = g.media_id AND c.bucket = g.bucket""",
+
+    "multimodal_decode" ->
+      // the decode row's pixels in closed form: the Spark side REALLY
+      // encodes each image as PNG and REALLY decodes it with ImageIO;
+      // lossless PNG means the decoded channel sums must equal these
+      // formula sums exactly — the hash gate IS the codec test
+      """WITH px AS (SELECT d.doc_id AS media_id, x.g AS x, y.g AS y
+           FROM documents d, generate_series(0, 7) x(g),
+                generate_series(0, 7) y(g)),
+         sums AS (SELECT media_id,
+             sum((media_id * 31 + x * 7 + y * 13) % 256)::BIGINT AS r_sum,
+             sum((media_id * 17 + x * 11 + y * 3) % 256)::BIGINT AS g_sum,
+             sum((media_id * 7 + x * 5 + y * 19) % 256)::BIGINT AS b_sum
+           FROM px GROUP BY media_id)
+         SELECT media_id, 'png' AS sniffed_format, 8::INTEGER AS width,
+           8::INTEGER AS height, r_sum, g_sum, b_sum
+         FROM sums"""
   )
 
   /** CTE chain mirroring [[graft.simops.Similarity.nearDupPairsBanded]]

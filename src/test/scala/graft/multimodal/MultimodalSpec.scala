@@ -89,4 +89,75 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(rec.content, "UTF-8") == "héllo")
     assert(rec.media_id == 7L)
   }
+
+  test("REAL codec round-trip: PNG encode then ImageIO decode is pixel-exact") {
+    // the synthetic fixture's pixels are a closed form of (id, x, y);
+    // PNG is lossless, so decodeImage must recover the exact channel
+    // sums — this is the same invariant the multimodal_decode oracle
+    // hashes corpus-wide
+    for (id <- Seq(0L, 1L, 42L, 123456789L)) {
+      val bytes = Multimodal.syntheticPng(id)
+      // a real PNG container, sniffed as such
+      assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte)
+      val st = Multimodal.decodeImage(bytes).get
+      assert(st.width == 8 && st.height == 8)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        rs += (id * 31 + x * 7 + y * 13) % 256
+        gs += (id * 17 + x * 11 + y * 3) % 256
+        bs += (id * 7 + x * 5 + y * 19) % 256
+      }
+      assert((st.r_sum, st.g_sum, st.b_sum) == ((rs, gs, bs)), s"id=$id")
+    }
+  }
+
+  test("decodeImage handles JPEG and rejects non-image bytes") {
+    // JPEG: real lossy codec — assert geometry and approximate color,
+    // not exact bytes
+    val img = new java.awt.image.BufferedImage(16, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try { g2.setColor(java.awt.Color.RED); g2.fillRect(0, 0, 16, 9) }
+    finally g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val st = Multimodal.decodeImage(bos.toByteArray).get
+    assert(st.width == 16 && st.height == 9)
+    assert(st.r_sum > st.b_sum * 5, "solid red should dominate blue")
+    // non-image payloads decode to None, never throw
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("imageFeatures: distributed decode is narrow and flags undecodables") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticPng(1L)),
+      (2L, "junk bytes".getBytes("UTF-8")))
+    val df = rows.toDF("media_id", "content").repartition(2)
+    val out = Multimodal.imageFeatures(df)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"decode must not shuffle the payload:\n$plan")
+    val got = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(2) && got(1L).getString(1) == "png")
+    assert(got(1L).getInt(3) == 8 && got(1L).getInt(4) == 8)
+    assert(!got(2L).getBoolean(2) && got(2L).isNullAt(3))
+  }
+
+  test("resize runs the real codec on images: decoded dims match the box") {
+    val png = Multimodal.syntheticPng(9L, 32, 32)
+    val out = Multimodal.resize(media(9L -> png), 16, 16).collect().head
+    assert(out.width.contains(16) && out.height.contains(16))
+    // the output is itself a decodable PNG of the requested geometry
+    val st = Multimodal.decodeImage(out.content).get
+    assert(st.width == 16 && st.height == 16)
+    // downscale of a smooth gradient stays in the source color range
+    assert(st.r_sum >= 0 && st.r_sum <= 255L * 16 * 16)
+    // non-image payloads keep the deterministic stub path
+    val stub = Multimodal.resize(media(1L -> "abc".getBytes("UTF-8")), 4, 4)
+      .collect().head
+    assert(Multimodal.decodeImage(stub.content).isEmpty)
+    assert(stub.width.contains(4))
+  }
 }
