@@ -827,6 +827,13 @@ object SparkEntry {
       // hash-only corpus exchange, candidate-scale after the dup filter
       Dedup.substrings(Tables.documents(s, dir), "doc_id", "text", k = 20)),
 
+    "dedup_substrings_char" -> ((s, dir) =>
+      // character-level ExactSubstr: 50-code-point grams catch verbatim
+      // runs that start/end mid-word (templated boilerplate with
+      // interpolated values) — same one-exchange positional machinery
+      Dedup.substringsChar(Tables.documents(s, dir), "doc_id", "text",
+        k = 50)),
+
     "dedup_spans_incremental" -> ((s, dir) => {
       // passage-level daily ingest: same md5-bucket split (>= 70 plays
       // the increment); the increment's winnow fp keys broadcast
@@ -1834,6 +1841,27 @@ object SparkEntry {
          SELECT doc_id, min(pos)::BIGINT AS start_tok,
            (max(pos) + 20)::BIGINT AS end_tok,
            (max(pos) + 20 - min(pos))::BIGINT AS n_tokens
+         FROM r GROUP BY doc_id, run""",
+
+    "dedup_substrings_char" ->
+      // the character-granularity twin: positions enumerate code points
+      // (DuckDB's substr/length are character-indexed, matching the
+      // kernel's code-point walk); the Spark side joins on the gram's
+      // 64-bit hash, the oracle on the gram string — equal absent
+      // collisions, the standing hashed-candidate contract
+      """WITH g AS (SELECT doc_id,
+           unnest(generate_series(1, length(text) - 49)) AS i, text
+           FROM documents WHERE length(text) >= 50),
+         g2 AS (SELECT doc_id, i - 1 AS pos, substr(text, i, 50) AS gram
+           FROM g),
+         m AS (SELECT doc_id, pos FROM
+           (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n
+            FROM g2) WHERE n >= 2),
+         r AS (SELECT doc_id, pos, pos - row_number()
+             OVER (PARTITION BY doc_id ORDER BY pos) AS run FROM m)
+         SELECT doc_id, min(pos)::BIGINT AS start_chr,
+           (max(pos) + 50)::BIGINT AS end_chr,
+           (max(pos) + 50 - min(pos))::BIGINT AS n_chars
          FROM r GROUP BY doc_id, run""",
 
     "dedup_spans_incremental" -> spanIncrementalOracle,

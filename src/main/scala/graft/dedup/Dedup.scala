@@ -912,12 +912,45 @@ object Dedup {
     * docs) cost O(occurrences) rows, never O(occurrences²).
     */
   def substrings(df: DataFrame, idCol: String, textCol: String,
-                 k: Int = 20): DataFrame = {
+                 k: Int = 20): DataFrame =
+    positionalDupRuns(df, idCol,
+      graft.functions.WordKgramXxExpr(col(textCol), k), k,
+      "start_tok", "end_tok", "n_tokens")
+
+  /** CHARACTER-granularity ExactSubstr — [[substrings]] with code-point
+    * k-grams (k ≈ 50 characters, the published working point is 50
+    * BYTES of UTF-8; code points here so the positions are
+    * SQL-replayable) instead of word grams. Catches what word grams
+    * structurally miss: verbatim runs that start or end MID-WORD —
+    * templated boilerplate with interpolated values, concatenated-
+    * without-spaces duplication, sub-word-boundary overlap. Output
+    * offsets are 0-based code-point positions:
+    * `(doc_id, start_chr, end_chr, n_chars)`, `end_chr` exclusive.
+    *
+    * Same scale shape as the word form: the k-gram kernel
+    * ([[graft.functions.CharKgramXxExpr]]) tokenizes and hashes in the
+    * scan stage, ONE corpus exchange on the 8-byte gram hash (a
+    * character position per row — ~5× the word form's row count at
+    * the same corpus, still hash-only), duplicated-position scale
+    * after the `n_occ >= 2` filter.
+    */
+  def substringsChar(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 50): DataFrame =
+    positionalDupRuns(df, idCol,
+      graft.functions.CharKgramXxExpr(col(textCol), k), k,
+      "start_chr", "end_chr", "n_chars")
+
+  /** Shared ExactSubstr machinery: positional gram hashes → corpus-wide
+    * occurrence count in ONE hash-keyed exchange → maximal runs of
+    * duplicated positions via the `pos − row_number()` grouping.
+    */
+  private def positionalDupRuns(df: DataFrame, idCol: String,
+                                gramHashes: org.apache.spark.sql.Column,
+                                k: Int, startName: String, endName: String,
+                                lenName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = graft.util.Par.spread(df)
-      .select(col(idCol),
-        posexplode(graft.functions.WordKgramXxExpr(col(textCol), k))
-          .as(Seq("pos", "h")))
+      .select(col(idCol), posexplode(gramHashes).as(Seq("pos", "h")))
     val dup = grams
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("n_occ") >= 2)
@@ -925,10 +958,10 @@ object Dedup {
       .withColumn("run", col("pos") -
         row_number().over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
     runs.groupBy(col(idCol), col("run"))
-      .agg(min(col("pos")).cast("long").as("start_tok"),
-        (max(col("pos")) + lit(k)).cast("long").as("end_tok"))
-      .select(col(idCol), col("start_tok"), col("end_tok"),
-        (col("end_tok") - col("start_tok")).as("n_tokens"))
+      .agg(min(col("pos")).cast("long").as(startName),
+        (max(col("pos")) + lit(k)).cast("long").as(endName))
+      .select(col(idCol), col(startName), col(endName),
+        (col(endName) - col(startName)).as(lenName))
   }
 
   /** The dedup DECISION over a whole corpus: every document mapped to the

@@ -239,6 +239,48 @@ object BatchKernelUtil {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Positional CHARACTER k-grams, hashed: `out[p]` is the XXH64 of the
+    * UTF-8 bytes of the k-CODE-POINT window starting at code point `p`
+    * (0-based). The character-granularity twin of [[wordKgramXx]] for
+    * Lee-et-al. ExactSubstr dedup: catches verbatim runs that start or
+    * end mid-word (templated boilerplate with interpolated values),
+    * which word grams structurally miss. Code points — not bytes — so
+    * the DuckDB oracle's character-indexed `substr` enumerates the
+    * same positions; hashing the raw byte window (no normalization)
+    * keeps "exact" exact.
+    *
+    * One pass to mark code-point starts (a non-continuation byte,
+    * `(b & 0xC0) != 0x80`), then one XXH64 per position over the byte
+    * range — O(n·k) bytes hashed in the scan stage; text never leaves
+    * the scan.
+    */
+  def charKgramXx(text: UTF8String, k: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    // byte offsets of each code-point start, plus the end sentinel
+    var offs = new Array[Int](math.max(32, nBytes / 2))
+    var n = 0
+    var i = 0
+    while (i < nBytes) {
+      if ((text.getByte(i) & 0xC0) != 0x80) {
+        if (n == offs.length) offs = java.util.Arrays.copyOf(offs, n * 2)
+        offs(n) = i
+        n += 1
+      }
+      i += 1
+    }
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    if (n == offs.length) offs = java.util.Arrays.copyOf(offs, n + 1)
+    offs(n) = nBytes
+    val out = new Array[Long](n - k + 1)
+    var p = 0
+    while (p <= n - k) {
+      out(p) = XXH64.hashUnsafeBytes(text.getBaseObject,
+        text.getBaseOffset + offs(p), offs(p + k) - offs(p), 42L)
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Cosine similarity of `vec` against every centroid of a literal
     * matrix, in one pass: the vector unpacks once and its norm computes
     * once for ALL centroids. Arithmetic is bit-identical to the expanded
@@ -436,6 +478,35 @@ object WordKgramXxExpr {
   def apply(c: Column, k: Int): Column =
     GraftColumnBridge.toColumn(
       new WordKgramXxExpr(GraftColumnBridge.toExpression(c), k))
+}
+
+/** `char_kgram_xx(text, k)` — see [[BatchKernelUtil.charKgramXx]]. */
+case class CharKgramXxExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_kgram_xx needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BatchKernelUtil.charKgramXx(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BatchKernelUtil.charKgramXx($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharKgramXxExpr {
+  def apply(c: Column, k: Int): Column =
+    GraftColumnBridge.toColumn(
+      new CharKgramXxExpr(GraftColumnBridge.toExpression(c), k))
 }
 
 /** `word_shingles(tokens, n)` — see [[BatchKernelUtil.wordShingles]]. */

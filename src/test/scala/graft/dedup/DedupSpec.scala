@@ -43,6 +43,52 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.substrings(df, "doc_id", "text", k = 5).count() == 0)
   }
 
+  test("substringsChar: catches a planted mid-word overlap word grams miss") {
+    // templated boilerplate with an interpolated value: the shared run
+    // starts and ends MID-WORD (the userX/userY token differs, the
+    // template inside it is verbatim). Both docs have plenty of word
+    // 3-grams, but none repeat — the duplication never aligns with a
+    // word boundary; char 10-grams catch the template exactly.
+    val template = "0123456789abcdefghij" // 20 chars, shared verbatim
+    // the interpolated halves diverge IMMEDIATELY on both sides of the
+    // template ('X'/'Y' before, 'q'/'z' after) so the maximal shared
+    // run is exactly the template span
+    val a = s"one two userX${template}qq six seven"
+    val b = s"ten eleven nameY${template}zz twelve"
+    val df = docs(1L -> a, 2L -> b)
+    assert(Dedup.substrings(df, "doc_id", "text", k = 3).count() == 0,
+      "word grams should miss the mid-word overlap")
+    val out = Dedup.substringsChar(df, "doc_id", "text", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: "one two userX" is 13 chars, template spans [13, 33);
+    // doc 2: "ten eleven userY" is 16 chars, template spans [16, 36);
+    // maximal run = exactly the template span in each doc
+    assert(out == Set((1L, 13L, 33L, 20L), (2L, 16L, 36L, 20L)),
+      out.toString)
+  }
+
+  test("substringsChar: positions are code points, not bytes") {
+    // multi-byte prefixes of different lengths shift the BYTE offsets
+    // of the shared run differently; code-point positions must land
+    // where DuckDB's character-indexed substr would. 'é' is 2 UTF-8
+    // bytes, '的' is 3 — both ONE code point.
+    val shared = "qwertyuiopasdfghjkl;" // 20 chars
+    val df = docs(1L -> s"é$shared", 2L -> s"的$shared")
+    val out = Dedup.substringsChar(df, "doc_id", "text", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the shared run starts at code point 1 in BOTH docs
+    assert(out == Set((1L, 1L, 21L), (2L, 1L, 21L)), out.toString)
+  }
+
+  test("substringsChar: no spans when nothing repeats at k chars") {
+    val df = docs(
+      1L -> (0 until 40).map(i => s"u$i").mkString(""),
+      2L -> (0 until 40).map(i => s"v$i").mkString(""),
+      3L -> "tiny")
+    assert(Dedup.substringsChar(df, "doc_id", "text", k = 10).count() == 0)
+  }
+
   test("exact: whitespace/case-normalized duplicates collapse") {
     val df = docs(1L -> "Hello  World", 2L -> "hello world ",
       3L -> "something else")
