@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{ArrayShiftExpr, DotProductExpr, KgramHashesExpr, MinHashSigExpr, SimHashAgg, WordShinglesExpr, XxSortedHashesExpr}
+import graft.functions.{ArrayShiftExpr, BpeCountExpr, BpeVocab, DotProductExpr, KgramHashesExpr, MinHashSigExpr, SimHashAgg, TextGateStatsExpr, WordShinglesExpr, XxSortedHashesExpr}
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -63,7 +64,27 @@ object GraftFunctions {
       exprs => KgramHashesExpr(exprs(0), litInt(exprs(1), "k"))),
     ("word_shingles",
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
-      exprs => WordShinglesExpr(exprs(0), litInt(exprs(1), "n"))))
+      exprs => WordShinglesExpr(exprs(0), litInt(exprs(1), "n"))),
+    // ---- the SQL front door for the text/dedup pipeline family ----
+    // text_gate_stats(text) → struct(n_tokens, n_chars, n_punct, n_stop):
+    // the fused gate kernel under the same union-stopword dictionary the
+    // Column API uses, so a SQL-only user computes bit-identical stats.
+    ("text_gate_stats",
+      new ExpressionInfo(classOf[TextGateStatsExpr].getName, "text_gate_stats"),
+      exprs => TextGateStatsExpr(exprs.head, graft.textops.TextOps.unionStopwords)),
+    // text_quality(text) → the composed deterministic quality score —
+    // built by the SAME Column builder as the DataFrame operator, so the
+    // SQL form can never drift from the engine's scoring arithmetic.
+    ("text_quality",
+      new ExpressionInfo(classOf[TextGateStatsExpr].getName, "text_quality"),
+      exprs => GraftColumnBridge.toExpressionEager(
+        graft.textops.TextOps.qualityScore(
+          GraftColumnBridge.toColumn(exprs.head)))),
+    // bpe_count(text) → total BPE token count under the fixture merge
+    // table (the unit every `_bpe` budget operator meters in).
+    ("bpe_count",
+      new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
+      exprs => new BpeCountExpr(exprs.head, BpeVocab.merges)))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

@@ -604,6 +604,55 @@ object SparkEntry {
                                    WHERE l2.l_partkey = p.p_partkey)""")
     }),
 
+    "sql_text_stats" -> ((s, dir) => {
+      // SQL front door for the text pipeline: the fused gate kernel is
+      // registered as text_gate_stats(...) (GraftFunctions), so a
+      // SQL-only user computes the same codegen'd one-pass stats the
+      // Column API gets — no UDF, no second tokenization pass.
+      GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""SELECT doc_id, length(text) AS n_chars_computed,
+                      gs.n_tokens AS n_tokens,
+                      size(filter(split(text, '[^A-Za-z0-9]+'), x -> x != ''))
+                        + length(regexp_replace(text, '[A-Za-z0-9\\s]', '')) AS n_subword_tokens,
+                      round(CASE WHEN gs.n_chars = 0 THEN 0.0D
+                            ELSE CAST(gs.n_punct AS DOUBLE) / CAST(gs.n_chars AS DOUBLE) END, 6) AS punct_ratio,
+                      round(CASE WHEN gs.n_tokens = 0 THEN 0.0D
+                            ELSE CAST(gs.n_stop AS DOUBLE) / CAST(gs.n_tokens AS DOUBLE) END, 6) AS stopword_ratio
+               FROM (SELECT doc_id, text, text_gate_stats(text) AS gs FROM documents_v)""")
+    }),
+
+    "sql_dedup_exact" -> ((s, dir) => {
+      // SQL front door for exact dedup: the fingerprint is plain
+      // md5-of-normalized-text, so the whole operator is one SQL
+      // statement — same single combinable-aggregate shuffle as the
+      // DataFrame form.
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ')) AS fingerprint,
+                      min(doc_id) AS keep_id, count(*) AS dup_count
+               FROM documents_v GROUP BY fingerprint""")
+    }),
+
+    "sql_corpus_profile" -> ((s, dir) => {
+      // SQL front door for the corpus datasheet: text_quality(...) is
+      // the COMPOSED scoring expression (built by the same Column
+      // builder the engine uses), so the SQL form cannot drift from
+      // the DataFrame operator's arithmetic. Same scale shape: one
+      // scan + one stratum-keyed aggregate.
+      GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""WITH g AS (SELECT source, lang, text_gate_stats(text) AS gs,
+                      text_quality(text) AS q FROM documents_v),
+               s AS (SELECT source, lang, CAST(gs.n_tokens AS DOUBLE) AS n_tok, q FROM g)
+               SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                      round(avg(q), 6) AS mean_quality,
+                      round(percentile(n_tok, 0.5D), 6) AS p50_tokens,
+                      round(percentile(n_tok, 0.9D), 6) AS p90_tokens,
+                      count(DISTINCT lang) AS n_langs
+               FROM s GROUP BY source""")
+    }),
+
     "window_rank" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val w = org.apache.spark.sql.expressions.Window
@@ -1616,23 +1665,11 @@ object SparkEntry {
          min(value) AS vmin, max(value) AS vmax
          FROM events GROUP BY event_type""",
 
-    "text_stats" -> {
-      val stops = TextOps.stopwords.values.flatten.toSeq.distinct
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      s"""SELECT doc_id, length(text) AS n_chars_computed,
-         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
-         len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
-           + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_subword_tokens,
-         round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
-           / length(text)::DOUBLE END, 6) AS punct_ratio,
-         round(CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) = 0 THEN 0.0 ELSE
-           len(list_filter(string_split_regex(lower(text), '\\s+'),
-               x -> x <> '' AND list_contains($stops, x)))::DOUBLE
-           / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE END, 6) AS stopword_ratio
-         FROM documents"""
-    },
+    "text_stats" -> duckTextStatsOracle,
 
+    // the SQL-front-door rows make the IDENTICAL computation through
+    // spark.sql + the registered graft functions — same oracles
+    "sql_text_stats" -> duckTextStatsOracle,
     "lang_id" -> {
       val packs = TextOps.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
         val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1647,20 +1684,9 @@ object SparkEntry {
       s"""WITH b AS (SELECT doc_id, $duckQualityParts FROM documents)
          SELECT doc_id, $duckQualityFromParts AS quality FROM b""",
 
-    "corpus_profile" ->
-      // per-source datasheet on the shared quality parts; quantile_cont
-      // mirrors Spark's exact interpolating percentile (q_quantile
-      // precedent), counts/sums are integral so the casts are lossless
-      s"""WITH b AS (SELECT source, lang, $duckQualityParts FROM documents),
-         s AS (SELECT source, lang, n_tok,
-               $duckQualityFromParts AS quality FROM b)
-         SELECT source, count(*) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           round(avg(quality), 6) AS mean_quality,
-           round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
-           round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
-           count(DISTINCT lang) AS n_langs
-         FROM s GROUP BY source""",
+    "corpus_profile" -> duckCorpusProfileOracle,
+
+    "sql_corpus_profile" -> duckCorpusProfileOracle,
 
     "corpus_profile_approx" ->
       // below the sketch's compression threshold approx_percentile IS
@@ -1870,10 +1896,9 @@ object SparkEntry {
     // (doc_id, fp, df) frame — same oracle, like dedup_minhash_stored
     "dedup_spans_stored" -> spanIncrementalOracle,
 
-    "dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-         min(doc_id) AS keep_id, count(*) AS dup_count
-         FROM documents GROUP BY 1""",
+    "dedup_exact" -> duckDedupExactOracle,
+
+    "sql_dedup_exact" -> duckDedupExactOracle,
 
     "dedup_minhash" ->
       s"""WITH $minhashPairCtes
@@ -2812,6 +2837,54 @@ object SparkEntry {
              len(list_filter(string_split_regex(lower(text), '\\s+'),
                  x -> x <> '' AND list_contains($stops, x)))::DOUBLE
              / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE END AS stopr"""
+  }
+
+  /** DuckDB twin of the text_stats projection — shared by the DataFrame
+    * row and its SQL-front-door twin (`sql_text_stats`), which make the
+    * identical computation through `spark.sql` + the registered
+    * `text_gate_stats` kernel.
+    */
+  /** DuckDB twin of exact dedup — shared by `dedup_exact` and its
+    * SQL-front-door twin (one md5-of-normalized-text fingerprint, one
+    * combinable GROUP BY).
+    */
+  private val duckDedupExactOracle: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+       FROM documents GROUP BY 1"""
+
+  /** DuckDB twin of the corpus datasheet — shared by `corpus_profile`
+    * and its SQL-front-door twin. quantile_cont mirrors Spark's exact
+    * interpolating percentile (q_quantile precedent); counts/sums are
+    * integral so the casts are lossless.
+    */
+  private lazy val duckCorpusProfileOracle: String =
+    s"""WITH b AS (SELECT source, lang, $duckQualityParts FROM documents),
+       s AS (SELECT source, lang, n_tok,
+             $duckQualityFromParts AS quality FROM b)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         round(avg(quality), 6) AS mean_quality,
+         round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+         round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
+         count(DISTINCT lang) AS n_langs
+       FROM s GROUP BY source"""
+
+  private lazy val duckTextStatsOracle: String = {
+    val stops = TextOps.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, length(text) AS n_chars_computed,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+       len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+         + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_subword_tokens,
+       round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE
+         / length(text)::DOUBLE END, 6) AS punct_ratio,
+       round(CASE WHEN len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) = 0 THEN 0.0 ELSE
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> '' AND list_contains($stops, x)))::DOUBLE
+         / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE END, 6) AS stopword_ratio
+       FROM documents"""
   }
 
   private val duckQualityFromParts: String =

@@ -85,7 +85,7 @@ object TextOps {
   /** Union stopword inventory, the dictionary the fused gate kernel
     * carries.
     */
-  private val unionStopwords: Seq[String] =
+  private[graft] val unionStopwords: Seq[String] =
     stopwords.values.flatten.toSeq.distinct
 
   /** Fused one-pass counts backing the token/punct/stopword/quality

@@ -52,6 +52,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(kg.length == 4) // 6 - 3 + 1 k-grams
   }
 
+  test("text_gate_stats / text_quality / bpe_count from SQL match the Column API") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Tables.documents(spark, dir)
+      .createOrReplaceTempView("documents_gx")
+    val sqlSide = spark.sql(
+      """SELECT doc_id, text_gate_stats(text) AS gs, text_quality(text) AS q,
+        |       bpe_count(text) AS b
+        |FROM documents_gx""".stripMargin)
+    import org.apache.spark.sql.functions.col
+    val colSide = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.textops.TextOps.gateStats(col("text")).as("gs"),
+        graft.textops.TextOps.qualityScore(col("text")).as("q"),
+        graft.textops.TextOps.bpeTokenCount(col("text")).as("b"))
+    assert(sqlSide.exceptAll(colSide).isEmpty && colSide.exceptAll(sqlSide).isEmpty)
+  }
+
+  test("SQL front-door pipeline rows match their DataFrame twins") {
+    val dir = "/root/testdata/sf0.001"
+    for ((sqlName, dfName) <- Seq(
+        "sql_text_stats" -> "text_stats",
+        "sql_dedup_exact" -> "dedup_exact",
+        "sql_corpus_profile" -> "corpus_profile")) {
+      val a = SparkEntry.queries(sqlName)(spark, dir)
+      val b = SparkEntry.queries(dfName)(spark, dir)
+      assert(a.columns.toSeq == b.columns.toSeq, s"$sqlName columns")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$sqlName rows diverge from $dfName")
+    }
+  }
+
   test("simhash_agg from SQL groups to a 64-bit fingerprint") {
     spark.sql("SELECT explode(array('a','b','c')) AS tok")
       .createOrReplaceTempView("toks")
