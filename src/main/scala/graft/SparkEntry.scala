@@ -465,6 +465,19 @@ object SparkEntry {
             .as("v_interp"))
     }),
 
+    "events_debounce" -> ((s, dir) =>
+      // at-least-once ingest dedup: collapse same-(user, type) bursts
+      // with inter-arrival gap ≤ 24h to their first event. One
+      // (user, type)-keyed exchange; the burst aggregate's grouping
+      // keys extend the window partitioning, so it adds no second
+      // shuffle (plan-fenced)
+      graft.lagops.EventAnalytics.debounce(Tables.events(s, dir),
+          Seq("user_id", "event_type"), "ts_ns", "event_id",
+          Seq("ts_ns", "event_id"), gapNs = 86400L * 1000000000L)
+        .select(col("user_id"), col("event_type"), col("first_event"),
+          expr("burst_start div 1000").as("burst_start_us"),
+          col("n_collapsed"))),
+
     "resample_ohlc" -> ((s, dir) => {
       // per-user hourly OHLC downsample in ONE combinable agg (min_by/
       // max_by on the (ts_ns, event_id) struct order key — no window
@@ -1461,6 +1474,23 @@ object SparkEntry {
              AS week_offset,
            count(*) AS n_users
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+
+    "events_debounce" ->
+      // same sessionize-trick window formulation; ts is unique per
+      // event (TESTDATA.md) so arg_min by ts_ns == the engine's min_by
+      // on the (ts_ns, event_id) order struct
+      """WITH t AS (SELECT user_id, event_type, event_id,
+             epoch_ns(ts) AS ts_ns FROM events),
+         s AS (SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+                OR ts_ns - lag(ts_ns) OVER w > 86400000000000 THEN 1 ELSE 0 END AS nb
+               FROM t WINDOW w AS (PARTITION BY user_id, event_type
+                 ORDER BY ts_ns, event_id)),
+         g AS (SELECT *, sum(nb) OVER (PARTITION BY user_id, event_type
+               ORDER BY ts_ns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst FROM s)
+         SELECT user_id, event_type, arg_min(event_id, ts_ns) AS first_event,
+           min(ts_ns) // 1000 AS burst_start_us, count(*) AS n_collapsed
+         FROM g GROUP BY user_id, event_type, burst""",
 
     "lag_interp" ->
       s"""WITH t AS (SELECT user_id, event_id, ts,

@@ -165,4 +165,44 @@ object EventAnalytics {
         .when(nt === pt, pv)
         .otherwise(pv + (nv - pv) * (t - pt) / (nt - pt)))
   }
+
+  /** Gap-based debounce: collapse BURSTS of events — consecutive rows
+    * of one key whose inter-arrival gap is ≤ `gapNs` — to their first
+    * row, the standard ingest dedup for at-least-once delivery
+    * (producer retries, double-clicks, webhook redeliveries). A new
+    * burst starts at each row whose gap from its predecessor exceeds
+    * `gapNs`; the burst id is the running sum of those starts — the
+    * sessionize trick applied to dedup.
+    *
+    * Scale shape: ONE exchange keyed by `keyCols` (lag + running sum
+    * share the sort), then a combinable aggregate whose grouping keys
+    * extend the partitioning keys — Catalyst sees the existing hash
+    * partitioning satisfies the clustered distribution, so the
+    * aggregate adds NO second exchange. Output is burst-sized.
+    *
+    * Output: keyCols..., first_event (min of the order struct's
+    * trailing id), burst_start (min time), n_collapsed.
+    *
+    * @param orderCols total order within a key: (time, unique tiebreak)
+    */
+  def debounce(df: DataFrame, keyCols: Seq[String], timeCol: String,
+               idCol: String, orderCols: Seq[String],
+               gapNs: Long): DataFrame = {
+    require(keyCols.nonEmpty, "debounce needs at least one key column")
+    require(orderCols.nonEmpty, "orderCols must provide a total order")
+    require(gapNs > 0, s"gapNs must be positive, got $gapNs")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevT = lag(col(timeCol), 1).over(w)
+    val newBurst =
+      when(prevT.isNull || col(timeCol) - prevT > gapNs, 1L).otherwise(0L)
+    val ord = struct(orderCols.map(col): _*)
+    df.withColumn("_burst", sum(newBurst).over(run))
+      .groupBy((keyCols.map(col) :+ col("_burst")): _*)
+      .agg(min_by(col(idCol), ord).as("first_event"),
+        min(col(timeCol)).as("burst_start"),
+        count(lit(1)).as("n_collapsed"))
+      .drop("_burst")
+  }
 }

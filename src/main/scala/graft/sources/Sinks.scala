@@ -159,6 +159,63 @@ object Sinks {
      else w).saveAsTable(table)
   }
 
+  /** Morton (Z-order) interleave of `dims` pre-bucketed dimension
+    * columns, each already an integer in [0, 2^bitsPerDim). Bit b of
+    * dim d lands at position b·D + d, so truncating the z-value from
+    * the top splits every dimension's range evenly — the property that
+    * makes min/max data skipping work on ALL z-ordered columns at once
+    * instead of only the leading sort key.
+    */
+  def mortonCol(dims: Seq[Column], bitsPerDim: Int): Column = {
+    require(dims.nonEmpty, "mortonCol needs at least one dimension")
+    require(bitsPerDim * dims.size <= 63,
+      s"${dims.size} dims × $bitsPerDim bits overflow a long")
+    val d = dims.size
+    val terms = for {
+      (dim, di) <- dims.zipWithIndex
+      b <- 0 until bitsPerDim
+    } yield shiftleft(shiftright(dim, b).bitwiseAND(lit(1L)), b * d + di)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-ordered parquet layout: rows cluster by the Morton interleave of
+    * `zCols`, so a reader filtering on ANY of those columns prunes most
+    * row groups from footer min/max stats alone — multi-dimensional
+    * data skipping, where a plain sort only skips on its leading key.
+    * This is the table-layout half of what lakehouse OPTIMIZE ZORDER
+    * does, on plain parquet.
+    *
+    * Each column is first bucketed to `bitsPerDim` bits by linear
+    * min/max scaling — ONE tiny aggregate (2 doubles per column, the
+    * same fit-time-collect class as the sampled index fits) — then the
+    * frame range-partitions on the z-value (sampling job + exchange,
+    * the repartitionByRange contract) and sorts within partitions.
+    * Skewed domains waste bucket resolution under linear scaling;
+    * callers with heavy-tailed keys should pre-transform (log, rank)
+    * the column — the helper deliberately does not hide a second
+    * full-data pass to rank-normalize.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    numFiles: Int, bitsPerDim: Int = 16): Unit = {
+    require(zCols.nonEmpty, "writeZOrdered needs at least one z column")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val stats = df.select(
+      zCols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_min_$c"),
+        max(col(c).cast("double")).as(s"_max_$c"))): _*).head()
+    val buckets = (1L << bitsPerDim) - 1
+    val dims = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      val span = if (hi > lo) hi - lo else 1.0
+      least(floor((col(c).cast("double") - lo) / span * buckets)
+        .cast("long"), lit(buckets))
+    }
+    df.withColumn("_z", mortonCol(dims, bitsPerDim))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** JSONL (one JSON object per line) sink — the interchange format
     * LLM-corpus tooling speaks. Same one-exchange discipline as
     * [[writeSharded]] when `shardKey` is given (md5-derived shard dirs,

@@ -39,6 +39,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(userExchanges == 1, s"expected 1 user-keyed exchange:\n$plan")
   }
 
+  test("debounce: bursts collapse to first event, gaps split bursts") {
+    import spark.implicits._
+    // u1/click: 3 events inside the gap, then one past it → 2 bursts;
+    // u1/view: independent key, 1 event; u2/click: exactly-at-gap is
+    // INSIDE the burst (strict > starts a new one)
+    val ev = Seq(
+      (1L, "click", 100L, 10L), (1L, "click", 150L, 11L),
+      (1L, "click", 190L, 12L), (1L, "click", 400L, 13L),
+      (1L, "view", 120L, 14L),
+      (2L, "click", 0L, 20L), (2L, "click", 100L, 21L))
+      .toDF("user_id", "event_type", "ts_ns", "event_id")
+    val got = EventAnalytics.debounce(ev, Seq("user_id", "event_type"),
+        "ts_ns", "event_id", Seq("ts_ns", "event_id"), gapNs = 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._4)).toSeq
+    assert(got == Seq(
+      (1L, "click", 10L, 100L, 3L), (1L, "click", 13L, 400L, 1L),
+      (1L, "view", 14L, 120L, 1L),
+      (2L, "click", 20L, 0L, 2L)))
+  }
+
+  test("debounce: burst aggregate reuses the window exchange") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val plan = EventAnalytics.debounce(ev, Seq("user_id", "event_type"),
+        "ts_ns", "event_id", Seq("ts_ns", "event_id"),
+        gapNs = 86400L * 1000000000L)
+      .queryExecution.executedPlan.toString
+    // the (user, type, burst) aggregate's grouping keys extend the
+    // window partitioning → ONE exchange in the whole plan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange:\n$plan")
+  }
+
   test("retention: cohort by first-event week, offsets count whole weeks") {
     import spark.implicits._
     def ts(d: String) = java.sql.Timestamp.valueOf(d)

@@ -170,6 +170,46 @@ class SinksSpec extends AnyFunSuite {
     assert(e.getMessage.contains("checkpoint"))
   }
 
+  test("z-ordered layout clusters EVERY z column, not just the leading one") {
+    val out = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    val ev = Tables.events(spark, src)
+      .select(col("event_id"), col("user_id"), col("value"))
+    Sinks.writeZOrdered(ev, out, Seq("user_id", "value"), numFiles = 16)
+    // per-file spans: a plain sort clusters only its leading key; the
+    // morton layout must shrink the average per-file span of BOTH
+    // columns well below the global span
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length == 16, s"expected 16 files, got ${files.length}")
+    def avgSpanFrac(c: String): Double = {
+      val g = ev.agg(min(col(c)).cast("double"),
+        max(col(c)).cast("double")).head()
+      val global = g.getDouble(1) - g.getDouble(0)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f).agg(min(col(c)).cast("double"),
+          max(col(c)).cast("double")).head()
+        r.getDouble(1) - r.getDouble(0)
+      }
+      spans.sum / spans.length / global
+    }
+    val (uFrac, vFrac) = (avgSpanFrac("user_id"), avgSpanFrac("value"))
+    assert(uFrac < 0.5 && vFrac < 0.5,
+      f"z-order should cluster both dims: user=$uFrac%.2f value=$vFrac%.2f")
+    // round-trip: no rows lost, no z column leaked into the schema
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSeq == Seq("event_id", "user_id", "value"))
+    assert(back.count() == ev.count())
+  }
+
+  test("mortonCol interleaves bits exactly") {
+    import spark.implicits._
+    // dims (x=0b11, y=0b01) at 2 bits → z = y1 x1 y0 x0 = 0b0111
+    val r = Seq((3L, 1L)).toDF("x", "y")
+      .select(Sinks.mortonCol(Seq(col("x"), col("y")), 2).as("z"))
+      .head().getLong(0)
+    assert(r == 7L, s"expected 0b0111, got $r")
+  }
+
   test("jsonl round-trip is exact on adversarial text; sharded form prunes") {
     import spark.implicits._
     val nasty = Seq(
