@@ -1183,6 +1183,15 @@ object SparkEntry {
         "doc_id", "lang", "text",
         weights = Map("en" -> 6.0, "zh" -> 2.0, "fr" -> 1.0, "es" -> 1.0))),
 
+    "sample_quality_tiers" -> ((s, dir) =>
+      // quality-weighted curriculum mix: quartile tiers from ONE
+      // bounded-memory approx_percentile agg (never a global-window
+      // ntile), md5 keep-draw upsampling the top of the distribution
+      // (5/20/50/90% by tier)
+      graft.pipeline.Pipeline.sampleQualityTiers(Tables.documents(s, dir),
+        "doc_id", "text", tiers = 4,
+        pctByTier = Map(1 -> 5, 2 -> 20, 3 -> 50, 4 -> 90))),
+
     // ---- REAL-tokenizer (BPE) budget family: the same operators
     // metered in the subword units a trainer actually consumes. One
     // codegen'd scan-stage kernel (BpeCountExpr, memoized per distinct
@@ -2553,6 +2562,35 @@ object SparkEntry {
          SELECT doc_id, lang, bucket FROM b
          WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 50
                         ELSE 25 END""",
+
+    "sample_quality_tiers" ->
+      // quartile thresholds replayed as explicit rank selection (the
+      // corpus_profile_approx discrete-quantile convention: value at
+      // 1-based rank ceil(p·n)), tier = 1 + #{thresholds strictly
+      // below}, then the shared md5-bucket keep-draw
+      s"""WITH qb AS (SELECT doc_id, $duckQualityParts FROM documents),
+         q AS (SELECT doc_id, $duckQualityFromParts AS quality FROM qb),
+         r AS (SELECT quality, row_number() OVER (ORDER BY quality) AS rn,
+               count(*) OVER () AS n FROM q),
+         t AS (SELECT
+               max(CASE WHEN rn = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+                   THEN quality END) AS t1,
+               max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                   THEN quality END) AS t2,
+               max(CASE WHEN rn = greatest(CAST(ceil(0.75 * n) AS BIGINT), 1)
+                   THEN quality END) AS t3
+             FROM r),
+         b AS (SELECT doc_id, quality,
+               1 + (quality > t.t1)::INT + (quality > t.t2)::INT
+                 + (quality > t.t3)::INT AS tier,
+               list_sum(list_transform(generate_series(1, 15),
+                 p -> ((strpos('0123456789abcdef',
+                        substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                       << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+             FROM q, t)
+         SELECT doc_id, quality, tier, bucket FROM b
+         WHERE bucket < CASE tier WHEN 1 THEN 5 WHEN 2 THEN 20
+                        WHEN 3 THEN 50 ELSE 90 END""",
 
     "corpus_clean" ->
       s"""WITH qb AS (SELECT doc_id, lang, text, $duckQualityParts FROM documents),

@@ -289,6 +289,56 @@ object Pipeline {
         pctFor(col(strataCol), pctByStratum, defaultPct))
   }
 
+  /** Quality-TIER curriculum sampling (the DCLM/FineWeb-style
+    * quality-weighted mix): rank every doc by the heuristic quality
+    * score, split the corpus into `tiers` equal-population tiers at the
+    * score's quantiles, and keep a deterministic md5 share of each tier
+    * per `pctByTier` (tier 1 = lowest quality … tier T = highest) —
+    * upsample the top of the distribution, keep a trickle of the
+    * bottom, without a hand-picked threshold.
+    *
+    * Scale shape: a global ntile would be a single-partition window —
+    * the canonical 100 TB scale-killer. Instead the tier boundaries are
+    * ONE bounded-memory `approx_percentile` aggregate (Greenwald-
+    * Khanna, O(accuracy·log n) samples regardless of corpus size)
+    * broadcast back as a 1-row scalar frame (the sampleMixture
+    * crossJoin precedent); tier assignment and the md5 keep-draw are
+    * then narrow per-row compute on the same scan that scored the doc.
+    * Below the sketch's compression threshold (`accuracy` rows) the
+    * quantiles are the exact discrete ranks, so the whole operator
+    * hash-checks against an explicit rank-selection oracle — the
+    * corpus_profile_approx convention; giant corpora trade that for
+    * the ε-rank guarantee.
+    *
+    * Output: kept rows `(idCol, quality, tier, bucket)`.
+    */
+  def sampleQualityTiers(df: DataFrame, idCol: String, textCol: String,
+                         tiers: Int, pctByTier: Map[Int, Int],
+                         accuracy: Int = 100000): DataFrame = {
+    require(tiers >= 2, s"need at least 2 tiers, got $tiers")
+    require((1 to tiers).forall(pctByTier.contains),
+      s"pctByTier must cover every tier 1..$tiers")
+    pctByTier.values.foreach(p =>
+      require(p >= 0 && p <= 100, s"percentage must be in [0,100], got $p"))
+    val scored = graft.util.Par.spread(df)
+      .select(col(idCol), TextOps.qualityScore(col(textCol)).as("quality"))
+    val ps = (1 until tiers).map(i => i.toDouble / tiers)
+    val thr = scored.agg(percentile_approx(col("quality"),
+      array(ps.map(lit): _*), lit(accuracy)).as("_thr"))
+    // tier = 1 + #{quantile boundaries strictly below the score}
+    val tier = (1 until tiers).foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col("quality") > element_at(col("_thr"), i), 1)
+        .otherwise(0)
+    }
+    val pct = (1 to tiers).foldLeft(lit(0)) { (acc, t) =>
+      when(col("tier") === t, lit(pctByTier(t))).otherwise(acc)
+    }
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), col("quality"), tier.as("tier"),
+        md5Bucket(col(idCol)).as("bucket"))
+      .filter(col("bucket") < pct)
+  }
+
   /** The DAILY-INGEST pipeline composed in ONE DAG — the incremental
     * twin of [[corpusClean]]: a crawl increment is quality-gated, then
     * checked against the existing corpus for exact duplicates

@@ -137,6 +137,34 @@ class PipelineSpec extends AnyFunSuite {
         r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toSet)
   }
 
+  test("sampleQualityTiers: quantile tiers, ramped keep rates, no global window") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Pipeline.sampleQualityTiers(docs, "doc_id", "text",
+      tiers = 4, pctByTier = Map(1 -> 5, 2 -> 20, 3 -> 50, 4 -> 90))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // keep-rate ramp: kept-count per tier must rise with the tier's pct
+    // relative to the (ntile-equal) tier populations — with 4 equal
+    // tiers of ~125 docs at sf0.001, expect roughly 6/25/62/112 keeps;
+    // assert the monotone ramp, not exact counts (tie-straddling
+    // boundaries shift populations slightly)
+    val byTier = rows.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert((1 to 4).forall(byTier.contains), s"missing tier in $byTier")
+    assert(byTier(1) < byTier(2) && byTier(2) < byTier(3) &&
+      byTier(3) < byTier(4), s"keep ramp violated: $byTier")
+    // quality ordering across tiers: max quality of tier t ≤ min... not
+    // strictly (ties straddle); assert means are monotone
+    val meanQ = rows.groupBy(_.getInt(2)).view
+      .mapValues(rs => rs.map(_.getDouble(1)).sum / rs.length).toMap
+    assert(meanQ(1) <= meanQ(2) && meanQ(2) <= meanQ(3) &&
+      meanQ(3) <= meanQ(4), s"tier quality not monotone: $meanQ")
+    // the scale contract: no single-partition global window anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), s"unexpected window op:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastExchange"), "thresholds must broadcast")
+  }
+
   test("corpusClean composes gate -> dedup -> sample -> pack coherently") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Pipeline.corpusClean(docs, "doc_id", "text", "lang",
