@@ -11,6 +11,15 @@ final case class SessionSummary(user_id: Long, session_start: java.sql.Timestamp
                                 session_end: java.sql.Timestamp,
                                 n_events: Long, total_value: Double)
 
+final case class BurstState(first_event: Long,
+                            burst_start: java.sql.Timestamp,
+                            last_ts: java.sql.Timestamp, n: Long)
+
+final case class BurstSummary(user_id: Long, event_type: String,
+                              first_event: Long,
+                              burst_start: java.sql.Timestamp,
+                              n_collapsed: Long)
+
 /** Structured Streaming operators. Each transform is written once against a
   * DataFrame and works identically on a batch frame and a `readStream`
   * frame — the Spark way to keep batch/stream parity (same Catalyst plan,
@@ -290,6 +299,63 @@ object StreamingOps {
               state.setTimeoutDuration(idleTimeout)
             }
             sessions.iterator.map(summarize)
+          }
+      }
+  }
+
+  /** Streaming twin of [[graft.lagops.EventAnalytics.debounce]]: the
+    * at-least-once ingest dedup AT the ingest point, where it saves the
+    * most — a retried producer's duplicates never reach storage. State
+    * per (user, type) is ONE open burst summary, O(1) regardless of
+    * burst length (only first id, start, last-seen, count — never the
+    * event list), bounded two ways like [[sessionize]]:
+    * `ProcessingTimeTimeout` flushes and removes idle keys, and a burst
+    * older than `maxBurstNs` force-closes so a never-quiet key (metrics
+    * firehose) still emits and re-arms instead of holding one eternal
+    * burst.
+    *
+    * Closed bursts emit in Append mode; the open burst stays in state.
+    * Batch parity: closed bursts equal the batch operator's output
+    * minus each key's LAST burst (the open tail) — pinned in
+    * StreamingSpec.
+    */
+  def debounce(events: Dataset[EventRow], gapNs: Long,
+               maxBurstNs: Long = 86400L * 2 * 1000000000L,
+               idleTimeout: String = "1 hour"): Dataset[BurstSummary] = {
+    import events.sparkSession.implicits._
+    require(gapNs > 0, s"gapNs must be positive, got $gapNs")
+    require(maxBurstNs >= gapNs, "maxBurstNs must be >= gapNs")
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[BurstState, BurstSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case ((uid, etype), rows, state) =>
+          def summ(b: BurstState) =
+            BurstSummary(uid, etype, b.first_event, b.burst_start, b.n)
+          if (state.hasTimedOut) {
+            val open = state.getOption
+            state.remove()
+            open.iterator.map(summ)
+          } else {
+            val sorted = rows.toList
+              .sortBy(e => (StreamingLag.tsNanos(e.ts), e.event_id))
+            val closed = scala.collection.mutable.ListBuffer[BurstState]()
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val tns = StreamingLag.tsNanos(e.ts)
+              val newBurst = cur == null ||
+                tns - StreamingLag.tsNanos(cur.last_ts) > gapNs ||
+                tns - StreamingLag.tsNanos(cur.burst_start) > maxBurstNs
+              if (newBurst) {
+                if (cur != null) closed += cur
+                cur = BurstState(e.event_id, e.ts, e.ts, 1L)
+              } else cur = cur.copy(last_ts = e.ts, n = cur.n + 1)
+            }
+            if (cur == null) state.remove()
+            else {
+              state.update(cur)
+              state.setTimeoutDuration(idleTimeout)
+            }
+            closed.iterator.map(summ)
           }
       }
   }

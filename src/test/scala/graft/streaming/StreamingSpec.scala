@@ -294,6 +294,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming debounce equals batch debounce minus each key's open tail") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventRow]
+    val gap = 3600L * 1000000000L
+    val streamed = StreamingOps.debounce(ev, gap).collect()
+      .map(b => (b.user_id, b.event_type, b.first_event, b.n_collapsed))
+      .toSet
+    val batch = graft.lagops.EventAnalytics.debounce(
+        Tables.events(spark, dir), Seq("user_id", "event_type"), "ts_ns",
+        "event_id", Seq("ts_ns", "event_id"), gap)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // the open tail: each key's LAST burst stays in state, never emits
+    val lastPerKey = batch.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.maxBy(_._4)).toMap
+    val closed = batch.filterNot(t => lastPerKey((t._1, t._2)) == t)
+      .map(t => (t._1, t._2, t._3, t._5)).toSet
+    assert(streamed.nonEmpty && streamed == closed)
+  }
+
+  test("debounce streaming: a burst spanning micro-batches emits once, first id wins") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventRow]
+    // gap 100ms: A(0) B(50) [batch 1] then C(80) continues the burst
+    // across the micro-batch boundary, D(10s) breaks it → exactly one
+    // emission, carrying batch-1's first id and the merged count
+    val q = StreamingOps.debounce(mem.toDS(), gapNs = 100L * 1000000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deb_span").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("deb_span").count() < n) {
+        assert(System.nanoTime() < deadline, "timed out waiting for sink rows")
+        assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      def e(id: Long, ms: Long) =
+        EventRow(id, new java.sql.Timestamp(ms), 7L, "click", 1.0)
+      mem.addData(e(1L, 0L), e(2L, 50L))
+      mem.addData(e(3L, 80L), e(4L, 10000L))
+      awaitRows(1)
+      val b = spark.table("deb_span").as[BurstSummary].collect().head
+      assert(b.first_event == 1L && b.n_collapsed == 3L,
+        s"expected merged burst (first=1, n=3), got $b")
+    } finally q.stop()
+  }
+
+  test("debounce: maxBurstNs force-closes a never-quiet key's burst") {
+    import spark.implicits._
+    // 20 events 50ms apart, all inside the 100ms gap: uncapped they are
+    // ONE open burst (nothing emits in batch execution); capped at
+    // 200ms the burst force-closes repeatedly and emits
+    val ev = (0 until 20).map(i => EventRow(i.toLong,
+      new java.sql.Timestamp(50L * i), 7L, "click", 1.0)).toDS()
+    val uncapped = StreamingOps.debounce(ev, 100L * 1000000L).collect()
+    assert(uncapped.isEmpty)
+    val capped = StreamingOps.debounce(ev, 100L * 1000000L,
+      maxBurstNs = 200L * 1000000L).collect()
+    assert(capped.length >= 3, s"expected repeated force-closes, got " +
+      s"${capped.mkString(", ")}")
+    assert(capped.head.first_event == 0L)
+  }
+
   test("lagged streaming: idle key's ring evicts, returning user restarts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
