@@ -857,6 +857,16 @@ object SparkEntry {
         shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5))
     }),
 
+    "split_leakage_free" -> ((s, dir) => {
+      // 80/10/10 train/val/test where the md5 draw keys on the near-dup
+      // CLUSTER representative — a whole duplicate cluster lands in one
+      // split, so no test doc has a near-copy in train
+      val d = Tables.documents(s, dir)
+      Dedup.splitLeakageFree(d, "doc_id", Dedup.minhashLsh(d, "doc_id",
+        "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5))
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 3)),
@@ -1954,6 +1964,24 @@ object SparkEntry {
          SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS keep_id,
            d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS kept
          FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id""",
+
+    "split_leakage_free" ->
+      // same closure CTEs; the split draw replays the md5 bucket on the
+      // cluster representative
+      s"""WITH RECURSIVE $minhashClusterCtes,
+         k AS (SELECT d.doc_id,
+               COALESCE(l.cluster_id, d.doc_id) AS keep_id
+             FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id),
+         b AS (SELECT doc_id, keep_id,
+               list_sum(list_transform(generate_series(1, 15),
+                 p -> ((strpos('0123456789abcdef',
+                        substr(md5(keep_id::VARCHAR), p, 1)) - 1)::BIGINT
+                       << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+             FROM k)
+         SELECT doc_id, keep_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         FROM b""",
 
     "dedup_simhash" ->
       s"""WITH $simhashPairCtes

@@ -977,4 +977,33 @@ object Dedup {
       .select(col("doc_id"), col("keep_id"),
         (col("doc_id") === col("keep_id")).as("kept"))
   }
+
+  /** LEAKAGE-FREE train/val/test split: the md5 split draw is keyed on
+    * the near-dup CLUSTER representative, not the document id, so a
+    * whole duplicate cluster always lands in ONE split — the guard
+    * against the classic eval contamination where a test document's
+    * near-copy sits in train. Documents outside any cluster draw on
+    * their own id (singleton cluster).
+    *
+    * Scale shape: [[clusters]]' closure (size-adaptive CC) + one
+    * doc-keyed left join + a narrow per-row draw; the draw itself adds
+    * no exchange. Split fractions are basis-point-free percents like
+    * [[graft.pipeline.Pipeline.sampleStratified]].
+    *
+    * Output: (doc_id, keep_id, bucket, split ∈ train|val|test).
+    */
+  def splitLeakageFree(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
+    require(pctTrain > 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"bad split percents: train=$pctTrain val=$pctVal")
+    val cc = clusters(pairs).select(col("doc_id"), col("cluster_id"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("keep_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", graft.util.Sampling.md5Bucket(col("keep_id")))
+      .select(col("doc_id"), col("keep_id"), col("bucket"),
+        when(col("bucket") < pctTrain, "train")
+          .when(col("bucket") < pctTrain + pctVal, "val")
+          .otherwise("test").as("split"))
+  }
 }

@@ -385,6 +385,26 @@ class DedupSpec extends AnyFunSuite {
       (3L, 3L, true), (4L, 4L, true)))
   }
 
+  test("splitLeakageFree: a whole near-dup cluster lands in one split") {
+    import spark.implicits._
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other, 4L -> "solo text")
+    // 1-2-3 chained into one cluster: all three must share a split even
+    // though their own ids would draw different buckets
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.splitLeakageFree(d, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    val clusterSplits = Set(out(1L), out(2L), out(3L))
+    assert(clusterSplits.size == 1,
+      s"cluster split apart: ${out.view.filterKeys(_ <= 3L).toMap}")
+    assert(out(1L)._1 == 1L && out(4L)._1 == 4L)
+    // the draw keys on the representative: doc 4's bucket is its own
+    // md5 bucket, docs 1-3 share doc 1's
+    assert(out(2L)._2 == out(1L)._2)
+    assert(Set("train", "val", "test").contains(out(4L)._3))
+  }
+
   test("minhashIncremental: flags corpus near-dups, leaves fresh docs new") {
     // corpus: base + a distinct doc; increment: a near-copy of base, an
     // exact copy of base, and a genuinely fresh doc
