@@ -251,7 +251,26 @@ object PlanDump {
           "(codegen'd signature kernel, ids-only band shuffles, bucket " +
           "cap, exact verify); the greedy smaller-id-wins drop is an " +
           "anti join bounded by the near-dup rate — no " +
-          "connected-components loop on the clean path."))
+          "connected-components loop on the clean path."),
+      "events_debounce" ->
+        ("Gap-based burst dedup: the sessionize-trick burst id (lag + " +
+          "running sum) over ONE (user, type)-keyed exchange; the burst " +
+          "aggregate's grouping keys EXTEND the window partitioning, so " +
+          "the existing hash partitioning satisfies its clustered " +
+          "distribution and the plan carries NO second exchange."),
+      "sample_quality_tiers" ->
+        ("Quality-quantile curriculum sampling with NO global window: " +
+          "tier thresholds come from one bounded-memory approx_percentile " +
+          "aggregate broadcast back as a 1-row scalar frame " +
+          "(BroadcastNestedLoopJoin over a single row); tier assignment " +
+          "and the md5 keep-draw are narrow per-row compute on the same " +
+          "scan that scored the documents."),
+      "split_leakage_free" ->
+        ("Leakage-free split: the near-dup closure (size-adaptive CC) " +
+          "feeds one doc-keyed left join; the split draw is a narrow md5 " +
+          "projection on the cluster representative — grouping duplicate " +
+          "clusters into one split costs nothing beyond the dedup " +
+          "pipeline the corpus already runs."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")
