@@ -37,7 +37,7 @@ object Bench {
       graft.textops.TextOps.winnowing(docs, "doc_id", "text").count()
       val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(600)
       graft.simops.Similarity.nearDupPairsBanded(
-        emb, "vec_id", "embedding", 0.4, numPlanes = 64, bands = 8).count()
+        emb, "vec_id", "embedding", 0.9, numPlanes = 64, bands = 4).count()
       // vocabulary + span + semantic families added in round 4: their
       // first use otherwise lands on whichever of them the timed loop
       // hits first (concat_ws/transform lambdas, centroid-sims kernel,

@@ -297,6 +297,25 @@ object SparkEntry {
   private val EvW = "ORDER BY ts, event_id"
   private val EvWP = "PARTITION BY user_id ORDER BY ts, event_id"
 
+  /** Banded-LSH geometry + verify threshold for the embedding near-dup
+    * family (neardup / incremental / clusters), shared by the queries
+    * AND the oracle CTEs so they can never drift.
+    *
+    * Round 7, from the 100× anchor: 8-bit band keys gave every RANDOM
+    * vector pair a 2⁻⁸ per-band collision chance — candidate volume
+    * n²/2⁸ is quadratic no verify threshold can save (388s at 200k
+    * vectors, 2.4s expected). 16-bit keys (4 bands over the same
+    * one-long 64-plane signature) put random collisions at n²/2¹⁶ —
+    * linear-regime for corpora into the tens of millions — and 0.9 is
+    * an actual NEAR-DUP verify threshold (0.4 in 64-dim admits every
+    * ~3σ random pair, a quadratic OUTPUT): planted near-copies at
+    * cos≈0.999 keep ≥99.8% band recall. Band width must grow with
+    * log₂(n) — see the [[graft.simops.Similarity.nearDupPairsBanded]]
+    * scaladoc.
+    */
+  private val EmbNearDupBands = 4
+  private val EmbNearDupThreshold = 0.9
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Lag features per user joined against each user's mean: "which events
     * exceeded the user's average after rising for two steps" — the
@@ -1051,7 +1070,8 @@ object SparkEntry {
       // banded LSH candidates + exact cosine verify (no nested-loop pair
       // scan); params must stay in sync with the literal-plane oracle
       Similarity.nearDupPairsBanded(Tables.embeddings(s, dir), "vec_id",
-        "embedding", 0.4, numPlanes = 64, bands = 8, dim = 64)),
+        "embedding", EmbNearDupThreshold, numPlanes = 64,
+        bands = EmbNearDupBands, dim = 64)),
 
     "embedding_neardup_incremental" -> ((s, dir) => {
       // the near-dup daily-ingest decision for the vector modality:
@@ -1062,15 +1082,16 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
       Similarity.nearDupIncremental(e.filter(bucket >= 70),
-        e.filter(bucket < 70), "vec_id", "embedding", 0.4,
-        numPlanes = 64, bands = 8, dim = 64)
+        e.filter(bucket < 70), "vec_id", "embedding", EmbNearDupThreshold,
+        numPlanes = 64, bands = EmbNearDupBands, dim = 64)
     }),
 
     "embedding_clusters" -> ((s, dir) =>
       // the dedup decision for embeddings: same connected-components
       // closure, over the cosine near-dup pair graph
       Dedup.clusters(Similarity.nearDupPairsBanded(Tables.embeddings(s, dir),
-        "vec_id", "embedding", 0.4, numPlanes = 64, bands = 8, dim = 64),
+        "vec_id", "embedding", EmbNearDupThreshold, numPlanes = 64,
+        bands = EmbNearDupBands, dim = 64),
         aCol = "id_a", bCol = "id_b")),
 
     // ---- similarity search (north star) ----
@@ -2039,7 +2060,7 @@ object SparkEntry {
          ver AS (SELECT cand.inc_id, cand.dup_id, round($cos, 4) AS sim
                  FROM cand JOIN embeddings a ON a.vec_id = cand.inc_id
                  JOIN embeddings b ON b.vec_id = cand.dup_id
-                 WHERE round($cos, 4) >= 0.4),
+                 WHERE round($cos, 4) >= $EmbNearDupThreshold),
          best AS (SELECT inc_id, dup_id, sim FROM (
              SELECT *, row_number() OVER (PARTITION BY inc_id
                ORDER BY sim DESC, dup_id) AS rn FROM ver) WHERE rn = 1)
@@ -2765,7 +2786,7 @@ object SparkEntry {
          epairs AS (SELECT ep.id_a AS doc_a, ep.id_b AS doc_b, round($cos, 4) AS sim
          FROM ep JOIN embeddings a ON a.vec_id = ep.id_a
          JOIN embeddings b ON b.vec_id = ep.id_b
-         WHERE round($cos, 4) >= 0.4)"""
+         WHERE round($cos, 4) >= $EmbNearDupThreshold)"""
   }
 
   /** `sigs`/`ebanded` — every vector's 64-plane/8-band signature band
@@ -2777,7 +2798,7 @@ object SparkEntry {
     */
   private lazy val embBanded64Ctes: String = {
     val planes = Similarity.hyperplanes(64, 64)
-    val bands = 8; val bits = 8
+    val bands = EmbNearDupBands; val bits = 64 / bands
     val keys = (0 until bands)
       .map(b => s"${duckBandKey("embedding", planes, b, bits)} AS key_$b")
       .mkString(", ")

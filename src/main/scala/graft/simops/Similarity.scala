@@ -223,6 +223,19 @@ object Similarity {
     * PRECONDITION: `idCol` must be unique — candidate pairs dedup as
     * bare id pairs before vectors re-join by id (see [[lshTopK]]); a
     * duplicated id would emit one output row per duplicate pairing.
+    *
+    * SCALE LAW (round-7 100× anchor): random-pair candidates per band
+    * are ~n²/2^bits, so band width must GROW with the corpus —
+    * `bits ≳ log₂(n)` keeps candidate volume linear. At 8-bit keys a
+    * 200k-vector corpus pays n²/2⁸ ≈ 6×10⁸ verifies (measured 388s);
+    * at 16-bit keys the same corpus pays ~10⁶ (measured 2.9s). With
+    * the one-long 64-plane signature, `bands × bits = 64`: prefer
+    * fewer, wider bands as n grows (recall on true near-dups at
+    * cos ≈ 1 stays ≥99.8% with 4×16 — it is the S-curve midpoint that
+    * moves, which is what a near-DUP threshold wants). The verify
+    * threshold must also sit in the near-dup regime for the OUTPUT to
+    * stay linear: in 64 dims, cos ≥ 0.4 is a ~3σ event random pairs
+    * pass in quadratic numbers; 0.9+ is duplicate territory.
     */
   def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, numPlanes: Int = 64,
