@@ -2825,15 +2825,27 @@ object SparkEntry {
     * (`similarity_ivf` / `dedup_semantic` via [[duckIvfFitCtes]], and
     * `embedding_pq`).
     */
-  private val duckEmbSampleCtes: String =
-    """v AS (SELECT vec_id AS id,
+  /** The shared fit-sample CTE: the md5 percent draw with its pct
+    * CAPPED to the absolute fit target — the same
+    * `clamp(1, 60, ceil(target·100 / n))` integer arithmetic
+    * [[graft.util.Sampling.cappedPct]] applies, computed from the
+    * table's own count so both engines derive the identical pct at
+    * every scale.
+    */
+  private val duckEmbSampleCtes: String = {
+    val t100 = graft.util.Sampling.FitSampleTarget * 100
+    s"""v AS (SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
            FROM embeddings),
+         fp AS (SELECT GREATEST(1, LEAST(60,
+             ($t100 + count(*) - 1) // count(*))) AS pct FROM embeddings),
          sv AS (SELECT id, vv FROM v WHERE
              list_sum(list_transform(generate_series(1, 15),
                p -> ((strpos('0123456789abcdef',
                       substr(md5(id::VARCHAR), p, 1)) - 1)::BIGINT
-                     << (4 * (15 - p)))))::BIGINT % 100 < 60)"""
+                     << (4 * (15 - p)))))::BIGINT % 100
+               < (SELECT pct FROM fp))"""
+  }
 
   private lazy val duckIvfFitCtes: String = {
     val cosAI = duckCosine("sv.vv", "i.c")

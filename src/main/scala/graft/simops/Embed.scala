@@ -116,10 +116,14 @@ object Embed {
     val subDim = dim / m
     val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
+    // pct capped to the absolute fit target — O(target) Lloyd passes
+    val effPct =
+      if (fitSamplePct >= 100) 100
+      else graft.util.Sampling.cappedPct(df.count(), fitSamplePct)
     val sample =
-      if (fitSamplePct >= 100) all
+      if (effPct >= 100) all
       else all.filter(
-        graft.util.Sampling.md5Bucket(col("_id")) < lit(fitSamplePct))
+        graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
     val seeds = sample.orderBy("_id").limit(k)
       .select(col("_v")).collect().map(_.getSeq[Double](0))
     require(seeds.nonEmpty,
@@ -238,10 +242,15 @@ object Embed {
     val sub = dim / m
     val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
+    // same absolute cap as the codebook fit — the variance rank needs
+    // a FIXED-size sample, not a fixed fraction
+    val effPct =
+      if (fitSamplePct >= 100) 100
+      else graft.util.Sampling.cappedPct(df.count(), fitSamplePct)
     val sample =
-      if (fitSamplePct >= 100) all
+      if (effPct >= 100) all
       else all.filter(
-        graft.util.Sampling.md5Bucket(col("_id")) < lit(fitSamplePct))
+        graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
     // the variance formula is written IDENTICALLY in the oracle SQL
     // (sum-of-squares form, rounded 6dp) so the rank keys can't drift
     val vrr = sample.select(posexplode(col("_v")).as(Seq("p", "x")))

@@ -50,10 +50,15 @@ object Ivf {
       s"fitSamplePct must be in (0,100], got $fitSamplePct")
     val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
+    // pct capped to the absolute fit target (parquet-metadata count, no
+    // scan) so Lloyd passes cost O(target) at any corpus size
+    val effPct =
+      if (fitSamplePct >= 100) 100
+      else graft.util.Sampling.cappedPct(df.count(), fitSamplePct)
     val vecs =
-      if (fitSamplePct >= 100) all
+      if (effPct >= 100) all
       else all.filter(
-        graft.util.Sampling.md5Bucket(col("_id")) < lit(fitSamplePct))
+        graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
     // deterministic seeds: the nlist lowest-id vectors
     var cents: Seq[(Int, Seq[Double])] = vecs.orderBy("_id").limit(nlist)
       .select(col("_v")).collect().toSeq

@@ -24,4 +24,27 @@ object Sampling {
   def md5Bucket(id: Column, mod: Long = 100L): Column = pmod(
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long"), lit(mod))
+
+  /** Absolute row target for sampled index fits (IVF centroids, PQ
+    * codebooks, the OPQ variance rank). Round-7 100× anchor lesson: a
+    * PERCENT fit sample grows linearly with the corpus, so "the fit is
+    * O(sample)" silently meant O(corpus) — at 200k vectors the 60%
+    * codebook fit cost more than the encode it served. ~20k rows
+    * estimates k ≤ 256 cell means far inside the rounding the fits
+    * already apply (6dp).
+    */
+  val FitSampleTarget = 20000L
+
+  /** Percent draw capped to an ABSOLUTE sample size: the largest pct
+    * ≤ `pct` whose expected draw stays near `targetRows` —
+    * `clamp(1, pct, ceil(targetRows·100 / n))`, integer arithmetic so
+    * the DuckDB oracles replay it exactly from their own `count(*)`.
+    * Fit cost becomes O(target), flat in corpus size; corpora small
+    * enough that `pct` already draws ≤ ~target keep the identical
+    * sample they always had.
+    */
+  def cappedPct(n: Long, pct: Int, targetRows: Long = FitSampleTarget): Int =
+    if (n <= 0) pct
+    else math.max(1L, math.min(pct.toLong, (targetRows * 100 + n - 1) / n))
+      .toInt
 }
