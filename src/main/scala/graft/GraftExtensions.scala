@@ -80,6 +80,13 @@ object GraftFunctions {
       exprs => GraftColumnBridge.toExpressionEager(
         graft.textops.TextOps.qualityScore(
           GraftColumnBridge.toColumn(exprs.head)))),
+    // text_lang(text) → the n-gram/stopword language-ID heuristic —
+    // same composed-Column construction as text_quality.
+    ("text_lang",
+      new ExpressionInfo(classOf[TextGateStatsExpr].getName, "text_lang"),
+      exprs => GraftColumnBridge.toExpressionEager(
+        graft.textops.TextOps.langId(
+          GraftColumnBridge.toColumn(exprs.head)))),
     // bpe_count(text) → total BPE token count under the fixture merge
     // table (the unit every `_bpe` budget operator meters in).
     ("bpe_count",

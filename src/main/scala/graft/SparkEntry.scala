@@ -665,6 +665,22 @@ object SparkEntry {
                FROM documents_v GROUP BY fingerprint""")
     }),
 
+    "sql_lang_id" -> ((s, dir) => {
+      // SQL front door for language-ID: text_lang(...) is the composed
+      // marker-hit argmax expression (same Column builder as the
+      // DataFrame operator — cannot drift)
+      GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("SELECT doc_id, lang, text_lang(text) AS lang_pred FROM documents_v")
+    }),
+
+    "sql_quality_score" -> ((s, dir) => {
+      // SQL front door for the quality score — one registered function
+      GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("SELECT doc_id, text_quality(text) AS quality FROM documents_v")
+    }),
+
     "sql_corpus_profile" -> ((s, dir) => {
       // SQL front door for the corpus datasheet: text_quality(...) is
       // the COMPOSED scoring expression (built by the same Column
@@ -1740,19 +1756,13 @@ object SparkEntry {
     // the SQL-front-door rows make the IDENTICAL computation through
     // spark.sql + the registered graft functions — same oracles
     "sql_text_stats" -> duckTextStatsOracle,
-    "lang_id" -> {
-      val packs = TextOps.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"struct_pack(h := len(list_filter(list_distinct(string_split_regex(lower(text), '\\s+')), x -> list_contains($list, x))), l := '$lang')"
-      }.mkString("[", ", ", "]")
-      s"""SELECT doc_id, lang,
-         CASE WHEN best.h = 0 THEN 'und' ELSE best.l END AS lang_pred
-         FROM (SELECT doc_id, lang, list_sort($packs)[-1] AS best FROM documents)"""
-    },
+    "lang_id" -> duckLangIdOracle,
 
-    "quality_score" ->
-      s"""WITH b AS (SELECT doc_id, $duckQualityParts FROM documents)
-         SELECT doc_id, $duckQualityFromParts AS quality FROM b""",
+    "sql_lang_id" -> duckLangIdOracle,
+
+    "quality_score" -> duckQualityScoreOracle,
+
+    "sql_quality_score" -> duckQualityScoreOracle,
 
     "corpus_profile" -> duckCorpusProfileOracle,
 
@@ -2998,6 +3008,26 @@ object SparkEntry {
          round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
          count(DISTINCT lang) AS n_langs
        FROM s GROUP BY source"""
+
+  /** DuckDB twin of the language-ID heuristic — shared by `lang_id`
+    * and its SQL-front-door twin.
+    */
+  private lazy val duckLangIdOracle: String = {
+    val packs = TextOps.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"struct_pack(h := len(list_filter(list_distinct(string_split_regex(lower(text), '\\s+')), x -> list_contains($list, x))), l := '$lang')"
+    }.mkString("[", ", ", "]")
+    s"""SELECT doc_id, lang,
+       CASE WHEN best.h = 0 THEN 'und' ELSE best.l END AS lang_pred
+       FROM (SELECT doc_id, lang, list_sort($packs)[-1] AS best FROM documents)"""
+  }
+
+  /** DuckDB twin of the quality score — shared by `quality_score` and
+    * its SQL-front-door twin.
+    */
+  private lazy val duckQualityScoreOracle: String =
+    s"""WITH b AS (SELECT doc_id, $duckQualityParts FROM documents)
+       SELECT doc_id, $duckQualityFromParts AS quality FROM b"""
 
   private lazy val duckTextStatsOracle: String = {
     val stops = TextOps.stopwords.values.flatten.toSeq.distinct
