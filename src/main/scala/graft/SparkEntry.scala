@@ -297,6 +297,14 @@ object SparkEntry {
   private val EvW = "ORDER BY ts, event_id"
   private val EvWP = "PARTITION BY user_id ORDER BY ts, event_id"
 
+  /** BM25 probe queries (terms drawn from the synthetic corpus
+    * vocabulary so every query has matching docs); shared verbatim by
+    * the registered query and its oracle's VALUES list. */
+  private val BmQueries = Seq(
+    "q1" -> "hash join merge",
+    "q2" -> "window agg stream",
+    "q3" -> "customer order line")
+
   /** Banded-LSH geometry + verify threshold for the embedding near-dup
     * family (neardup / incremental / clusters), shared by the queries
     * AND the oracle CTEs so they can never drift.
@@ -496,6 +504,46 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("first_event"),
           expr("burst_start div 1000").as("burst_start_us"),
           col("n_collapsed"))),
+
+    "series_acf" -> ((s, dir) =>
+      // per-user autocorrelation, lags 1..5: all lag columns in ONE
+      // collapsed window pass, then one combinable corr aggregate on
+      // the same user partitioning (grouping key == window key, so no
+      // second exchange); output is users × 5 rows
+      graft.lagops.SeriesStats.acf(Tables.events(s, dir), "value",
+        LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1)),
+        maxLag = 5)),
+
+    "series_xcorr" -> ((s, dir) =>
+      // hourly-bucket cross-correlation view→purchase at shifts −3..+3:
+      // event rows feed ONE combinable conditional-average aggregate;
+      // everything downstream is bucket-sized (a year of hours is ~10k
+      // rows at ANY corpus size) through a broadcast self-join — no
+      // global-order window anywhere
+      graft.lagops.SeriesStats.crossCorr(Tables.events(s, dir),
+        "event_type", "ts", "value", "view", "purchase",
+        bucketSeconds = 3600L, maxShift = 3)),
+
+    "trend_decompose" -> ((s, dir) =>
+      // centered ±3-row moving-average trend + residual per user: one
+      // series-keyed exchange, one bounded symmetric frame (incremental
+      // — the quadratic-frame fence plans this query too)
+      graft.lagops.SeriesStats.decompose(Tables.events(s, dir), "value",
+          LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1)),
+          halfWidth = 3)
+        .select("user_id", "event_id", "value", "trend", "resid")),
+
+    "anomaly_zscore" -> ((s, dir) =>
+      // rolling-z outliers: each value vs mean/std of its own previous
+      // 8 observations (frame ends at the PREVIOUS row, so a spike
+      // never suppresses its own detection); undefined z → -999
+      // sentinel so the nullable double survives the hash gate
+      graft.lagops.SeriesStats.anomalies(Tables.events(s, dir), "value",
+          LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1)),
+          window = 8, threshold = 2.5)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("base_n"), coalesce(col("z"), lit(-999.0)).as("z"),
+          col("is_anomaly"))),
 
     "resample_ohlc" -> ((s, dir) => {
       // per-user hourly OHLC downsample in ONE combinable agg (min_by/
@@ -836,6 +884,20 @@ object SparkEntry {
       // term-keyed join + per-doc window
       graft.textops.Vocab.tfidfTerms(Tables.documents(s, dir),
         "doc_id", "text", k = 3)),
+
+    "bm25_search" -> ((s, dir) =>
+      // BM25 top-10 docs per probe query: corpus tokens narrow to the
+      // broadcast query-term list BEFORE any shuffle; N/avgdl ride as
+      // broadcast 1-row scalars; ranking cut on (6dp score, doc_id)
+      graft.textops.Search.bm25(Tables.documents(s, dir), "doc_id",
+        "text", BmQueries, k = 10)),
+
+    "pmi_bigrams" -> ((s, dir) =>
+      // top-50 bigram collocations by PMI (joint count ≥ 5): two
+      // combinable count aggs, vocabulary-sized marginal joins on
+      // 8-byte word hashes, TakeOrdered cut on (6dp pmi, bigram)
+      graft.textops.Search.pmiBigrams(Tables.documents(s, dir), "text",
+        minCount = 5, k = 50)),
 
     "corpus_profile" -> ((s, dir) =>
       // the per-source corpus datasheet: one scan + one stratum-keyed agg
@@ -1577,6 +1639,64 @@ object SparkEntry {
              AS v_interp
          FROM w""",
 
+    "series_acf" -> {
+      // same lag columns, same per-user Pearson corr; the n>=2 guard
+      // mirrors the engine's NaN→NULL normalization (DuckDB yields
+      // NULL below 2 pairs where Spark yields NaN)
+      val ls = (1 to 5).map(k => s"lag(value, $k) OVER w AS l$k")
+        .mkString(", ")
+      val parts = (1 to 5).map(k =>
+        s"""SELECT user_id, $k AS "lag", count(l$k) AS n_pairs,
+            round(CASE WHEN count(l$k) >= 2
+              THEN corr(value, l$k) END, 6) AS acf
+            FROM l GROUP BY user_id""").mkString(" UNION ALL ")
+      s"""WITH l AS (SELECT user_id, value, $ls FROM events
+          WINDOW w AS ($EvWP)) $parts"""
+    },
+
+    "series_xcorr" ->
+      // identical hourly bucketing (integer µs floor-division ==
+      // the engine's unix-seconds floor), self-join at bucket+shift,
+      // combinable corr per shift
+      """WITH b AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS va,
+             avg(CASE WHEN event_type = 'purchase' THEN value END) AS vb
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1),
+         k AS (SELECT unnest(generate_series(-3, 3)) AS shift)
+         SELECT k.shift, count(*) AS n_pairs,
+           round(corr(a.va, bb.vb), 6) AS xcorr
+         FROM k, b a, b bb
+         WHERE a.va IS NOT NULL AND bb.vb IS NOT NULL
+           AND a.bucket + k.shift * 3600 = bb.bucket
+         GROUP BY k.shift""",
+
+    "trend_decompose" ->
+      s"""SELECT user_id, event_id, value,
+          round(avg(value) OVER w, 6) AS trend,
+          round(value - avg(value) OVER w, 6) AS resid
+          FROM events
+          WINDOW w AS ($EvWP ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""",
+
+    "anomaly_zscore" ->
+      // rounded z feeds BOTH the sentinel and the flag, matching the
+      // engine (is_anomaly compares the 6dp z, and the -999 sentinel
+      // is applied after the flag so it can never trip it)
+      s"""WITH w AS (SELECT user_id, event_id, value,
+             count(value) OVER fr AS base_n,
+             avg(value) OVER fr AS mu,
+             stddev_samp(value) OVER fr AS sd
+           FROM events
+           WINDOW fr AS ($EvWP ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT user_id, event_id, value, base_n,
+             round(CASE WHEN base_n >= 2 AND sd > 0
+               THEN (value - mu) / sd END, 6) AS zr
+           FROM w)
+         SELECT user_id, event_id, value, base_n,
+           coalesce(zr, -999.0) AS z,
+           coalesce(abs(zr) > 2.5, false) AS is_anomaly
+         FROM z""",
+
     "resample_ohlc" ->
       // window formulation of the same OHLC semantics (first/last value
       // in (ts, event_id) order per (user, hour) bucket); open/close are
@@ -1909,6 +2029,65 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY score DESC, term) AS rank
            FROM scored) WHERE rank <= 3""",
+
+    "bm25_search" -> {
+      // same tokenization, same Lucene-form idf and tf normalization
+      // with the constants spelled identically ((1.2 + 1.0), 1.0 - 0.75)
+      // so both engines fold the same IEEE arithmetic; cut on
+      // (6dp score, doc_id)
+      val qvals = BmQueries.flatMap { case (qid, qt) =>
+        qt.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => s"('$qid', '$t')")
+      }.mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $qvals),
+         toks AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x <> '') AS w
+           FROM documents),
+         dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+         sc AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         tk AS (SELECT doc_id, unnest(w) AS term FROM toks),
+         m AS (SELECT q.query_id, q.term, tk.doc_id
+               FROM tk JOIN q USING (term)),
+         tf AS (SELECT query_id, term, doc_id, count(*) AS tf
+                FROM m GROUP BY 1, 2, 3),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df
+                 FROM tf GROUP BY 1),
+         s AS (SELECT tf.query_id, tf.doc_id,
+             round(sum(ln(1.0 + (sc.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / sc.avgdl))),
+               6) AS score
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), sc
+           GROUP BY 1, 2)
+         SELECT query_id, rank, doc_id, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id) AS rank FROM s)
+         WHERE rank <= 10"""
+    },
+
+    "pmi_bigrams" ->
+      // identical count model and division order; ordering on the
+      // ROUNDED pmi so the top-50 cut agrees between engines
+      """WITH toks AS (SELECT list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         uni AS (SELECT unnest(w) AS tok FROM toks),
+         c1 AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+         nu AS (SELECT count(*) AS nu FROM uni),
+         bg AS (SELECT w[i] || ' ' || w[i+1] AS bigram
+                FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM toks WHERE len(w) >= 2)),
+         c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1
+                 HAVING count(*) >= 5),
+         nb AS (SELECT count(*) AS nb FROM bg)
+         SELECT bigram, c12, a.c AS c1, b.c AS c2,
+           round(ln((c12 / nb.nb) /
+             ((a.c / nu.nu) * (b.c / nu.nu))), 6) AS pmi
+         FROM c12
+           JOIN c1 a ON a.tok = split_part(bigram, ' ', 1)
+           JOIN c1 b ON b.tok = split_part(bigram, ' ', 2), nb, nu
+         ORDER BY pmi DESC, bigram LIMIT 50""",
 
     "doc_winnow" ->
       s"""WITH $duckWinnowFpCtes
