@@ -545,6 +545,30 @@ object SparkEntry {
           col("base_n"), coalesce(col("z"), lit(-999.0)).as("z"),
           col("is_anomaly"))),
 
+    "stl_seasonal" -> ((s, dir) =>
+      // classical seasonal decomposition (value = trend + hour-of-day
+      // seasonal + remainder): trend window, seasonal aggregate and
+      // join-back all share the user partitioning — one exchange
+      graft.lagops.SeriesStats.seasonalDecompose(
+          Tables.events(s, dir).withColumn("hod", hour(col("ts"))),
+          "value", "hod",
+          LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1)),
+          halfWidth = 12)
+        .select("user_id", "event_id", "hod", "value", "trend",
+          "seasonal", "remainder")),
+
+    "rolling_corr" -> ((s, dir) =>
+      // time-local lag-1 autocorrelation over each row's trailing 24
+      // observations: lag column and frame correlation share one
+      // exchange + one sort; undefined → -999 sentinel
+      graft.lagops.SeriesStats.rollingCorr(Tables.events(s, dir),
+          "value",
+          LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"), Seq(1)),
+          window = 24)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("n_pairs"),
+          coalesce(col("roll_corr"), lit(-999.0)).as("roll_corr"))),
+
     "resample_ohlc" -> ((s, dir) => {
       // per-user hourly OHLC downsample in ONE combinable agg (min_by/
       // max_by on the (ts_ns, event_id) struct order key — no window
@@ -963,6 +987,14 @@ object SparkEntry {
         "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
         threshold = 0.5))
     }),
+
+    "dedup_editdist" -> ((s, dir) =>
+      // small-edit near-dup pairs: the SAME LSH candidate machinery
+      // (ids-only band shuffles, bucket caps), verified by Levenshtein
+      // over 400-char prefixes — the threshold form abandons the DP at
+      // maxDist and a prefix-length band check prunes before any DP
+      Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id",
+        "text", maxDist = 40, prefixLen = 400)),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -1672,9 +1704,11 @@ object SparkEntry {
          GROUP BY k.shift""",
 
     "trend_decompose" ->
+      // resid from the ROUNDED trend (both engines subtract identical
+      // doubles — ulp-boundary-safe at any row count)
       s"""SELECT user_id, event_id, value,
           round(avg(value) OVER w, 6) AS trend,
-          round(value - avg(value) OVER w, 6) AS resid
+          round(value - round(avg(value) OVER w, 6), 6) + 0.0 AS resid
           FROM events
           WINDOW w AS ($EvWP ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""",
 
@@ -1690,12 +1724,55 @@ object SparkEntry {
            WINDOW fr AS ($EvWP ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
          z AS (SELECT user_id, event_id, value, base_n,
              round(CASE WHEN base_n >= 2 AND sd > 0
-               THEN (value - mu) / sd END, 6) AS zr
+               THEN (value - mu) / sd END, 6) + 0.0 AS zr
            FROM w)
          SELECT user_id, event_id, value, base_n,
            coalesce(zr, -999.0) AS z,
            coalesce(abs(zr) > 2.5, false) AS is_anomaly
          FROM z""",
+
+    "stl_seasonal" -> {
+      // exact integer micro-unit replay of the engine pipeline:
+      // fixed-point inputs make double means land ON decimal rounding
+      // boundaries, where Spark's shortest-repr BigDecimal round and
+      // DuckDB's binary round systematically disagree — so no double
+      // aggregation appears anywhere; means are the shared
+      // round-half-up integer-division formula
+      val off = "1000000000"
+      def halfUp(a: String, b: String) =
+        s"(CAST(((2*(($a) + $off*($b)) + ($b)) - ((2*(($a) + $off*($b)) + ($b)) % (2*($b)))) / (2*($b)) AS BIGINT) - $off)"
+      s"""WITH t AS (SELECT user_id, event_id, value, hour(ts) AS hod,
+             CAST(round(value * 100) AS BIGINT) * 10000 AS vm,
+             sum(CAST(round(value * 100) AS BIGINT) * 10000) OVER fr AS fs,
+             count(*) OVER fr AS fn
+           FROM events
+           WINDOW fr AS ($EvWP
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         t2 AS (SELECT user_id, event_id, value, hod, vm,
+             ${halfUp("fs", "fn")} AS trm FROM t),
+         s AS (SELECT user_id, hod,
+             ${halfUp("sum(vm - trm)", "count(*)")} AS seam
+             FROM t2 GROUP BY 1, 2)
+         SELECT t2.user_id, t2.event_id, t2.hod, t2.value,
+           t2.trm / 1000000.0 AS trend,
+           s.seam / 1000000.0 AS seasonal,
+           (t2.vm - t2.trm - s.seam) / 1000000.0 AS remainder
+         FROM t2 JOIN s USING (user_id, hod)"""
+    },
+
+    "rolling_corr" ->
+      s"""WITH l AS (SELECT user_id, event_id, ts, value,
+             lag(value, 1) OVER ($EvWP) AS y
+           FROM events),
+         w AS (SELECT user_id, event_id, value,
+             count(y) OVER fr AS n_pairs,
+             CASE WHEN count(y) OVER fr >= 2
+               THEN corr(value, y) OVER fr END AS c
+           FROM l
+           WINDOW fr AS ($EvWP
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, value, n_pairs,
+           coalesce(round(c, 6) + 0.0, -999.0) AS roll_corr FROM w""",
 
     "resample_ohlc" ->
       // window formulation of the same OHLC semantics (first/last value
@@ -2162,6 +2239,19 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairCtes
          SELECT doc_a, doc_b, jaccard FROM mpairs""",
+
+    "dedup_editdist" ->
+      // replays the LSH candidate CTEs (only `p` is referenced — the
+      // Jaccard-verify CTEs after it stay unevaluated) and verifies
+      // with DuckDB's levenshtein over the same 400-char prefixes;
+      // exact integer distances, no float parity concern
+      s"""WITH $minhashPairCtes,
+         tx AS (SELECT doc_id, substr(text, 1, 400) AS t FROM documents)
+         SELECT p.doc_a, p.doc_b, levenshtein(a.t, b.t) AS dist
+         FROM p JOIN tx a ON a.doc_id = p.doc_a
+           JOIN tx b ON b.doc_id = p.doc_b
+         WHERE abs(len(a.t) - len(b.t)) <= 40
+           AND levenshtein(a.t, b.t) <= 40""",
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashClusterCtes

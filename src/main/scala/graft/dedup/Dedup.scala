@@ -143,9 +143,14 @@ object Dedup {
     * verified with exact Jaccard over shingle sets; pairs ≥ threshold out.
     * `maxBucket` drops degenerate buckets (skew guard at scale).
     */
-  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-                 threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+  /** LSH candidate pairs (doc_a < doc_b, deduped): band keys →
+    * bucket-size cap (skew guard) → within-bucket pairing. Shared by
+    * [[minhashLsh]] (exact-Jaccard verify) and [[editDistancePairs]]
+    * (Levenshtein verify) — the ids-only shuffle discipline lives here.
+    */
+  private[dedup] def lshCandidatePairs(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, bands: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
     val banded = bandKeysOf(
       shingleSetsOf(graft.util.Par.spread(df), idCol, textCol, shingleSize),
       bands, rowsPerBand)
@@ -158,10 +163,17 @@ object Dedup {
 
     val a = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = bucketed.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                 threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, shingleSize, bands,
+      rowsPerBand, maxBucket)
 
     val shs = shingleSetsOf(graft.util.Par.spread(df), idCol, textCol,
       shingleSize)
@@ -174,6 +186,46 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Small-edit near-dedup: pairs whose `prefixLen`-character prefixes
+    * are within `maxDist` Levenshtein edits — the signal for template
+    * instantiations and minor revisions, where token-set Jaccard stays
+    * high but the EDIT structure matters (and conversely: reordered
+    * shingle soup scores Jaccard-high yet edit-far).
+    *
+    * Candidates come from the SAME banded-LSH machinery as
+    * [[minhashLsh]] ([[lshCandidatePairs]]: ids-only band shuffles,
+    * bucket caps) — edit distance is a verify step, never an all-pairs
+    * scan. The verify is O(prefixLen²) DP per candidate via Spark's
+    * codegen'd `levenshtein(l, r, threshold)` form, which abandons a
+    * row at `maxDist` instead of filling the full DP table, and a
+    * prefix-length band check prunes before the DP runs (|len(a) −
+    * len(b)| > d implies dist > d). Prefix truncation bounds per-pair
+    * cost at any document length — the 100 TB contract is "candidates
+    * × prefixLen²", independent of doc size.
+    *
+    * Output: (doc_a, doc_b, dist), dist ≤ maxDist, exact integers.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, prefixLen: Int = 400,
+                        shingleSize: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 2,
+                        maxBucket: Int = 64): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    val pairs = lshCandidatePairs(df, idCol, textCol, shingleSize, bands,
+      rowsPerBand, maxBucket)
+    val tx = graft.util.Par.spread(df)
+      .select(col(idCol).as("doc_id"),
+        substring(col(textCol), 1, prefixLen).as("_t"))
+    pairs
+      .join(tx.select(col("doc_id").as("doc_a"), col("_t").as("_ta")), "doc_a")
+      .join(tx.select(col("doc_id").as("doc_b"), col("_t").as("_tb")), "doc_b")
+      .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
   /** INCREMENTAL near-dedup: which incoming documents are near-dups of

@@ -1,6 +1,6 @@
 package graft.lagops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -137,10 +137,116 @@ object SeriesStats {
       .partitionBy(spec.seriesCols.map(col): _*)
       .orderBy(spec.orderCols.map(col): _*)
       .rowsBetween(-halfWidth, halfWidth)
-    df.withColumn("_trend", avg(col(valueCol)).over(w))
-      .withColumn("trend", round(col("_trend"), 6))
-      .withColumn("resid", round(col(valueCol) - col("_trend"), 6))
-      .drop("_trend")
+    // resid subtracts the ROUNDED trend: the rounded value is the one
+    // deterministic across engines/summation orders, so derived
+    // differences stay ulp-boundary-safe at any row count (a raw
+    // window-avg differs ~1e-13 between engines, enough to flip a 6dp
+    // rounding on ~1 row in 10^6)
+    df.withColumn("trend", round(avg(col(valueCol)).over(w), 6))
+      .withColumn("resid", round(col(valueCol) - col("trend"), 6))
+  }
+
+  /** Round-half-up integer division `a / b` (ties toward +∞) for an
+    * integer column `a` of either sign and a positive integer `b`,
+    * computed in EXACT long arithmetic: offset to nonnegative (so
+    * floor- and truncate-division agree — engines disagree on negative
+    * integer division), then `floor((2a' + b) / 2b)` via subtract-mod,
+    * whose final division is an exact-multiple long division.
+    *
+    * Exactness contract: |a/b| < 10^9 (the offset) and 2·(a + 10^9·b)
+    * must stay under 2^53 so the exact-multiple division is exact in
+    * doubles — b up to ~4·10^6 rows per group at micro-unit scale.
+    */
+  private def divHalfUp(a: Column, b: Column): Column = {
+    val off = lit(1000000000L)
+    val bigA = (a + off * b) * 2 + b
+    val bigB = b * 2
+    ((bigA - pmod(bigA, bigB)) / bigB).cast("long") - off
+  }
+
+  /** Classical seasonal decomposition (the moving-average STL
+    * ancestor) for FIXED-POINT series (`fracDigits` decimal places —
+    * the telemetry/money case): `value = trend + seasonal + remainder`,
+    * where trend is the centered ±`halfWidth` moving average
+    * ([[decompose]]'s frame) and the seasonal term is the mean
+    * DETRENDED value of the row's season bucket (`seasonCol` — e.g.
+    * hour-of-day, day-of-week) within its series.
+    *
+    * All three outputs are derived in EXACT integer micro-units
+    * (sums of scaled longs; means via [[divHalfUp]]), so every engine
+    * replaying the arithmetic produces bit-identical doubles. The
+    * naive double pipeline is subtly non-portable here: fixed-point
+    * inputs make the means land EXACTLY on decimal rounding
+    * boundaries, where Spark (shortest-repr BigDecimal, half-up) and
+    * C-family `round` (binary value) systematically disagree — this
+    * flipped 6dp roundings on ~1e-3 of seasonal groups in practice.
+    * Generic doubles (cosines, ratios) don't hit this; exact decimals
+    * do.
+    *
+    * Plan: the trend window and the seasonal aggregate share the
+    * series partitioning (the aggregate's grouping keys extend it, the
+    * retention_cohorts shape), and the join back is co-partitioned on
+    * the same keys — ONE series-keyed exchange end to end.
+    *
+    * Output: input cols + (trend, seasonal, remainder) as micro-unit-
+    * exact doubles.
+    */
+  def seasonalDecompose(df: DataFrame, valueCol: String,
+                        seasonCol: String, spec: LagSpec,
+                        halfWidth: Int, fracDigits: Int = 2): DataFrame = {
+    require(halfWidth >= 1, s"halfWidth must be >= 1, got $halfWidth")
+    require(fracDigits >= 0 && fracDigits <= 6,
+      s"fracDigits must be in [0, 6], got $fracDigits")
+    val toMicros = math.round(math.pow(10, 6 - fracDigits))
+    val w = Window
+      .partitionBy(spec.seriesCols.map(col): _*)
+      .orderBy(spec.orderCols.map(col): _*)
+      .rowsBetween(-halfWidth, halfWidth)
+    val vU = round(col(valueCol) * math.round(math.pow(10, fracDigits)))
+      .cast("long")
+    val t = df
+      .withColumn("_vm", vU * toMicros)
+      .withColumn("_trm",
+        divHalfUp(sum(col("_vm")).over(w), count(lit(1)).over(w)))
+      .withColumn("_detm", col("_vm") - col("_trm"))
+    val keys = spec.seriesCols :+ seasonCol
+    val seas = t.groupBy(keys.map(col): _*)
+      .agg(divHalfUp(sum(col("_detm")), count(lit(1))).as("_seam"))
+    t.join(seas, keys)
+      .withColumn("trend", col("_trm") / 1e6)
+      .withColumn("seasonal", col("_seam") / 1e6)
+      .withColumn("remainder",
+        (col("_vm") - col("_trm") - col("_seam")) / 1e6)
+      .drop("_vm", "_trm", "_detm", "_seam")
+  }
+
+  /** Rolling correlation between a value and its own 1-step lag — the
+    * time-local autocorrelation diagnostic ([[acf]]'s per-point twin):
+    * `corr(value_t, value_{t-1})` over each row's trailing `window`
+    * observations. A regime change shows up as this series crossing
+    * zero long before the global ACF moves.
+    *
+    * Plan: the lag column and the frame correlation share one
+    * series-keyed exchange and one sort; the frame is bounded trailing
+    * (incremental — the quadratic fence's unbounded-following pattern
+    * never appears). NaN (zero-variance frame) normalizes to NULL.
+    *
+    * Output: input cols + (n_pairs, roll_corr).
+    */
+  def rollingCorr(df: DataFrame, valueCol: String, spec: LagSpec,
+                  window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val base = Window
+      .partitionBy(spec.seriesCols.map(col): _*)
+      .orderBy(spec.orderCols.map(col): _*)
+    val fr = base.rowsBetween(-(window - 1), 0)
+    val c = col("_c")
+    df.withColumn("_y", lag(col(valueCol), 1).over(base))
+      .withColumn("n_pairs", count(col("_y")).over(fr))
+      .withColumn("_c", corr(col(valueCol), col("_y")).over(fr))
+      .withColumn("roll_corr", round(
+        when(col("n_pairs") >= 2 && !isnan(c), c), 6))
+      .drop("_y", "_c")
   }
 
   /** Rolling-z anomaly score: each point against the mean/stddev of its

@@ -106,6 +106,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("editDistancePairs: the one-token revision pairs with a small distance; unrelated docs don't") {
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val got = Dedup.editDistancePairs(df, "doc_id", "text",
+        maxDist = 20, prefixLen = 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // "lazy" -> "sleepy": 3 edits per occurrence, 4 occurrences in the
+    // 400-char prefix... distance is positive and well under the cap
+    val d = got.head._3
+    assert(d > 0 && d <= 20, s"distance $d")
+  }
+
+  test("editDistancePairs: maxDist excludes pairs beyond the cap (threshold DP, not full DP)") {
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val got = Dedup.editDistancePairs(df, "doc_id", "text",
+        maxDist = 2, prefixLen = 400).collect()
+    assert(got.isEmpty, s"one-token-per-repeat revision is > 2 edits: ${got.toSeq}")
+  }
+
   test("hot-bucket cap bounds candidates; exact dedup owns identical content") {
     // the 100 TB skew story: content cloned thousands of times puts
     // every clone in the same LSH bucket per band — quadratic candidate

@@ -78,6 +78,70 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(got(7)._1 == 14.666667 && math.abs(got(7)._2 - 9.333333) < 1e-9)
   }
 
+  test("seasonalDecompose: additive identity holds exactly in micro-units") {
+    import spark.implicits._
+    // 3 repeats of a 4-phase pattern on a rising base: season buckets
+    // 0..3 via t % 4
+    val vals = (0 until 12).map(i => 10.0 + i + Seq(5.0, -2.0, 0.0, -3.0)(i % 4))
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, i.toLong % 4, v) }.toDF("sid", "t", "season", "v")
+    val got = SeriesStats.seasonalDecompose(df, "v", "season",
+        spec, halfWidth = 2).orderBy("t").collect()
+    got.foreach { r =>
+      val v = r.getDouble(r.fieldIndex("v"))
+      val parts = r.getDouble(r.fieldIndex("trend")) +
+        r.getDouble(r.fieldIndex("seasonal")) +
+        r.getDouble(r.fieldIndex("remainder"))
+      assert(math.round(parts * 1e6) == math.round(v * 1e6),
+        s"additive identity at t=${r.getLong(1)}: $v vs $parts")
+    }
+    // seasonal effects should separate the high phase from the low one
+    val bySeason = got.groupBy(_.getLong(2)).map { case (s, rs) =>
+      s -> rs.head.getDouble(rs.head.fieldIndex("seasonal")) }
+    assert(bySeason(0L) > bySeason(3L),
+      s"phase 0 (+5) must sit above phase 3 (-3): $bySeason")
+  }
+
+  test("seasonalDecompose: half-tie means round deterministically (ties toward +inf)") {
+    import spark.implicits._
+    // one series, one season bucket, two rows; trend frame covers both
+    // rows at every position (halfWidth 2 > series length), so
+    // trend = mean(1.00, 1.01) = 1.005 exactly — a half-micro tie at
+    // cents scale is impossible, but the SEASONAL mean of the two
+    // detrended values (-0.005, +0.005) sums to zero; construct the
+    // tie on the trend instead: mean in micros = 1005000 exact. Use 3
+    // rows where the group mean of detrended micros ends in .5
+    val df = Seq((1L, 0L, 0L, 1.00), (1L, 1L, 0L, 1.01))
+      .toDF("sid", "t", "season", "v")
+    val got = SeriesStats.seasonalDecompose(df, "v", "season",
+        spec, halfWidth = 2).orderBy("t").collect()
+    val trend = got.map(_.getDouble(got.head.fieldIndex("trend")))
+    assert(trend.forall(_ == 1.005), s"exact micro mean: ${trend.toSeq}")
+    got.foreach { r =>
+      val parts = r.getDouble(r.fieldIndex("trend")) +
+        r.getDouble(r.fieldIndex("seasonal")) +
+        r.getDouble(r.fieldIndex("remainder"))
+      assert(math.round(parts * 1e6) ==
+        math.round(r.getDouble(r.fieldIndex("v")) * 1e6))
+    }
+  }
+
+  test("rollingCorr: locally linear series shows corr 1 once the frame fills") {
+    import spark.implicits._
+    val df = (0 until 10).map(i => (1L, i.toLong, 2.0 * i + 3.0))
+      .toDF("sid", "t", "v")
+    val got = SeriesStats.rollingCorr(df, "v", spec, window = 4)
+      .orderBy("t").collect()
+    val head = got(0)
+    assert(head.isNullAt(head.fieldIndex("roll_corr")) &&
+      head.getLong(head.fieldIndex("n_pairs")) == 0L)
+    // from the third row on, >= 2 (value, lag) pairs of a linear series
+    got.drop(2).foreach { r =>
+      assert(r.getDouble(r.fieldIndex("roll_corr")) == 1.0)
+      assert(r.getLong(r.fieldIndex("n_pairs")) <= 4L)
+    }
+  }
+
   test("anomalies: spike flags against its own past, not itself") {
     import spark.implicits._
     val vals = Seq(10.0, 11.0, 9.0, 10.0, 11.0, 9.0, 50.0, 10.0)
