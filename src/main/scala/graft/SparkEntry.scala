@@ -1680,7 +1680,7 @@ object SparkEntry {
       val parts = (1 to 5).map(k =>
         s"""SELECT user_id, $k AS "lag", count(l$k) AS n_pairs,
             round(CASE WHEN count(l$k) >= 2
-              THEN corr(value, l$k) END, 6) AS acf
+              THEN corr(value, l$k) END, 6) + 0.0 AS acf
             FROM l GROUP BY user_id""").mkString(" UNION ALL ")
       s"""WITH l AS (SELECT user_id, value, $ls FROM events
           WINDOW w AS ($EvWP)) $parts"""
@@ -1697,7 +1697,7 @@ object SparkEntry {
            GROUP BY 1),
          k AS (SELECT unnest(generate_series(-3, 3)) AS shift)
          SELECT k.shift, count(*) AS n_pairs,
-           round(corr(a.va, bb.vb), 6) AS xcorr
+           round(corr(a.va, bb.vb), 6) + 0.0 AS xcorr
          FROM k, b a, b bb
          WHERE a.va IS NOT NULL AND bb.vb IS NOT NULL
            AND a.bucket + k.shift * 3600 = bb.bucket

@@ -20,6 +20,38 @@ import org.apache.spark.sql.functions._
   */
 object SeriesStats {
 
+  /** Pearson correlation from combinable raw moments, with every
+    * division guarded: NULL when fewer than 2 pairs or either side has
+    * zero spread. Spark 4 runs ANSI mode by default, where the
+    * built-in `corr`'s internal `ck / sqrt(xMk·yMk)` THROWS
+    * DIVIDE_BY_ZERO on a zero-variance frame (a constant run inside a
+    * rolling window was enough to kill a 1M-row query at the 10×
+    * anchor) — so every correlation in this file is built from sums
+    * with the division behind a lazily-evaluated CaseWhen.
+    */
+  private def pearson(n: Column, sx: Column, sy: Column, sxx: Column,
+                      syy: Column, sxy: Column): Column = {
+    val covN = n * sxy - sx * sy // n² · cov
+    val vxN = n * sxx - sx * sx // n² · var_x
+    val vyN = n * syy - sy * sy
+    when(n >= 2 && vxN > 0 && vyN > 0, covN / sqrt(vxN * vyN))
+  }
+
+  /** The six conditional moment aggregates [[pearson]] needs, over
+    * pairs where both sides are non-null. */
+  private def momentAggs(x: Column, y: Column, tag: String): Seq[Column] = {
+    val xc = when(x.isNotNull && y.isNotNull, x)
+    val yc = when(x.isNotNull && y.isNotNull, y)
+    Seq(count(xc).cast("double").as(s"_n$tag"),
+      sum(xc).as(s"_sx$tag"), sum(yc).as(s"_sy$tag"),
+      sum(xc * xc).as(s"_sxx$tag"), sum(yc * yc).as(s"_syy$tag"),
+      sum(xc * yc).as(s"_sxy$tag"))
+  }
+
+  private def pearsonOf(tag: String): Column =
+    pearson(col(s"_n$tag"), col(s"_sx$tag"), col(s"_sy$tag"),
+      col(s"_sxx$tag"), col(s"_syy$tag"), col(s"_sxy$tag"))
+
   /** Per-series autocorrelation function for lags `1..maxLag`:
     * `acf(s, k) = corr(value_t, value_{t-k})` over the rows of series
     * `s` where both sides exist (head rows, where the lag is null, drop
@@ -33,9 +65,8 @@ object SeriesStats {
     * the grouping key equals the window partitioning, so the aggregate
     * adds no second exchange. Output is series × maxLag rows.
     *
-    * Spark's `corr` yields NaN on a zero-variance frame where SQL
-    * engines yield NULL; the NaN is normalized to NULL so undefined is
-    * spelled one way.
+    * Correlations are guarded-moment [[pearson]] forms (NULL when
+    * undefined — never NaN, never an ANSI divide-by-zero).
     *
     * Output: (seriesCols..., lag, n_pairs, acf) with `acf` rounded to
     * 6dp (ratio-of-sums parity convention).
@@ -50,18 +81,14 @@ object SeriesStats {
     val wide = LagMatrix.wide(df, valueCol,
       spec.copy(lags = 0 +: lags, fill = None))
     val aggs = lags.flatMap { k =>
-      val lagged = col(s"${valueCol}_lag_$k")
-      Seq(
-        count(when(lagged.isNotNull && col(valueCol).isNotNull, 1))
-          .as(s"_n$k"),
-        corr(col(valueCol), lagged).as(s"_c$k"))
+      momentAggs(col(valueCol), col(s"${valueCol}_lag_$k"), k.toString)
     }
     val perSeries = wide.groupBy(spec.seriesCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     val rows = lags.map { k =>
-      val c = col(s"_c$k")
-      struct(lit(k).as("lag"), col(s"_n$k").as("n_pairs"),
-        round(when(isnan(c), lit(null)).otherwise(c), 6).as("acf"))
+      struct(lit(k).as("lag"),
+        col(s"_n$k").cast("long").as("n_pairs"),
+        round(pearsonOf(k.toString), 6).as("acf"))
     }
     perSeries
       .select(spec.seriesCols.map(col) :+
@@ -109,13 +136,14 @@ object SeriesStats {
         explode(array(shifts: _*)).as("shift"))
     val right = b.select(col("_bucket").as("_bucket_b"), col("_vb"))
       .where(col("_vb").isNotNull)
-    val c = corr(col("_va"), col("_vb"))
+    val m = momentAggs(col("_va"), col("_vb"), "")
     left
       .join(broadcast(right),
         left("_bucket") + col("shift") * bucketSeconds === col("_bucket_b"))
       .groupBy(col("shift"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round(when(isnan(c), lit(null)).otherwise(c), 6).as("xcorr"))
+      .agg(m.head, m.tail: _*)
+      .select(col("shift"), col("_n").cast("long").as("n_pairs"),
+        round(pearsonOf(""), 6).as("xcorr"))
   }
 
   /** Additive trend decomposition by centered moving average:
@@ -240,13 +268,20 @@ object SeriesStats {
       .partitionBy(spec.seriesCols.map(col): _*)
       .orderBy(spec.orderCols.map(col): _*)
     val fr = base.rowsBetween(-(window - 1), 0)
-    val c = col("_c")
+    val x = col(valueCol)
+    val y = col("_y")
+    val xc = when(y.isNotNull, x)
     df.withColumn("_y", lag(col(valueCol), 1).over(base))
-      .withColumn("n_pairs", count(col("_y")).over(fr))
-      .withColumn("_c", corr(col(valueCol), col("_y")).over(fr))
-      .withColumn("roll_corr", round(
-        when(col("n_pairs") >= 2 && !isnan(c), c), 6))
-      .drop("_y", "_c")
+      .withColumn("_n", count(y).over(fr).cast("double"))
+      .withColumn("_sx", sum(xc).over(fr))
+      .withColumn("_sy", sum(y).over(fr))
+      .withColumn("_sxx", sum(xc * xc).over(fr))
+      .withColumn("_syy", sum(y * y).over(fr))
+      .withColumn("_sxy", sum(xc * y).over(fr))
+      .withColumn("n_pairs", col("_n").cast("long"))
+      .withColumn("roll_corr", round(pearson(col("_n"), col("_sx"),
+        col("_sy"), col("_sxx"), col("_syy"), col("_sxy")), 6))
+      .drop("_y", "_n", "_sx", "_sy", "_sxx", "_syy", "_sxy")
   }
 
   /** Rolling-z anomaly score: each point against the mean/stddev of its
@@ -272,15 +307,18 @@ object SeriesStats {
     val n = count(col(valueCol)).over(w)
     val mu = avg(col(valueCol)).over(w)
     val sd = stddev_samp(col(valueCol)).over(w)
-    val zRaw = (col(valueCol) - mu) / sd
+    // the division lives INSIDE the CaseWhen branch: ANSI mode throws
+    // DIVIDE_BY_ZERO on an eagerly-computed z when a baseline frame is
+    // a constant run (sd exactly 0) — lazily guarded, it never runs
     val z = when(col("base_n") >= 2 && col("_sd").isNotNull &&
-        !isnan(col("_sd")) && col("_sd") > 0, col("_z"))
+      !isnan(col("_sd")) && col("_sd") > 0,
+      (col(valueCol) - col("_mu")) / col("_sd"))
     df.withColumn("base_n", n)
+      .withColumn("_mu", mu)
       .withColumn("_sd", sd)
-      .withColumn("_z", zRaw)
       .withColumn("z", round(z, 6))
       .withColumn("is_anomaly", coalesce(abs(col("z")) > threshold,
         lit(false)))
-      .drop("_sd", "_z")
+      .drop("_mu", "_sd")
   }
 }
