@@ -270,7 +270,34 @@ object PlanDump {
           "feeds one doc-keyed left join; the split draw is a narrow md5 " +
           "projection on the cluster representative — grouping duplicate " +
           "clusters into one split costs nothing beyond the dedup " +
-          "pipeline the corpus already runs."))
+          "pipeline the corpus already runs."),
+      "series_acf" ->
+        ("Per-series ACF: the five lag columns collapse into ONE Window " +
+          "operator, and the per-series moment aggregate's grouping key " +
+          "equals the window partitioning — a single " +
+          "hashpartitioning(user_id) exchange feeds both. Correlations " +
+          "are guarded-moment forms (no built-in corr): ANSI mode " +
+          "throws on corr's internal division over a zero-variance " +
+          "frame."),
+      "stl_seasonal" ->
+        ("Seasonal decomposition in exact integer micro-units: trend " +
+          "window, seasonal aggregate and join-back all share the " +
+          "user partitioning (grouping keys extend the window keys; the " +
+          "join is co-partitioned) — one exchange end to end. Integer " +
+          "arithmetic because fixed-point inputs land double means " +
+          "exactly on decimal rounding boundaries where engines' " +
+          "round() models disagree."),
+      "bm25_search" ->
+        ("BM25: corpus tokens explode in the scan stage and immediately " +
+          "broadcast-join the literal query-term list — the corpus " +
+          "never shuffles at full width; N/avgdl enter as broadcast " +
+          "1-row scalar frames; the per-query top-k is a window over " +
+          "candidate-scale rows only."),
+      "dedup_editdist" ->
+        ("Edit-distance near-dedup: LSH band candidates (ids-only " +
+          "shuffles, bucket caps) re-join 400-char prefixes for the " +
+          "few candidate pairs; the Levenshtein verify is the " +
+          "threshold DP form, after a prefix-length band filter."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")

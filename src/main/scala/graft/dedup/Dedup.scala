@@ -809,30 +809,28 @@ object Dedup {
                 maxDf: Int = 16): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2 to form any pair, got $maxDf")
-    // materialize the narrow (id, fp) frame ONCE: the plan forks three
-    // ways below (the df aggregate and both self-join sides), and an
-    // unmaterialized frame would re-run the md5 k-gram hashing + window
-    // min per fork — fingerprints are two longs per row, tiny next to
-    // the text they summarize (same checkpoint discipline as corpusClean
-    // and seqPack)
+    // No localCheckpoint on the corpus-fingerprint frames: checkpoint
+    // blocks are deserialized rows with no unpersist hook, so each
+    // invocation leaked ~600 MB into a long-lived session's
+    // MemoryStore at the 100× anchor (the noveltyScore lesson). The
+    // planner hazard the checkpoints used to fix — the pre-explode
+    // size estimate underselling fingerprint volume so a data-sized
+    // side got BROADCAST (measured r6: ~5M-row build, 9s → 18s
+    // bimodal) — is fixed at the ROOT with SHUFFLE_HASH hints: no
+    // side can be broadcast off a bad estimate. Every consumer below
+    // (df aggregate, prune probe, both self-join sides) requires the
+    // SAME hash(fp) partitioning, so ReuseExchange serves them from
+    // one serialized shuffle write of the winnow kernel's output, and
+    // the self-join runs exchange-free on the prune join's output
+    // partitioning. AQE's skew split handles shuffled-hash joins.
     val fps = graft.textops.TextOps.winnowing(df, idCol, textCol, k, w)
       .select(col(idCol).cast("long").as("_id"), col("fp"))
-      .localCheckpoint()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
       .select(col("fp"))
-    // materialize the pruned frame too: it feeds BOTH sides of the
-    // self-join, so without this the df aggregate above runs twice —
-    // and, worse, the pre-checkpoint size ESTIMATE (derived from the
-    // text-sized scan) undersells the fingerprint volume enough that
-    // the planner broadcasts a data-sized side (measured at the 10×
-    // anchor: a ~5M-row broadcast build, 9s → 18s bimodal). The
-    // checkpoint pins exact stats, so the join is broadcast only when
-    // the pruned frame genuinely fits — Spark's own threshold
-    // philosophy, which is the shape that survives 100 TB.
-    val pruned = fps.join(rare, "fp").localCheckpoint()
-    pruned.as("a").join(pruned.as("b"),
+    val pruned = fps.join(rare.hint("shuffle_hash"), "fp")
+    pruned.as("a").join(pruned.as("b").hint("shuffle_hash"),
         col("a.fp") === col("b.fp") && col("a._id") < col("b._id"))
       .groupBy(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -161,15 +161,25 @@ object Vocab {
     // keyed on the hash would instead pin every row of the hot key in
     // ONE sort partition, the straggler AQE cannot split.
     // the (id, hash) frame feeds BOTH the df aggregate and the join
-    // probe: materialize it once (16-byte rows — cheaper than running
-    // tokenize + the kernel twice, and the exact post-checkpoint stats
-    // let AQE size the df join from reality, the spanPairs lesson)
+    // probe — but NOT through a localCheckpoint: checkpoint blocks are
+    // deserialized row objects with no unpersist hook, so in a
+    // long-lived session (the bench suite, any notebook) each
+    // invocation leaks GBs into the MemoryStore — at the 100× anchor
+    // the SECOND novelty run was 4× the first, and session shutdown
+    // spent minutes freeing entries. Without the checkpoint's exact
+    // stats the planner undersells the exploded gram side (file-scan
+    // bytes, pre-explode) and BROADCASTS 23M rows; the SHUFFLE_HASH
+    // hint on the df side pins the scalable plan instead: both
+    // consumers require the SAME hash(_gh) partitioning, so
+    // ReuseExchange serves the aggregate and the probe from ONE
+    // serialized shuffle write of the kernel output, the df side
+    // builds the per-partition map, and AQE's skew split still
+    // applies (it handles shuffled-hash joins).
     val grams = graft.util.Par.spread(df)
       .select(col(idCol), explode(graft.functions.NgramXxSetExpr(
         TextOps.tokens(lower(col(textCol))), n)).as("_gh"))
-      .localCheckpoint()
     val dfreq = grams.groupBy(col("_gh")).agg(count(lit(1)).as("_df"))
-    grams.join(dfreq, "_gh")
+    grams.join(dfreq.hint("shuffle_hash"), "_gh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         round(avg(when(col("_df") === 1, 1.0).otherwise(0.0)), 6)
@@ -256,9 +266,14 @@ object Vocab {
     // V = rows of the unigram count frame — vocab-sized, no extra
     // corpus scan
     val vocabN = c1.agg(count(lit(1)).as("_v"))
-    // model assembly on vocab-sized frames: (bigram, c12, c1-of-left)
+    // model assembly on vocab-sized frames: (bigram, c12, c1-of-left).
+    // The doc-side probe join is pinned SHUFFLE_HASH: the planner's
+    // pre-explode estimate undersells `big` enough to BROADCAST the
+    // 23M-row doc side at the 100× anchor (the noveltyScore lesson) —
+    // the model-side frames are real shuffle stages whose stats AQE
+    // already knows, so their own join needs no hint
     val bstats = c12.join(c1, "_h1").drop("_h1")
-    big.select(col(idCol), col("_h2")).join(bstats, "_h2")
+    big.select(col(idCol), col("_h2")).join(bstats.hint("shuffle_hash"), "_h2")
       .crossJoin(broadcast(vocabN))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -288,11 +303,13 @@ object Vocab {
   def tfidfTerms(df: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // tf feeds BOTH the df aggregate and the join probe: materialize it
-    // once — the old groupBy(doc, term) form paid a full exchange here
-    // that doubled as the reuse point; the kernel form materializes the
-    // same (doc, term)-unique frame WITHOUT the shuffle, and the exact
-    // post-checkpoint stats let AQE size the df join from reality
+    // tf feeds BOTH the df aggregate and the join probe. No
+    // localCheckpoint here (its deserialized blocks have no unpersist
+    // hook and leak across invocations in a long-lived session — the
+    // noveltyScore lesson); the join is pinned SHUFFLE_HASH below so
+    // the planner can never broadcast the token-scale side off its
+    // underselling pre-explode estimate, and both consumers share the
+    // one hash(_th) exchange via ReuseExchange.
     val tf = graft.util.Par.spread(df)
       .select(col(idCol),
         explode(graft.functions.WordCountsExpr(
@@ -300,14 +317,13 @@ object Vocab {
       .select(col(idCol), col("_kv").getField("term").as("term"),
         col("_kv").getField("tf").as("tf"),
         xxhash64(col("_kv").getField("term")).as("_th"))
-      .localCheckpoint()
     // tf is unique per (doc, term), so the term's document frequency is
     // a plain count — no count(distinct) expansion needed (two terms
     // colliding in 64 bits would merge df counts: the same vanishing
     // P ≈ vocab²/2⁶⁴ contract as noveltyScore)
     val dfreq = tf.groupBy(col("_th")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("_n_docs"))
-    tf.join(dfreq, "_th")
+    tf.join(dfreq.hint("shuffle_hash"), "_th")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", round(col("tf") *
         log((col("_n_docs") + 1.0) / (col("df") + 1.0)), 6))

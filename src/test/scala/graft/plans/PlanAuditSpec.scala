@@ -252,23 +252,21 @@ class PlanAuditSpec extends AnyFunSuite {
     // shuffle keys, and a stopword-grade hot key no longer drags its
     // string payload into one reduce partition. The string survives only
     // where the output needs it (tfidf's term column). novelty's hash is
-    // computed INSIDE the scan-stage kernel (NgramXxSetExpr) — the
-    // distinct (doc, hash) frame never pays a distinct exchange.
-    // the kernels themselves are truncated out of the registered plans
-    // by the fork-point localCheckpoint (dedup_spans pattern: they must
-    // appear ZERO times, proving the scan pass cannot re-run per fork);
-    // their presence in the un-checkpointed lineage is pinned on the
-    // window twin below
+    // computed INSIDE the scan-stage kernel (NgramXxSetExpr). The probe
+    // join is pinned ShuffledHashJoin: without the pin, the planner's
+    // pre-explode estimate undersold the token-scale side and BROADCAST
+    // 23M rows at the 100× anchor (the former localCheckpoint fixed the
+    // estimate but leaked unevictable deserialized blocks across
+    // invocations — both consumers now share the one hash exchange via
+    // runtime ReuseExchange instead)
     val pn = plan("novelty_score")
-    assert(!pn.contains("ngramxxsetexpr"), pn)
-    assert(pn.contains("Scan ExistingRDD") || pn.contains("LocalTableScan"), pn)
+    assert(pn.contains("ShuffledHashJoin"), pn)
     assert(pn.contains("hashpartitioning(_gh"), pn)
     // no exchange may partition on the n-gram STRING
     assert(!pn.linesIterator.exists(l =>
       l.contains("hashpartitioning(ngram")), pn)
     val pt = plan("tfidf_terms")
-    assert(!pt.contains("wordcountsexpr"), pt)
-    assert(pt.contains("Scan ExistingRDD") || pt.contains("LocalTableScan"), pt)
+    assert(pt.contains("ShuffledHashJoin"), pt)
     assert(pt.contains("hashpartitioning(_th"), pt)
     val docs = graft.sources.Tables.documents(spark, dir)
     val pw = graft.textops.Vocab.noveltyScoreViaWindow(docs, "doc_id", "text")
@@ -279,12 +277,13 @@ class PlanAuditSpec extends AnyFunSuite {
   test("n-gram df joins stay AQE-splittable under skew (no forced broadcast)") {
     // a deliberately skewed corpus: every doc shares the same hot
     // bigram, so one join key carries half the posting rows. With
-    // size-based broadcasts disabled the df joins must still plan as
-    // SortMergeJoin — the shape AQE's skew-split can rewrite — which
-    // proves no hint forces broadcasting a side that grows with the
-    // corpus, AND that the df attach-back is a join at all (a window
-    // count would pin the hot key's rows in one unsplittable sort
-    // partition). (tfidf's single allowed broadcast is the 1-row N.)
+    // size-based broadcasts disabled the df joins must still plan as a
+    // shuffled join (SortMergeJoin or the pinned ShuffledHashJoin —
+    // BOTH shapes AQE's skew-split can rewrite) — which proves no hint
+    // forces broadcasting a side that grows with the corpus, AND that
+    // the df attach-back is a join at all (a window count would pin the
+    // hot key's rows in one unsplittable sort partition). (tfidf's
+    // single allowed broadcast is the 1-row N.)
     import spark.implicits._
     val conf = spark.conf
     val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -294,12 +293,12 @@ class PlanAuditSpec extends AnyFunSuite {
         .toDF("doc_id", "text")
       val pn = graft.textops.Vocab.noveltyScore(docs, "doc_id", "text")
         .queryExecution.executedPlan.toString
-      assert(opCount(pn, "SortMergeJoin") >= 1, pn)
+      assert(opCount(pn, "SortMergeJoin") + opCount(pn, "ShuffledHashJoin") >= 1, pn)
       assert(!pn.contains("BroadcastHashJoin") &&
         !pn.contains("BroadcastNestedLoopJoin"), pn)
       val pt = graft.textops.Vocab.tfidfTerms(docs, "doc_id", "text", 3)
         .queryExecution.executedPlan.toString
-      assert(opCount(pt, "SortMergeJoin") >= 1, pt)
+      assert(opCount(pt, "SortMergeJoin") + opCount(pt, "ShuffledHashJoin") >= 1, pt)
       assert(opCount(pt, "BroadcastNestedLoopJoin") <= 1, pt)
       assert(!pt.contains("CartesianProduct"), pt)
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
@@ -485,15 +484,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assertShufflesPostProbe("ingest_clean", minProbes = 5)
   }
 
-  test("dedup_spans: both self-join sides reuse the one checkpointed fp frame") {
+  test("dedup_spans: every fp join is a pinned shuffled join, no broadcast of a data-sized side") {
     val p = plan("dedup_spans")
-    // the winnow hashing must appear ZERO times in the executed plan —
-    // the localCheckpoint truncates it; only scans of the checkpoint RDD
-    // remain, so the k-gram kernel cannot re-run per plan fork
-    assert(!p.contains("kgram_hashes"), p)
-    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+    // the SHUFFLE_HASH pins (prune probe + self-join) mean no side can
+    // be broadcast off the underselling pre-explode estimate (the r6
+    // bimodal 9s→18s bug); all fp-keyed consumers require the same
+    // hash(fp) partitioning, so runtime ReuseExchange serves them from
+    // one winnow-kernel shuffle write — and if reuse ever fails, the
+    // kernel recomputes instead of serving GBs of unevictable
+    // checkpoint blocks (the 100×-anchor MemoryStore-leak lesson)
+    assert(opCount(p, "ShuffledHashJoin") >= 2, p)
     assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(fp"), p)
   }
 
   test("embedding_pq encode is a pure projection: no data-keyed exchange") {
