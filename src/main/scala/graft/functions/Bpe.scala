@@ -82,17 +82,30 @@ object BpeVocab {
     * stops early when no pair occurs at least twice.
     */
   def train(corpus: String, n: Int): Seq[(String, String)] = {
-    var words: Map[Vector[String], Int] = corpus.split("\\s+").filter(_.nonEmpty)
-      .groupBy(identity).map { case (w, g) =>
-        w.map(_.toString).toVector -> g.length }
+    val wf = corpus.split("\\s+").filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }.toSeq
+    trainFromCounts(wf, n)
+  }
+
+  /** The training loop over an explicit `(word, frequency)` table —
+    * the sufficient statistic of the corpus. [[train]] builds the
+    * table from a string; [[graft.textops.BpeTrainer]] builds it
+    * distributed (one combinable aggregate) and hands the vocab-sized
+    * result here, so the two paths learn IDENTICAL merges from
+    * identical counts.
+    */
+  def trainFromCounts(wordFreq: Seq[(String, Long)],
+                      n: Int): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] = wordFreq
+      .groupMapReduce(_._1.map(_.toString).toVector)(_._2)(_ + _)
     val out = Vector.newBuilder[(String, String)]
     val emitted = scala.collection.mutable.Set[(String, String)]()
     var i = 0
     var done = false
     while (i < n && !done) {
-      val counts = scala.collection.mutable.Map[(String, String), Int]()
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
       for ((syms, f) <- words; j <- 0 until syms.length - 1)
-        counts.updateWith((syms(j), syms(j + 1)))(c => Some(c.getOrElse(0) + f))
+        counts.updateWith((syms(j), syms(j + 1)))(c => Some(c.getOrElse(0L) + f))
       val candidates = counts.filter { case (p, c) => c >= 2 && !emitted(p) }
       if (candidates.isEmpty) done = true
       else {

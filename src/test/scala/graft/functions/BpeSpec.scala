@@ -22,6 +22,35 @@ class BpeSpec extends AnyFunSuite {
     assert(m1.distinct.size == m1.size, "duplicate merge pair emitted")
   }
 
+  test("distributed trainer learns the same merges as the local trainer") {
+    import spark.implicits._
+    // split the embedded sample across documents: the word-frequency
+    // table is identical, so the learned tables must be identical —
+    // the distributed path is ONE count aggregate + TakeOrdered into
+    // the same trainFromCounts loop
+    val lines = BpeVocab.sample.split("\n").filter(_.trim.nonEmpty)
+    val docs = lines.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toSeq.toDF("doc_id", "text")
+    val dist = graft.textops.BpeTrainer.train(docs, "text", numMerges = 80)
+    val local = BpeVocab.train(BpeVocab.sample, 80)
+    assert(dist == local)
+  }
+
+  test("distributed trainer: maxVocab truncates the tail, not the head") {
+    import spark.implicits._
+    // 100 copies of a hot word + singleton tail words: with the vocab
+    // cap at 2 the hot words' pair survives, the tail never counts
+    val docs = ((1 to 100).map(i => (i.toLong, "abab cdcd")) ++
+      Seq((200L, "xy"), (201L, "zq")))
+      .toDF("doc_id", "text")
+    val merges = graft.textops.BpeTrainer.train(docs, "text",
+      numMerges = 4, maxVocab = 2)
+    // pairs inside abab/cdcd dominate; xy/zq (freq 1 each, outside the
+    // top-2 vocab) contribute nothing
+    assert(merges.nonEmpty)
+    assert(!merges.contains(("x", "y")) && !merges.contains(("z", "q")))
+  }
+
   test("common sample words compress to few tokens, rare words to many") {
     val enc = (w: String) => BpeVocab.encodeReference(w, BpeVocab.merges)
     assert(enc("the") == Seq("the"))
