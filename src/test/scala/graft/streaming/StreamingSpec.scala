@@ -294,6 +294,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming anomaly z equals the batch rolling-z on the same data") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[EventRow]
+    val streamed = StreamingAnomaly.anomalies(ev, window = 8,
+        threshold = 2.5).collect()
+      .map(a => a.event_id -> (a.base_n, a.z, a.is_anomaly)).toMap
+    val batch = graft.lagops.SeriesStats.anomalies(
+        Tables.events(spark, dir), "value",
+        graft.lagops.LagSpec(Seq("ts_ns", "event_id"), Seq("user_id"),
+          Seq(1)), window = 8, threshold = 2.5)
+      .collect().map { r =>
+        val id = r.getLong(r.fieldIndex("event_id"))
+        val z = if (r.isNullAt(r.fieldIndex("z"))) None
+          else Some(r.getDouble(r.fieldIndex("z")))
+        id -> ((r.getLong(r.fieldIndex("base_n")), z,
+          r.getBoolean(r.fieldIndex("is_anomaly"))))
+      }.toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch)
+  }
+
+  test("streaming anomaly: a spike mid-stream flags across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventRow]
+    val q = StreamingAnomaly.anomalies(mem.toDS(), window = 4,
+        threshold = 3.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom_stream").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("anom_stream").count() < n) {
+        assert(System.nanoTime() < deadline, "timed out waiting for sink rows")
+        assert(q.exception.isEmpty, s"query failed: ${q.exception}")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      def e(id: Long, v: Double) =
+        EventRow(id, new java.sql.Timestamp(id * 1000L), 9L, "m", v)
+      // baseline in batch 1, spike arrives in batch 2: the ring state
+      // carries the history across the micro-batch boundary
+      mem.addData(e(1, 10.0), e(2, 11.0), e(3, 9.0), e(4, 10.0))
+      mem.addData(e(5, 60.0), e(6, 10.5))
+      awaitRows(6)
+      val rows = spark.table("anom_stream").as[AnomalyEvent].collect()
+        .map(a => a.event_id -> a).toMap
+      assert(rows(5).is_anomaly, s"spike must flag: ${rows(5)}")
+      assert(rows.filterNot(_._1 == 5L).values.forall(!_.is_anomaly),
+        s"only the spike flags: ${rows.values.toSeq.sortBy(_.event_id)}")
+      // head rows have no/undefined baseline
+      assert(rows(1L).z.isEmpty && rows(2L).z.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming debounce equals batch debounce minus each key's open tail") {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
