@@ -569,6 +569,13 @@ object SparkEntry {
           col("n_pairs"),
           coalesce(col("roll_corr"), lit(-999.0)).as("roll_corr"))),
 
+    "value_histogram" -> ((s, dir) =>
+      // per-type equi-width value histogram (width 10, 12 buckets,
+      // edge buckets absorb outliers): ONE combinable hash aggregate,
+      // output bounded at types × buckets
+      graft.lagops.EventAnalytics.histogram(Tables.events(s, dir),
+        "event_type", "value", width = 10.0, nBuckets = 12)),
+
     "resample_ohlc" -> ((s, dir) => {
       // per-user hourly OHLC downsample in ONE combinable agg (min_by/
       // max_by on the (ts_ns, event_id) struct order key — no window
@@ -1324,6 +1331,15 @@ object SparkEntry {
         "doc_id", "lang", "text",
         weights = Map("en" -> 6.0, "zh" -> 2.0, "fr" -> 1.0, "es" -> 1.0))),
 
+    "sample_temperature" -> ((s, dir) =>
+      // temperature-scaled mixture (mT5 rule, τ=2): target shares
+      // (T_s/ΣT)^(1/τ) renormalized, derived from the corpus's own
+      // per-source token mass — low-resource sources upsample, the
+      // head never drowns; same T_out/basis-point/md5 machinery as
+      // sample_mixture, corpus never shuffles
+      graft.pipeline.Pipeline.sampleTemperature(Tables.documents(s, dir),
+        "doc_id", "source", "text", temperature = 2.0)),
+
     "sample_quality_tiers" -> ((s, dir) =>
       // quality-weighted curriculum mix: quartile tiers from ONE
       // bounded-memory approx_percentile agg (never a global-window
@@ -1773,6 +1789,15 @@ object SparkEntry {
              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
          SELECT user_id, event_id, value, n_pairs,
            coalesce(round(c, 6) + 0.0, -999.0) AS roll_corr FROM w""",
+
+    "value_histogram" ->
+      """SELECT event_type,
+         CAST(least(greatest(floor(value / 10.0), 0.0), 11.0) AS BIGINT)
+           AS bucket,
+         count(*) AS n,
+         round(min(value), 6) AS lo_seen,
+         round(max(value), 6) AS hi_seen
+         FROM events GROUP BY 1, 2""",
 
     "resample_ohlc" ->
       // window formulation of the same OHLC semantics (first/last value
@@ -2791,6 +2816,30 @@ object SparkEntry {
              FROM sh, t0)
          SELECT b.doc_id, b.lang, b.n_tokens
          FROM b JOIN r USING (lang)
+         WHERE list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(b.doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 10000 < r.keep""",
+
+    "sample_temperature" ->
+      // replays Pipeline.sampleTemperature(source, τ=2): per-source
+      // token mass, pow(share, 1/τ) renormalization, T_out reduction,
+      // basis-point keep rates, md5 draw — identical double arithmetic
+      // in the same order
+      """WITH b AS (SELECT doc_id, source,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+           FROM documents),
+         s AS (SELECT source, sum(n_tokens) AS ts FROM b GROUP BY source),
+         tt AS (SELECT sum(ts) AS tot FROM s),
+         pw AS (SELECT source, ts, pow(ts / tt.tot, 0.5) AS pw FROM s, tt),
+         ps AS (SELECT sum(pw) AS psum FROM pw),
+         sh AS (SELECT source, ts, pw / ps.psum AS share FROM pw, ps),
+         t0 AS (SELECT min(ts / share) AS tout FROM sh),
+         r AS (SELECT source,
+               CAST(floor(share * t0.tout / ts * 10000) AS BIGINT) AS keep
+             FROM sh, t0)
+         SELECT b.doc_id, b.source, b.n_tokens
+         FROM b JOIN r USING (source)
          WHERE list_sum(list_transform(generate_series(1, 15),
              p -> ((strpos('0123456789abcdef',
                     substr(md5(b.doc_id::VARCHAR), p, 1)) - 1)::BIGINT

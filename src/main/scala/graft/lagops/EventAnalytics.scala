@@ -93,6 +93,32 @@ object EventAnalytics {
     *               day difference / period length, exact for "day" and
     *               "week" (fixed-length periods)
     */
+  /** Equi-width value histogram per group — the distribution primitive
+    * behind every monitoring dashboard and drift check. Bucket
+    * `floor(value / width)` clamped into `[0, nBuckets)` (the two edge
+    * buckets absorb outliers, so the output is bounded at
+    * groups × nBuckets rows no matter the data), plus the observed
+    * min/max per bucket so a reader can see edge-bucket saturation.
+    *
+    * Scale shape: ONE combinable hash aggregate — map-side partials
+    * collapse each partition to ≤ groups × nBuckets rows before the
+    * only shuffle. Integer bucket arithmetic (floor of an exact
+    * division grid), so the hash gate has no float surface beyond the
+    * 6dp-rounded min/max.
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+                width: Double, nBuckets: Int): DataFrame = {
+    require(width > 0 && !width.isNaN && !width.isInfinite,
+      s"width must be finite and > 0, got $width")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val b = least(greatest(floor(col(valueCol) / width), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("long")
+    df.groupBy(col(groupCol), b.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col(valueCol)), 6).as("lo_seen"),
+        round(max(col(valueCol)), 6).as("hi_seen"))
+  }
+
   def retention(df: DataFrame, userCol: String, timeCol: String,
                 bucket: String = "week"): DataFrame = {
     val periodDays = bucket match {

@@ -456,6 +456,48 @@ object Pipeline {
     * the corpus itself never shuffles. Output: one row per kept doc
     * (id, stratum, n_tokens).
     */
+  /** Temperature-scaled mixture sampling (the mT5/multilingual
+    * up-sampling rule): target share of stratum `s` is
+    * `(T_s / ΣT)^(1/τ)` renormalized — τ=1 reproduces natural
+    * proportions, τ→∞ approaches uniform, and 2–5 is the published
+    * range for boosting low-resource strata without drowning the head.
+    * Unlike [[sampleMixture]] the weights are derived FROM the corpus
+    * (no caller-supplied map), so the operator is one more
+    * stratum-sized arithmetic chain over the same token-mass
+    * aggregate: `T_out = min T_s/share_s` (the binding stratum keeps
+    * all), basis-point keep rates, deterministic md5 draw. The corpus
+    * never shuffles; every stratum frame is O(strata).
+    */
+  def sampleTemperature(df: DataFrame, idCol: String, strataCol: String,
+                        textCol: String, temperature: Double,
+                        counter: Column => Column = TextOps.tokenCount)
+      : DataFrame = {
+    require(temperature > 0 && !temperature.isNaN && !temperature.isInfinite,
+      s"temperature must be finite and > 0, got $temperature")
+    val base = graft.util.Par.spread(df)
+      .select(col(idCol), col(strataCol),
+        counter(col(textCol)).cast("long").as("n_tokens"))
+    // O(strata) rows (same bounded-checkpoint shape as sampleMixture)
+    val strata = base.groupBy(col(strataCol))
+      .agg(sum(col("n_tokens")).as("_ts"))
+      .localCheckpoint()
+    val tot = strata.agg(sum(col("_ts")).as("_tot"))
+    val pw = strata.crossJoin(broadcast(tot))
+      .withColumn("_pw", pow(col("_ts") / col("_tot"),
+        lit(1.0 / temperature)))
+    val psum = pw.agg(sum(col("_pw")).as("_psum"))
+    val withShare = pw.crossJoin(broadcast(psum))
+      .withColumn("_share", col("_pw") / col("_psum"))
+    val tout = withShare.agg(min(col("_ts") / col("_share")).as("_tout"))
+    val rates = withShare.crossJoin(broadcast(tout))
+      .select(col(strataCol),
+        floor(col("_share") * col("_tout") / col("_ts") * 10000)
+          .cast("long").as("_keep"))
+    base.join(broadcast(rates), strataCol)
+      .filter(graft.util.Sampling.md5Bucket(col(idCol), 10000) < col("_keep"))
+      .select(col(idCol), col(strataCol), col("n_tokens"))
+  }
+
   def sampleMixture(df: DataFrame, idCol: String, strataCol: String,
                     textCol: String, weights: Map[String, Double],
                     defaultWeight: Double = 0.0,

@@ -39,6 +39,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(userExchanges == 1, s"expected 1 user-keyed exchange:\n$plan")
   }
 
+  test("histogram: exact buckets, edge buckets absorb outliers") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", 0.0), ("a", 9.99), ("a", 10.0), ("a", 55.5),
+      ("a", -3.0),   // below range → bucket 0
+      ("a", 500.0),  // above range → bucket 11
+      ("b", 25.0))
+      .toDF("event_type", "value")
+    val got = EventAnalytics.histogram(ev, "event_type", "value",
+        width = 10.0, nBuckets = 12)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(("a", 0L)) == ((3L, -3.0, 9.99))) // 0.0, 9.99, -3.0
+    assert(got(("a", 1L))._1 == 1L) // 10.0
+    assert(got(("a", 5L))._1 == 1L) // 55.5
+    assert(got(("a", 11L)) == ((1L, 500.0, 500.0)))
+    assert(got(("b", 2L))._1 == 1L)
+    assert(got.size == 5)
+  }
+
   test("debounce: bursts collapse to first event, gaps split bursts") {
     import spark.implicits._
     // u1/click: 3 events inside the gap, then one past it → 2 bursts;

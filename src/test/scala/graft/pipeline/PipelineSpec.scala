@@ -314,6 +314,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L) == (1L, 2L, "2", "4"))
   }
 
+  test("sampleTemperature: τ=1 is the identity mix (natural shares keep everything)") {
+    import spark.implicits._
+    val df = (0 until 900)
+      .map(i => (i.toLong, Seq("web", "code", "books")(i % 3), "a b c d e"))
+      .toDF("doc_id", "source", "text")
+    // τ=1: share_s = T_s/ΣT exactly, so T_s/share_s = ΣT for every
+    // stratum, T_out = ΣT, keep = 100% everywhere
+    val out = Pipeline.sampleTemperature(df, "doc_id", "source", "text",
+      temperature = 1.0).count()
+    assert(out == 900L)
+  }
+
+  test("sampleTemperature: τ>1 keeps the low-resource stratum whole and downsamples the head") {
+    import spark.implicits._
+    // web 8x the mass of books: at τ=2 target shares flatten toward
+    // uniform, so books (smallest) binds and keeps ~everything while
+    // web sheds mass
+    val docs = (0 until 800).map(i => (i.toLong, "web", "a b c d e")) ++
+      (800 until 900).map(i => (i.toLong, "books", "a b c d e"))
+    val out = Pipeline.sampleTemperature(docs.toDF("doc_id", "source", "text"),
+        "doc_id", "source", "text", temperature = 2.0).collect()
+      .map(r => r.getString(1))
+    val bySource = out.groupBy(identity).view.mapValues(_.length).toMap
+    val books = bySource.getOrElse("books", 0)
+    val web = bySource.getOrElse("web", 0)
+    // books keeps ~100% (md5 draw jitter aside); web keeps
+    // sqrt(8)/1 · 100/800 ≈ 35% of its docs
+    assert(books >= 95, s"books must keep ~all: $bySource")
+    assert(web > 200 && web < 420, s"web must downsample to ~35%: $bySource")
+  }
+
   test("sampleMixture lands output token shares on the target weights") {
     import spark.implicits._
     // 3000 docs, 5 tokens each, equal thirds by language; target
