@@ -141,13 +141,14 @@ object PlanDump {
       "tfidf_terms" ->
         ("Per-doc (term, tf) counts are computed by the word_counts " +
           "kernel IN the scan stage (the grouping key contains the doc " +
-          "id — per-document work never needed a corpus exchange) and " +
-          "the frame is checkpointed once at its fork; the term df is " +
-          "a map-side-combinable aggregate joined back on " +
-          "xxhash64(term) (build side one fixed-width row per distinct " +
-          "term, AQE-skew-splittable probe); N rides in as a one-row " +
-          "broadcast; the final top-k window partitions by document — " +
-          "millions of independent partitions at scale."),
+          "id — per-document work never needed a corpus exchange); the " +
+          "term df is a map-side-combinable aggregate attached back " +
+          "through a PINNED ShuffledHashJoin on xxhash64(term) (no " +
+          "side can be broadcast off the underselling pre-explode " +
+          "estimate; both consumers share the hash exchange via " +
+          "runtime reuse; AQE-skew-splittable probe); N rides in as a " +
+          "one-row broadcast; the final top-k window partitions by " +
+          "document — millions of independent partitions at scale."),
       "corpus_profile" ->
         ("The per-source datasheet: one scan computing narrow per-row " +
           "stats feeds ONE stratum-keyed aggregate; no joins. The exact " +
@@ -155,17 +156,17 @@ object PlanDump {
           "documented trade for an oracle-exact answer, with " +
           "approx_percentile as the swap-in past executor memory."),
       "dedup_spans" ->
-        ("Passage-level reuse: the narrow (id, fp) winnow frame is " +
-          "checkpointed ONCE (the winnow_fps kernel runs inside the " +
-          "scan stage — no explode/Window/DISTINCT exchanges — and the " +
-          "executed plan only scans the checkpoint RDD), the " +
+        ("Passage-level reuse: the winnow_fps kernel runs inside the " +
+          "scan stage (no explode/Window/DISTINCT exchanges); the " +
           "document-frequency cap kills corpus-wide boilerplate " +
           "fingerprints before the self-join with per-fp fan-out " +
-          "bounded at maxDf², and the PRUNED frame is checkpointed too " +
-          "— the df aggregate runs once and both self-join sides carry " +
-          "exact stats, so a data-sized side is never broadcast on a " +
-          "size guess (measured bimodal 9s/18s at the 10× anchor " +
-          "before the pin)."),
+          "bounded at maxDf²; every fp-keyed consumer (df aggregate, " +
+          "prune probe, both self-join sides) is a PINNED " +
+          "ShuffledHashJoin over the same hash(fp) partitioning — no " +
+          "side can be broadcast on a size guess (the r6 bimodal " +
+          "9s/18s bug), runtime ReuseExchange serves all of them from " +
+          "one kernel shuffle write, and no corpus-scale frame is ever " +
+          "cached (the 100×-anchor MemoryStore-leak lesson)."),
       "dedup_semantic" ->
         ("SemDeDup: nearest-centroid assignment is a pure codegen'd " +
           "projection against the literal-pinned (sample-fitted) index; " +
@@ -182,12 +183,12 @@ object PlanDump {
         ("Per-doc corpus-unique n-gram fraction: the ngram_xx_set " +
           "kernel emits each doc's DISTINCT n-gram hashes in the scan " +
           "stage (no distinct exchange — the doc id is in the distinct " +
-          "key), checkpointed once at the df fork; the per-ngram " +
-          "document frequency is a map-side-combinable aggregate whose " +
-          "join side is one 8-byte row per distinct n-gram (kept a " +
-          "JOIN, not a window count, so AQE can split a stopword-grade " +
-          "hot key); the per-doc average is combinable. No sort " +
-          "anywhere."),
+          "key); the per-ngram document frequency is a map-side-" +
+          "combinable aggregate attached back through a PINNED " +
+          "ShuffledHashJoin (kept a JOIN, not a window count, so AQE " +
+          "can split a stopword-grade hot key — and never a broadcast " +
+          "of the 23M-row gram side off the pre-explode estimate); the " +
+          "per-doc average is combinable. No sort anywhere."),
       "dedup_incremental" ->
         ("Daily-ingest decision: the incoming batch's fingerprints " +
           "BROADCAST (decontaminate's probe shape) and the deduped " +
