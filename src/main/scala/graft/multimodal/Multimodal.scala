@@ -167,23 +167,45 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
-    if (img == null) None
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      var rs = 0L; var gs = 0L; var bs = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y) // sRGB, alpha in the high byte
-          rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
-          x += 1
-        }
-        y += 1
+    if (img == null) None else Some(statsOf(img))
+  }
+
+  private def statsOf(img: java.awt.image.BufferedImage): ImageStats = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y) // sRGB, alpha in the high byte
+        rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+        x += 1
       }
-      Some(ImageStats(w, h, rs, gs, bs))
+      y += 1
     }
+    ImageStats(w, h, rs, gs, bs)
+  }
+
+  /** [[decodeImage]] against a partition-scoped reusable reader — the
+    * per-partition-codec contract cashed in. `ImageIO.read` pays a
+    * provider-registry scan AND (with the default use-cache setting) a
+    * temp-FILE-backed input stream per call — per-image disk churn that
+    * dominated small-image decode at the 100× anchor. The reusable
+    * reader + an explicit memory-cached stream keep the whole decode
+    * in-heap; same decoded pixels (same PNG plugin underneath).
+    */
+  private[multimodal] def decodeWith(reader: javax.imageio.ImageReader,
+                                     bytes: Array[Byte]): Option[ImageStats] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val img =
+      try {
+        reader.setInput(iis, true, true)
+        reader.read(0)
+      } catch { case _: Exception => null }
+      finally iis.close()
+    if (img == null) None else Some(statsOf(img))
   }
 
   /** Decode → scale → re-encode (PNG) with the JDK codec: the REAL
@@ -228,12 +250,18 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition codec scope: ImageIO plugin lookup is static,
-        // but a stateful decoder (or a native codec pool) would be
-        // initialized here, once per partition
+        // per-partition codec scope: ONE reusable PNG reader (see
+        // decodeWith — ImageIO.read's registry scan + temp-file-cached
+        // stream per call dominated small-image decode at the 100×
+        // anchor); non-PNG payloads fall back to the generic path
+        lazy val pngReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
         it.map { case (id, bytes) =>
-          val stats = decodeImage(bytes)
-          (id, sniff(bytes), stats.isDefined,
+          val fmt = sniff(bytes)
+          val stats =
+            if (fmt == "png") decodeWith(pngReader, bytes)
+            else decodeImage(bytes)
+          (id, fmt, stats.isDefined,
             stats.map(_.width), stats.map(_.height),
             stats.map(_.r_sum), stats.map(_.g_sum), stats.map(_.b_sum))
         }
@@ -253,9 +281,18 @@ object Multimodal {
     * pixel for pixel.
     */
   def syntheticPng(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
-    require(id >= 0, s"fixture formula assumes non-negative id, got $id")
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    fillFixturePixels(img, id)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def fillFixturePixels(img: java.awt.image.BufferedImage,
+                                id: Long): Unit = {
+    require(id >= 0, s"fixture formula assumes non-negative id, got $id")
+    val w = img.getWidth; val h = img.getHeight
     var y = 0
     while (y < h) {
       var x = 0
@@ -268,8 +305,22 @@ object Multimodal {
       }
       y += 1
     }
+  }
+
+  /** PNG-encode with a partition-scoped reusable writer + an explicit
+    * in-memory output stream (the encode half of [[decodeWith]]'s
+    * codec-reuse rationale — `ImageIO.write` pays the registry scan
+    * and a temp-FILE-backed output stream per call). Same plugin, same
+    * bytes. */
+  private[multimodal] def encodePngWith(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally ios.close()
     bos.toByteArray
   }
 
@@ -281,7 +332,18 @@ object Multimodal {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(it => it.map(id => (id, syntheticPng(id))))
+      .mapPartitions { it =>
+        // per-partition codec scope: one PNG writer and one pixel
+        // buffer, reused across the partition (see encodePngWith)
+        lazy val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        lazy val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        it.map { id =>
+          fillFixturePixels(img, id)
+          (id, encodePngWith(writer, img))
+        }
+      }
       .toDF("media_id", "content")
   }
 
