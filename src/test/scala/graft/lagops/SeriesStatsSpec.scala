@@ -160,6 +160,43 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(got(0).isNullAt(got(0).fieldIndex("z")) && !flags(0))
   }
 
+  test("property: acf values stay in [-1, 1] and n_pairs decreases with lag") {
+    import spark.implicits._
+    // deterministic pseudo-random series (hash-derived, no RNG state)
+    val vals = (0 until 200).map(i =>
+      (1L + i % 3, i.toLong, ((i * 2654435761L) % 1000L).toDouble / 10.0))
+    val got = SeriesStats.acf(vals.toDF("sid", "t", "v"), "v", spec,
+      maxLag = 6).collect()
+    got.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val a = r.getDouble(3)
+        assert(a >= -1.0 && a <= 1.0, s"acf out of range: $r")
+      }
+    }
+    val bySeries = got.groupBy(_.getLong(0))
+    bySeries.foreach { case (_, rs) =>
+      val ns = rs.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"n_pairs must not grow with lag: ${ns.toSeq}")
+    }
+  }
+
+  test("property: histogram counts partition the input exactly") {
+    import spark.implicits._
+    val vals = (0 until 500).map(i =>
+      (s"t${i % 4}", ((i * 131) % 140).toDouble - 10.0))
+    val df = vals.toDF("event_type", "value")
+    val got = graft.lagops.EventAnalytics.histogram(df, "event_type",
+      "value", width = 10.0, nBuckets = 12).collect()
+    assert(got.map(_.getLong(2)).sum == 500L)
+    assert(got.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 11))
+    // per-group totals match the input partition
+    val byType = got.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val expected = vals.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(byType == expected)
+  }
+
   test("anomalies: zero-spread baseline yields NULL z (never a division blowup)") {
     import spark.implicits._
     val df = (1 to 6).map(i => (1L, i.toLong, 5.0)).toDF("sid", "t", "v")
