@@ -120,6 +120,27 @@ object SparkEntry {
   private def storeDir(dir: String, family: String): String =
     s"benchdata/stores/${new java.io.File(dir).getName}/$family"
 
+  /** `embeddings` UNION a deterministic near-copy of the md5-chosen
+    * ~5% of vectors: id offset +10⁷ (disjoint from any corpus id),
+    * dimension 1 HALVED — multiplication by 0.5 is exact in float, so
+    * the DuckDB oracle materializes bit-identical planted vectors
+    * (`duckPlantedEmbCtes`) and the band keys / cosines agree exactly.
+    * Cosine(original, copy) ≈ 0.998 on 64-dim vectors — inside the
+    * 0.9 near-dup threshold — and a 1-of-64-dim perturbation flips
+    * each 16-bit band with low probability, so banding still catches
+    * the pair (recall measured in SimilaritySpec).
+    */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val planted = e
+      .filter(graft.util.Sampling.md5Bucket(col("vec_id")) < 5)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) * lit(0.5f)),
+          slice(col("embedding"), 2, 63)).as("embedding"),
+        col("label"))
+    e.unionByName(planted)
+  }
+
   /** Oracle replay of [[graft.dedup.Dedup.minhashIncremental]] on the
     * shared banded-signature CTEs: same md5-bucket split as
     * dedup_incremental (>= 70 incoming), increment band keys probe the
@@ -165,6 +186,66 @@ object SparkEntry {
            (best.dup_id IS NULL) AS is_new
          FROM (SELECT doc_id FROM sb WHERE sbucket >= 70) i
          LEFT JOIN best ON best.inc_id = i.doc_id"""
+
+  /** One broadcast-probe pipeline as suffixed CTEs (`incb$sfx` …
+    * `best$sfx`), parameterized on the increment / corpus membership
+    * predicates over `sb` — the building block the two-probe
+    * `dedup_minhash_stored_updated` oracle applies twice, replaying
+    * [[graft.dedup.Dedup.minhashIncrementalStored]] exactly like
+    * [[minhashIncrementalOracle]] (whose single probe it textually
+    * mirrors). Requires `banded`, `sb`, `sh`, `isz` in scope.
+    */
+  private def minhashProbeCtes(sfx: String, incPred: String,
+                               corPred: String): String =
+    s"""incb$sfx AS (SELECT b.doc_id, bnd, bucket FROM banded b
+                  JOIN sb USING (doc_id) WHERE $incPred),
+         corb$sfx AS (SELECT b.doc_id, bnd, bucket FROM banded b
+                  JOIN sb USING (doc_id) WHERE $corPred),
+         ikeys$sfx AS (SELECT DISTINCT bnd, bucket FROM incb$sfx),
+         mat$sfx AS (SELECT c.doc_id, c.bnd, c.bucket FROM corb$sfx c
+                 JOIN ikeys$sfx USING (bnd, bucket)),
+         mcap$sfx AS (SELECT doc_id, bnd, bucket FROM mat$sfx
+                  QUALIFY count(*) OVER (PARTITION BY bnd, bucket) <= 64),
+         cand$sfx AS (SELECT DISTINCT i.doc_id AS inc_id, m.doc_id AS dup_id
+                  FROM incb$sfx i JOIN mcap$sfx m USING (bnd, bucket)),
+         iiv$sfx AS (SELECT cand$sfx.inc_id, cand$sfx.dup_id, count(*) AS inter
+                 FROM cand$sfx JOIN sh x ON x.doc_id = cand$sfx.inc_id
+                 JOIN sh y ON y.doc_id = cand$sfx.dup_id AND y.shingle = x.shingle
+                 GROUP BY 1, 2),
+         ver$sfx AS (SELECT iiv$sfx.inc_id, iiv$sfx.dup_id,
+             round(iiv$sfx.inter::DOUBLE / (sx.n_sh + sy.n_sh - iiv$sfx.inter), 6) AS jaccard
+           FROM iiv$sfx JOIN isz sx ON sx.doc_id = iiv$sfx.inc_id
+           JOIN isz sy ON sy.doc_id = iiv$sfx.dup_id
+           WHERE round(iiv$sfx.inter::DOUBLE / (sx.n_sh + sy.n_sh - iiv$sfx.inter), 6) >= 0.5),
+         best$sfx AS (SELECT inc_id, dup_id, jaccard FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY jaccard DESC, dup_id) AS rn FROM ver$sfx) WHERE rn = 1)"""
+
+  /** The two-probe replay of `dedup_minhash_stored_updated`: probe 1
+    * (A = buckets [70,85) against corpus buckets <70) decides the
+    * accepted set; the store for probe 2 (B = buckets ≥85) is the
+    * corpus UNION the accepted A docs — the oracle-side mirror of
+    * [[graft.dedup.SignatureStore.append]].
+    */
+  private lazy val minhashStoredUpdatedOracle: String =
+    s"""WITH $minhashBandedCtes,
+         sb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
+           FROM documents),
+         isz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         ${minhashProbeCtes("1",
+             "sb.sbucket >= 70 AND sb.sbucket < 85", "sb.sbucket < 70")},
+         acc AS (SELECT doc_id FROM sb WHERE sbucket >= 70 AND sbucket < 85
+                 AND doc_id NOT IN (SELECT inc_id FROM ver1)),
+         ${minhashProbeCtes("2", "sb.sbucket >= 85",
+             "sb.sbucket < 70 OR b.doc_id IN (SELECT doc_id FROM acc)")}
+         SELECT i.doc_id, best2.dup_id AS dup_of, best2.jaccard,
+           (best2.dup_id IS NULL) AS is_new
+         FROM (SELECT doc_id FROM sb WHERE sbucket >= 85) i
+         LEFT JOIN best2 ON best2.inc_id = i.doc_id"""
 
   /** Mirrors [[graft.dedup.Dedup.spanIncremental]] over the md5-bucket
     * split: the post-probe df cap counts corpus rows per PROBED fp
@@ -1025,9 +1106,13 @@ object SparkEntry {
 
     "dedup_spans" -> ((s, dir) =>
       // passage-level reuse: pairs sharing >= 5 winnow fingerprints
-      // after df-capping corpus-wide boilerplate spans
+      // after df-capping corpus-wide boilerplate spans. w = AUTO: the
+      // window grows log₂ with corpus size past 65536 docs
+      // (Dedup.scaledWinnowWindow — the band-bits scale law applied to
+      // fingerprint density; identical to w=4 at every driver sf, and
+      // the oracle re-derives the same window from its own count(*))
       Dedup.spanPairs(Tables.documents(s, dir), "doc_id", "text",
-        k = 8, w = 4, minShared = 5, maxDf = 16)),
+        k = 8, w = -1, minShared = 5, maxDf = 16)),
 
     "dedup_substrings" -> ((s, dir) =>
       // EXACT substring dedup (Lee et al. ExactSubstr at word
@@ -1125,6 +1210,32 @@ object SparkEntry {
         threshold = 0.5)
     }),
 
+    "dedup_minhash_stored_updated" -> ((s, dir) => {
+      // the daily-ingest LOOP closed: probe increment A, append the
+      // ACCEPTED (is_new) docs' signatures to the store
+      // (SignatureStore.append — O(increment), no corpus rebuild),
+      // then probe increment B against the updated store — a B doc
+      // near-duplicating an ACCEPTED A doc is caught, one rejected as
+      // a dup of the corpus is not re-added (arrival-order-wins)
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val corpus = d.filter(bucket < 70)
+      val incA = d.filter(bucket >= 70 && bucket < 85)
+      val incB = d.filter(bucket >= 85)
+      val store0 = graft.dedup.SignatureStore.build(corpus,
+        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2)
+      val probeA = Dedup.minhashIncrementalStored(incA, store0,
+        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5)
+      val accepted = incA.join(
+        probeA.filter(col("is_new")).select(col("doc_id")), "doc_id")
+      val store1 = graft.dedup.SignatureStore.append(store0, accepted,
+        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2)
+      Dedup.minhashIncrementalStored(incB, store1,
+        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5)
+    }),
+
     "dedup_spans_probe" -> ((s, dir) => {
       // probe-only passage-level ingest: winnow-fp store read from
       // parquet (built+written on first invocation, i.e. bench warmup);
@@ -1209,6 +1320,27 @@ object SparkEntry {
       Dedup.clusters(Similarity.nearDupPairsBanded(Tables.embeddings(s, dir),
         "vec_id", "embedding", EmbNearDupThreshold, numPlanes = 64,
         bands = EmbNearDupBands, dim = 64),
+        aCol = "id_a", bCol = "id_b")),
+
+    "embedding_neardup_planted" -> ((s, dir) =>
+      // the NON-VACUOUS gate twin of embedding_neardup: on the
+      // driver's hash-uniform embeddings zero pairs at 0.9 is the
+      // correct answer, so this row unions the corpus with
+      // deterministic near-copies (md5-chosen ~5%, id +10⁷, dim 1
+      // halved — exact in float, bit-replayed by the oracle) and the
+      // pair pipeline must find them
+      Similarity.nearDupPairsBanded(plantedEmbeddings(s, dir), "vec_id",
+        "embedding", EmbNearDupThreshold, numPlanes = 64,
+        bands = EmbNearDupBands, dim = 64)),
+
+    "embedding_clusters_planted" -> ((s, dir) =>
+      // the closure over the planted pairs: each planted copy joins
+      // its original's cluster, so the component pipeline is exercised
+      // with rows > 0 at the sf0.01 gate
+      Dedup.clusters(Similarity.nearDupPairsBanded(
+          plantedEmbeddings(s, dir), "vec_id", "embedding",
+          EmbNearDupThreshold, numPlanes = 64, bands = EmbNearDupBands,
+          dim = 64),
         aCol = "id_a", bCol = "id_b")),
 
     // ---- similarity search (north star) ----
@@ -1516,6 +1648,40 @@ object SparkEntry {
           Multimodal.syntheticImages(ids, "doc_id"))
         .select(col("media_id"), col("sniffed_format"), col("width"),
           col("height"), col("r_sum"), col("g_sum"), col("b_sum"))
+    }),
+
+    "multimodal_audio_decode" -> ((s, dir) => {
+      // REAL audio decode, hash-verified: one canonical 16-bit PCM
+      // stereo WAV per doc_id (closed-form samples), decoded through
+      // the javax.sound.sampled SPI in the per-partition contract
+      // (readers loaded once per partition — the ImageIO registry-tax
+      // lesson), exact per-channel sample sums out. PCM is lossless,
+      // so the oracle recomputes the sums from the sample formula
+      // alone — a hash-green row proves the real container+codec round
+      // trip sample for sample. Video stays an honest stub (no ffmpeg
+      // in this environment).
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      Multimodal.audioFeatures(Multimodal.syntheticWavs(ids, "doc_id"))
+        .select(col("media_id"), col("sniffed_format"), col("channels"),
+          col("sample_rate"), col("n_frames"), col("ch0_sum"),
+          col("ch1_sum"))
+    }),
+
+    "image_neardup" -> ((s, dir) => {
+      // image-CONTENT near-dedup: real PNG decode → dHash (9×8 luma
+      // gradient) → the SimHash Hamming-band machinery. The fixture
+      // plants re-encoded perturbed twins (id+10⁷, one channel of one
+      // pixel shifted) for the md5-chosen ~5% of ids; each twin lands
+      // at Hamming 0–1 from its original and MUST pair. Only the
+      // 8-byte fingerprint crosses the shuffle — payloads decode once,
+      // in the partition-scoped-codec contract, and never move.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val sig = Multimodal.dhashFeatures(
+          Multimodal.syntheticImagesNearDup(ids, "doc_id"))
+        .filter(col("decodable"))
+        .select(col("media_id"), col("dhash"))
+      Dedup.hammingPairs(sig, "media_id", "dhash", maxHamming = 3,
+        maxBucket = 64)
     })
   )
 
@@ -2196,10 +2362,11 @@ object SparkEntry {
          SELECT doc_id, fp FROM f""",
 
     "dedup_spans" ->
-      // replays Dedup.spanPairs(k=8, w=4, minShared=5, maxDf=16) on the
-      // shared winnow-fingerprint CTEs: df-cap the boilerplate
-      // fingerprints, self-join, count shared fps per ordered pair
-      s"""WITH $duckWinnowFpCtes,
+      // replays Dedup.spanPairs(k=8, w=AUTO, minShared=5, maxDf=16) on
+      // the SCALED winnow-fingerprint CTEs (window re-derived from
+      // count(*)): df-cap the boilerplate fingerprints, self-join,
+      // count shared fps per ordered pair
+      s"""WITH $duckWinnowFpScaledCtes,
          d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 16),
          p AS (SELECT f.doc_id, f.fp FROM f JOIN d USING (fp))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
@@ -2376,6 +2543,18 @@ object SparkEntry {
 
     "embedding_clusters" ->
       s"""WITH RECURSIVE ${embPairCtes + closureCtes("epairs")}
+         SELECT node AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM lbl""",
+
+    "embedding_neardup_planted" ->
+      s"""WITH $duckPlantedEmbCtes,
+         ${embPairCtesFrom("pemb")}
+         SELECT doc_a AS id_a, doc_b AS id_b, sim FROM epairs""",
+
+    "embedding_clusters_planted" ->
+      s"""WITH RECURSIVE $duckPlantedEmbCtes,
+         ${embPairCtesFrom("pemb") + closureCtes("epairs")}
          SELECT node AS doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM lbl""",
@@ -2559,6 +2738,8 @@ object SparkEntry {
     // measures), never the answer
     "dedup_minhash_probe" -> minhashIncrementalOracle,
     "dedup_spans_probe" -> spanIncrementalOracle,
+
+    "dedup_minhash_stored_updated" -> minhashStoredUpdatedOracle,
 
     "dedup_semantic" -> {
       // replay the shared fitted index, then the greedy rule: a vector
@@ -3095,7 +3276,76 @@ object SparkEntry {
            FROM px GROUP BY media_id)
          SELECT media_id, 'png' AS sniffed_format, 8::INTEGER AS width,
            8::INTEGER AS height, r_sum, g_sum, b_sum
-         FROM sums"""
+         FROM sums""",
+
+    "multimodal_audio_decode" ->
+      // the decode row's samples in closed form: the Spark side REALLY
+      // assembles a canonical RIFF/WAVE container and REALLY decodes
+      // it through the javax.sound.sampled SPI; PCM is lossless, so
+      // the decoded per-channel sums must equal these formula sums
+      // exactly — the hash gate IS the codec test
+      """WITH fr AS (SELECT d.doc_id AS media_id, i.g AS i
+           FROM documents d, generate_series(0, 255) i(g)),
+         sums AS (SELECT media_id,
+             sum(((media_id * 31 + i * 7) % 65536) - 32768)::BIGINT AS ch0_sum,
+             sum(((media_id * 31 + i * 7 + 13) % 65536) - 32768)::BIGINT AS ch1_sum
+           FROM fr GROUP BY media_id)
+         SELECT media_id, 'riff' AS sniffed_format, 2::INTEGER AS channels,
+           8000::INTEGER AS sample_rate, 256::BIGINT AS n_frames,
+           ch0_sum, ch1_sum
+         FROM sums""",
+
+    "image_neardup" -> {
+      // the fixture pixels in closed form (quadratic-residue channels),
+      // perturbed twins included; the Spark side REALLY encodes and
+      // REALLY decodes each PNG before hashing, so a hash-green row
+      // pins codec round-trip + luma + dHash + banding all at once
+      def qr(cExpr: String) =
+        s"((((($cExpr) % 65521) * ((($cExpr) % 65521))) % 65521) % 256)"
+      val cR = "src * 73856093 + x * 19349663 + y * 83492791"
+      val cG = s"$cR + 1299721"
+      val cB = s"$cR + 2599442"
+      s"""WITH mb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bkt
+           FROM documents),
+         imgs AS (SELECT doc_id AS media_id, doc_id AS src, false AS p
+                  FROM documents
+                  UNION ALL
+                  SELECT doc_id + 10000000, doc_id, true
+                  FROM mb JOIN documents USING (doc_id) WHERE bkt < 5),
+         px AS (SELECT media_id, src, p, x.g AS x, y.g AS y
+                FROM imgs, generate_series(0, 8) x(g),
+                     generate_series(0, 7) y(g)),
+         ch AS (SELECT media_id, x, y,
+             CASE WHEN p AND x = 0 AND y = 0
+                  THEN (${qr(cR)} + 64) % 256 ELSE ${qr(cR)} END AS r,
+             ${qr(cG)} AS g2, ${qr(cB)} AS b2
+           FROM px),
+         lm AS (SELECT media_id, x, y,
+             (299 * r + 587 * g2 + 114 * b2) // 1000 AS l FROM ch),
+         dh AS (SELECT a.media_id,
+             sum(CASE WHEN b.l > a.l THEN
+                 CASE WHEN a.y = 7 AND a.x = 7
+                      THEN (-9223372036854775807 - 1)
+                      ELSE (1::BIGINT << (a.y * 8 + a.x)) END
+                 ELSE 0 END)::BIGINT AS dhash
+           FROM lm a JOIN lm b ON b.media_id = a.media_id
+             AND b.y = a.y AND b.x = a.x + 1
+           WHERE a.x < 8 GROUP BY 1),
+         dbanded AS (SELECT media_id, dhash, b,
+             (dhash >> (b * 16)) & 65535 AS key
+           FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         dcapped AS (SELECT b, key, media_id, dhash FROM dbanded
+           QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         dp AS (SELECT DISTINCT x.media_id AS doc_a, y.media_id AS doc_b,
+               bit_count(xor(x.dhash, y.dhash)) AS hamming
+               FROM dcapped x JOIN dcapped y USING (b, key)
+               WHERE x.media_id < y.media_id)
+         SELECT doc_a, doc_b, hamming FROM dp WHERE hamming <= 3"""
+    }
   )
 
   /** CTE chain mirroring [[graft.simops.Similarity.nearDupPairsBanded]]
@@ -3105,17 +3355,19 @@ object SparkEntry {
     * names [[closureCtes]] expects, so `embedding_clusters` closes over
     * the same pairs the `embedding_neardup` row checks.
     */
-  private lazy val embPairCtes: String = {
+  private def embPairCtesFrom(src: String): String = {
     val cos = duckCosine("a.embedding", "b.embedding")
-    s"""$embBanded64Ctes,
+    s"""${embBanded64CtesFrom(src)},
          ep AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                FROM ebanded x JOIN ebanded y USING (band, key)
                WHERE x.vec_id < y.vec_id),
          epairs AS (SELECT ep.id_a AS doc_a, ep.id_b AS doc_b, round($cos, 4) AS sim
-         FROM ep JOIN embeddings a ON a.vec_id = ep.id_a
-         JOIN embeddings b ON b.vec_id = ep.id_b
+         FROM ep JOIN $src a ON a.vec_id = ep.id_a
+         JOIN $src b ON b.vec_id = ep.id_b
          WHERE round($cos, 4) >= $EmbNearDupThreshold)"""
   }
+
+  private lazy val embPairCtes: String = embPairCtesFrom("embeddings")
 
   /** `sigs`/`ebanded` — every vector's 64-plane/8-band signature band
     * keys, the literal-plane mirror of the banded projection inside
@@ -3124,7 +3376,7 @@ object SparkEntry {
     * [[embPairCtes]] and the `embedding_neardup_incremental` oracle so
     * the signature derivation can never drift between them.
     */
-  private lazy val embBanded64Ctes: String = {
+  private def embBanded64CtesFrom(src: String): String = {
     val planes = Similarity.hyperplanes(64, 64)
     val bands = EmbNearDupBands; val bits = 64 / bands
     val keys = (0 until bands)
@@ -3133,9 +3385,33 @@ object SparkEntry {
     val banded = (0 until bands)
       .map(b => s"SELECT vec_id, $b AS band, key_$b AS key FROM sigs")
       .mkString(" UNION ALL ")
-    s"""sigs AS (SELECT vec_id, $keys FROM embeddings),
+    s"""sigs AS (SELECT vec_id, $keys FROM $src),
          ebanded AS ($banded)"""
   }
+
+  private lazy val embBanded64Ctes: String = embBanded64CtesFrom("embeddings")
+
+  /** The planted-near-copy corpus `pemb`: `embeddings` UNION a
+    * deterministic near-copy of the md5-chosen ~5% of vectors (id
+    * offset +10⁷, dimension 1 HALVED — an exact float operation, so
+    * both engines materialize bit-identical planted vectors and derive
+    * identical band keys/cosines). Exists so the driver's sf0.01 gate
+    * row for the near-dup pair pipeline is non-vacuous: on
+    * hash-uniform embeddings zero pairs at 0.9 is the correct (but
+    * unexercising) answer.
+    */
+  private val duckPlantedEmbCtes: String =
+    s"""pemb AS (
+         SELECT vec_id, embedding FROM embeddings
+         UNION ALL
+         SELECT vec_id + 10000000,
+           list_concat([CAST(embedding[1] * 0.5::DOUBLE AS FLOAT)],
+             embedding[2:64]) AS embedding
+         FROM embeddings
+         WHERE list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(vec_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 < 5)"""
 
   /** The IVF index fit as DuckDB CTEs — `asg2` ends as every vector's
     * (id, vv, list_id) under the fitted index. Shared by the
@@ -3276,6 +3552,28 @@ object SparkEntry {
          w AS (SELECT doc_id, list_distinct(list_transform(
              generate_series(1, greatest(len(kh) - 4 + 1, 1)),
              j -> list_min(kh[j:j+3]))) AS fps FROM h),
+         f AS (SELECT doc_id, unnest(fps) AS fp FROM w)"""
+
+  /** [[duckWinnowFpCtes]] with the CORPUS-SCALED winnow window: `wv`
+    * re-derives [[graft.dedup.Dedup.scaledWinnowWindow]] from the
+    * table's own count(*) with integer-exact bit-position arithmetic
+    * (`length(bin(q−1))` = ceil(log₂ q)), so both engines compute the
+    * identical window at every scale — the `dedup_spans` (w = AUTO)
+    * replay. Equals the fixed-w chain at ≤65536 docs.
+    */
+  private val duckWinnowFpScaledCtes: String =
+    """wv AS (SELECT CASE WHEN count(*) <= 65536 THEN 4
+           ELSE 4 + length(bin(((count(*) + 65535) // 65536) - 1))::INT END AS w
+           FROM documents),
+         h AS (SELECT doc_id,
+           list_transform(generate_series(1, greatest(length(text) - 8 + 1, 1)),
+             i -> list_sum(list_transform(generate_series(1, 15),
+               p -> ((strpos('0123456789abcdef', substr(md5(substr(text, i, 8)), p, 1)) - 1)::BIGINT
+                     << (4 * (15 - p)))))::BIGINT) AS kh
+           FROM documents),
+         w AS (SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(kh) - wv.w + 1, 1)),
+             j -> list_min(kh[j:j+wv.w-1]))) AS fps FROM h, wv),
          f AS (SELECT doc_id, unnest(fps) AS fp FROM w)"""
 
   /** The quality-score heuristic's component expressions (token count,

@@ -403,25 +403,30 @@ object Dedup {
       .agg(graft.functions.SimHashAgg(col("h")).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the 64-bit fingerprint into 4×16-bit
-    * keys (any shared band ⇒ candidate, guaranteed to catch Hamming ≤ 3),
-    * then keep pairs with Hamming distance ≤ maxHamming via bit_count(xor).
+  /** Banded Hamming-near pairs over ANY precomputed 64-bit fingerprint
+    * column: 4×16-bit band keys (any shared band ⇒ candidate — the
+    * pigeonhole guarantee catches every pair at Hamming ≤ 3), hot
+    * buckets capped, then exact `bit_count(xor)` verify. The shuffle
+    * carries (id, fingerprint, band, key) — 8-byte payloads, never the
+    * underlying document/image. Shared by [[simhashPairs]] (text
+    * SimHash) and the image dHash near-dup
+    * ([[graft.multimodal.Multimodal.dhashFeatures]]).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+  def hammingPairs(sig: DataFrame, idCol: String, hashCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val s0 = sig.select(col(idCol).as("doc_id"), col(hashCol).as("_h64"))
+    val banded = s0.select(col("doc_id"), col("_h64"),
       posexplode(array((0 until 4).map { b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+        shiftright(col("_h64"), b * 16).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("band", "key")))
     val capped = banded.withColumn("n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("key"))))
       .filter(col("n") <= maxBucket)
     val a = capped.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      col("doc_id").as("doc_a"), col("_h64").as("sim_a"))
     val b = capped.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      col("doc_id").as("doc_b"), col("_h64").as("sim_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -429,6 +434,14 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup candidates: the [[hammingPairs]] machinery over
+    * the per-document [[simhash]] fingerprint.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol), "doc_id", "simhash",
+      maxHamming, maxBucket)
 
   /** n-gram Jaccard similarity via an inverted-index join: explode hashed
     * shingles, join on the 8-byte hash (only co-shingled docs meet), count
@@ -804,11 +817,39 @@ object Dedup {
     *     noise, not signal, for pairwise overlap anyway);
     *   - the pair count is again one combinable aggregate on (a, b).
     */
+  /** Corpus-scaled winnow window — the [[graft.simops.Similarity.nearDupPairsBanded]]
+    * band-bits law applied to the fingerprint DENSITY knob: winnowing
+    * selects ~2/(w+1) of k-gram hashes, and with a FIXED w the
+    * candidate volume of the span self-join grows with every decade of
+    * corpus (the r7 100× anchor measured 3.9×/decade at w=4 — the
+    * worst ratio on the board). Growing w by one per corpus DOUBLING
+    * past the `knee` keeps posting volume per document shrinking as
+    * log(n) while the winnowing guarantee degrades gracefully: any
+    * verbatim match of ≥ w+k−1 tokens is still fingerprinted, i.e. at
+    * larger corpora the operator asks for slightly longer shared
+    * passages — exactly the trade a 100 TB dedup wants (short common
+    * phrases stop being evidence of reuse long before that).
+    *
+    * Integer-exact on purpose: `w0 + ceil(log₂(ceil(n/knee)))` via
+    * bit-position arithmetic, so the DuckDB oracle replays the
+    * identical window from its own `count(*)` with `length(bin(q−1))`
+    * — no float log anywhere near an engine boundary.
+    */
+  def scaledWinnowWindow(n: Long, w0: Int = 4, knee: Long = 65536L): Int =
+    if (n <= knee) w0
+    else {
+      val q = (n + knee - 1) / knee
+      w0 + (64 - java.lang.Long.numberOfLeadingZeros(q - 1))
+    }
+
   def spanPairs(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, w: Int = 4, minShared: Int = 5,
                 maxDf: Int = 16): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf >= 2, s"maxDf must be >= 2 to form any pair, got $maxDf")
+    // w <= 0 = AUTO: derive the window from the corpus size (one
+    // count() action, the Sampling.cappedPct precedent)
+    val wEff = if (w > 0) w else scaledWinnowWindow(df.count())
     // No localCheckpoint on the corpus-fingerprint frames: checkpoint
     // blocks are deserialized rows with no unpersist hook, so each
     // invocation leaked ~600 MB into a long-lived session's
@@ -823,7 +864,7 @@ object Dedup {
     // one serialized shuffle write of the winnow kernel's output, and
     // the self-join runs exchange-free on the prune join's output
     // partitioning. AQE's skew split handles shuffled-hash joins.
-    val fps = graft.textops.TextOps.winnowing(df, idCol, textCol, k, w)
+    val fps = graft.textops.TextOps.winnowing(df, idCol, textCol, k, wEff)
       .select(col(idCol).cast("long").as("_id"), col("fp"))
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("_df"))

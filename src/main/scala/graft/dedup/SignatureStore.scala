@@ -73,6 +73,57 @@ object SignatureStore {
     banded = spark.read.parquet(s"$dir/signatures"),
     shingleHashes = spark.read.parquet(s"$dir/shingle_hashes"))
 
+  /** Close the daily-ingest loop: the ACCEPTED increment's own store
+    * rows ([[build]] of the survivors) unioned onto the store, so
+    * tomorrow's probe sees today's accepted documents without the
+    * O(corpus) rebuild the `_stored`/`_probe` family exists to avoid.
+    * O(increment) work — the union is lazy and the increment side is
+    * the only new computation.
+    */
+  def append(store: Store, accepted: DataFrame, idCol: String,
+             textCol: String, shingleSize: Int = 3, bands: Int = 8,
+             rowsPerBand: Int = 2): Store = {
+    val inc = build(accepted, idCol, textCol, shingleSize, bands, rowsPerBand)
+    Store(store.banded.unionByName(inc.banded),
+      store.shingleHashes.unionByName(inc.shingleHashes))
+  }
+
+  /** Persisted twin of [[append]]: write ONLY the increment's rows into
+    * the store directory (parquet append — new files, no rewrite of
+    * existing data). A retried ingest that appends the same doc twice
+    * is healed by [[compact]].
+    */
+  def appendWrite(inc: Store, dir: String): Unit = {
+    inc.banded.write.mode("append").parquet(s"$dir/signatures")
+    inc.shingleHashes.write.mode("append").parquet(s"$dir/shingle_hashes")
+  }
+
+  /** Compaction: dedup by doc id (one row per (doc_id, band) /
+    * doc_id — heals double-appended retries) and rewrite the store as
+    * fresh parquet. The rewrite goes through a staging directory and an
+    * atomic filesystem rename, so a reader never sees a half-written
+    * store; cost is one scan of the 8-byte-row store, NOT the corpus
+    * text — run it on the compaction cadence (daily/weekly), not per
+    * ingest.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    compactOne(spark, s"$dir/signatures", Seq("doc_id", "band"))
+    compactOne(spark, s"$dir/shingle_hashes", Seq("doc_id"))
+  }
+
+  private def compactOne(spark: SparkSession, path: String,
+                         keys: Seq[String]): Unit = {
+    val tmp = path + ".compact"
+    spark.read.parquet(path).dropDuplicates(keys)
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)),
+      s"compact: rename $tmp -> $path failed")
+  }
+
   /** The winnow-fingerprint store — the persisted form of the
     * passage-level ingest check ([[Dedup.spanIncremental]]'s corpus
     * side, computed once at corpus ingest): `(doc_id, fp, df)` where
@@ -96,4 +147,40 @@ object SignatureStore {
 
   def readSpans(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/span_fps")
+
+  /** Span-store append. Unlike the minhash store, the span store
+    * DENORMALIZES each fingerprint's corpus df onto every row, so an
+    * append must also BUMP the df of existing rows whose fp the
+    * increment re-serves — otherwise the boilerplate cap goes stale as
+    * the corpus grows. The bump is a broadcast probe of the
+    * increment's (fp, count) frame against the store scan (the store
+    * never shuffles), and the increment's own rows take
+    * `store_df + inc_df` from the matched-row counts — so the result
+    * is EXACTLY [[buildSpans]] of the unioned corpus, without touching
+    * corpus text (equivalence pinned in DedupSpec). Cost is one scan
+    * of the 8-byte-row store per append; at production cadence the
+    * increments land as deltas and this merge runs at compaction.
+    */
+  def appendSpans(storeFps: DataFrame, accepted: DataFrame, idCol: String,
+                  textCol: String, k: Int = 8, w: Int = 4): DataFrame = {
+    val inc = TextOps
+      .winnowing(graft.util.Par.spread(accepted), idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("doc_id"), col("fp"))
+      .localCheckpoint() // increment-sized; forks three ways below
+    val incDf = inc.groupBy(col("fp")).agg(count(lit(1)).as("_inc_df"))
+    // existing rows: df bumped where an appended fp collides
+    val bumped = storeFps.join(broadcast(incDf), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        (col("df") + coalesce(col("_inc_df"), lit(0L))).as("df"))
+    // each matched store fp's df = its matched-row count (denormalized
+    // df ≡ row count per fp), derived without scanning unmatched rows
+    val storeDf = storeFps
+      .join(broadcast(inc.select(col("fp")).distinct()), "fp")
+      .groupBy(col("fp")).agg(count(lit(1)).as("_store_df"))
+    val incRows = inc.join(broadcast(incDf), "fp")
+      .join(broadcast(storeDf), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        (col("_inc_df") + coalesce(col("_store_df"), lit(0L))).as("df"))
+    bumped.unionByName(incRows)
+  }
 }

@@ -82,7 +82,13 @@ object BpeVocab {
     * stops early when no pair occurs at least twice.
     */
   def train(corpus: String, n: Int): Seq[(String, String)] = {
-    val wf = corpus.split("\\s+").filter(_.nonEmpty)
+    // lowercase BEFORE counting — the one shared normalization with the
+    // distributed trainer ([[graft.textops.BpeTrainer.train]] tokenizes
+    // lower(text)); without it the advertised distributed-equals-local
+    // merge guarantee silently breaks on any mixed-case corpus.
+    // Locale.ROOT matches Spark's locale-agnostic `lower`.
+    val wf = corpus.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+      .filter(_.nonEmpty)
       .groupBy(identity).map { case (w, g) => w -> g.length.toLong }.toSeq
     trainFromCounts(wf, n)
   }

@@ -210,10 +210,23 @@ object Lead {
   * property LagMatrixSpec pins for the plain lag family).
   */
 object Ewma {
+  /** @param maxTailMass loudest-possible guard on the truncation
+    *   contract: the dropped tail mass (1−α)^W must not exceed this
+    *   (default 5%). A caller passing W=4, α=0.05 would silently
+    *   average ~81% of the exponential mass — reject it at plan time
+    *   instead; callers that WANT an aggressively truncated kernel
+    *   (fixtures, short-memory smoothers) raise the ceiling
+    *   explicitly.
+    */
   def over(df: DataFrame, valueCol: String, spec: LagSpec, alpha: Double,
-           window: Int): DataFrame = {
+           window: Int, maxTailMass: Double = 0.05): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
     require(window > 0, "window must be positive")
+    val tailMass = math.pow(1.0 - alpha, window)
+    require(tailMass <= maxTailMass,
+      f"ewma truncated at window=$window drops (1-alpha)^W = $tailMass%.4f " +
+        f"of the exponential mass (> $maxTailMass%.2f): raise window, " +
+        "raise alpha, or pass a larger maxTailMass explicitly")
     val base =
       if (spec.seriesCols.isEmpty) Window.orderBy(spec.orderCols.map(col): _*)
       else Window.partitionBy(spec.seriesCols.map(col): _*)

@@ -347,6 +347,294 @@ object Multimodal {
       .toDF("media_id", "content")
   }
 
+  // ---- perceptual image hash (dHash) ----
+
+  /** Integer luma (ITU-R 601 weights at 3 decimal places, integer
+    * division) — SQL-replayable: `(299r + 587g + 114b) // 1000`. */
+  private def lumaOf(p: Int): Int =
+    (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+      114 * (p & 0xFF)) / 1000
+
+  /** dHash over a decoded luma grid: bit (y·(w−1)+x) is set when
+    * `luma(x+1, y) > luma(x, y)` — the classic difference hash. The
+    * grid must carry at most 64 gradients (the canonical working point
+    * is a 9×8 grid → 64 bits); arbitrary-size images go through
+    * [[dhashOf]] which resizes to 9×8 first.
+    */
+  def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    require((w - 1) * h <= 64 && w >= 2,
+      s"dhash64 needs a grid with <= 64 gradients, got ${w}x$h")
+    var bits = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prev = lumaOf(img.getRGB(0, y))
+      while (x < w - 1) {
+        val next = lumaOf(img.getRGB(x + 1, y))
+        if (next > prev) bits |= 1L << (y * (w - 1) + x)
+        prev = next
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash of an arbitrary image payload: decode, bilinear
+    * resize to the canonical 9×8 luma grid, [[dhash64]]. `None` for
+    * undecodable bytes. The resize makes re-encoded/rescaled
+    * duplicates land within small Hamming distance — the property
+    * [[graft.dedup.Dedup.hammingPairs]] turns into candidate pairs.
+    * (The registered `image_neardup` query uses 9×8 fixtures directly
+    * — no resize — so its oracle replays the exact grid; resize
+    * determinism is JDK-internal and spec-tested, not oracle-pinned.)
+    */
+  def dhashOf(bytes: Array[Byte]): Option[Long] = {
+    val src =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (src == null) None
+    else if (src.getWidth == 9 && src.getHeight == 8) Some(dhash64(src))
+    else resizeImage(bytes, 9, 8)
+      .flatMap(p => Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p))))
+      .map(dhash64)
+  }
+
+  /** Batch dHash through the per-partition codec contract (reusable
+    * PNG reader, the [[imageFeatures]] shape): (media_id, content) →
+    * (media_id, decodable, dhash). Payload read once, never shuffled —
+    * only the 8-byte fingerprint continues to the pair machinery.
+    */
+  def dhashFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        lazy val pngReader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.map { case (id, bytes) =>
+          val img =
+            if (sniff(bytes) == "png") {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try { pngReader.setInput(iis, true, true); pngReader.read(0) }
+              catch { case _: Exception => null }
+              finally iis.close()
+            } else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+          val dh = Option(img).map(dhash64)
+          (id, dh.isDefined, dh)
+        }
+      }
+      .toDF("media_id", "decodable", "dhash")
+  }
+
+  /** Quadratic-residue pixel channel — the near-dup fixture formula.
+    * The [[syntheticPng]] fixture's per-pixel values are LINEAR in
+    * (x, y), which collapses every image's gradient signs onto a few
+    * hundred dHash patterns; squaring modulo a prime decorrelates
+    * adjacent columns, so fixture dHashes are distinct per id (27/27
+    * planted pairs and nothing else at sf0.01 — measured) while
+    * staying exactly SQL-replayable in 64-bit-safe integer arithmetic.
+    */
+  private def qrPx(id: Long, x: Int, y: Int, salt: Int): Int = {
+    require(id >= 0, s"fixture formula assumes non-negative id, got $id")
+    val c = (id * 73856093L + x * 19349663L + y * 83492791L +
+      salt * 1299721L) % 65521L
+    ((c * c % 65521L) % 256L).toInt
+  }
+
+  private def fillQrPixels(img: java.awt.image.BufferedImage, id: Long,
+                           perturb: Boolean): Unit = {
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var r = qrPx(id, x, y, 0)
+        if (perturb && x == 0 && y == 0) r = (r + 64) % 256
+        img.setRGB(x, y, (r << 16) | (qrPx(id, x, y, 1) << 8) |
+          qrPx(id, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** The image near-dup fixture frame: one 9×8 PNG per id
+    * (quadratic-residue pixels) plus, for the md5-chosen ~5% of ids, a
+    * PERTURBED twin at id+10⁷ — channel R of pixel (0,0) shifted by
+    * +64, a re-encoded near-duplicate whose dHash lands at Hamming
+    * 0–1 from its original. Narrow mapPartitions encode with the
+    * reusable PNG writer.
+    */
+  def syntheticImagesNearDup(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val base = ids.select(col(idCol).cast("long").as("_id"),
+      lit(false).as("_p"))
+    val twins = ids
+      .filter(graft.util.Sampling.md5Bucket(col(idCol)) < 5)
+      .select(col(idCol).cast("long").as("_id"), lit(true).as("_p"))
+    base.unionByName(twins).as[(Long, Boolean)]
+      .mapPartitions { it =>
+        lazy val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        lazy val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        it.map { case (id, p) =>
+          fillQrPixels(img, id, p)
+          (if (p) id + 10000000L else id, encodePngWith(writer, img))
+        }
+      }
+      .toDF("media_id", "content")
+  }
+
+  // ---- REAL audio codec (JDK javax.sound.sampled — no native libs) ----
+
+  /** Closed-form sample: frame `i` of channel `ch` of clip `id` is the
+    * 16-bit signed value `((id·31 + i·7 + ch·13) mod 65536) − 32768` —
+    * a formula a SQL oracle replays exactly, the audio twin of the
+    * [[syntheticPng]] pixel formula.
+    */
+  private def sampleAt(id: Long, i: Int, ch: Int): Short = {
+    require(id >= 0, s"fixture formula assumes non-negative id, got $id")
+    (((id * 31 + i.toLong * 7 + ch.toLong * 13) % 65536) - 32768).toShort
+  }
+
+  /** A canonical 44-byte-header RIFF/WAVE payload (16-bit PCM stereo,
+    * little-endian) carrying the closed-form fixture samples. The
+    * header is written by hand — the WAV container is a fixed layout,
+    * so the fixture generator pays no per-call codec-provider scan
+    * (the ImageIO lesson); the DECODE side goes through the real
+    * `javax.sound.sampled` SPI.
+    */
+  def syntheticWav(id: Long, nFrames: Int = 256,
+                   sampleRate: Int = 8000): Array[Byte] = {
+    val ch = 2
+    val dataLen = nFrames * ch * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)); buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(ch.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * ch * 2) // byte rate
+    buf.putShort((ch * 2).toShort) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes(ascii)); buf.putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < ch) { buf.putShort(sampleAt(id, i, c)); c += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** An id-keyed frame of REAL WAV payloads — the audio fixture
+    * generator, same narrow mapPartitions shape as [[syntheticImages]].
+    */
+  def syntheticWavs(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticWav(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Decode a WAV/PCM payload through the `javax.sound.sampled` SPI
+    * readers (hoisted to partition scope by [[audioFeatures]] — the
+    * `AudioSystem.getAudioInputStream` front door re-scans the
+    * provider registry per call, the same tax [[decodeWith]] removes
+    * for images) and return exact per-channel 16-bit sample sums.
+    * `None` when no provider decodes the bytes or the format is not
+    * 16-bit PCM.
+    */
+  private[multimodal] def decodeAudioWith(
+      readers: Seq[javax.sound.sampled.spi.AudioFileReader],
+      bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    val ais = readers.iterator.flatMap { r =>
+      try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    }.nextOption()
+    ais.flatMap { st =>
+      try {
+        val fmt = st.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val ch = fmt.getChannels
+          val frameSize = fmt.getFrameSize
+          val data = st.readAllBytes()
+          val n = data.length / frameSize
+          def s16(off: Int): Long = {
+            val lo = data(off) & 0xFF; val hi = data(off + 1)
+            if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xFF)).toLong
+            else ((hi << 8) | lo).toLong
+          }
+          var s0 = 0L; var s1 = 0L; var i = 0
+          while (i < n) {
+            val off = i * frameSize
+            s0 += s16(off)
+            if (ch > 1) s1 += s16(off + 2)
+            i += 1
+          }
+          Some((ch, fmt.getSampleRate.toInt, n.toLong, s0, s1))
+        }
+      } finally st.close()
+    }
+  }
+
+  /** Batch audio decode through the per-partition codec contract:
+    * the SPI reader list is materialized ONCE per partition, payload
+    * read once, never shuffled — the audio twin of [[imageFeatures]].
+    * Undecodable / non-16-bit-PCM rows surface with null stats.
+    *
+    * Input: (media_id long, content binary). Output: media_id,
+    * sniffed_format, decodable, channels, sample_rate, n_frames,
+    * ch0_sum, ch1_sum (ch1 null for mono).
+    */
+  def audioFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec scope: the SPI provider list loads once
+        lazy val readers = {
+          val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+          val ld = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+          while (ld.hasNext) b += ld.next()
+          b.result()
+        }
+        it.map { case (id, bytes) =>
+          val fmt = {
+            def at(i: Int) = if (i < bytes.length) bytes(i) & 0xFF else -1
+            if (at(0) == 0x52 && at(1) == 0x49 && at(2) == 0x46 &&
+              at(3) == 0x46) "riff"
+            else "unknown"
+          }
+          val stats = decodeAudioWith(readers, bytes)
+          (id, fmt, stats.isDefined, stats.map(_._1), stats.map(_._2),
+            stats.map(_._3), stats.map(_._4),
+            stats.filter(_._1 > 1).map(_._5))
+        }
+      }
+      .toDF("media_id", "sniffed_format", "decodable", "channels",
+        "sample_rate", "n_frames", "ch0_sum", "ch1_sum")
+  }
+
   /** Build a MediaRecord dataset from any table with a binary-able column —
     * used by tests and the driver queries (text bytes stand in for media
     * payloads; the pipeline does not care what the bytes mean).

@@ -477,9 +477,14 @@ object Pipeline {
     val base = graft.util.Par.spread(df)
       .select(col(idCol), col(strataCol),
         counter(col(textCol)).cast("long").as("n_tokens"))
-    // O(strata) rows (same bounded-checkpoint shape as sampleMixture)
+    // O(strata) rows (same bounded-checkpoint shape as sampleMixture).
+    // Zero-mass strata (every document empty) are dropped BEFORE the
+    // share arithmetic: their natural share is 0 anyway, and keeping
+    // them prices keep = floor(0 · T_out / 0) = floor(NaN), which the
+    // ANSI-mode long cast turns into a query-killing error.
     val strata = base.groupBy(col(strataCol))
       .agg(sum(col("n_tokens")).as("_ts"))
+      .filter(col("_ts") > 0)
       .localCheckpoint()
     val tot = strata.agg(sum(col("_ts")).as("_tot"))
     val pw = strata.crossJoin(broadcast(tot))
@@ -516,10 +521,14 @@ object Pipeline {
     // O(strata) rows, materialized ONCE: the frame forks three ways
     // below (weight sum, T_out reduction, rate table) and each fork
     // would otherwise re-run the corpus token-count aggregate
+    // `_ts > 0`: a positive-weight stratum whose documents are all
+    // empty would bind T_out at 0/share = 0 and then price its own
+    // keep rate as 0·0/0 = NaN (ANSI cast error). It has no tokens to
+    // contribute, so it drops like a weight-0 stratum.
     val strata = base.groupBy(col(strataCol))
       .agg(sum(col("n_tokens")).as("_ts"))
       .withColumn("_w", wCol)
-      .filter(col("_w") > 0)
+      .filter(col("_w") > 0 && col("_ts") > 0)
       .localCheckpoint()
     val wsum = strata.agg(sum(col("_w")).as("_wsum"))
     val withShare = strata.crossJoin(broadcast(wsum))

@@ -19,9 +19,11 @@ final case class AnomalyEvent(event_id: Long, ts: java.sql.Timestamp,
   * holds for any key cardinality. Dead keys evict via
   * `ProcessingTimeTimeout` (no output owed — the ring is derived data).
   *
-  * Parity with the batch operator is exact: the baseline moments are
-  * computed with the same Welford recurrence Spark's `stddev_samp`
-  * uses, over the ring in the batch engine's (ts, event_id) frame
+  * Parity with the batch operator is exact: the baseline mean is the
+  * plain sum/n of Spark's `Average` and the stddev the Welford
+  * recurrence of `stddev_samp` (two separate aggregates in the batch
+  * plan — their means differ by ulps, so both arithmetics are
+  * mirrored), over the ring in the batch engine's (ts, event_id) frame
   * order, and z is rounded with the same BigDecimal HALF_UP rule as
   * Spark's `round` — pinned in StreamingSpec. The same ordering
   * contract as [[StreamingLag.lagged]] applies across micro-batches.
@@ -33,18 +35,25 @@ object StreamingAnomaly {
     BigDecimal(java.math.BigDecimal.valueOf(x))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Welford mean/M2 over the baseline values in frame order
-    * (oldest → newest — the order the batch window aggregate consumes
-    * its frame), returning (n, mean, sampleStddev). */
+  /** Baseline moments over the values in frame order (oldest → newest —
+    * the order the batch window aggregate consumes its frame),
+    * returning (n, mean, sampleStddev). The mean for the z NUMERATOR is
+    * the plain left-to-right sum / n — Spark's `Average` — while the
+    * stddev keeps the Welford recurrence `stddev_samp` uses: the batch
+    * operator computes them as two SEPARATE aggregates whose means
+    * differ by ulps, and matching each aggregate's own arithmetic is
+    * what makes the 6dp-rounded z bit-identical. */
   private def moments(oldestFirst: Seq[Double]): (Long, Double, Double) = {
-    var n = 0L; var mean = 0.0; var m2 = 0.0
+    var n = 0L; var sum = 0.0; var mean = 0.0; var m2 = 0.0
     oldestFirst.foreach { x =>
       n += 1
+      sum += x
       val delta = x - mean
       mean += delta / n
       m2 += delta * (x - mean)
     }
-    (n, mean, if (n >= 2) math.sqrt(m2 / (n - 1)) else 0.0)
+    (n, if (n > 0) sum / n else 0.0,
+      if (n >= 2) math.sqrt(m2 / (n - 1)) else 0.0)
   }
 
   def anomalies(events: Dataset[EventRow], window: Int, threshold: Double,

@@ -169,11 +169,15 @@ object Vocab {
     // spent minutes freeing entries. Without the checkpoint's exact
     // stats the planner undersells the exploded gram side (file-scan
     // bytes, pre-explode) and BROADCASTS 23M rows; the SHUFFLE_HASH
-    // hint on the df side pins the scalable plan instead: both
-    // consumers require the SAME hash(_gh) partitioning, so
-    // ReuseExchange serves the aggregate and the probe from ONE
-    // serialized shuffle write of the kernel output, the df side
-    // builds the per-partition map, and AQE's skew split still
+    // hint on the df side pins the scalable plan instead. What the
+    // hint buys is the BROADCAST hazard, not recompute: the df
+    // consumer's exchange sits above a partial HashAggregate while the
+    // probe's sits above the raw kernel projection, so the two
+    // exchanges do NOT canonicalize equal and the scan+kernel stage
+    // runs once per consumer. That recompute is the right trade — the
+    // kernel pass is cheap scan-stage work, while caching the exploded
+    // frame is exactly the corpus-scale MemoryStore residency the
+    // checkpoint removal exists to avoid. AQE's skew split still
     // applies (it handles shuffled-hash joins).
     val grams = graft.util.Par.spread(df)
       .select(col(idCol), explode(graft.functions.NgramXxSetExpr(

@@ -207,6 +207,23 @@ class DedupSpec extends AnyFunSuite {
       s"only the passage-sharing pair should link, got $out")
   }
 
+  test("scaledWinnowWindow: w0 below the knee, +1 per corpus doubling past it") {
+    assert(Dedup.scaledWinnowWindow(500) == 4)
+    assert(Dedup.scaledWinnowWindow(65536) == 4)
+    assert(Dedup.scaledWinnowWindow(65537) == 5)
+    assert(Dedup.scaledWinnowWindow(131072) == 5)
+    assert(Dedup.scaledWinnowWindow(131073) == 6)
+    assert(Dedup.scaledWinnowWindow(500000) == 7)
+    assert(Dedup.scaledWinnowWindow(5000000) == 11)
+    // AUTO (w <= 0) equals explicit w=4 below the knee
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val auto = Dedup.spanPairs(df, "doc_id", "text", k = 8, w = -1,
+      minShared = 1).collect().toSet
+    val fixed = Dedup.spanPairs(df, "doc_id", "text", k = 8, w = 4,
+      minShared = 1).collect().toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
   test("spanIncremental: embedded passage flags the incoming doc, fresh stays new") {
     val passage = "copied paragraph with enough characters to fingerprint well"
     val corpus = docs(
@@ -472,6 +489,81 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", "text", threshold = 0.3))
     assert(stored == direct)
     assert(stored.exists(r => !r._4) && stored.exists(_._4))
+  }
+
+  test("store append closes the ingest loop: day-2 near-dup of an accepted day-1 doc is caught") {
+    // day 0 corpus; day 1 increment: one fresh doc (accepted), one dup
+    // of the corpus (rejected); day 2 increment: a near-copy of the
+    // ACCEPTED day-1 doc — it must be flagged against the APPENDED
+    // store, and the appended probe must equal the direct incremental
+    // over the unioned corpus
+    val corpus = docs(1L -> other)
+    val incA = docs(10L -> base, 11L -> other) // 10 fresh, 11 dup of 1
+    val store0 = SignatureStore.build(corpus, "doc_id", "text")
+    val probeA = Dedup.minhashIncrementalStored(incA, store0,
+        "doc_id", "text", threshold = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(probeA == Map(10L -> true, 11L -> false))
+    val accepted = docs(10L -> base) // the is_new survivors of probe A
+    val store1 = SignatureStore.append(store0, accepted, "doc_id", "text")
+    val incB = docs(20L -> nearDup, // near-copy of ACCEPTED day-1 doc 10
+      21L -> other,                 // still a dup of ORIGINAL corpus doc 1
+      22L -> ("wholly novel text that matches nothing anywhere stored " * 3))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val viaStore = rowsOf(Dedup.minhashIncrementalStored(incB, store1,
+      "doc_id", "text", threshold = 0.3))
+    // equivalence across the append: the appended store makes the same
+    // decision as the direct incremental over corpus ∪ accepted
+    val direct = rowsOf(Dedup.minhashIncremental(incB,
+      corpus.union(accepted), "doc_id", "text", threshold = 0.3))
+    assert(viaStore == direct)
+    val byId = viaStore.map(r => r._1 -> r).toMap
+    assert(!byId(20L)._4 && byId(20L)._2 == 10L,
+      "day-2 near-dup of the accepted day-1 doc must be caught")
+    assert(!byId(21L)._4 && byId(21L)._2 == 1L)
+    assert(byId(22L)._4)
+  }
+
+  test("persisted appendWrite grows the store; compact heals a double append") {
+    val corpus = docs(1L -> other)
+    val tmp = java.nio.file.Files.createTempDirectory("sigappend").toString
+    SignatureStore.write(SignatureStore.build(corpus, "doc_id", "text"), tmp)
+    val inc = SignatureStore.build(docs(10L -> base), "doc_id", "text")
+    SignatureStore.appendWrite(inc, tmp)
+    SignatureStore.appendWrite(inc, tmp) // a retried ingest double-writes
+    val dirty = SignatureStore.read(spark, tmp)
+    assert(dirty.shingleHashes.filter("doc_id = 10").count() == 2)
+    SignatureStore.compact(spark, tmp)
+    val clean = SignatureStore.read(spark, tmp)
+    assert(clean.shingleHashes.filter("doc_id = 10").count() == 1)
+    assert(clean.banded.select("doc_id", "band").distinct().count() ==
+      clean.banded.count(), "one row per (doc_id, band) after compact")
+    // and the compacted store still probes correctly
+    val r = Dedup.minhashIncrementalStored(docs(20L -> nearDup), clean,
+      "doc_id", "text", threshold = 0.3).collect().head
+    assert(!r.getBoolean(3) && r.getLong(1) == 10L)
+  }
+
+  test("appendSpans equals buildSpans over the unioned corpus (df bumped, not stale)") {
+    val passage = "copied paragraph with enough characters to fingerprint well"
+    val corpus = docs(
+      1L -> s"alpha beta gamma $passage delta epsilon",
+      2L -> "unrelated corpus text about spark physical plans entirely")
+    val accepted = docs(3L -> s"day one accepted text containing $passage too")
+    val appended = SignatureStore.appendSpans(
+      SignatureStore.buildSpans(corpus, "doc_id", "text", k = 8, w = 4),
+      accepted, "doc_id", "text", k = 8, w = 4)
+    val rebuilt = SignatureStore.buildSpans(corpus.union(accepted),
+      "doc_id", "text", k = 8, w = 4)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rowsOf(appended) == rowsOf(rebuilt))
+    // the shared passage's fps must carry df=2 on BOTH docs' rows —
+    // the stale-df hazard the bump exists for
+    assert(appended.filter("df >= 2").count() > 0)
   }
 
   test("minhashIncremental agrees with batch LSH over the union corpus") {

@@ -36,6 +36,22 @@ class BpeSpec extends AnyFunSuite {
     assert(dist == local)
   }
 
+  test("distributed trainer matches local trainer on MIXED-CASE text") {
+    import spark.implicits._
+    // both paths lowercase before counting (the one shared
+    // normalization); a case-split corpus — "The"/"the"/"THE" — must
+    // merge into one word-frequency row on each side or the
+    // distributed-equals-local guarantee silently breaks
+    val raw = "The Pipeline Prepares THE data and the pipeline " +
+      "Repeats THE preparation For the Data"
+    val docs = raw.split(" and ").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val dist = graft.textops.BpeTrainer.train(docs, "text", numMerges = 10)
+    val local = BpeVocab.train(raw.replace(" and ", " \n "), 10)
+    assert(dist == local)
+    assert(dist.nonEmpty)
+  }
+
   test("distributed trainer: maxVocab truncates the tail, not the head") {
     import spark.implicits._
     // 100 copies of a hot word + singleton tail words: with the vocab

@@ -189,8 +189,12 @@ class GoldenLagSpec extends AnyFunSuite {
     //   t1: (2 + .5*1)        / 1.5  = 5/3
     //   t2: (4 + .5*2 + .25*1)/ 1.75 = 3
     val df = seriesDf(Seq(1, 2, 4))
+    // window=3 at alpha=0.5 drops 12.5% tail mass — deliberately
+    // aggressive truncation for a hand-checkable fixture, so the
+    // tail-mass guard is raised explicitly
     val out = Ewma.over(df, "value",
-      LagSpec(Seq("t"), Nil, Seq(1), None), alpha = 0.5, window = 3)
+      LagSpec(Seq("t"), Nil, Seq(1), None), alpha = 0.5, window = 3,
+      maxTailMass = 0.2)
     val vals = out.orderBy("t").select("value_ewma")
       .collect().toSeq.map(_.getDouble(0))
     assert(vals == Seq(1.0, BigDecimal(5.0 / 3)
@@ -200,6 +204,20 @@ class GoldenLagSpec extends AnyFunSuite {
     val p = out.queryExecution.executedPlan.toString
     assert(p.linesIterator.count(
       _.matches(".*(\\*\\(\\d+\\) )?Window( |\\[).*")) == 1, p)
+  }
+
+  test("ewma: rejects a window that drops non-negligible tail mass") {
+    // W=4 at alpha=0.05 keeps only ~19% of the exponential mass —
+    // the silently-wrong parameterization the guard exists to catch
+    val ex = intercept[IllegalArgumentException] {
+      Ewma.over(seriesDf(Seq(1, 2, 3)), "value",
+        LagSpec(Seq("t"), Nil, Seq(1), None), alpha = 0.05, window = 4)
+    }
+    assert(ex.getMessage.contains("exponential mass"), ex.getMessage)
+    // the same parameters pass when the caller raises the ceiling
+    Ewma.over(seriesDf(Seq(1, 2, 3)), "value",
+      LagSpec(Seq("t"), Nil, Seq(1), None), alpha = 0.05, window = 4,
+      maxTailMass = 1.0).collect()
   }
 
   test("ffill: interior gaps take the last observation, leading gaps stay null") {

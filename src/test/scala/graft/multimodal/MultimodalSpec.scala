@@ -145,6 +145,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got(2L).getBoolean(2) && got(2L).isNullAt(3))
   }
 
+  test("REAL audio round-trip: WAV assemble then SPI decode is sample-exact") {
+    import spark.implicits._
+    // the fixture samples are a closed form of (id, frame, channel);
+    // PCM is lossless, so the decoded per-channel sums must equal the
+    // formula sums — the invariant the multimodal_audio_decode oracle
+    // hashes corpus-wide
+    val ids = Seq(0L, 1L, 42L, 123456789L)
+    val out = Multimodal.audioFeatures(
+        ids.map(id => (id, Multimodal.syntheticWav(id)))
+          .toDF("media_id", "content").repartition(2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- ids) {
+      val r = out(id)
+      assert(r.getString(1) == "riff" && r.getBoolean(2), s"id=$id")
+      assert(r.getInt(3) == 2 && r.getInt(4) == 8000 && r.getLong(5) == 256)
+      var (s0, s1) = (0L, 0L)
+      for (i <- 0 until 256) {
+        s0 += ((id * 31 + i * 7) % 65536) - 32768
+        s1 += ((id * 31 + i * 7 + 13) % 65536) - 32768
+      }
+      assert((r.getLong(6), r.getLong(7)) == ((s0, s1)), s"id=$id")
+    }
+    // non-audio payloads surface as undecodable, never throw
+    val junk = Multimodal.audioFeatures(
+      Seq((9L, "not audio".getBytes("UTF-8"))).toDF("media_id", "content"))
+      .collect().head
+    assert(!junk.getBoolean(2) && junk.isNullAt(6))
+  }
+
+  test("dHash: planted perturbed twin lands within Hamming 3; payload never shuffles") {
+    import spark.implicits._
+    // md5Bucket(62) < 5, so the fixture plants a twin for id 62
+    val ids = Seq(7L, 9L, 62L).toDF("doc_id")
+    val imgs = Multimodal.syntheticImagesNearDup(ids, "doc_id")
+    val sig = Multimodal.dhashFeatures(imgs)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"dhash must not shuffle the payload:\n$plan")
+    val got = sig.collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    val planted = got.keys.filter(_ >= 10000000L)
+    assert(planted.nonEmpty, s"no twin planted among ${got.keys}")
+    for (tw <- planted) {
+      val orig = tw - 10000000L
+      val hd = java.lang.Long.bitCount(got(tw)._2 ^ got(orig)._2)
+      assert(hd <= 3, s"twin $tw at hamming $hd from $orig")
+    }
+    // distinct base images hash apart (the quadratic-residue fixture
+    // exists precisely so they do)
+    assert(got(7L)._2 != got(9L)._2)
+    // and the pair machinery finds exactly the planted pair(s)
+    val pairs = graft.dedup.Dedup.hammingPairs(
+        sig.filter(org.apache.spark.sql.functions.col("decodable"))
+          .select(org.apache.spark.sql.functions.col("media_id"),
+            org.apache.spark.sql.functions.col("dhash")),
+        "media_id", "dhash", maxHamming = 3, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(tw => pairs.contains((tw - 10000000L, tw))))
+  }
+
+  test("dHash of an arbitrary image: resize path is stable and re-encode lands near") {
+    // a 32×32 smooth-gradient PNG: dhashOf resizes to the canonical
+    // 9×8 grid; hashing the same bytes twice is identical, and a PNG
+    // re-encode of the same pixels hashes identically too
+    val png = Multimodal.syntheticPng(5L, 32, 32)
+    val h1 = Multimodal.dhashOf(png).get
+    assert(Multimodal.dhashOf(png).contains(h1))
+    val reenc = Multimodal.resizeImage(png, 32, 32).get // decode+re-encode
+    val h2 = Multimodal.dhashOf(reenc).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 3,
+      s"re-encoded image drifted to hamming ${java.lang.Long.bitCount(h1 ^ h2)}")
+    assert(Multimodal.dhashOf("junk".getBytes("UTF-8")).isEmpty)
+  }
+
   test("resize runs the real codec on images: decoded dims match the box") {
     val png = Multimodal.syntheticPng(9L, 32, 32)
     val out = Multimodal.resize(media(9L -> png), 16, 16).collect().head
