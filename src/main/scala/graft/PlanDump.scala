@@ -164,9 +164,13 @@ object PlanDump {
           "prune probe, both self-join sides) is a PINNED " +
           "ShuffledHashJoin over the same hash(fp) partitioning — no " +
           "side can be broadcast on a size guess (the r6 bimodal " +
-          "9s/18s bug), runtime ReuseExchange serves all of them from " +
-          "one kernel shuffle write, and no corpus-scale frame is ever " +
-          "cached (the 100×-anchor MemoryStore-leak lesson)."),
+          "9s/18s bug). The pin buys broadcast safety, not exchange " +
+          "reuse: the df aggregate's exchange sits above a partial " +
+          "HashAggregate while the probe's sits above the raw kernel " +
+          "projection, so they do NOT canonicalize equal and the " +
+          "winnow kernel recomputes per consumer — the right trade, " +
+          "since no corpus-scale frame is ever cached (the 100×-anchor " +
+          "MemoryStore-leak lesson)."),
       "dedup_semantic" ->
         ("SemDeDup: nearest-centroid assignment is a pure codegen'd " +
           "projection against the literal-pinned (sample-fitted) index; " +

@@ -340,20 +340,39 @@ object SparkEntry {
   private lazy val duckBpeCtes: String =
     duckBpeCtesFor(graft.functions.BpeVocab.merges)
 
-  private def duckBpeCtesFor(merges: Seq[(String, String)]): String = {
+  private def duckBpeCtesFor(merges: Seq[(String, String)],
+                             textExpr: String = "text",
+                             byteLevel: Boolean = false): String = {
     val values = merges.zipWithIndex
       .map { case ((l, r), i) =>
         s"('${l.replace("'", "''")}','${r.replace("'", "''")}',$i)" }
       .mkString(", ")
+    // byte-level seed: the word's UTF-8 bytes through the literal
+    // byteToUnicode map (b2u, 1-indexed) — bytes extracted via the
+    // uppercase hex fold, the engine-portable byte accessor
+    val bseed =
+      if (!byteLevel)
+        """bseed AS (SELECT w, list_transform(generate_series(1, length(w)),
+             i -> substr(w, i, 1)) AS syms FROM bw),"""
+      else {
+        val cps = graft.functions.BpeVocab.byteToUnicode.mkString(", ")
+        s"""bmap AS (SELECT list_transform([$cps], c -> chr(c)) AS b2u),
+         bseed AS (SELECT w, list_transform(
+             generate_series(1, octet_length(encode(w))),
+             i -> b2u[(strpos('0123456789ABCDEF',
+                        substr(hex(encode(w)), 2*i-1, 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF',
+                        substr(hex(encode(w)), 2*i, 1))]) AS syms
+           FROM bw, bmap),"""
+      }
     s"""bmerges(l, r, rank) AS (VALUES $values),
          brk AS (SELECT map(list(l || chr(1) || r ORDER BY rank),
                             list(rank ORDER BY rank)) AS m FROM bmerges),
          btok AS (SELECT doc_id,
-           list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+           list_filter(string_split_regex($textExpr, '\\s+'), x -> x <> '') AS toks
            FROM documents),
          bw AS (SELECT DISTINCT unnest(toks) AS w FROM btok),
-         bseed AS (SELECT w, list_transform(generate_series(1, length(w)),
-             i -> substr(w, i, 1)) AS syms FROM bw),
+         $bseed
          benc AS (
            SELECT w, syms FROM bseed
            UNION ALL
@@ -1515,6 +1534,20 @@ object SparkEntry {
       graft.util.Par.spread(Tables.documents(s, dir)).select(col("doc_id"),
         TextOps.bpeTokenCount(col("text"), ext).as("n_bpe"))
     }),
+
+    "bpe_tokens_byte" -> ((s, dir) =>
+      // GPT-2-family BYTE-LEVEL pre-encoding: each word's UTF-8 bytes
+      // (through the public bytes_to_unicode map) seed the merge loop
+      // — the symbol space real merges.txt vocabularies are written
+      // over. The driver corpus is pure ASCII (where byte-level ≡
+      // code-point), so a deterministic multi-byte suffix is planted
+      // in-query: byte-level metering counts its é (2 bytes) and №
+      // (3 bytes) as byte symbols, which the oracle replays through
+      // the same literal map
+      graft.util.Par.spread(Tables.documents(s, dir)).select(col("doc_id"),
+        graft.functions.BpeCountExpr.byteLevel(
+          concat(col("text"), lit(" café №")),
+          graft.functions.BpeVocab.merges).as("n_bpe"))),
 
     "seq_pack_bpe" -> ((s, dir) =>
       graft.pipeline.Pipeline.seqPack(Tables.documents(s, dir),
@@ -3040,6 +3073,16 @@ object SparkEntry {
       // so kernel, file round-trip, and oracle all consume one table
       s"""WITH RECURSIVE ${duckBpeCtesFor(
             graft.functions.BpeVocab.merges.take(100))}
+         SELECT t.doc_id, c.n_bpe
+         FROM btok t JOIN bcounts c USING (doc_id)""",
+
+    "bpe_tokens_byte" ->
+      // the byte-level CTE chain over the same planted multi-byte
+      // suffix; the byteToUnicode map is interpolated literally so the
+      // pre-encoder can never drift between engines
+      s"""WITH RECURSIVE ${duckBpeCtesFor(graft.functions.BpeVocab.merges,
+            textExpr = "text || ' caf" + "é №'",
+            byteLevel = true)}
          SELECT t.doc_id, c.n_bpe
          FROM btok t JOIN bcounts c USING (doc_id)""",
 

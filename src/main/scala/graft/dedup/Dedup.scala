@@ -858,12 +858,13 @@ object Dedup {
     // size estimate underselling fingerprint volume so a data-sized
     // side got BROADCAST (measured r6: ~5M-row build, 9s → 18s
     // bimodal) — is fixed at the ROOT with SHUFFLE_HASH hints: no
-    // side can be broadcast off a bad estimate. Every consumer below
-    // (df aggregate, prune probe, both self-join sides) requires the
-    // SAME hash(fp) partitioning, so ReuseExchange serves them from
-    // one serialized shuffle write of the winnow kernel's output, and
-    // the self-join runs exchange-free on the prune join's output
-    // partitioning. AQE's skew split handles shuffled-hash joins.
+    // side can be broadcast off a bad estimate. The hints buy
+    // broadcast safety, not exchange reuse: the df aggregate's
+    // exchange (above a partial HashAggregate) and the probe's (above
+    // the raw kernel projection) don't canonicalize equal, so the
+    // winnow kernel recomputes per consumer — cheap scan-stage work,
+    // deliberately preferred over caching a corpus-scale frame. AQE's
+    // skew split handles shuffled-hash joins.
     val fps = graft.textops.TextOps.winnowing(df, idCol, textCol, k, wEff)
       .select(col(idCol).cast("long").as("_id"), col("fp"))
     val rare = fps.groupBy(col("fp"))

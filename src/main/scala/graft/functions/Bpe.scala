@@ -191,6 +191,26 @@ object BpeVocab {
     } finally out.close()
   }
 
+  /** The GPT-2-family byte-to-unicode pre-encoder map (the PUBLIC
+    * `bytes_to_unicode` algorithm from OpenAI's encoder.py, reproduced
+    * from its published description): printable bytes — `!`..`~`,
+    * `¡`..`¬`, `®`..`ÿ` — map to their own code points; every other
+    * byte b maps to 256+n where n counts the non-printable bytes below
+    * b. Real GPT-2-family merges.txt tables are written over THESE
+    * symbols (`Ġ` = mapped space, etc.), so metering text with such a
+    * vocabulary without this pre-encoder mis-counts every non-ASCII
+    * word. Index = byte value, element = mapped code point (< 0x142,
+    * always one UTF-16 char).
+    */
+  lazy val byteToUnicode: IndexedSeq[Int] = {
+    val direct = (('!'.toInt to '~'.toInt) ++ (0xA1 to 0xAC) ++
+      (0xAE to 0xFF)).toSet
+    var n = 0
+    (0 until 256).map { b =>
+      if (direct(b)) b else { val cp = 256 + n; n += 1; cp }
+    }
+  }
+
   /** Merge all left-to-right non-overlapping (l, r) adjacencies. */
   private def mergeAll(syms: Vector[String], l: String, r: String): Vector[String] = {
     val b = Vector.newBuilder[String]
@@ -294,9 +314,18 @@ object BpeKernelUtil {
     * token boundaries exactly as [[TextGateStatsUtil.gateStats]] (Java
     * regex `\s` bytes — safe because ASCII whitespace never occurs
     * inside multi-byte UTF-8 sequences).
+    *
+    * `byteLevel = true` runs the GPT-2-family byte pre-encoder
+    * ([[BpeVocab.byteToUnicode]]) in front of the merge loop: each
+    * word's UTF-8 BYTES become the seed symbols (mapped to printable
+    * code points), which is the symbol space real merges.txt
+    * vocabularies are written over. ASCII words map to themselves, so
+    * pure-ASCII corpora meter identically either way — the flag
+    * changes only multi-byte text, which byte-level metering counts
+    * per byte-symbol instead of per code point.
     */
-  def docCount(text: UTF8String,
-               ranks: java.util.HashMap[String, Integer]): Long = {
+  def docCount(text: UTF8String, ranks: java.util.HashMap[String, Integer],
+               byteLevel: Boolean): Long = {
     val cache = cacheFor(ranks)
     val nBytes = text.numBytes()
     var total = 0L
@@ -307,23 +336,44 @@ object BpeKernelUtil {
       val ws = b == 32 || (b >= 9 && b <= 13)
       if (!ws) { if (tokStart < 0) tokStart = i }
       else if (tokStart >= 0) {
-        total += tokenCount(text, tokStart, i - tokStart, ranks, cache)
+        total += tokenCount(text, tokStart, i - tokStart, ranks, cache,
+          byteLevel)
         tokStart = -1
       }
       i += 1
     }
     if (tokStart >= 0)
-      total += tokenCount(text, tokStart, nBytes - tokStart, ranks, cache)
+      total += tokenCount(text, tokStart, nBytes - tokStart, ranks, cache,
+        byteLevel)
     total
   }
 
+  /** Binary-compat overload (the pre-byte-level signature). */
+  def docCount(text: UTF8String,
+               ranks: java.util.HashMap[String, Integer]): Long =
+    docCount(text, ranks, byteLevel = false)
+
   private def tokenCount(text: UTF8String, start: Int, len: Int,
                          ranks: java.util.HashMap[String, Integer],
-                         cache: ConcurrentHashMap[String, Integer]): Int = {
+                         cache: ConcurrentHashMap[String, Integer],
+                         byteLevel: Boolean): Int = {
     val buf = new Array[Byte](len)
     var j = 0
     while (j < len) { buf(j) = text.getByte(start + j); j += 1 }
-    val word = UTF8String.fromBytes(buf).toString
+    // byte-level: the word's SYMBOLS are its mapped UTF-8 bytes. The
+    // memo key is the mapped string — for ASCII it equals the raw
+    // word (identical symbols, identical count), so the cache is
+    // correct across both modes.
+    val word =
+      if (byteLevel) {
+        val cs = new Array[Char](len)
+        var k = 0
+        while (k < len) {
+          cs(k) = BpeVocab.byteToUnicode(buf(k) & 0xFF).toChar
+          k += 1
+        }
+        new String(cs)
+      } else UTF8String.fromBytes(buf).toString
     val hit = cache.get(word)
     if (hit != null) return hit.intValue()
     val c = wordCount(word, ranks)
@@ -338,7 +388,8 @@ object BpeKernelUtil {
   * deterministic, and repeated uses collapse via subexpression
   * elimination — the same contract as [[TextGateStatsExpr]].
   */
-case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeCountExpr(child: Expression, merges: Seq[(String, String)],
+                        byteLevel: Boolean = false)
     extends UnaryExpression {
 
   @transient private lazy val ranks = BpeKernelUtil.buildRanks(merges)
@@ -352,13 +403,13 @@ case class BpeCountExpr(child: Expression, merges: Seq[(String, String)])
   }
 
   override def nullSafeEval(input: Any): Any =
-    BpeKernelUtil.docCount(input.asInstanceOf[UTF8String], ranks)
+    BpeKernelUtil.docCount(input.asInstanceOf[UTF8String], ranks, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ranksRef = ctx.addReferenceObj("bpeRanks", ranks,
       "java.util.HashMap<String, Integer>")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeKernelUtil.docCount($c, $ranksRef);")
+      s"${ev.value} = graft.functions.BpeKernelUtil.docCount($c, $ranksRef, $byteLevel);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -370,4 +421,10 @@ object BpeCountExpr {
   def apply(c: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.toColumn(
       new BpeCountExpr(GraftColumnBridge.toExpression(c), merges))
+  /** Byte-level (GPT-2-family) variant: UTF-8 bytes through
+    * [[BpeVocab.byteToUnicode]] seed the merge loop. */
+  def byteLevel(c: Column, merges: Seq[(String, String)]): Column =
+    GraftColumnBridge.toColumn(
+      new BpeCountExpr(GraftColumnBridge.toExpression(c), merges,
+        byteLevel = true))
 }

@@ -67,6 +67,30 @@ class BpeSpec extends AnyFunSuite {
     assert(!merges.contains(("x", "y")) && !merges.contains(("z", "q")))
   }
 
+  test("byte-level pre-encoder: GPT-2 map invariants, ASCII-identical metering, per-byte multi-byte symbols") {
+    import spark.implicits._
+    // the public bytes_to_unicode map: 256 distinct code points,
+    // printable bytes map to themselves, space maps to U+0120 (Ġ —
+    // the leading-space marker every GPT-2-family vocab is full of)
+    val m = BpeVocab.byteToUnicode
+    assert(m.size == 256 && m.distinct.size == 256)
+    assert(m('A'.toInt) == 'A'.toInt && m('~'.toInt) == '~'.toInt)
+    assert(m(0xFF) == 0xFF && m(32) == 0x120)
+    val df = Seq((1L, "the quick fox"), (2L, "café"), (3L, "№"))
+      .toDF("doc_id", "text")
+    def counts(c: org.apache.spark.sql.Column) = df.select(col("doc_id"), c)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = counts(BpeCountExpr(col("text"), BpeVocab.merges).as("n"))
+    val bytes = counts(
+      BpeCountExpr.byteLevel(col("text"), BpeVocab.merges).as("n"))
+    // pure ASCII meters identically (bytes ≡ code points there)
+    assert(plain(1L) == bytes(1L))
+    // é is 2 UTF-8 bytes (1 code point): +1 unmergeable symbol;
+    // № is 3 bytes (1 code point): +2
+    assert(bytes(2L) == plain(2L) + 1)
+    assert(bytes(3L) == plain(3L) + 2)
+  }
+
   test("common sample words compress to few tokens, rare words to many") {
     val enc = (w: String) => BpeVocab.encodeReference(w, BpeVocab.merges)
     assert(enc("the") == Seq("the"))

@@ -257,8 +257,9 @@ class PlanAuditSpec extends AnyFunSuite {
     // pre-explode estimate undersold the token-scale side and BROADCAST
     // 23M rows at the 100× anchor (the former localCheckpoint fixed the
     // estimate but leaked unevictable deserialized blocks across
-    // invocations — both consumers now share the one hash exchange via
-    // runtime ReuseExchange instead)
+    // invocations). The pin buys broadcast safety, not exchange reuse —
+    // the aggregate and probe exchanges don't canonicalize equal, so
+    // the scan-stage kernel recomputes per consumer by design
     val pn = plan("novelty_score")
     assert(pn.contains("ShuffledHashJoin"), pn)
     assert(pn.contains("hashpartitioning(_gh"), pn)
@@ -488,11 +489,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("dedup_spans")
     // the SHUFFLE_HASH pins (prune probe + self-join) mean no side can
     // be broadcast off the underselling pre-explode estimate (the r6
-    // bimodal 9s→18s bug); all fp-keyed consumers require the same
-    // hash(fp) partitioning, so runtime ReuseExchange serves them from
-    // one winnow-kernel shuffle write — and if reuse ever fails, the
-    // kernel recomputes instead of serving GBs of unevictable
-    // checkpoint blocks (the 100×-anchor MemoryStore-leak lesson)
+    // bimodal 9s→18s bug). The pin buys broadcast safety, not exchange
+    // reuse — the df aggregate's and the probe's exchanges don't
+    // canonicalize equal (partial HashAggregate vs raw kernel
+    // projection), so the winnow kernel recomputes per consumer: the
+    // deliberate trade vs serving GBs of unevictable checkpoint blocks
+    // (the 100×-anchor MemoryStore-leak lesson)
     assert(opCount(p, "ShuffledHashJoin") >= 2, p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin") &&
