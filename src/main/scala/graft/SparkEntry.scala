@@ -3343,11 +3343,19 @@ object SparkEntry {
       // perturbed twins included; the Spark side REALLY encodes and
       // REALLY decodes each PNG before hashing, so a hash-green row
       // pins codec round-trip + luma + dHash + banding all at once
-      def qr(cExpr: String) =
-        s"((((($cExpr) % 65521) * ((($cExpr) % 65521))) % 65521) % 256)"
-      val cR = "src * 73856093 + x * 19349663 + y * 83492791"
-      val cG = s"$cR + 1299721"
-      val cB = s"$cR + 2599442"
+      // two-prime quadratic residue (see Multimodal.qrPx: one prime
+      // alone is periodic in id with period 65521 — 1.6M twin pairs at
+      // the 100× anchor)
+      def qr1(cExpr: String) =
+        s"(((($cExpr) % 65521) * ((($cExpr) % 65521))) % 65521)"
+      def qr2(cExpr: String) =
+        s"(((($cExpr) % 65479) * ((($cExpr) % 65479))) % 65479)"
+      def qr(salt: Int) = {
+        val c1 = s"src * 73856093 + x * 19349663 + y * 83492791 + ${salt * 1299721}"
+        val c2 = s"src * 2654435761 + x * 40503 + y * 30011 + ${salt * 914689}"
+        s"((${qr1(c1)} + ${qr2(c2)}) % 256)"
+      }
+      val cR = qr(0); val cG = qr(1); val cB = qr(2)
       s"""WITH mb AS (SELECT doc_id,
            list_sum(list_transform(generate_series(1, 15),
              p -> ((strpos('0123456789abcdef',
@@ -3364,8 +3372,8 @@ object SparkEntry {
                      generate_series(0, 7) y(g)),
          ch AS (SELECT media_id, x, y,
              CASE WHEN p AND x = 0 AND y = 0
-                  THEN (${qr(cR)} + 64) % 256 ELSE ${qr(cR)} END AS r,
-             ${qr(cG)} AS g2, ${qr(cB)} AS b2
+                  THEN ($cR + 64) % 256 ELSE $cR END AS r,
+             $cG AS g2, $cB AS b2
            FROM px),
          lm AS (SELECT media_id, x, y,
              (299 * r + 587 * g2 + 114 * b2) // 1000 AS l FROM ch),

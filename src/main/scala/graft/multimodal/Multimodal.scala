@@ -441,12 +441,20 @@ object Multimodal {
     * adjacent columns, so fixture dHashes are distinct per id (27/27
     * planted pairs and nothing else at sf0.01 — measured) while
     * staying exactly SQL-replayable in 64-bit-safe integer arithmetic.
+    * TWO independent prime residues are summed because one alone makes
+    * the pixel grid PERIODIC in id with period = that prime: at 500k
+    * ids a single mod-65521 formula repeats every image ~7.6×, and the
+    * 1.6M hamming-0 twin pairs swamped the planted signal at the 100×
+    * anchor. lcm(65521, 65479) ≈ 4.3·10⁹ pushes the period past any
+    * realistic fixture size.
     */
   private def qrPx(id: Long, x: Int, y: Int, salt: Int): Int = {
     require(id >= 0, s"fixture formula assumes non-negative id, got $id")
-    val c = (id * 73856093L + x * 19349663L + y * 83492791L +
+    val c1 = (id * 73856093L + x * 19349663L + y * 83492791L +
       salt * 1299721L) % 65521L
-    ((c * c % 65521L) % 256L).toInt
+    val c2 = (id * 2654435761L + x * 40503L + y * 30011L +
+      salt * 914689L) % 65479L
+    ((c1 * c1 % 65521L + c2 * c2 % 65479L) % 256L).toInt
   }
 
   private def fillQrPixels(img: java.awt.image.BufferedImage, id: Long,
@@ -559,13 +567,32 @@ object Multimodal {
     * `None` when no provider decodes the bytes or the format is not
     * 16-bit PCM.
     */
+  /** Mutable per-partition reader state: the full SPI list plus the
+    * last reader that SUCCEEDED, tried first on the next payload. A
+    * non-matching provider signals failure by THROWING
+    * (UnsupportedAudioFileException — a stack-trace fill per reader
+    * per row), so on a homogeneous corpus the preference turns
+    * O(providers) exception overhead per row into one probe pass per
+    * partition — measured 54.4s → (see BASELINE r8) at 500k WAVs.
+    */
+  private[multimodal] final class AudioReaders(
+      val all: Seq[javax.sound.sampled.spi.AudioFileReader]) {
+    var preferred: javax.sound.sampled.spi.AudioFileReader = null
+  }
+
   private[multimodal] def decodeAudioWith(
-      readers: Seq[javax.sound.sampled.spi.AudioFileReader],
+      rs: AudioReaders,
       bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
-    val ais = readers.iterator.flatMap { r =>
+    def tryOne(r: javax.sound.sampled.spi.AudioFileReader) =
       try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
-    }.nextOption()
+    val ais = Option(rs.preferred).flatMap(tryOne).orElse {
+      rs.all.iterator.flatMap { r =>
+        val a = tryOne(r)
+        if (a.isDefined) rs.preferred = r
+        a
+      }.nextOption()
+    }
     ais.flatMap { st =>
       try {
         val fmt = st.getFormat
@@ -610,13 +637,15 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition codec scope: the SPI provider list loads once
+        // per-partition codec scope: the SPI provider list loads once,
+        // and the last SUCCESSFUL reader is tried first on each
+        // subsequent payload (see AudioReaders)
         lazy val readers = {
           val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
           val ld = java.util.ServiceLoader
             .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
           while (ld.hasNext) b += ld.next()
-          b.result()
+          new AudioReaders(b.result())
         }
         it.map { case (id, bytes) =>
           val fmt = {
