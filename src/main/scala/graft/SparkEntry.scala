@@ -282,6 +282,60 @@ object SparkEntry {
          FROM (SELECT doc_id FROM wsb WHERE sbucket >= 70) i
          LEFT JOIN wbest ON wbest.inc_id = i.doc_id"""
 
+  /** One span broadcast-probe as suffixed CTEs (`fi$sfx` …
+    * `wbest$sfx`) parameterized on membership predicates over `wsb` —
+    * the building block `dedup_spans_stored_updated` applies twice
+    * (textually mirrors [[spanIncrementalOracle]]'s single probe).
+    * Requires `f` and `wsb` in scope. The post-probe df cap equals
+    * the appended store's GLOBAL denormalized df for every probed fp
+    * (all rows carrying a probed fp match the probe), which is what
+    * makes one oracle shape serve both the direct and the
+    * appended-store forms.
+    */
+  private def spanProbeCtes(sfx: String, incPred: String,
+                            corPred: String): String =
+    s"""fi$sfx AS (SELECT f.doc_id AS inc_id, fp FROM f
+                JOIN wsb USING (doc_id) WHERE $incPred),
+         fc$sfx AS (SELECT f.doc_id AS dup_id, fp FROM f
+                JOIN wsb USING (doc_id) WHERE $corPred),
+         wik$sfx AS (SELECT DISTINCT fp FROM fi$sfx),
+         wmat$sfx AS (SELECT fc$sfx.dup_id, fc$sfx.fp FROM fc$sfx
+                 JOIN wik$sfx USING (fp)),
+         wcap$sfx AS (SELECT dup_id, fp FROM wmat$sfx
+                  QUALIFY count(*) OVER (PARTITION BY fp) <= 16),
+         wsh$sfx AS (SELECT fi$sfx.inc_id, m.dup_id, count(*) AS n_shared
+                 FROM fi$sfx JOIN wcap$sfx m USING (fp)
+                 GROUP BY 1, 2 HAVING count(*) >= 5),
+         wbest$sfx AS (SELECT inc_id, dup_id, n_shared FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY n_shared DESC, dup_id) AS rn FROM wsh$sfx)
+             WHERE rn = 1)"""
+
+  /** The two-probe replay of `dedup_spans_stored_updated`: probe 1
+    * decides the accepted set, the store for probe 2 is the corpus
+    * UNION the accepted A docs — the oracle-side mirror of
+    * [[graft.dedup.SignatureStore.appendSpans]] (df bumped, since the
+    * wcap2 count runs over the unioned membership).
+    */
+  private lazy val spanStoredUpdatedOracle: String =
+    s"""WITH $duckWinnowFpCtes,
+         wsb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS sbucket
+           FROM documents),
+         ${spanProbeCtes("1",
+             "wsb.sbucket >= 70 AND wsb.sbucket < 85", "wsb.sbucket < 70")},
+         acc AS (SELECT doc_id FROM wsb WHERE sbucket >= 70 AND sbucket < 85
+                 AND doc_id NOT IN (SELECT inc_id FROM wsh1)),
+         ${spanProbeCtes("2", "wsb.sbucket >= 85",
+             "wsb.sbucket < 70 OR f.doc_id IN (SELECT doc_id FROM acc)")}
+         SELECT i.doc_id, wbest2.dup_id AS dup_of, wbest2.n_shared,
+           (wbest2.dup_id IS NULL) AS is_new
+         FROM (SELECT doc_id FROM wsb WHERE sbucket >= 85) i
+         LEFT JOIN wbest2 ON wbest2.inc_id = i.doc_id"""
+
   /** Shared CTE chain mirroring [[graft.dedup.Dedup.simhashPairs]],
     * ending in `spairs(doc_a, doc_b, hamming)`; selected directly by the
     * `dedup_simhash` oracle and closed over by `dedup_clusters_simhash`.
@@ -1172,6 +1226,38 @@ object SparkEntry {
         "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
     }),
 
+    "dedup_spans_stored_updated" -> ((s, dir) => {
+      // the span-store twin of dedup_minhash_stored_updated — the
+      // passage-level daily-ingest loop CLOSED: probe increment A,
+      // appendSpans the accepted docs (df BUMPED on colliding
+      // fingerprints, not left stale), probe increment B against the
+      // updated store — a B doc re-serving a passage an ACCEPTED A doc
+      // introduced is caught
+      // store0 from PARQUET (the dedup_spans_probe convention, same
+      // store dir): probe/append/probe then re-scan 8-byte (doc_id,
+      // fp, df) rows; the in-DAG buildSpans form re-ran the corpus
+      // winnow kernel once per plan fork — ~8 passes, 117s at the
+      // 100× anchor, for the identical decision
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val incA = d.filter(bucket >= 70 && bucket < 85)
+      val incB = d.filter(bucket >= 85)
+      val sd = storeDir(dir, "spans")
+      if (!new java.io.File(s"$sd/span_fps/_SUCCESS").exists())
+        graft.dedup.SignatureStore.writeSpans(
+          graft.dedup.SignatureStore.buildSpans(d.filter(bucket < 70),
+            "doc_id", "text", k = 8, w = 4), sd)
+      val store0 = graft.dedup.SignatureStore.readSpans(s, sd)
+      val probeA = Dedup.spanIncrementalStored(incA, store0,
+        "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
+      val accepted = incA.join(
+        probeA.filter(col("is_new")).select(col("doc_id")), "doc_id")
+      val store1 = graft.dedup.SignatureStore.appendSpans(store0, accepted,
+        "doc_id", "text", k = 8, w = 4)
+      Dedup.spanIncrementalStored(incB, store1,
+        "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // daily-ingest decision: md5-bucket >= 70 plays the incoming
       // batch, the rest the already-deduped corpus; the incoming
@@ -1236,13 +1322,23 @@ object SparkEntry {
       // then probe increment B against the updated store — a B doc
       // near-duplicating an ACCEPTED A doc is caught, one rejected as
       // a dup of the corpus is not re-added (arrival-order-wins)
+      // store0 comes from PARQUET persisted at "corpus ingest time"
+      // (the dedup_minhash_probe convention — the SAME store dir, so
+      // it is written at most once per sf dir): every probe/append
+      // consumer then re-SCANS 8-byte store rows instead of re-running
+      // the corpus signature kernel once per plan fork — the in-DAG
+      // build form cost ~4 corpus kernel passes (54s at the 100×
+      // anchor) for the identical decision
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val corpus = d.filter(bucket < 70)
       val incA = d.filter(bucket >= 70 && bucket < 85)
       val incB = d.filter(bucket >= 85)
-      val store0 = graft.dedup.SignatureStore.build(corpus,
-        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2)
+      val sd = storeDir(dir, "minhash")
+      if (!new java.io.File(s"$sd/signatures/_SUCCESS").exists())
+        graft.dedup.SignatureStore.write(
+          graft.dedup.SignatureStore.build(d.filter(bucket < 70),
+            "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2), sd)
+      val store0 = graft.dedup.SignatureStore.read(s, sd)
       val probeA = Dedup.minhashIncrementalStored(incA, store0,
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
         threshold = 0.5)
@@ -1715,6 +1811,32 @@ object SparkEntry {
         .select(col("media_id"), col("dhash"))
       Dedup.hammingPairs(sig, "media_id", "dhash", maxHamming = 3,
         maxBucket = 64)
+    }),
+
+    "image_neardup_incremental" -> ((s, dir) => {
+      // the daily-ingest decision for the image modality: corpus =
+      // base images of bucket<70 ids (decoded + dHashed once, at
+      // "ingest time"); increment = fresh base images (bucket>=70)
+      // plus the perturbed twins — each twin must come back flagged
+      // against its original. Each SIDE's ids are split BEFORE the
+      // generator, so the encode+decode kernel runs exactly once per
+      // side (filtering the decoded frame instead re-decodes every
+      // image once per consumer). Only the increment's banded frame
+      // is broadcast; the corpus fingerprint stream never shuffles,
+      // and the Hamming verify is bit_count(xor) on the probe row
+      // itself (no payload fetch)
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      def sigOf(imgs: DataFrame) = Multimodal.dhashFeatures(imgs)
+        .filter(col("decodable")).select(col("media_id"), col("dhash"))
+      val corpus = sigOf(Multimodal.syntheticImagesNearDup(
+        ids.filter(bucket < 70), "doc_id", twins = false))
+      val inc = sigOf(Multimodal.syntheticImagesNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticImagesNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.hammingIncremental(inc, corpus, "media_id", "dhash",
+        maxHamming = 3, maxBucket = 64)
     })
   )
 
@@ -2773,6 +2895,7 @@ object SparkEntry {
     "dedup_spans_probe" -> spanIncrementalOracle,
 
     "dedup_minhash_stored_updated" -> minhashStoredUpdatedOracle,
+    "dedup_spans_stored_updated" -> spanStoredUpdatedOracle,
 
     "dedup_semantic" -> {
       // replay the shared fitted index, then the greedy rule: a vector
@@ -3338,25 +3461,78 @@ object SparkEntry {
            ch0_sum, ch1_sum
          FROM sums""",
 
-    "image_neardup" -> {
+    "image_neardup" ->
       // the fixture pixels in closed form (quadratic-residue channels),
       // perturbed twins included; the Spark side REALLY encodes and
       // REALLY decodes each PNG before hashing, so a hash-green row
       // pins codec round-trip + luma + dHash + banding all at once
-      // two-prime quadratic residue (see Multimodal.qrPx: one prime
-      // alone is periodic in id with period 65521 — 1.6M twin pairs at
-      // the 100× anchor)
-      def qr1(cExpr: String) =
-        s"(((($cExpr) % 65521) * ((($cExpr) % 65521))) % 65521)"
-      def qr2(cExpr: String) =
-        s"(((($cExpr) % 65479) * ((($cExpr) % 65479))) % 65479)"
-      def qr(salt: Int) = {
-        val c1 = s"src * 73856093 + x * 19349663 + y * 83492791 + ${salt * 1299721}"
-        val c2 = s"src * 2654435761 + x * 40503 + y * 30011 + ${salt * 914689}"
-        s"((${qr1(c1)} + ${qr2(c2)}) % 256)"
-      }
-      val cR = qr(0); val cG = qr(1); val cB = qr(2)
-      s"""WITH mb AS (SELECT doc_id,
+      s"""WITH $duckDhashCtes,
+         dbanded AS (SELECT media_id, dhash, b,
+             (dhash >> (b * 16)) & 65535 AS key
+           FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         dcapped AS (SELECT b, key, media_id, dhash FROM dbanded
+           QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         dp AS (SELECT DISTINCT x.media_id AS doc_a, y.media_id AS doc_b,
+               bit_count(xor(x.dhash, y.dhash)) AS hamming
+               FROM dcapped x JOIN dcapped y USING (b, key)
+               WHERE x.media_id < y.media_id)
+         SELECT doc_a, doc_b, hamming FROM dp WHERE hamming <= 3""",
+
+    "image_neardup_incremental" ->
+      // mirrors Dedup.hammingIncremental over the image split: corpus
+      // = base images of bucket<70 ids; increment = fresh base images
+      // (bucket>=70) + the perturbed twins; the twins must come back
+      // flagged against their originals
+      s"""WITH $duckDhashCtes,
+         iband AS (SELECT media_id, dhash, b,
+             (dhash >> (b * 16)) & 65535 AS key
+           FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         incb AS (SELECT i.media_id AS inc_id, i.dhash AS ih, b, key
+                  FROM iband i LEFT JOIN mb ON mb.doc_id = i.media_id
+                  WHERE i.media_id >= 10000000 OR mb.bkt >= 70),
+         corb AS (SELECT i.media_id AS dup_id, i.dhash AS ch2, b, key
+                  FROM iband i JOIN mb ON mb.doc_id = i.media_id
+                  WHERE i.media_id < 10000000 AND mb.bkt < 70),
+         ikeys AS (SELECT DISTINCT b, key FROM incb),
+         imat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM corb c
+                  JOIN ikeys USING (b, key)),
+         icap AS (SELECT dup_id, ch2, b, key FROM imat
+                  QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         iver AS (SELECT DISTINCT i.inc_id, m.dup_id,
+               bit_count(xor(i.ih, m.ch2)) AS hamming
+               FROM incb i JOIN icap m USING (b, key)
+               WHERE i.inc_id <> m.dup_id),
+         ibest AS (SELECT inc_id, dup_id, hamming FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY hamming ASC, dup_id) AS rn
+             FROM iver WHERE hamming <= 3) WHERE rn = 1)
+         SELECT i.inc_id AS media_id, ibest.dup_id AS dup_of,
+           ibest.hamming, (ibest.dup_id IS NULL) AS is_new
+         FROM (SELECT DISTINCT inc_id FROM incb) i
+         LEFT JOIN ibest USING (inc_id)"""
+  )
+
+  /** The image near-dup fixture's decoded dHashes in closed form —
+    * `mb` (md5 buckets), `imgs` (base + perturbed twins), pixels →
+    * luma → `dh(media_id, dhash)`. Shared by the `image_neardup` and
+    * `image_neardup_incremental` oracles so the fixture formula can
+    * never drift between them. Two-prime quadratic residue (see
+    * [[graft.multimodal.Multimodal]] qrPx: one prime alone is
+    * periodic in id with period 65521 — 1.6M twin pairs at the 100×
+    * anchor).
+    */
+  private lazy val duckDhashCtes: String = {
+    def qr1(cExpr: String) =
+      s"(((($cExpr) % 65521) * ((($cExpr) % 65521))) % 65521)"
+    def qr2(cExpr: String) =
+      s"(((($cExpr) % 65479) * ((($cExpr) % 65479))) % 65479)"
+    def qr(salt: Int) = {
+      val c1 = s"src * 73856093 + x * 19349663 + y * 83492791 + ${salt * 1299721}"
+      val c2 = s"src * 2654435761 + x * 40503 + y * 30011 + ${salt * 914689}"
+      s"((${qr1(c1)} + ${qr2(c2)}) % 256)"
+    }
+    val cR = qr(0); val cG = qr(1); val cB = qr(2)
+    s"""mb AS (SELECT doc_id,
            list_sum(list_transform(generate_series(1, 15),
              p -> ((strpos('0123456789abcdef',
                     substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
@@ -3385,19 +3561,8 @@ object SparkEntry {
                  ELSE 0 END)::BIGINT AS dhash
            FROM lm a JOIN lm b ON b.media_id = a.media_id
              AND b.y = a.y AND b.x = a.x + 1
-           WHERE a.x < 8 GROUP BY 1),
-         dbanded AS (SELECT media_id, dhash, b,
-             (dhash >> (b * 16)) & 65535 AS key
-           FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
-         dcapped AS (SELECT b, key, media_id, dhash FROM dbanded
-           QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
-         dp AS (SELECT DISTINCT x.media_id AS doc_a, y.media_id AS doc_b,
-               bit_count(xor(x.dhash, y.dhash)) AS hamming
-               FROM dcapped x JOIN dcapped y USING (b, key)
-               WHERE x.media_id < y.media_id)
-         SELECT doc_a, doc_b, hamming FROM dp WHERE hamming <= 3"""
-    }
-  )
+           WHERE a.x < 8 GROUP BY 1)"""
+  }
 
   /** CTE chain mirroring [[graft.simops.Similarity.nearDupPairsBanded]]
     * (numPlanes=64, bands=8, dim=64 — the plane matrix embedded

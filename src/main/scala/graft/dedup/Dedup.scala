@@ -443,6 +443,66 @@ object Dedup {
     hammingPairs(simhash(df, idCol, textCol), "doc_id", "simhash",
       maxHamming, maxBucket)
 
+  /** The Hamming-fingerprint DAILY-INGEST decision — the 64-bit twin
+    * of [[minhashIncremental]] for any precomputed fingerprint column
+    * (image dHash, text SimHash): for each incoming fingerprint, is it
+    * within `maxHamming` of something already in the corpus, and of
+    * what?
+    *
+    * Scale shape (the corpus NEVER shuffles): only the increment's
+    * banded frame is checkpointed and broadcast; the corpus streams
+    * map-side through a broadcast join on the increment's band keys
+    * carrying (id, fingerprint) — 16 bytes per row; the bucket cap
+    * runs post-probe on the matched slice (the [[minhashIncremental]]
+    * skew-guard placement); the verify is one `bit_count(xor)` per
+    * candidate, so no second payload fetch exists at all.
+    *
+    * Output: one row per incoming id — (id, dup_of: best corpus match
+    * or null, hamming or null, is_new). Best = lowest Hamming, then
+    * lowest corpus id.
+    */
+  def hammingIncremental(incoming: DataFrame, corpus: DataFrame,
+                         idCol: String, hashCol: String,
+                         maxHamming: Int = 3,
+                         maxBucket: Int = 64): DataFrame = {
+    def banded(df0: DataFrame, id: String) =
+      df0.select(col(idCol).as(id), col(hashCol).as(s"_h_$id"))
+        .select(col(id), col(s"_h_$id"),
+          posexplode(array((0 until 4).map { b =>
+            shiftright(col(s"_h_$id"), b * 16).bitwiseAND(0xFFFFL)
+          }: _*)).as(Seq("band", "key")))
+    val incB = banded(incoming, "inc_id").localCheckpoint()
+    val incKeys = incB.select(col("band"), col("key")).distinct()
+    val matched = banded(corpus, "dup_id")
+      .join(broadcast(incKeys), Seq("band", "key"))
+    val capped = matched.withColumn("_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key"))))
+      .filter(col("_n") <= maxBucket)
+    val verified = capped
+      .join(broadcast(incB), Seq("band", "key"))
+      .filter(col("inc_id") =!= col("dup_id"))
+      .select(col("inc_id"), col("dup_id"),
+        bit_count(col("_h_inc_id").bitwiseXOR(col("_h_dup_id")))
+          .as("hamming"))
+      .dropDuplicates("inc_id", "dup_id")
+      .filter(col("hamming") <= maxHamming)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("hamming").asc, col("dup_id").asc)
+    val best = verified
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("inc_id"), col("dup_id").as("dup_of"), col("hamming"))
+    // the output doc list comes from the CHECKPOINTED banded frame
+    // (banding emits exactly `bands` rows per input id), not from
+    // `incoming` — whose lineage may be an expensive kernel (image
+    // decode) that would otherwise re-run just to list ids
+    incB.select(col("inc_id")).distinct()
+      .join(broadcast(best), Seq("inc_id"), "left")
+      .select(col("inc_id").as(idCol), col("dup_of"), col("hamming"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
   /** n-gram Jaccard similarity via an inverted-index join: explode hashed
     * shingles, join on the 8-byte hash (only co-shingled docs meet), count
     * shared shingles per pair. Each posting row CARRIES its document's

@@ -481,15 +481,21 @@ object Multimodal {
     * 0–1 from its original. Narrow mapPartitions encode with the
     * reusable PNG writer.
     */
-  def syntheticImagesNearDup(ids: DataFrame, idCol: String): DataFrame = {
+  def syntheticImagesNearDup(ids: DataFrame, idCol: String,
+                             base: Boolean = true,
+                             twins: Boolean = true): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    val base = ids.select(col(idCol).cast("long").as("_id"),
+    require(base || twins, "at least one of base/twins must be generated")
+    val baseF = ids.select(col(idCol).cast("long").as("_id"),
       lit(false).as("_p"))
-    val twins = ids
+    val twinF = ids
       .filter(graft.util.Sampling.md5Bucket(col(idCol)) < 5)
       .select(col(idCol).cast("long").as("_id"), lit(true).as("_p"))
-    base.unionByName(twins).as[(Long, Boolean)]
+    val chosen =
+      if (base && twins) baseF.unionByName(twinF)
+      else if (base) baseF else twinF
+    chosen.as[(Long, Boolean)]
       .mapPartitions { it =>
         lazy val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("png").next()

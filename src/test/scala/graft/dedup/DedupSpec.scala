@@ -566,6 +566,56 @@ class DedupSpec extends AnyFunSuite {
     assert(appended.filter("df >= 2").count() > 0)
   }
 
+  test("appendSpans closes the span ingest loop: day-2 passage reuse of an accepted day-1 doc is caught") {
+    val passage = "copied paragraph with enough characters to fingerprint well"
+    val corpus = docs(1L -> "unrelated corpus text about spark physical plans entirely")
+    val incA = docs(10L -> s"day one accepted text containing $passage too")
+    val store0 = SignatureStore.buildSpans(corpus, "doc_id", "text",
+      k = 8, w = 4)
+    val probeA = Dedup.spanIncrementalStored(incA, store0, "doc_id", "text",
+        k = 8, w = 4, minShared = 5, maxDf = 16).collect()
+    assert(probeA.forall(_.getBoolean(3)), "day-1 doc must be accepted")
+    val store1 = SignatureStore.appendSpans(store0, incA, "doc_id", "text",
+      k = 8, w = 4)
+    val incB = docs(20L -> s"day two re-serving $passage inside other words",
+      21L -> "wholly fresh prose sharing no long passage with anything")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val viaStore = rowsOf(Dedup.spanIncrementalStored(incB, store1,
+      "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16))
+    val direct = rowsOf(Dedup.spanIncremental(incB, corpus.union(incA),
+      "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16))
+    assert(viaStore == direct)
+    val byId = viaStore.map(r => r._1 -> r).toMap
+    assert(!byId(20L)._4 && byId(20L)._2 == 10L,
+      "day-2 passage reuse of the accepted day-1 doc must be caught")
+    assert(byId(21L)._4)
+  }
+
+  test("hammingIncremental: near fingerprint flagged with best match, far one stays new") {
+    import spark.implicits._
+    val corpus = Seq((1L, 0x0F0F0F0F0F0F0F0FL), (2L, 0x1234567812345678L))
+      .toDF("media_id", "dhash")
+    val inc = Seq(
+      (10L, 0x0F0F0F0F0F0F0F0EL), // hamming 1 from corpus 1
+      (11L, 0x1234567812345678L), // hamming 0 from corpus 2
+      (12L, -1L))                 // far from both
+      .toDF("media_id", "dhash")
+    val out = Dedup.hammingIncremental(inc, corpus, "media_id", "dhash",
+        maxHamming = 3).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(3))).toMap
+    assert(out == Map(10L -> (1L, false), 11L -> (2L, false),
+      12L -> (-1L, true)))
+    // plan shape: the corpus probe is broadcast joins only — the
+    // corpus side never shuffles
+    val p = Dedup.hammingIncremental(inc, corpus, "media_id", "dhash")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("minhashIncremental agrees with batch LSH over the union corpus") {
     // the incremental probe must reproduce exactly the inc-corpus pairs
     // the BATCH operator finds on incoming ∪ corpus (restricted to
