@@ -130,15 +130,20 @@ object SparkEntry {
     * each 16-bit band with low probability, so banding still catches
     * the pair (recall measured in SimilaritySpec).
     */
+  /** The deterministic near-copies alone (id +10⁷, dim 1 halved) —
+    * the increment side of the planted-incremental row and the
+    * planted half of [[plantedEmbeddings]].
+    */
+  private def plantedCopies(e: DataFrame): DataFrame = e
+    .filter(graft.util.Sampling.md5Bucket(col("vec_id")) < 5)
+    .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) * lit(0.5f)),
+        slice(col("embedding"), 2, 63)).as("embedding"),
+      col("label"))
+
   private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val planted = e
-      .filter(graft.util.Sampling.md5Bucket(col("vec_id")) < 5)
-      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
-        concat(array(element_at(col("embedding"), 1) * lit(0.5f)),
-          slice(col("embedding"), 2, 63)).as("embedding"),
-        col("label"))
-    e.unionByName(planted)
+    e.unionByName(plantedCopies(e))
   }
 
   /** Oracle replay of [[graft.dedup.Dedup.minhashIncremental]] on the
@@ -1448,6 +1453,18 @@ object SparkEntry {
         "embedding", EmbNearDupThreshold, numPlanes = 64,
         bands = EmbNearDupBands, dim = 64)),
 
+    "embedding_neardup_incremental_planted" -> ((s, dir) => {
+      // the ingest decision's planted gate twin: the increment IS the
+      // deterministic near-copies, the corpus their originals — every
+      // incoming vector must come back flagged (is_new = false,
+      // dup_of = its original) through the broadcast-probe pipeline,
+      // so the sf0.01 gate exercises the matched path end to end
+      val e = Tables.embeddings(s, dir)
+      Similarity.nearDupIncremental(plantedCopies(e), e, "vec_id",
+        "embedding", EmbNearDupThreshold, numPlanes = 64,
+        bands = EmbNearDupBands, dim = 64)
+    }),
+
     "embedding_clusters_planted" -> ((s, dir) =>
       // the closure over the planted pairs: each planted copy joins
       // its original's cluster, so the component pipeline is exercised
@@ -2713,6 +2730,34 @@ object SparkEntry {
          SELECT node AS doc_id, cluster_id,
            count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM lbl""",
+
+    "embedding_neardup_incremental_planted" -> {
+      // the two sides split out of the shared planted corpus: the
+      // increment is the id >= 10⁷ copies, the corpus the originals
+      val cos = duckCosine("a.embedding", "b.embedding")
+      s"""WITH $duckPlantedEmbCtes,
+         ${embBanded64CtesFrom("pemb")},
+         pincb AS (SELECT vec_id, band, key FROM ebanded
+                   WHERE vec_id >= 10000000),
+         pcorb AS (SELECT vec_id, band, key FROM ebanded
+                   WHERE vec_id < 10000000),
+         pikeys AS (SELECT DISTINCT band, key FROM pincb),
+         pmat AS (SELECT c.vec_id, band, key FROM pcorb c
+                  JOIN pikeys USING (band, key)),
+         pcand AS (SELECT DISTINCT i.vec_id AS inc_id, m.vec_id AS dup_id
+                   FROM pincb i JOIN pmat m USING (band, key)),
+         pver AS (SELECT pcand.inc_id, pcand.dup_id, round($cos, 4) AS sim
+                  FROM pcand JOIN pemb a ON a.vec_id = pcand.inc_id
+                  JOIN pemb b ON b.vec_id = pcand.dup_id
+                  WHERE round($cos, 4) >= $EmbNearDupThreshold),
+         pbest AS (SELECT inc_id, dup_id, sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY sim DESC, dup_id) AS rn FROM pver) WHERE rn = 1)
+         SELECT i.vec_id, pbest.dup_id AS dup_of, pbest.sim,
+           (pbest.dup_id IS NULL) AS is_new
+         FROM (SELECT vec_id FROM pemb WHERE vec_id >= 10000000) i
+         LEFT JOIN pbest ON pbest.inc_id = i.vec_id"""
+    },
 
     "similarity_lsh" -> {
       // mirrors lshTopK(numPlanes=16, bands=4, dim=64) with literal
