@@ -1813,6 +1813,44 @@ object SparkEntry {
           col("ch1_sum"))
     }),
 
+    "multimodal_video_frames" -> ((s, dir) => {
+      // REAL video container demux + frame sampling, hash-verified:
+      // one canonical uncompressed AVI per doc_id (8 frames of 8×8
+      // BI_RGB DIB — closed-form pixels with a per-frame term), walked
+      // back through the RIFF chunk parser in the per-partition
+      // contract, every 3rd frame sampled, exact per-frame channel
+      // sums out. The container layout is public and codec-free for
+      // BI_RGB, so the oracle recomputes the sums from the pixel
+      // formula alone — a hash-green row proves demux + bottom-up BGR
+      // row walk + frame selection byte for byte. Compressed streams
+      // are the honest boundary (no ffmpeg here): they surface as
+      // undecodable rather than vanishing.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      Multimodal.videoFrameFeatures(
+          Multimodal.syntheticAvis(ids, "doc_id"), step = 3)
+        .select(col("media_id"), col("n_frames"), col("frame_no"),
+          col("width"), col("height"), col("r_sum"), col("g_sum"),
+          col("b_sum"))
+    }),
+
+    "multimodal_resize" -> ((s, dir) => {
+      // REAL decode→resize→stats, hash-verified: 16×16 fixture PNGs
+      // decoded with the partition-scoped reader, area-pooled 2×2 to
+      // 8×8 in exact integer arithmetic (floor-mean per block — the
+      // INTER_AREA thumbnailing kernel), resized channel sums out.
+      // Unlike the JDK bilinear resize (spec-tested, JDK-internal
+      // rounding), the pool kernel is exactly SQL-replayable, so the
+      // oracle recomputes the resized pixels from the source formula —
+      // the hash gate verifies real resized pixel values, not just
+      // geometry.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      Multimodal.resizeFeatures(
+          Multimodal.syntheticImages(ids, "doc_id", 16, 16), fx = 2, fy = 2)
+        .select(col("media_id"), col("src_width"), col("src_height"),
+          col("width"), col("height"), col("r_sum"), col("g_sum"),
+          col("b_sum"))
+    }),
+
     "image_neardup" -> ((s, dir) => {
       // image-CONTENT near-dedup: real PNG decode → dHash (9×8 luma
       // gradient) → the SimHash Hamming-band machinery. The fixture
@@ -3505,6 +3543,47 @@ object SparkEntry {
            8000::INTEGER AS sample_rate, 256::BIGINT AS n_frames,
            ch0_sum, ch1_sum
          FROM sums""",
+
+    "multimodal_video_frames" ->
+      // the sampled frames' pixels in closed form: the Spark side
+      // REALLY assembles a RIFF/AVI container and REALLY demuxes it
+      // chunk by chunk; BI_RGB frames are codec-free, so the decoded
+      // per-frame sums must equal these formula sums exactly — the
+      // hash gate IS the demux + frame-sampling test
+      """WITH fr AS (SELECT d.doc_id AS media_id, f.g AS f
+           FROM documents d, generate_series(0, 7) f(g)
+           WHERE f.g % 3 = 0),
+         px AS (SELECT media_id, f, x.g AS x, y.g AS y
+           FROM fr, generate_series(0, 7) x(g), generate_series(0, 7) y(g)),
+         sums AS (SELECT media_id, f,
+             sum((media_id * 31 + f * 29 + x * 7 + y * 13) % 256)::BIGINT AS r_sum,
+             sum((media_id * 17 + f * 23 + x * 11 + y * 3) % 256)::BIGINT AS g_sum,
+             sum((media_id * 7 + f * 19 + x * 5 + y * 19) % 256)::BIGINT AS b_sum
+           FROM px GROUP BY 1, 2)
+         SELECT media_id, 8::INTEGER AS n_frames, f::INTEGER AS frame_no,
+           8::INTEGER AS width, 8::INTEGER AS height, r_sum, g_sum, b_sum
+         FROM sums""",
+
+    "multimodal_resize" ->
+      // the area-pooled pixels in closed form: 2×2 source blocks of
+      // the 16×16 fixture formula, floor-mean per channel, summed over
+      // the 8×8 result — the Spark side REALLY decodes the PNG and
+      // REALLY pools decoded pixels, so hash-green = real resized
+      // pixel values, not geometry
+      """WITH px AS (SELECT d.doc_id AS media_id, x.g AS x, y.g AS y
+           FROM documents d, generate_series(0, 15) x(g),
+                generate_series(0, 15) y(g)),
+         blocks AS (SELECT media_id, x // 2 AS bx, y // 2 AS by,
+             sum((media_id * 31 + x * 7 + y * 13) % 256) AS rs,
+             sum((media_id * 17 + x * 11 + y * 3) % 256) AS gs,
+             sum((media_id * 7 + x * 5 + y * 19) % 256) AS bs
+           FROM px GROUP BY 1, 2, 3),
+         pooled AS (SELECT media_id, sum(rs // 4)::BIGINT AS r_sum,
+             sum(gs // 4)::BIGINT AS g_sum, sum(bs // 4)::BIGINT AS b_sum
+           FROM blocks GROUP BY 1)
+         SELECT media_id, 16::INTEGER AS src_width, 16::INTEGER AS src_height,
+           8::INTEGER AS width, 8::INTEGER AS height, r_sum, g_sum, b_sum
+         FROM pooled""",
 
     "image_neardup" ->
       // the fixture pixels in closed form (quadratic-residue channels),

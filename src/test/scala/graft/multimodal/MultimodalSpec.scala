@@ -234,4 +234,98 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(stub.content).isEmpty)
     assert(stub.width.contains(4))
   }
+
+  test("REAL video round-trip: AVI assemble then demux is pixel-exact, frames sample correctly") {
+    // the fixture frames are a closed form of (id, frame, x, y); BI_RGB
+    // DIB frames are codec-free, so demuxed per-frame sums must equal
+    // the formula sums — the invariant the multimodal_video_frames
+    // oracle hashes corpus-wide
+    def expect(id: Long, f: Int): (Long, Long, Long) = {
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (x <- 0 until 8; y <- 0 until 8) {
+        rs += (id * 31 + f * 29 + x * 7 + y * 13) % 256
+        gs += (id * 17 + f * 23 + x * 11 + y * 3) % 256
+        bs += (id * 7 + f * 19 + x * 5 + y * 19) % 256
+      }
+      (rs, gs, bs)
+    }
+    for (id <- Seq(0L, 3L, 123456789L)) {
+      val Some((w, h, n, frames)) =
+        Multimodal.decodeAviFrames(Multimodal.syntheticAvi(id), step = 3)
+      assert(w == 8 && h == 8 && n == 8)
+      // step=3 over 8 frames samples exactly frames 0, 3, 6
+      assert(frames.map(_.frame_no) == Seq(0, 3, 6), s"id=$id")
+      for (fs <- frames)
+        assert((fs.r_sum, fs.g_sum, fs.b_sum) == expect(id, fs.frame_no),
+          s"id=$id frame=${fs.frame_no}")
+    }
+    // step=1 demuxes every frame
+    assert(Multimodal.decodeAviFrames(Multimodal.syntheticAvi(5L))
+      .get._4.map(_.frame_no) == (0 until 8))
+    // non-8x8 geometry: row padding path (w=5 -> rowBytes 16, pad 1)
+    val Some((w5, _, _, fr5)) =
+      Multimodal.decodeAviFrames(Multimodal.syntheticAvi(2L, 4, 5, 3))
+    assert(w5 == 5 && fr5.size == 4)
+    var rs5 = 0L
+    for (x <- 0 until 5; y <- 0 until 3) rs5 += (2L * 31 + x * 7 + y * 13) % 256
+    assert(fr5.head.r_sum == rs5)
+    // honest boundaries: junk, truncated, and WAV (RIFF but not AVI)
+    assert(Multimodal.decodeAviFrames("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAviFrames(
+      Multimodal.syntheticAvi(1L).take(100)).isEmpty)
+    assert(Multimodal.decodeAviFrames(Multimodal.syntheticWav(1L)).isEmpty)
+  }
+
+  test("videoFrameFeatures: distributed demux is narrow and flags undecodables") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.syntheticAvi(1L)),
+      (2L, "junk bytes".getBytes("UTF-8")))
+    val df = rows.toDF("media_id", "content").repartition(2)
+    val out = Multimodal.videoFrameFeatures(df, step = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"demux must not shuffle the payload:\n$plan")
+    val got = out.collect()
+    assert(got.filter(_.getLong(0) == 1L).map(_.getInt(3)).sorted
+      .sameElements(Array(0, 3, 6)))
+    val junk = got.filter(_.getLong(0) == 2L)
+    assert(junk.length == 1 && !junk.head.getBoolean(1) &&
+      junk.head.isNullAt(6))
+  }
+
+  test("avgPool: exact floor-mean per block; resizeFeatures matches brute force") {
+    import spark.implicits._
+    // brute-force the pooled sums from the fixture formula
+    def pooledSums(id: Long): (Long, Long, Long) = {
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (bx <- 0 until 8; by <- 0 until 8) {
+        var r = 0L; var g = 0L; var b = 0L
+        for (dx <- 0 until 2; dy <- 0 until 2) {
+          val x = bx * 2 + dx; val y = by * 2 + dy
+          r += (id * 31 + x * 7 + y * 13) % 256
+          g += (id * 17 + x * 11 + y * 3) % 256
+          b += (id * 7 + x * 5 + y * 19) % 256
+        }
+        rs += r / 4; gs += g / 4; bs += b / 4
+      }
+      (rs, gs, bs)
+    }
+    val ids = Seq(0L, 7L, 424242L).toDF("doc_id")
+    val out = Multimodal.resizeFeatures(
+        Multimodal.syntheticImages(ids, "doc_id", 16, 16), 2, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 7L, 424242L)) {
+      val r = out(id)
+      assert(r.getBoolean(1) && r.getInt(2) == 16 && r.getInt(4) == 8)
+      assert((r.getLong(6), r.getLong(7), r.getLong(8)) == pooledSums(id),
+        s"id=$id")
+    }
+    // dimensions that don't divide by the factors surface as null stats
+    val odd = Multimodal.resizeFeatures(
+        Seq((9L, Multimodal.syntheticPng(9L, 9, 8)))
+          .toDF("media_id", "content"), 2, 2)
+      .collect().head
+    assert(!odd.getBoolean(1) && odd.isNullAt(6) && odd.getInt(2) == 9)
+  }
 }
