@@ -1551,10 +1551,67 @@ object SparkEntry {
               col("p_value")), lit(-1.0)), 6).as("p_value_24h"))
     }),
 
+    "range_join_events" -> ((s, dir) => {
+      // point-in-interval RANGE join, bucketed: each user's error
+      // opens a 24h incident window; every event BY THAT USER landing
+      // inside the window pairs with it ("what did the user do in the
+      // day after each error"). Spark has no range-join operator — the
+      // naive `p BETWEEN s AND e` predicate plans as a nested-loop /
+      // cartesian, O(|L|·|R|) — so RangeJoin rewrites it as an EQUI
+      // join on (user, time-bucket): intervals explode to ≤2 buckets
+      // at width = window length, points hash to exactly one, residual
+      // BETWEEN after the shuffle join. The user key makes the OUTPUT
+      // scale-stable: per-user event density is a corpus property, so
+      // pairs grow linearly with users — a keyless window over a
+      // densifying stream is quadratic in sf by construction (the
+      // r7 cosine-threshold lesson, applied to time). µs arithmetic
+      // end to end: identical values in both engines on every layout.
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val winUs = 24L * 3600 * 1000000
+      val iv = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("incident_id"),
+          col("ts_us").as("start_us"),
+          (col("ts_us") + lit(winUs)).as("end_us"))
+      graft.plans.RangeJoin.pointInInterval(ev, iv,
+          "ts_us", "start_us", "end_us", bucketWidth = winUs,
+          equiKeys = Seq("user_id"))
+        .select(col("incident_id"), col("event_id"), col("user_id"),
+          col("event_type"))
+    }),
+
     // ---- corpus-preparation pipeline (north star) ----
     "pii_scrub" -> ((s, dir) =>
       graft.pipeline.Pipeline.piiScrub(Tables.documents(s, dir),
         "doc_id", "text")),
+
+    "html_extract" -> ((s, dir) => {
+      // HTML → training-text extraction (the web-corpus cleaning step
+      // before quality/dedup): script/style/comment blocks dropped
+      // wholesale (their content is code — tag-stripping alone leaks
+      // it), remaining tags to spaces, prose entities decoded (&amp;
+      // LAST — the double-decode ordering bug, pinned), whitespace
+      // collapsed. Every step is a codegen'd string expression on the
+      // scan — no UDF, no shuffle. The page fixture wraps each doc in
+      // deterministic markup built identically in both engines:
+      // mixed-case tags, a script body with stray '<', doc_id%4
+      // anchors, entity-laden footer — so the md5'd cleaned text
+      // hash-checks the full contract, not just the happy path.
+      val d = Tables.documents(s, dir)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><SCRIPT type=\"text/javascript\">var x = 1 " +
+          "&amp;&amp; 2;\nif (x < 3) { x = 4; }</SCRIPT>" +
+          "<style>p { color: red; }</style></head><body><!-- nav\n" +
+          "boilerplate --><p>"),
+        col("text"),
+        lit("</p>"),
+        expr("repeat('<a href=\"/l\">link</a>', cast(doc_id % 4 as int))"),
+        lit("<div>Tail &amp; footer&nbsp;&lt;end&gt;</div></body></html>"))
+      graft.textops.Html.extract(
+        d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+    }),
 
     "seq_pack" -> ((s, dir) =>
       // global concat-then-chunk packing; distributed two-pass prefix
@@ -3149,6 +3206,21 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN p
          ON e.user_id = p.user_id AND e.ts >= p.p_ts""",
 
+    "range_join_events" ->
+      // the naive BETWEEN form — DuckDB plans its own range join; the
+      // Spark side's bucketed equi-join rewrite must produce exactly
+      // this pair set (each point lives in one bucket, so no dedup
+      // term hides in the comparison)
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             event_type FROM events),
+         iv AS (SELECT user_id, event_id AS incident_id, ts_us AS start_us,
+             ts_us + 86400000000 AS end_us
+           FROM ev WHERE event_type = 'error')
+         SELECT i.incident_id, e.event_id, e.user_id, e.event_type
+         FROM ev e JOIN iv i
+           ON e.user_id = i.user_id
+           AND e.ts_us >= i.start_us AND e.ts_us <= i.end_us""",
+
     "pii_scrub" -> {
       val email = graft.pipeline.Pipeline.emailPattern
       val ip = graft.pipeline.Pipeline.ipv4Pattern
@@ -3159,6 +3231,41 @@ object SparkEntry {
              '$ip', '<IP>', 'g')) AS scrub_fp
          FROM documents"""
     },
+
+    "html_extract" ->
+      // replays the cleaning contract literally, same step order:
+      // block drops → tag strip → entity decode (&amp; last) →
+      // whitespace collapse; RE2-safe patterns so both regex engines
+      // agree character for character
+      """WITH h AS (SELECT doc_id,
+           '<html><head><title>Doc ' || doc_id::VARCHAR ||
+           '</title><SCRIPT type="text/javascript">var x = 1 ' ||
+           '&amp;&amp; 2;' || chr(10) || 'if (x < 3) { x = 4; }</SCRIPT>' ||
+           '<style>p { color: red; }</style></head><body><!-- nav' ||
+           chr(10) || 'boilerplate --><p>' || text || '</p>' ||
+           repeat('<a href="/l">link</a>', (doc_id % 4)::INT) ||
+           '<div>Tail &amp; footer&nbsp;&lt;end&gt;</div></body></html>'
+             AS html
+           FROM documents),
+         c AS (SELECT doc_id, html,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 html,
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS clean
+           FROM h)
+         SELECT doc_id,
+           regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+           len(regexp_extract_all(html, '(?i)<a[\s>]'))::BIGINT AS n_links,
+           length(clean)::BIGINT AS clean_len,
+           md5(clean) AS clean_fp
+         FROM c""",
 
     "seq_pack" ->
       // the distributed two-pass prefix sum equals this single global
