@@ -1063,6 +1063,26 @@ object SparkEntry {
       // (narrow) + top-token coverage (word-count-shaped agg)
       TextOps.repStats(Tables.documents(s, dir), "doc_id", "text")),
 
+    "quality_filter" -> ((s, dir) =>
+      // the composite KEEP decision those heuristics feed: named
+      // Gopher/C4-family rules (length band, chars-per-token band,
+      // stopword floor, punctuation ceiling) from ONE gate-stats
+      // kernel pass, with the failed-rule list — the rule-level drop
+      // rates a corpus datasheet reports. Boundary-exact in both
+      // engines: every threshold compares an IEEE division of the
+      // same integers
+      TextOps.qualityFilter(Tables.documents(s, dir), "doc_id", "text")),
+
+    "sample_cap_per_source" -> ((s, dir) =>
+      // "at most k docs per source" by deterministic md5 draw — the
+      // per-domain ceiling applied before mixture weighting. Salted
+      // two-phase top-k: per-(source, salt) windows keep local top-k
+      // (a superset of the global answer), then the tiny survivor
+      // frame re-ranks — never a corpus-wide window into |sources|
+      // partitions
+      graft.pipeline.Pipeline.capPerGroup(Tables.documents(s, dir),
+        "doc_id", "source", k = 10)),
+
     "topk_ngrams" -> ((s, dir) =>
       // corpus-wide bigram heavy hitters: one map-side-combinable agg +
       // distributed TakeOrdered top-k (no global sort)
@@ -1142,6 +1162,18 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       Dedup.resolve(d, "doc_id", Dedup.minhashLsh(d, "doc_id", "text",
         shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5))
+    }),
+
+    "dedup_resolve_best" -> ((s, dir) => {
+      // canonical-by-QUALITY resolve: among each near-dup cluster's
+      // members keep the highest 6dp heuristic score (ties to the
+      // smallest id) — what production dedup ships, vs resolve's
+      // arbitrary smallest-id. One combinable struct-argmax per
+      // cluster + a cluster-keyed join back; no corpus window
+      val d = Tables.documents(s, dir)
+      Dedup.resolveBest(d, "doc_id", "text",
+        Dedup.minhashLsh(d, "doc_id", "text",
+          shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5))
     }),
 
     "split_leakage_free" -> ((s, dir) => {
@@ -2417,6 +2449,48 @@ object SparkEntry {
 
     "quality_score" -> duckQualityScoreOracle,
 
+    "quality_filter" ->
+      // replays the rule set literally over the same integer stats;
+      // CASE-without-ELSE is NULL on pass and concat_ws skips NULLs in
+      // both engines, so the reasons column needs no list machinery
+      s"""WITH b AS (SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+           length(text)::DOUBLE AS nc,
+           length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE AS np,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> x <> '' AND list_contains($duckStopList, x)))::DOUBLE AS ns
+           FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+           (n_tokens >= 20) AS r1,
+           (n_tokens <= 100000) AS r2,
+           (CASE WHEN n_tokens = 0 THEN 0.0 ELSE nc / n_tokens::DOUBLE END
+              BETWEEN 2.0 AND 12.0) AS r3,
+           (CASE WHEN n_tokens = 0 THEN 0.0 ELSE ns / n_tokens::DOUBLE END
+              >= 0.02) AS r4,
+           (CASE WHEN nc = 0.0 THEN 0.0 ELSE np / nc END <= 0.2) AS r5
+           FROM b)
+         SELECT doc_id, n_tokens,
+           (r1 AND r2 AND r3 AND r4 AND r5) AS keep,
+           concat_ws(',',
+             CASE WHEN NOT r1 THEN 'min_len' END,
+             CASE WHEN NOT r2 THEN 'max_len' END,
+             CASE WHEN NOT r3 THEN 'word_len' END,
+             CASE WHEN NOT r4 THEN 'stopword' END,
+             CASE WHEN NOT r5 THEN 'punct' END) AS reasons
+         FROM r""",
+
+    "sample_cap_per_source" ->
+      // the salted two-phase top-k equals this single global rank per
+      // source by construction (each salt's local top-k is a superset
+      // of its members of the global top-k)
+      """WITH r AS (SELECT doc_id, source, md5(doc_id::VARCHAR) AS draw
+           FROM documents),
+         rk AS (SELECT doc_id, source, row_number() OVER (
+             PARTITION BY source ORDER BY draw, doc_id) AS rank
+           FROM r)
+         SELECT doc_id, source, rank::BIGINT AS rank
+         FROM rk WHERE rank <= 10""",
+
     "sql_quality_score" -> duckQualityScoreOracle,
 
     "corpus_profile" -> duckCorpusProfileOracle,
@@ -2723,6 +2797,24 @@ object SparkEntry {
          SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS keep_id,
            d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS kept
          FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id""",
+
+    "dedup_resolve_best" ->
+      // same closure CTEs; the canonical pick replays as a rank over
+      // (quality DESC, doc_id) per cluster — identical 6dp doubles on
+      // both sides, so the ordering agrees row for row
+      s"""WITH RECURSIVE $minhashClusterCtes,
+         rqb AS (SELECT doc_id, $duckQualityParts FROM documents),
+         rq AS (SELECT doc_id, $duckQualityFromParts AS q FROM rqb),
+         rm AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS grp,
+               rq.q
+             FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+             JOIN rq ON rq.doc_id = d.doc_id),
+         rbest AS (SELECT grp, doc_id AS keep_id FROM (
+             SELECT grp, doc_id, row_number() OVER (PARTITION BY grp
+               ORDER BY q DESC, doc_id ASC) AS rn FROM rm) WHERE rn = 1)
+         SELECT rm.doc_id, rbest.keep_id,
+           rm.doc_id = rbest.keep_id AS kept
+         FROM rm JOIN rbest USING (grp)""",
 
     "split_leakage_free" ->
       // same closure CTEs; the split draw replays the md5 bucket on the
@@ -4028,9 +4120,12 @@ object SparkEntry {
     * the `quality_score` and `corpus_clean` oracles so the two rows can
     * never drift apart.
     */
-  private lazy val duckQualityParts: String = {
-    val stops = TextOps.stopwords.values.flatten.toSeq.distinct
+  private lazy val duckStopList: String =
+    TextOps.stopwords.values.flatten.toSeq.distinct
       .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private lazy val duckQualityParts: String = {
+    val stops = duckStopList
     s"""len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::DOUBLE AS n_tok,
            CASE WHEN length(text) = 0 THEN 0.0 ELSE
              length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE

@@ -1130,6 +1130,38 @@ object Dedup {
         (col("doc_id") === col("keep_id")).as("kept"))
   }
 
+  /** [[resolve]] with CANONICAL-BY-QUALITY selection: the kept member
+    * of each near-dup cluster is the highest-quality document (6dp
+    * heuristic score; ties to the smallest id), not the smallest id.
+    * This is what production dedup actually ships — among near-copies
+    * you keep the cleanest rendition, not an arbitrary one; smallest-id
+    * ([[resolve]]) stays for pipelines that need a pure set-membership
+    * answer without scoring the text.
+    *
+    * Scale shape: [[clusters]]' closure + ONE combinable argmax — the
+    * per-cluster best is `max(struct(quality, −id))`, a map-side-
+    * combinable aggregate whose shuffle carries one 16-byte partial
+    * per cluster — then a cluster-keyed join back to members. No
+    * window over the corpus.
+    *
+    * Output: (doc_id, keep_id, kept).
+    */
+  def resolveBest(docs: DataFrame, idCol: String, textCol: String,
+                  pairs: DataFrame): DataFrame = {
+    val cc = clusters(pairs).select(col("doc_id"), col("cluster_id"))
+    val m = docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.textops.TextOps.qualityScore(col(textCol)).as("_q"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("_grp", coalesce(col("cluster_id"), col("doc_id")))
+    val best = m.groupBy(col("_grp"))
+      .agg(max(struct(col("_q").as("q"), (-col("doc_id")).as("nid")))
+        .as("_b"))
+      .select(col("_grp"), (-col("_b.nid")).cast("long").as("keep_id"))
+    m.join(best, Seq("_grp"))
+      .select(col("doc_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+  }
+
   /** LEAKAGE-FREE train/val/test split: the md5 split draw is keyed on
     * the near-dup CLUSTER representative, not the document id, so a
     * whole duplicate cluster always lands in ONE split — the guard

@@ -279,6 +279,46 @@ object Pipeline {
     * standard reproducible data-mixing primitive). Narrow per-row
     * filter — and at 100 TB the filter sits directly on the scan.
     */
+  /** Deterministic cap-k per group ("keep at most k docs per domain" —
+    * the per-source ceiling every mixture recipe applies before
+    * weighting): rank each group's rows by an md5 draw and keep the k
+    * smallest. Equivalent to a uniform random k-subset per group, but
+    * reproducible and engine-portable.
+    *
+    * Scale shape: the group cardinality is SMALL (domains, sources,
+    * langs) while groups are corpus-sized, so one `row_number` window
+    * per group funnels the corpus into |groups| partitions — the
+    * single-partition-window killer in thin disguise. Two phases fix
+    * it: (1) window over (group, salt) — salt a pure function of the
+    * id, `numSalts`× the parallelism — keeps each salt's local top-k,
+    * a guaranteed superset of the global top-k (the salts partition
+    * the group, and a global top-k member is top-k within its salt);
+    * (2) re-rank the |groups|·numSalts·k survivors, a frame that no
+    * longer depends on corpus size. Same two-phase shape as
+    * [[graft.plans.SkewAgg]] and the distributed TakeOrdered in
+    * topNgrams.
+    *
+    * Output: kept rows `(idCol, groupCol, rank)` — rank 1..k by draw
+    * within the group (the stable "which k" the oracle replays).
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  k: Int, numSalts: Int = 32): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
+    val draw = md5(col(idCol).cast("string"))
+    val salted = df.select(col(idCol), col(groupCol), draw.as("_draw"),
+      graft.util.Sampling.md5Bucket(col(idCol), numSalts).as("_salt"))
+    val perSalt = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(col("_draw"), col(idCol))
+    val cand = salted.withColumn("_rn", row_number().over(perSalt))
+      .filter(col("_rn") <= k)
+    val global = Window.partitionBy(col(groupCol))
+      .orderBy(col("_draw"), col(idCol))
+    cand.withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col(groupCol), col("rank").cast("long").as("rank"))
+  }
+
   def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
                        pctByStratum: Map[String, Int],
                        defaultPct: Int): DataFrame = {

@@ -354,6 +354,54 @@ object TextOps {
       .drop("_maxc")
   }
 
+  /** Gopher/C4-family composite KEEP decision: the named rule set a
+    * corpus-filtering pipeline actually gates on, evaluated from ONE
+    * [[gateStats]] kernel pass (common-subexpression elimination
+    * collapses the repeated struct uses to a single scan — the same
+    * property `quality_score` relies on). Emits the decision AND the
+    * failed-rule list, because a production filter that only says
+    * "dropped" is undebuggable: rule-level drop rates are the first
+    * thing a corpus datasheet reports.
+    *
+    * All thresholds compare double ratios built from the SAME integer
+    * operands in declaration order, so both engines evaluate the
+    * boundary cases identically (IEEE division of equal integers is
+    * exact-equal — no rounding epsilon needed on a rule decision).
+    *
+    * Output: (id, n_tokens, keep, reasons) — `reasons` is the
+    * comma-joined failed rules in declaration order, '' when kept.
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 20, maxTokens: Int = 100000,
+                    minCharsPerTok: Double = 2.0,
+                    maxCharsPerTok: Double = 12.0,
+                    minStopRatio: Double = 0.02,
+                    maxPunctRatio: Double = 0.2): DataFrame = {
+    val ts = gateStats(col(textCol))
+    val base = df.select(col(idCol),
+      ts.getField("n_tokens").cast("long").as("n_tokens"),
+      ts.getField("n_chars").cast("double").as("_nc"),
+      ts.getField("n_punct").cast("double").as("_np"),
+      ts.getField("n_stop").cast("double").as("_ns"))
+    val nTok = col("n_tokens").cast("double")
+    val cpt = when(col("n_tokens") === 0, 0.0).otherwise(col("_nc") / nTok)
+    val punct = when(col("_nc") === 0.0, 0.0).otherwise(col("_np") / col("_nc"))
+    val stopr = when(col("n_tokens") === 0, 0.0).otherwise(col("_ns") / nTok)
+    val rules: Seq[(String, Column)] = Seq(
+      "min_len" -> (col("n_tokens") >= minTokens),
+      "max_len" -> (col("n_tokens") <= maxTokens),
+      "word_len" -> (cpt >= minCharsPerTok && cpt <= maxCharsPerTok),
+      "stopword" -> (stopr >= minStopRatio),
+      "punct" -> (punct <= maxPunctRatio))
+    val keep = rules.map(_._2).reduce(_ && _)
+    // when() with no otherwise is NULL on pass; concat_ws skips NULLs
+    // (both engines), so the failed list needs no array machinery
+    val reasons = concat_ws(",",
+      rules.map { case (n, c) => when(!c, n) }: _*)
+    base.select(col(idCol), col("n_tokens"), keep.as("keep"),
+      reasons.as("reasons"))
+  }
+
   /** Full per-document stats frame. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

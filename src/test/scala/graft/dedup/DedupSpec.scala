@@ -421,6 +421,25 @@ class DedupSpec extends AnyFunSuite {
       (3L, 3L, true), (4L, 4L, true)))
   }
 
+  test("resolveBest: highest-quality member is canonical, ties to min id") {
+    import spark.implicits._
+    // doc 2 is stopword-rich long prose (high heuristic score); doc 1
+    // is a low-stopword token string (low score) — the cluster must
+    // keep 2, the OPPOSITE of resolve's min-id rule
+    val lowQ = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val highQ = ("the and of in to a is was for on " * 6).trim
+    val d = docs(1L -> lowQ, 2L -> highQ, 3L -> "solo text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolveBest(d, "doc_id", "text", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, 2L, false), (2L, 2L, true), (3L, 3L, true)))
+    // equal quality (identical text) ties break to the smallest id
+    val tied = Dedup.resolveBest(docs(5L -> highQ, 6L -> highQ),
+        "doc_id", "text", Seq((5L, 6L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tied == Set((5L, 5L), (6L, 5L)))
+  }
+
   test("splitLeakageFree: a whole near-dup cluster lands in one split") {
     import spark.implicits._
     val d = docs(1L -> base, 2L -> nearDup, 3L -> other, 4L -> "solo text")

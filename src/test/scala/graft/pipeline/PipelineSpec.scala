@@ -375,4 +375,31 @@ class PipelineSpec extends AnyFunSuite {
       Map("en" -> 1.0)).collect().map(_.getString(1)).toSet
     assert(dropped == Set("en"))
   }
+
+  test("capPerGroup: salted two-phase equals the global per-group rank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 3}"))
+      .toDF("doc_id", "grp").repartition(7)
+    val got = Pipeline.capPerGroup(df, "doc_id", "grp", k = 5, numSalts = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every group capped at exactly k
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("g0" -> 5, "g1" -> 5, "g2" -> 5))
+    // equals the unsalted global rank (the oracle's formulation)
+    val want = df
+      .withColumn("draw", md5(col("doc_id").cast("string")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("grp")
+          .orderBy(col("draw"), col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("grp"), col("rank").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == want.toSet)
+    // a group smaller than k survives whole
+    val small = Pipeline.capPerGroup(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "grp"),
+      "doc_id", "grp", k = 5).collect()
+    assert(small.length == 3)
+  }
 }

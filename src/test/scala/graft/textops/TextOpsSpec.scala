@@ -115,4 +115,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(one("ab!?", TextOps.punctRatio(col("t"))) == 0.5)
     assert(one("", TextOps.punctRatio(col("t"))) == 0.0)
   }
+
+  test("qualityFilter: rule boundaries, reason ordering, empty text") {
+    import spark.implicits._
+    val good = (("the and of " * 7).trim)                // 21 toks, stopword-rich
+    val short = "the and of one two"                      // 5 toks < 20
+    val noStop = (1 to 25).map(i => s"tok$i").mkString(" ") // 25 toks, 0 stop
+    val boundary = (("the and of " * 6) + "the and").trim // exactly 20 toks
+    val rows = Seq((1L, good), (2L, short), (3L, noStop), (4L, boundary),
+      (5L, ""))
+    val out = TextOps.qualityFilter(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getString(3))).toMap
+    assert(out(1L) == ((21L, true, "")))
+    assert(out(2L) == ((5L, false, "min_len")))
+    assert(out(3L)._2 == false && out(3L)._3 == "stopword")
+    assert(out(4L)._1 == 20L && out(4L)._2 == true) // >= is inclusive
+    // empty text fails length AND word-length AND stopword, in
+    // declaration order
+    assert(out(5L) == ((0L, false, "min_len,word_len,stopword")))
+  }
 }
