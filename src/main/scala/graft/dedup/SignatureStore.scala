@@ -117,11 +117,18 @@ object SignatureStore {
     spark.read.parquet(path).dropDuplicates(keys)
       .write.mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path)),
-      s"compact: rename $tmp -> $path failed")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    // swap via rename-aside, NOT delete-then-rename: the live path is
+    // absent only between two renames (never with the data existing
+    // solely in the staging dir), and a crash at any point leaves a
+    // complete copy recoverable by renaming `.compact`/`.old` back
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true) // stale leftover from a previous crash
+    require(fs.rename(p, old), s"compact: rename $path -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compact: rename $tmp -> $path failed (recover: rename $old back)")
+    fs.delete(old, true)
   }
 
   /** The winnow-fingerprint store — the persisted form of the

@@ -163,12 +163,19 @@ object Multimodal {
     * `multimodal_decode` query hash-verify a REAL encode→decode round
     * trip against a closed-form oracle.
     */
-  def decodeImage(bytes: Array[Byte]): Option[ImageStats] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
-    if (img == null) None else Some(statsOf(img))
-  }
+  def decodeImage(bytes: Array[Byte]): Option[ImageStats] =
+    readImage(bytes).map(statsOf)
+
+  /** `ImageIO.read` with ALL decoder failures surfaced as `None`:
+    * javax.imageio plugins throw RuntimeExceptions (IAE, CMMException,
+    * IndexOutOfBounds) on malformed payloads, not just IOException —
+    * on a dirty corpus a narrow catch kills the task instead of
+    * letting the row surface as undecodable.
+    */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def statsOf(img: java.awt.image.BufferedImage): ImageStats = {
     val w = img.getWidth
@@ -214,12 +221,14 @@ object Multimodal {
     * deterministic for a given JDK (pin exact pixel expectations only
     * on lossless inputs and dimension/geometry assertions otherwise).
     */
-  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
-    val src =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
-    if (src == null) None
-    else {
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    readImage(bytes).map { src =>
+      resizeEncode(src, w, h)
+    }
+
+  private def resizeEncode(src: java.awt.image.BufferedImage, w: Int,
+                           h: Int): Array[Byte] = {
+    {
       val dst = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
@@ -230,8 +239,24 @@ object Multimodal {
       } finally g.dispose()
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(dst, "png", bos)
-      Some(bos.toByteArray)
+      bos.toByteArray
     }
+  }
+
+  /** Bilinear-resize a decoded image in memory (no PNG re-encode /
+    * re-decode round trip — the [[dhashOf]] path pays two needless
+    * codec passes otherwise). */
+  private def scaleTo(src: java.awt.image.BufferedImage, w: Int,
+                      h: Int): java.awt.image.BufferedImage = {
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
   }
 
   /** Batch image decode through the per-partition codec contract: one
@@ -391,17 +416,17 @@ object Multimodal {
     * — no resize — so its oracle replays the exact grid; resize
     * determinism is JDK-internal and spec-tested, not oracle-pinned.)
     */
-  def dhashOf(bytes: Array[Byte]): Option[Long] = {
-    val src =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
-    if (src == null) None
-    else if (src.getWidth == 9 && src.getHeight == 8) Some(dhash64(src))
-    else resizeImage(bytes, 9, 8)
-      .flatMap(p => Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(p))))
-      .map(dhash64)
-  }
+  def dhashOf(bytes: Array[Byte]): Option[Long] =
+    readImage(bytes).map(dhashCanonical)
+
+  /** dHash of a decoded image at the canonical 9×8 grid — images of any
+    * other geometry are bilinear-resized in memory first (no re-encode
+    * round trip). This is the per-image kernel [[dhashFeatures]] runs,
+    * so a real corpus of arbitrary-size images never trips
+    * [[dhash64]]'s 64-gradient bound. */
+  private def dhashCanonical(img: java.awt.image.BufferedImage): Long =
+    if (img.getWidth == 9 && img.getHeight == 8) dhash64(img)
+    else dhash64(scaleTo(img, 9, 8))
 
   /** Batch dHash through the per-partition codec contract (reusable
     * PNG reader, the [[imageFeatures]] shape): (media_id, content) →
@@ -424,11 +449,8 @@ object Multimodal {
               try { pngReader.setInput(iis, true, true); pngReader.read(0) }
               catch { case _: Exception => null }
               finally iis.close()
-            } else
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
-          val dh = Option(img).map(dhash64)
+            } else readImage(bytes).orNull
+          val dh = Option(img).map(dhashCanonical)
           (id, dh.isDefined, dh)
         }
       }
@@ -986,10 +1008,7 @@ object Multimodal {
               try { pngReader.setInput(iis, true, true); pngReader.read(0) }
               catch { case _: Exception => null }
               finally iis.close()
-            } else
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+            } else readImage(bytes).orNull
           val pooled = Option(img)
             .filter(i => i.getWidth % fx == 0 && i.getHeight % fy == 0)
             .map(i => statsOf(avgPool(i, fx, fy)))

@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  private val workCol = "_graft_rj_bucket"
+
+  /** Hard bound on buckets per interval. The interval explode emits
+    * `len/width + 1` rows per interval; an interval 10⁶× longer than
+    * `bucketWidth` would explode to a million-element `sequence`
+    * (approaching Spark's array-length ceiling and multiplying the
+    * shuffle by 10⁶). A spread past ~10⁴ means `bucketWidth` is
+    * mis-sized for the data — fail loud instead of building the
+    * pathological plan. */
+  private val maxSpread = 65536L
+
   /** @param left      frame holding the points
     * @param right     frame holding the intervals
     * @param pointCol  left LONG column (any linear unit: epoch-ns,
@@ -51,6 +62,11 @@ object RangeJoin {
                       bucketWidth: Long,
                       equiKeys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // the working column must not shadow (and then silently corrupt /
+    // drop) a caller column of the same name on either input
+    require(!left.columns.contains(workCol) && !right.columns.contains(workCol),
+      s"input frames must not already have a `$workCol` column " +
+        "(reserved as the range-join bucket key)")
     // integer `div`, never floor(a/b): the double quotient rounds above
     // 2^52 and epoch-NANOS are ~1.7e18. Truncation-toward-zero is a
     // MONOTONIC map, and any monotonic bucket function is correct here
@@ -58,13 +74,23 @@ object RangeJoin {
     // holds), so negative domains stay correct too — buckets near zero
     // are merely one-wider, which only the residual filter sees.
     def bucketOf(name: String): Column = expr(s"`$name` div ${bucketWidth}L")
-    val l = left.withColumn("_rj_b", bucketOf(pointCol))
-    val r = right.withColumn("_rj_b",
-      explode(sequence(bucketOf(startCol), bucketOf(endCol))))
-    val joinCols = "_rj_b" +: equiKeys
-    l.join(r, joinCols,  "inner")
+    val l = left.withColumn(workCol, bucketOf(pointCol))
+    // spread guard runs INSIDE the plan (assert_true is codegen'd, no
+    // extra pass): an interval covering more than maxSpread buckets
+    // fails the job with a sizing message instead of silently building
+    // a million-element sequence per row
+    val spreadOk = assert_true(
+      bucketOf(endCol) - bucketOf(startCol) < lit(maxSpread),
+      lit(s"RangeJoin: an interval spans >= $maxSpread buckets — " +
+        s"bucketWidth $bucketWidth is far below the interval length; " +
+        "raise bucketWidth toward the typical interval length"))
+    val r = right
+      .withColumn(workCol, explode(sequence(bucketOf(startCol),
+        when(spreadOk.isNull, bucketOf(endCol)))))
+    val joinCols = workCol +: equiKeys
+    l.join(r, joinCols, "inner")
       .filter(col(pointCol) >= col(startCol) &&
         col(pointCol) <= col(endCol))
-      .drop("_rj_b")
+      .drop(workCol)
   }
 }

@@ -219,6 +219,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dhashOf("junk".getBytes("UTF-8")).isEmpty)
   }
 
+  test("dhashFeatures handles arbitrary-size and corrupt payloads without throwing") {
+    import spark.implicits._
+    // a 32×32 image (larger than the canonical 9×8 grid) must resize
+    // and hash — not trip dhash64's 64-gradient require and kill the
+    // job — and its hash must equal the scalar dhashOf path's
+    val big = Multimodal.syntheticPng(5L, 32, 32)
+    // a truncated PNG makes javax.imageio throw a RuntimeException
+    // (not IOException) from deep in the plugin; it must surface as
+    // decodable=false
+    val corrupt = Multimodal.syntheticPng(6L, 8, 8).take(40)
+    val out = Multimodal.dhashFeatures(
+        Seq((1L, big), (2L, corrupt), (3L, "junk".getBytes("UTF-8")))
+          .toDF("media_id", "content"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out(1L)._1 && out(1L)._2 == Multimodal.dhashOf(big))
+    assert(!out(2L)._1 && out(2L)._2.isEmpty)
+    assert(!out(3L)._1 && out(3L)._2.isEmpty)
+  }
+
   test("resize runs the real codec on images: decoded dims match the box") {
     val png = Multimodal.syntheticPng(9L, 32, 32)
     val out = Multimodal.resize(media(9L -> png), 16, 16).collect().head

@@ -72,4 +72,26 @@ class RangeJoinSpec extends AnyFunSuite {
       RangeJoin.pointInInterval(df, df, "p", "p", "p", 0)
     }
   }
+
+  test("rejects inputs that already carry the reserved work column") {
+    import spark.implicits._
+    val clash = Seq((1L, 1L, 9L)).toDF("pid", "p", "_graft_rj_bucket")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(clash, ivs, "p", "s", "e", 10)
+    }
+  }
+
+  test("fails loud when an interval spans pathologically many buckets") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    // one interval covering 10^6 buckets at width 1: a mis-sized
+    // bucketWidth must abort with the sizing message, not build a
+    // million-element sequence per interval row
+    val ivs = Seq((1L, 0L, 1000000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, ivs, "p", "s", "e", 1).collect()
+    }
+    assert(ex.getMessage != null || ex.getCause != null)
+  }
 }
