@@ -72,21 +72,38 @@ object ScaleBench {
     // C2 recompiles (measured 2× swings on the minhash family at sf1
     // between consecutive in-session runs), which is JVM state, not plan
     // cost — the min is the steady-state a long-running cluster job sees
-    def timeOne(name: String): (Double, Long) = {
+    // per-row GC accounting: the one-JVM suite's ±30% noise is almost
+    // always collector time charged to whichever query runs while the
+    // heap is full of a PREDECESSOR's garbage. Recording the driver
+    // JVM's collector-time delta per timed run (and flagging rows
+    // where gc > 30% of wall) makes an anchor table self-certifying —
+    // a flagged row needs an isolated re-anchor (the subset arg), an
+    // unflagged row's seconds are real.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def timeOne(name: String): (Double, Long, Double) = {
       System.gc()
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       val n = try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
           -1L
         }
-      ((System.nanoTime() - t0) / 1e9, n)
+      ((System.nanoTime() - t0) / 1e9, n, (gcMillis() - g0) / 1e3)
     }
     val pass1 = names.map(n => n -> timeOne(n)).toMap
     val results = names.map { name =>
-      val (s2, n) = timeOne(name)
-      val sec = math.min(pass1(name)._1, s2)
-      println(f"""SCALEBENCH {"query":"$name","sec":$sec%.3f,"rows":$n,"sf":"$sfDir"}""")
+      val (s2, n, g2) = timeOne(name)
+      // report the faster pass's seconds WITH that pass's gc time
+      val (sec, gc) =
+        if (pass1(name)._1 <= s2) (pass1(name)._1, pass1(name)._3)
+        else (s2, g2)
+      val gcFlag = if (sec > 1.0 && gc > 0.3 * sec) ",\"gc_noisy\":true" else ""
+      println(f"""SCALEBENCH {"query":"$name","sec":$sec%.3f,"rows":$n,"gc_sec":$gc%.2f$gcFlag,"sf":"$sfDir"}""")
       name -> sec
     }
     println(f"""SCALEBENCH_TOTAL {"sec":${results.map(_._2).sum}%.1f,"sf":"$sfDir"}""")

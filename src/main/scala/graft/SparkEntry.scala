@@ -1405,6 +1405,42 @@ object SparkEntry {
         "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
     }),
 
+    "dedup_spans_probe_updated" -> ((s, dir) => {
+      // the DELTA-append form of the closed span-ingest loop — what a
+      // literal daily ingest runs between compactions: day 1's
+      // accepted docs were appended as bare (doc_id, fp) parquet
+      // deltas (appendSpansWrite — O(increment), NO store rewrite; the
+      // probe-A + delta write happen once at store setup, i.e. bench
+      // warmup, like every _probe row's build), and the timed plan
+      // probes increment B against base store + deltas with the
+      // effective df (base df + delta rows per fp) derived lazily for
+      // probed fps only. Decision IDENTICAL to
+      // dedup_spans_stored_updated (same oracle); plan-fenced in
+      // PlanAuditSpec: no store rewrite, no corpus re-winnowing.
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val incB = d.filter(bucket >= 85)
+      val sd = storeDir(dir, "spans")
+      if (!new java.io.File(s"$sd/span_fps/_SUCCESS").exists())
+        graft.dedup.SignatureStore.writeSpans(
+          graft.dedup.SignatureStore.buildSpans(d.filter(bucket < 70),
+            "doc_id", "text", k = 8, w = 4), sd)
+      if (!new java.io.File(s"$sd/span_deltas/_SUCCESS").exists()) {
+        val incA = d.filter(bucket >= 70 && bucket < 85)
+        val probeA = Dedup.spanIncrementalStored(incA,
+          graft.dedup.SignatureStore.readSpans(s, sd),
+          "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
+        val accepted = incA.join(
+          probeA.filter(col("is_new")).select(col("doc_id")), "doc_id")
+        graft.dedup.SignatureStore.appendSpansWrite(accepted, sd,
+          "doc_id", "text", k = 8, w = 4)
+      }
+      Dedup.spanIncrementalStoredDelta(incB,
+        graft.dedup.SignatureStore.readSpans(s, sd),
+        graft.dedup.SignatureStore.readSpanDeltas(s, sd),
+        "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
+    }),
+
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: keep/drop per vector, cluster-scoped greedy
       // lowest-id-wins at cosine >= 0.4; same fitted index as
@@ -3128,6 +3164,9 @@ object SparkEntry {
 
     "dedup_minhash_stored_updated" -> minhashStoredUpdatedOracle,
     "dedup_spans_stored_updated" -> spanStoredUpdatedOracle,
+    // the delta-append probe makes the IDENTICAL decision over the
+    // identical membership (base corpus + accepted A deltas vs inc B)
+    "dedup_spans_probe_updated" -> spanStoredUpdatedOracle,
 
     "dedup_semantic" -> {
       // replay the shared fitted index, then the greedy rule: a vector

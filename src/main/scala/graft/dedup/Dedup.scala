@@ -1041,6 +1041,74 @@ object Dedup {
         col("dup_of").isNull.as("is_new"))
   }
 
+  /** [[spanIncrementalStored]] against a base store PLUS append-only
+    * `(doc_id, fp)` DELTAS ([[SignatureStore.appendSpansWrite]]) — the
+    * probe a literal daily ingest runs between compactions: appends
+    * cost O(increment) parquet writes (no store rewrite), and the
+    * effective document frequency (base df + delta rows per fp) is
+    * derived lazily HERE, for probed fingerprints only.
+    *
+    * Scale shape: the base store is scanned twice, never shuffled —
+    * once with the pushed `df <= maxDf` predicate for candidate rows
+    * (effective df only grows, so base df > maxDf rows can never
+    * qualify), and once broadcast-probed by the delta∩probe fp keys to
+    * recover the true base df for the delta rows' cap (a fp whose base
+    * df already exceeds the cap must suppress its delta rows too).
+    * Both delta-side aggregates are delta-sized. Output is IDENTICAL
+    * to [[spanIncrementalStored]] against
+    * [[SignatureStore.mergeSpanDeltas]] of the same base+deltas —
+    * equivalence pinned in DedupSpec; [[SignatureStore.compactSpans]]
+    * restores the single-scan probe.
+    */
+  def spanIncrementalStoredDelta(incoming: DataFrame, storeFps: DataFrame,
+                                 deltaFps: DataFrame, idCol: String,
+                                 textCol: String, k: Int = 8, w: Int = 4,
+                                 minShared: Int = 5,
+                                 maxDf: Int = 16): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val incFps = graft.textops.TextOps
+      .winnowing(graft.util.Par.spread(incoming), idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("inc_id"), col("fp"))
+      .localCheckpoint()
+    val incKeys = incFps.select(col("fp")).distinct()
+    // delta rows carrying probed fps (delta-sized; forks three ways)
+    val dMat = deltaFps.select(col("doc_id").as("dup_id"), col("fp"))
+      .join(broadcast(incKeys), "fp").localCheckpoint()
+    val dDf = dMat.groupBy(col("fp")).agg(count(lit(1)).as("_ddf"))
+    // true base df for delta∩probe fps (UNfiltered scan: the pushed
+    // cap on the candidate scan hides exactly the rows whose df must
+    // suppress delta rows) — broadcast semi-probe, base never shuffles
+    val baseDfForDelta = storeFps
+      .join(broadcast(dMat.select(col("fp")).distinct()), "fp")
+      .groupBy(col("fp")).agg(max(col("df")).as("_bdf"))
+    val baseRows = storeFps.filter(col("df") <= maxDf)
+      .select(col("doc_id").as("dup_id"), col("fp"), col("df"))
+      .join(broadcast(incKeys), "fp")
+      .join(broadcast(dDf), Seq("fp"), "left")
+      .filter(col("df") + coalesce(col("_ddf"), lit(0L)) <= maxDf)
+      .select(col("dup_id"), col("fp"))
+    val deltaRows = dMat
+      .join(broadcast(dDf), "fp")
+      .join(broadcast(baseDfForDelta), Seq("fp"), "left")
+      .filter(coalesce(col("_bdf"), lit(0L)) + col("_ddf") <= maxDf)
+      .select(col("dup_id"), col("fp"))
+    val shared = baseRows.unionByName(deltaRows)
+      .join(broadcast(incFps), "fp")
+      .groupBy(col("inc_id"), col("dup_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("n_shared").desc, col("dup_id").asc)
+    val best = shared
+      .withColumn("_rn", row_number().over(w2)).filter(col("_rn") === 1)
+      .select(col("inc_id"), col("dup_id").as("dup_of"), col("n_shared"))
+    incoming.select(col(idCol).cast("long").as("inc_id"))
+      .join(broadcast(best), Seq("inc_id"), "left")
+      .select(col("inc_id").as("doc_id"), col("dup_of"), col("n_shared"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
   /** EXACT substring-duplication spans, the published gold standard for
     * training-data dedup (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better", arXiv:2107.06499 — ExactSubstr semantics,

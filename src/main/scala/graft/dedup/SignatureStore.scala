@@ -159,35 +159,107 @@ object SignatureStore {
     * DENORMALIZES each fingerprint's corpus df onto every row, so an
     * append must also BUMP the df of existing rows whose fp the
     * increment re-serves — otherwise the boilerplate cap goes stale as
-    * the corpus grows. The bump is a broadcast probe of the
-    * increment's (fp, count) frame against the store scan (the store
-    * never shuffles), and the increment's own rows take
-    * `store_df + inc_df` from the matched-row counts — so the result
-    * is EXACTLY [[buildSpans]] of the unioned corpus, without touching
-    * corpus text (equivalence pinned in DedupSpec). Cost is one scan
-    * of the 8-byte-row store per append; at production cadence the
-    * increments land as deltas and this merge runs at compaction.
+    * the corpus grows. Implemented as [[mergeSpanDeltas]] over the
+    * increment's freshly-winnowed rows: the result is EXACTLY
+    * [[buildSpans]] of the unioned corpus, without touching corpus
+    * text (equivalence pinned in DedupSpec). O(store) per call — a
+    * literal daily append uses the delta path instead
+    * ([[appendSpansWrite]] + [[Dedup.spanIncrementalStoredDelta]]
+    * probes + [[compactSpans]] at compaction cadence).
     */
   def appendSpans(storeFps: DataFrame, accepted: DataFrame, idCol: String,
                   textCol: String, k: Int = 8, w: Int = 4): DataFrame = {
-    val inc = TextOps
-      .winnowing(graft.util.Par.spread(accepted), idCol, textCol, k, w)
+    mergeSpanDeltas(storeFps, spanDeltaRows(accepted, idCol, textCol, k, w))
+  }
+
+  /** The increment's bare `(doc_id, fp)` winnow rows — the DELTA unit
+    * of the span store's append-only path (no df: document frequency
+    * is a CORPUS property that goes stale the moment the next delta
+    * lands, so deltas don't carry it; [[Dedup.spanIncrementalStoredDelta]]
+    * derives the effective df at probe time and [[compactSpans]] heals
+    * it into the base store at compaction cadence).
+    */
+  def spanDeltaRows(accepted: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, w: Int = 4): DataFrame =
+    TextOps.winnowing(graft.util.Par.spread(accepted), idCol, textCol, k, w)
       .select(col(idCol).cast("long").as("doc_id"), col("fp"))
-      .localCheckpoint() // increment-sized; forks three ways below
-    val incDf = inc.groupBy(col("fp")).agg(count(lit(1)).as("_inc_df"))
-    // existing rows: df bumped where an appended fp collides
-    val bumped = storeFps.join(broadcast(incDf), Seq("fp"), "left")
+
+  /** Persisted span append, the `appendWrite` twin for the span store:
+    * write ONLY the increment's (doc_id, fp) rows as parquet deltas
+    * under `dir/span_deltas` — O(increment) work, NO rewrite of the
+    * O(corpus) base store (the literal-daily-append cost
+    * [[appendSpans]]'s full-store df bump carries). Probes against
+    * base+deltas go through [[Dedup.spanIncrementalStoredDelta]];
+    * [[compactSpans]] folds the deltas back into the denormalized base
+    * at compaction cadence, restoring the single-scan pushed-predicate
+    * probe.
+    */
+  def appendSpansWrite(accepted: DataFrame, dir: String, idCol: String,
+                       textCol: String, k: Int = 8, w: Int = 4): Unit =
+    spanDeltaRows(accepted, idCol, textCol, k, w)
+      .write.mode("append").parquet(s"$dir/span_deltas")
+
+  /** Read the delta frame (empty-schema-safe: a store with no appends
+    * yet has no `span_deltas` directory). */
+  def readSpanDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/span_deltas")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("fp",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Merge bare delta rows into a denormalized base store frame —
+    * EXACTLY [[buildSpans]] of the unioned corpus (the [[appendSpans]]
+    * equivalence, pinned in DedupSpec), computed from stored rows
+    * without touching corpus text. Cost: two scans of the 8-byte-row
+    * base (df bump + base-df lookup for delta fps) — the compaction
+    * unit, not the per-probe unit.
+    */
+  def mergeSpanDeltas(storeFps: DataFrame, deltas: DataFrame): DataFrame = {
+    val d = deltas.select(col("doc_id"), col("fp")).localCheckpoint()
+    val dDf = d.groupBy(col("fp")).agg(count(lit(1)).as("_inc_df"))
+    val bumped = storeFps.join(broadcast(dDf), Seq("fp"), "left")
       .select(col("doc_id"), col("fp"),
         (col("df") + coalesce(col("_inc_df"), lit(0L))).as("df"))
-    // each matched store fp's df = its matched-row count (denormalized
-    // df ≡ row count per fp), derived without scanning unmatched rows
-    val storeDf = storeFps
-      .join(broadcast(inc.select(col("fp")).distinct()), "fp")
-      .groupBy(col("fp")).agg(count(lit(1)).as("_store_df"))
-    val incRows = inc.join(broadcast(incDf), "fp")
-      .join(broadcast(storeDf), Seq("fp"), "left")
+    // base df for delta fps: any matching row's denormalized df (df is
+    // constant per fp; max for determinism) — derived via a broadcast
+    // semi-probe, the base never shuffles
+    val baseDf = storeFps
+      .join(broadcast(d.select(col("fp")).distinct()), "fp")
+      .groupBy(col("fp")).agg(max(col("df")).as("_base_df"))
+    val deltaRows = d.join(broadcast(dDf), "fp")
+      .join(broadcast(baseDf), Seq("fp"), "left")
       .select(col("doc_id"), col("fp"),
-        (col("_inc_df") + coalesce(col("_store_df"), lit(0L))).as("df"))
-    bumped.unionByName(incRows)
+        (col("_inc_df") + coalesce(col("_base_df"), lit(0L))).as("df"))
+    bumped.unionByName(deltaRows)
   }
+
+  /** Span-store compaction: fold `span_deltas` into the denormalized
+    * base (one [[mergeSpanDeltas]] pass + the rename-aside swap of
+    * [[compact]]), then drop the delta directory. Restores the
+    * single-scan parquet-pushed-df probe; run at compaction cadence.
+    */
+  def compactSpans(spark: SparkSession, dir: String): Unit = {
+    val base = readSpans(spark, dir)
+    val deltas = readSpanDeltas(spark, dir)
+    val path = s"$dir/span_fps"
+    val tmp = path + ".compact"
+    mergeSpanDeltas(base, deltas).write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compactSpans: rename $path -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compactSpans: rename $tmp -> $path failed (recover: rename $old back)")
+    fs.delete(old, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/span_deltas"), true)
+  }
+
 }

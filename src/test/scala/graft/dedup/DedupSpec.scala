@@ -613,6 +613,85 @@ class DedupSpec extends AnyFunSuite {
     assert(byId(21L)._4)
   }
 
+  test("span delta path: appendSpansWrite + delta probe == in-memory append == direct; compactSpans heals") {
+    val passage = "copied paragraph with enough characters to fingerprint well"
+    val corpus = docs(1L -> "unrelated corpus text about spark physical plans entirely")
+    val incA = docs(10L -> s"day one accepted text containing $passage too")
+    val incB = docs(20L -> s"day two re-serving $passage inside other words",
+      21L -> "wholly fresh prose sharing no long passage with anything")
+    val tmp = java.nio.file.Files.createTempDirectory("spandelta").toString
+    SignatureStore.writeSpans(
+      SignatureStore.buildSpans(corpus, "doc_id", "text", k = 8, w = 4), tmp)
+    // day 1: append accepted docs as bare deltas — NO store rewrite
+    SignatureStore.appendSpansWrite(incA, tmp, "doc_id", "text", k = 8, w = 4)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val viaDelta = rowsOf(Dedup.spanIncrementalStoredDelta(incB,
+      SignatureStore.readSpans(spark, tmp),
+      SignatureStore.readSpanDeltas(spark, tmp),
+      "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16))
+    val direct = rowsOf(Dedup.spanIncremental(incB, corpus.union(incA),
+      "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16))
+    assert(viaDelta == direct)
+    val byId = viaDelta.map(r => r._1 -> r).toMap
+    assert(!byId(20L)._4 && byId(20L)._2 == 10L,
+      "day-2 reuse of the delta-appended day-1 doc must be caught")
+    assert(byId(21L)._4)
+    // compaction folds the deltas into the denormalized base: the
+    // healed store equals buildSpans of the union, the delta dir is
+    // gone, and the single-scan probe agrees
+    SignatureStore.compactSpans(spark, tmp)
+    assert(SignatureStore.readSpanDeltas(spark, tmp).count() == 0)
+    def storeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(storeRows(SignatureStore.readSpans(spark, tmp)) ==
+      storeRows(SignatureStore.buildSpans(corpus.union(incA),
+        "doc_id", "text", k = 8, w = 4)))
+    assert(rowsOf(Dedup.spanIncrementalStored(incB,
+      SignatureStore.readSpans(spark, tmp), "doc_id", "text",
+      k = 8, w = 4, minShared = 5, maxDf = 16)) == direct)
+  }
+
+  test("span delta probe: a fp boilerplate in the BASE suppresses delta rows too") {
+    // base df > maxDf hides the fp's rows from the pushed candidate
+    // scan; the unfiltered base-df lookup must still suppress the
+    // DELTA rows carrying that fp — the subtle branch of the lazy
+    // effective-df derivation
+    val passage = "copied paragraph with enough characters to fingerprint well"
+    // 5 corpus docs all carrying the passage: its fps have base df = 5
+    val corpus = docs((1L to 5L).map(i =>
+      i -> s"corpus doc number $i padding words $passage trailing text"): _*)
+    val delta = docs(10L -> s"day one delta also containing $passage here")
+    val incB = docs(20L -> s"probe doc re-serving $passage once more")
+    val base = SignatureStore.buildSpans(corpus, "doc_id", "text",
+      k = 8, w = 4)
+    val deltas = SignatureStore.spanDeltaRows(delta, "doc_id", "text",
+      k = 8, w = 4)
+    // cap at 4: base df (5) already exceeds it, so NOTHING may match —
+    // not the base rows (pushed filter) and not the delta rows (lazy
+    // lookup); a probe that derives delta-row df from the FILTERED
+    // base scan would wrongly flag 20 -> 10
+    val out = Dedup.spanIncrementalStoredDelta(incB, base, deltas,
+        "doc_id", "text", k = 8, w = 4, minShared = 3, maxDf = 4)
+      .collect()
+    assert(out.length == 1 && out.head.getBoolean(3),
+      s"boilerplate fp must stay suppressed through the delta path: ${out.toSeq}")
+    // sanity: with the cap above the true effective df (5 + 1 = 6) the
+    // match IS found, and the decision equals the text-rescanning
+    // direct form over corpus ∪ delta
+    val loose = Dedup.spanIncrementalStoredDelta(incB, base, deltas,
+        "doc_id", "text", k = 8, w = 4, minShared = 3, maxDf = 16)
+      .collect().head
+    val directLoose = Dedup.spanIncremental(incB, corpus.union(delta),
+        "doc_id", "text", k = 8, w = 4, minShared = 3, maxDf = 16)
+      .collect().head
+    assert(!loose.getBoolean(3) &&
+      loose.getLong(1) == directLoose.getLong(1) &&
+      loose.getLong(2) == directLoose.getLong(2))
+  }
+
   test("hammingIncremental: near fingerprint flagged with best match, far one stays new") {
     import spark.implicits._
     val corpus = Seq((1L, 0x0F0F0F0F0F0F0F0FL), (2L, 0x1234567812345678L))

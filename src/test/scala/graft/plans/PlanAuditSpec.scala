@@ -453,6 +453,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_spans_probe_updated: timed plan reads base+deltas, no store rewrite, no corpus re-winnow") {
+    // the delta-append probe's claim: a daily ingest between
+    // compactions pays O(increment) winnowing + store SCANS — never a
+    // store rewrite (no exchange writes parquet here; writes happen
+    // once at setup) and never a corpus text re-winnow
+    val p = plan("dedup_spans_probe_updated")
+    assert(p.linesIterator.exists(_.contains("stores/sf0.001/spans")),
+      s"expected span store parquet scans:\n$p")
+    // the delta side is checkpoint-truncated (scanned once in the
+    // eager checkpoint job): it appears as an ExistingRDD leaf in the
+    // union's delta branch, never as a repeated parquet re-scan
+    assert(p.linesIterator.exists(l => l.contains("ExistingRDD") ||
+      l.contains("span_deltas")), s"expected the delta branch:\n$p")
+    // the only winnow kernel is the increment's (checkpoint-truncated,
+    // so in practice zero appear in the timed plan)
+    assert(p.linesIterator.count(_.contains("winnowfpsexpr")) <= 1,
+      s"corpus re-winnowing detected:\n$p")
+    // no documents text scan: base + deltas carry everything
+    p.linesIterator.filter(l => l.contains("documents.parquet") &&
+        l.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("text"), s"document text read in probe plan: $l")
+    }
+  }
+
   test("sql_q17_small_qty: correlated subquery decorrelates to aggregate + join") {
     // Catalyst must rewrite the per-part scalar subquery into one
     // threshold aggregate joined back — never a per-row re-execution
