@@ -1993,6 +1993,28 @@ object SparkEntry {
         maxBucket = 64)
     }),
 
+    "video_neardup" -> ((s, dir) => {
+      // video-CONTENT near-dedup — the composition round 8 left on
+      // the shelf: real RIFF/AVI frame demux → per-sampled-frame
+      // dHash (9×8 luma-gradient grid, exact integer arithmetic on
+      // the DIB bytes) → MAJORITY-vote clip fingerprint → the shared
+      // Hamming-band machinery. The fixture plants perturbed
+      // re-encoded twin clips (id+10⁷, one channel of one pixel
+      // shifted in every frame) for the md5-chosen ~5% of ids; each
+      // twin's clip fp lands at Hamming 0–1 and MUST pair. Frame
+      // sampling is real (step=2 → frames 0,2,4,6) and the oracle
+      // replays exactly those frames; only the 8-byte clip
+      // fingerprint crosses the shuffle — payloads demux once, in
+      // the per-partition contract, and never move.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val sig = Multimodal.videoDhashFeatures(
+          Multimodal.syntheticAvisNearDup(ids, "doc_id"), step = 2)
+        .filter(col("decodable"))
+        .select(col("media_id"), col("clip_dhash"))
+      Dedup.hammingPairs(sig, "media_id", "clip_dhash", maxHamming = 3,
+        maxBucket = 64)
+    }),
+
     "image_neardup_incremental" -> ((s, dir) => {
       // the daily-ingest decision for the image modality: corpus =
       // base images of bucket<70 ids (decoded + dHashed once, at
@@ -3840,6 +3862,25 @@ object SparkEntry {
                WHERE x.media_id < y.media_id)
          SELECT doc_a, doc_b, hamming FROM dp WHERE hamming <= 3""",
 
+    "video_neardup" ->
+      // the fixture clips in closed form (per-frame quadratic-residue
+      // pixels, every-frame perturbed twins, frames 0,2,4,6 sampled);
+      // the Spark side REALLY assembles and REALLY demuxes each AVI
+      // container before hashing, so a hash-green row pins chunk
+      // walking + bottom-up DIB addressing + frame sampling + luma +
+      // per-frame dHash + the majority vote + banding all at once
+      s"""WITH $duckVideoDhashCtes,
+         vbanded AS (SELECT media_id, clip_dhash, b,
+             (clip_dhash >> (b * 16)) & 65535 AS key
+           FROM vdh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         vcapped AS (SELECT b, key, media_id, clip_dhash FROM vbanded
+           QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         vp AS (SELECT DISTINCT x.media_id AS doc_a, y.media_id AS doc_b,
+               bit_count(xor(x.clip_dhash, y.clip_dhash)) AS hamming
+               FROM vcapped x JOIN vcapped y USING (b, key)
+               WHERE x.media_id < y.media_id)
+         SELECT doc_a, doc_b, hamming FROM vp WHERE hamming <= 3""",
+
     "image_neardup_incremental" ->
       // mirrors Dedup.hammingIncremental over the image split: corpus
       // = base images of bucket<70 ids; increment = fresh base images
@@ -3873,6 +3914,63 @@ object SparkEntry {
          FROM (SELECT DISTINCT inc_id FROM incb) i
          LEFT JOIN ibest USING (inc_id)"""
   )
+
+  /** The video near-dup fixture's clip fingerprints in closed form —
+    * the frame-aware twin of [[duckDhashCtes]]: quadratic-residue
+    * pixels per (clip, frame, x, y), the perturbation applied in
+    * EVERY frame, sampled frames 0,2,4,6 (step=2 over 8 — the frame
+    * sampling the Spark side really performs on the demuxed DIB
+    * chunks), per-frame gradient booleans, then the MAJORITY vote per
+    * bit position assembled into the 64-bit clip fp.
+    */
+  private lazy val duckVideoDhashCtes: String = {
+    def qr1(cExpr: String) =
+      s"(((($cExpr) % 65521) * ((($cExpr) % 65521))) % 65521)"
+    def qr2(cExpr: String) =
+      s"(((($cExpr) % 65479) * ((($cExpr) % 65479))) % 65479)"
+    def qr(salt: Int) = {
+      val c1 = s"src * 73856093 + f * 7368787 + x * 19349663 + " +
+        s"y * 83492791 + ${salt * 1299721}"
+      val c2 = s"src * 2654435761 + f * 104729 + x * 40503 + " +
+        s"y * 30011 + ${salt * 914689}"
+      s"((${qr1(c1)} + ${qr2(c2)}) % 256)"
+    }
+    val cR = qr(0); val cG = qr(1); val cB = qr(2)
+    s"""vmb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bkt
+           FROM documents),
+         clips AS (SELECT doc_id AS media_id, doc_id AS src, false AS p
+                  FROM documents
+                  UNION ALL
+                  SELECT doc_id + 10000000, doc_id, true
+                  FROM vmb JOIN documents USING (doc_id) WHERE bkt < 5),
+         vpx AS (SELECT media_id, src, p, f.g AS f, x.g AS x, y.g AS y
+                FROM clips, (SELECT unnest([0, 2, 4, 6]) AS g) f,
+                     generate_series(0, 8) x(g),
+                     generate_series(0, 7) y(g)),
+         vch AS (SELECT media_id, f, x, y,
+             CASE WHEN p AND x = 0 AND y = 0
+                  THEN ($cR + 64) % 256 ELSE $cR END AS r,
+             $cG AS g2, $cB AS b2
+           FROM vpx),
+         vlm AS (SELECT media_id, f, x, y,
+             (299 * r + 587 * g2 + 114 * b2) // 1000 AS l FROM vch),
+         vgr AS (SELECT a.media_id, a.x, a.y,
+             sum(CASE WHEN b.l > a.l THEN 1 ELSE 0 END) AS cnt
+           FROM vlm a JOIN vlm b ON b.media_id = a.media_id
+             AND b.f = a.f AND b.y = a.y AND b.x = a.x + 1
+           WHERE a.x < 8 GROUP BY 1, 2, 3),
+         vdh AS (SELECT media_id,
+             sum(CASE WHEN 2 * cnt > 4 THEN
+                 CASE WHEN y = 7 AND x = 7
+                      THEN (-9223372036854775807 - 1)
+                      ELSE (1::BIGINT << (y * 8 + x)) END
+                 ELSE 0 END)::BIGINT AS clip_dhash
+           FROM vgr GROUP BY 1)"""
+  }
 
   /** The image near-dup fixture's decoded dHashes in closed form —
     * `mb` (md5 buckets), `imgs` (base + perturbed twins), pixels →

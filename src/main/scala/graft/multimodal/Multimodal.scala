@@ -728,7 +728,15 @@ object Multimodal {
     * chunks back through [[decodeAviFrames]].
     */
   def syntheticAvi(id: Long, nFrames: Int = 8, w: Int = 8,
-                   h: Int = 8): Array[Byte] = {
+                   h: Int = 8): Array[Byte] =
+    buildAvi(nFrames, w, h)((f, x, y, c) => videoPx(id, f, x, y, c))
+
+  /** Assemble the canonical uncompressed AVI container around an
+    * arbitrary per-(frame, x, y, channel) pixel function — shared by
+    * the linear fixture ([[syntheticAvi]]) and the quadratic-residue
+    * near-dup fixture ([[syntheticAvisNearDup]]). */
+  private def buildAvi(nFrames: Int, w: Int, h: Int)(
+      px: (Int, Int, Int, Int) => Int): Array[Byte] = {
     val rowBytes = ((w * 3 + 3) / 4) * 4
     val frameBytes = rowBytes * h
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
@@ -783,9 +791,9 @@ object Multimodal {
       while (row >= 0) {
         var x = 0
         while (x < w) {
-          buf.put(videoPx(id, f, x, row, 2).toByte) // B
-          buf.put(videoPx(id, f, x, row, 1).toByte) // G
-          buf.put(videoPx(id, f, x, row, 0).toByte) // R
+          buf.put(px(f, x, row, 2).toByte) // B
+          buf.put(px(f, x, row, 1).toByte) // G
+          buf.put(px(f, x, row, 0).toByte) // R
           x += 1
         }
         var pad = rowBytes - w * 3
@@ -824,9 +832,14 @@ object Multimodal {
     * not 24-bit BI_RGB (a compressed stream needs a codec — that is
     * the honest boundary of this parser).
     */
-  def decodeAviFrames(bytes: Array[Byte],
-                      step: Int = 1): Option[(Int, Int, Int, Seq[FrameStats])] = {
-    require(step >= 1, s"frame-sample step must be >= 1, got $step")
+  /** Parsed uncompressed-AVI layout: dimensions + the 'movi' LIST
+    * bounds holding the DIB frame chunks. */
+  private final case class AviLayout(w: Int, h: Int, moviOff: Int,
+                                     moviEnd: Int) {
+    def rowBytes: Int = ((w * 3 + 3) / 4) * 4
+  }
+
+  private def parseAviLayout(bytes: Array[Byte]): Option[AviLayout] = {
     if (bytes.length < 12) return None
     val bb = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -874,41 +887,218 @@ object Multimodal {
       off += 8 + sz + (sz & 1)
     }
     if (w <= 0 || h <= 0 || bitCount != 24 || compression != 0 ||
-      moviOff < 0) return None
-    val rowBytes = ((w * 3 + 3) / 4) * 4
-    val stats = Seq.newBuilder[FrameStats]
+      moviOff < 0) None
+    else Some(AviLayout(w, h, moviOff, moviEnd))
+  }
+
+  /** Walk the 'movi' LIST's '##db' DIB frames, calling `f(frameNo,
+    * chunkDataOffset)` for every `step`-th frame. Returns the total
+    * frame count, or None on a malformed/short chunk. */
+  private def forEachDibFrame(bytes: Array[Byte], lay: AviLayout,
+                              step: Int)(f: (Int, Int) => Unit): Option[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     var frameNo = 0
-    var mo = moviOff
-    while (mo + 8 <= moviEnd) {
+    var mo = lay.moviOff
+    while (mo + 8 <= lay.moviEnd) {
       val id = fourcc(mo); val sz = bb.getInt(mo + 4)
-      if (sz < 0 || mo + 8 + sz > moviEnd) return None
+      if (sz < 0 || mo + 8 + sz > lay.moviEnd) return None
       // '##db' = uncompressed DIB frame ('##dc' would be codec data)
       if (id.endsWith("db")) {
-        if (sz < rowBytes * h) return None
-        if (frameNo % step == 0) {
-          var rs = 0L; var gs = 0L; var bs = 0L
-          val base = mo + 8
-          var row = 0
-          while (row < h) {
-            var o = base + row * rowBytes
-            var x = 0
-            while (x < w) {
-              bs += bytes(o) & 0xFF
-              gs += bytes(o + 1) & 0xFF
-              rs += bytes(o + 2) & 0xFF
-              o += 3; x += 1
-            }
-            row += 1
-          }
-          // DIB rows are bottom-up; channel SUMS are row-order
-          // invariant, so no flip is needed for these statistics
-          stats += FrameStats(frameNo, w, h, rs, gs, bs)
-        }
+        if (sz < lay.rowBytes * lay.h) return None
+        if (frameNo % step == 0) f(frameNo, mo + 8)
         frameNo += 1
       }
       mo += 8 + sz + (sz & 1)
     }
-    Some((w, h, frameNo, stats.result()))
+    Some(frameNo)
+  }
+
+  def decodeAviFrames(bytes: Array[Byte],
+                      step: Int = 1): Option[(Int, Int, Int, Seq[FrameStats])] = {
+    require(step >= 1, s"frame-sample step must be >= 1, got $step")
+    parseAviLayout(bytes).flatMap { lay =>
+      val w = lay.w; val h = lay.h; val rowBytes = lay.rowBytes
+      val stats = Seq.newBuilder[FrameStats]
+      forEachDibFrame(bytes, lay, step) { (frameNo, base) =>
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var row = 0
+        while (row < h) {
+          var o = base + row * rowBytes
+          var x = 0
+          while (x < w) {
+            bs += bytes(o) & 0xFF
+            gs += bytes(o + 1) & 0xFF
+            rs += bytes(o + 2) & 0xFF
+            o += 3; x += 1
+          }
+          row += 1
+        }
+        // DIB rows are bottom-up; channel SUMS are row-order
+        // invariant, so no flip is needed for these statistics
+        stats += FrameStats(frameNo, w, h, rs, gs, bs)
+      }.map(n => (w, h, n, stats.result()))
+    }
+  }
+
+  // ---- video-CONTENT near-dup: per-frame dHash → majority clip fp ----
+
+  /** The video near-dup fixture pixel: the [[qrPx]] two-prime
+    * quadratic residue with a per-frame term folded into both
+    * residues, so every (clip, frame) has decorrelated pixels (the
+    * linear [[videoPx]] collapses gradient signs across ids — the
+    * same degeneracy [[qrPx]] exists to break for images) while
+    * staying exactly SQL-replayable in 64-bit-safe integer
+    * arithmetic. Simulated before registering (the round-8 fixture
+    * lesson): twins land at Hamming 0–1, zero false base pairs and
+    * zero capped buckets at the 10k-sample scan of the 500k id range.
+    */
+  private def qrVideoPx(id: Long, f: Int, x: Int, y: Int,
+                        salt: Int): Int = {
+    require(id >= 0, s"fixture formula assumes non-negative id, got $id")
+    val c1 = (id * 73856093L + f * 7368787L + x * 19349663L +
+      y * 83492791L + salt * 1299721L) % 65521L
+    val c2 = (id * 2654435761L + f * 104729L + x * 40503L +
+      y * 30011L + salt * 914689L) % 65479L
+    ((c1 * c1 % 65521L + c2 * c2 % 65479L) % 256L).toInt
+  }
+
+  /** The video near-dup fixture frame: one 9×8, 8-frame uncompressed
+    * AVI per id (quadratic-residue pixels — 9×8 so the per-frame
+    * dHash fills all 64 bits, keeping every 16-bit Hamming band
+    * informative) plus, for the md5-chosen ~5% of ids, a PERTURBED
+    * twin at id+10⁷: channel R of pixel (0, 0) shifted +64 in EVERY
+    * frame — the stand-in for a re-encoded near-duplicate clip, whose
+    * majority clip fingerprint lands at Hamming 0–1 from its
+    * original. Narrow mapPartitions assemble (the container writer is
+    * codec-free), same shape as [[syntheticImagesNearDup]].
+    */
+  def syntheticAvisNearDup(ids: DataFrame, idCol: String,
+                           base: Boolean = true,
+                           twins: Boolean = true): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    require(base || twins, "at least one of base/twins must be generated")
+    val baseF = ids.select(col(idCol).cast("long").as("_id"),
+      lit(false).as("_p"))
+    val twinF = ids
+      .filter(graft.util.Sampling.md5Bucket(col(idCol)) < 5)
+      .select(col(idCol).cast("long").as("_id"), lit(true).as("_p"))
+    val chosen =
+      if (base && twins) baseF.unionByName(twinF)
+      else if (base) baseF else twinF
+    chosen.as[(Long, Boolean)]
+      .mapPartitions(_.map { case (id, p) =>
+        val avi = buildAvi(nFrames = 8, w = 9, h = 8) { (f, x, y, c) =>
+          val v = qrVideoPx(id, f, x, y, c)
+          if (p && c == 0 && x == 0 && y == 0) (v + 64) % 256 else v
+        }
+        (if (p) id + 10000000L else id, avi)
+      })
+      .toDF("media_id", "content")
+  }
+
+  /** dHash of one DIB frame directly from the chunk bytes (bottom-up
+    * BGR rows → image-order luma grid → gradient bits y·(w−1)+x),
+    * exact integer arithmetic when the grid carries ≤ 64 gradients;
+    * larger frames detour through a BufferedImage and the canonical
+    * 9×8 resize (spec-tested, not oracle-pinned — same convention as
+    * [[dhashOf]] for arbitrary images). */
+  private def dibFrameDhash(bytes: Array[Byte], lay: AviLayout,
+                            base: Int): Long = {
+    val w = lay.w; val h = lay.h; val rowBytes = lay.rowBytes
+    def lumaAt(x: Int, y: Int): Int = {
+      val o = base + (h - 1 - y) * rowBytes + x * 3 // DIB rows bottom-up
+      (299 * (bytes(o + 2) & 0xFF) + 587 * (bytes(o + 1) & 0xFF) +
+        114 * (bytes(o) & 0xFF)) / 1000
+    }
+    if ((w - 1) * h <= 64 && w >= 2) {
+      var bits = 0L
+      var y = 0
+      while (y < h) {
+        var prev = lumaAt(0, y)
+        var x = 0
+        while (x < w - 1) {
+          val next = lumaAt(x + 1, y)
+          if (next > prev) bits |= 1L << (y * (w - 1) + x)
+          prev = next
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    } else {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = base + (h - 1 - y) * rowBytes + x * 3
+          img.setRGB(x, y, ((bytes(o + 2) & 0xFF) << 16) |
+            ((bytes(o + 1) & 0xFF) << 8) | (bytes(o) & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      dhashCanonical(img)
+    }
+  }
+
+  /** Clip-level perceptual fingerprint of an uncompressed AVI:
+    * per-SAMPLED-frame dHash, then a MAJORITY vote per bit (bit j of
+    * the clip fp is set when more than half the sampled frames set
+    * it; ties → 0) — robust to a few perturbed/re-encoded frames
+    * where a min- or first-frame fingerprint is not. Returns (total
+    * frames, sampled frames, clip fp); `None` for non-AVI /
+    * compressed payloads ([[decodeAviFrames]]'s honest boundary).
+    */
+  def aviClipDhash(bytes: Array[Byte],
+                   step: Int = 1): Option[(Int, Int, Long)] = {
+    require(step >= 1, s"frame-sample step must be >= 1, got $step")
+    parseAviLayout(bytes).flatMap { lay =>
+      val counts = new Array[Int](64)
+      var sampled = 0
+      forEachDibFrame(bytes, lay, step) { (_, base) =>
+        val dh = dibFrameDhash(bytes, lay, base)
+        var j = 0
+        while (j < 64) {
+          if (((dh >>> j) & 1L) == 1L) counts(j) += 1
+          j += 1
+        }
+        sampled += 1
+      }.map { n =>
+        var fp = 0L
+        var j = 0
+        while (j < 64) {
+          if (2 * counts(j) > sampled) fp |= 1L << j
+          j += 1
+        }
+        (n, sampled, fp)
+      }
+    }
+  }
+
+  /** Batch clip fingerprinting through the per-partition contract:
+    * (media_id, content) → (media_id, decodable, n_frames,
+    * clip_dhash). Payload read once, never shuffled — only the 8-byte
+    * clip fingerprint continues to [[graft.dedup.Dedup.hammingPairs]]
+    * / `hammingIncremental`, exactly like the image dHash path.
+    */
+  def videoDhashFeatures(df: DataFrame, step: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        aviClipDhash(bytes, step) match {
+          case Some((n, _, fp)) => (id, true, n, Some(fp))
+          case None => (id, false, 0, None: Option[Long])
+        }
+      })
+      .toDF("media_id", "decodable", "n_frames", "clip_dhash")
   }
 
   /** Batch video frame-sampling through the per-partition contract:

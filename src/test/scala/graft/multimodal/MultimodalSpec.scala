@@ -240,6 +240,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(3L)._1 && out(3L)._2.isEmpty)
   }
 
+  test("video near-dup: majority clip fp pairs the planted twin, payload never shuffles") {
+    import spark.implicits._
+    // md5Bucket(62) < 5, so the fixture plants a twin clip for id 62
+    val ids = Seq(7L, 9L, 62L).toDF("doc_id")
+    val clips = Multimodal.syntheticAvisNearDup(ids, "doc_id")
+    val sig = Multimodal.videoDhashFeatures(clips, step = 2)
+    val plan = sig.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"clip hashing must not shuffle the payload:\n$plan")
+    val got = sig.collect().map(r =>
+      r.getLong(0) -> (r.getBoolean(1), r.getInt(2), r.getLong(3))).toMap
+    // every clip demuxes: 8 total frames seen even though 4 are sampled
+    assert(got.values.forall(v => v._1 && v._2 == 8))
+    val planted = got.keys.filter(_ >= 10000000L)
+    assert(planted.nonEmpty, s"no twin planted among ${got.keys}")
+    for (tw <- planted) {
+      val hd = java.lang.Long.bitCount(got(tw)._3 ^ got(tw - 10000000L)._3)
+      assert(hd <= 1, s"twin clip $tw at hamming $hd")
+    }
+    assert(got(7L)._3 != got(9L)._3, "distinct base clips must hash apart")
+    // and the pair machinery finds the planted pair(s)
+    val pairs = graft.dedup.Dedup.hammingPairs(
+        sig.select(org.apache.spark.sql.functions.col("media_id"),
+          org.apache.spark.sql.functions.col("clip_dhash")),
+        "media_id", "clip_dhash", maxHamming = 3, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.forall(tw => pairs.contains((tw - 10000000L, tw))))
+  }
+
+  test("aviClipDhash: majority semantics, sampling, and honest boundaries") {
+    // a clip whose frames all agree hashes to the common frame hash
+    val avi = Multimodal.syntheticAvisNearDup(
+      { import spark.implicits._; Seq(5L).toDF("doc_id") }, "doc_id",
+      twins = false).collect().head.getAs[Array[Byte]]("content")
+    val Some((n1, s1, fp1)) = Multimodal.aviClipDhash(avi, step = 1)
+    val Some((n2, s2, fp2)) = Multimodal.aviClipDhash(avi, step = 2)
+    assert(n1 == 8 && s1 == 8 && n2 == 8 && s2 == 4)
+    // step changes WHICH frames vote (the qr fixture's frames are
+    // deliberately decorrelated, so the two fps differ — real video
+    // frames are similar and the step choice is a corpus-wide
+    // constant); each sampling is deterministic
+    assert(Multimodal.aviClipDhash(avi, step = 1).get._3 == fp1)
+    assert(Multimodal.aviClipDhash(avi, step = 2).get._3 == fp2)
+    // non-AVI payloads surface as None, never throw
+    assert(Multimodal.aviClipDhash("junk".getBytes("UTF-8")).isEmpty)
+    // a LINEAR-fixture AVI (videoPx) still hashes — shared walker
+    assert(Multimodal.aviClipDhash(Multimodal.syntheticAvi(3L)).isDefined)
+    // large-frame fallback path: a 16x16 AVI goes through the
+    // BufferedImage resize branch and still fingerprints
+    val big = Multimodal.syntheticAvi(4L, nFrames = 4, w = 16, h = 16)
+    assert(Multimodal.aviClipDhash(big, step = 2).isDefined)
+  }
+
   test("resize runs the real codec on images: decoded dims match the box") {
     val png = Multimodal.syntheticPng(9L, 32, 32)
     val out = Multimodal.resize(media(9L -> png), 16, 16).collect().head
