@@ -91,7 +91,28 @@ object GraftFunctions {
     // table (the unit every `_bpe` budget operator meters in).
     ("bpe_count",
       new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
-      exprs => new BpeCountExpr(exprs.head, BpeVocab.merges)))
+      exprs => new BpeCountExpr(exprs.head, BpeVocab.merges)),
+    // html_clean(html) → the cleaned prose under the full extraction
+    // contract (block drops → tag strip → entity decode &amp;-last →
+    // whitespace collapse) — the SAME Column builder the DataFrame
+    // operator uses, so the SQL form cannot drift from it.
+    ("html_clean",
+      new ExpressionInfo(classOf[TextGateStatsExpr].getName, "html_clean"),
+      exprs => GraftColumnBridge.toExpressionEager(
+        graft.textops.Html.cleanText(GraftColumnBridge.toColumn(exprs.head)))),
+    // html_main(html[, minWords, maxLinkPct]) → MAIN-content text (the
+    // justext-core block scoring) via the same eager-bridge path.
+    ("html_main",
+      new ExpressionInfo(classOf[TextGateStatsExpr].getName, "html_main"),
+      exprs => exprs match {
+        case Seq(h) => GraftColumnBridge.toExpressionEager(
+          graft.textops.Html.mainText(GraftColumnBridge.toColumn(h)))
+        case Seq(h, mw, pct) => GraftColumnBridge.toExpressionEager(
+          graft.textops.Html.mainText(GraftColumnBridge.toColumn(h),
+            litInt(mw, "minWords"), litInt(pct, "maxLinkPct")))
+        case other => throw new IllegalArgumentException(
+          s"html_main(html[, minWords, maxLinkPct]) — got ${other.size} args")
+      }))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: SparkSession): Unit =

@@ -1681,6 +1681,59 @@ object SparkEntry {
         d.select(col("doc_id"), html.as("html")), "doc_id", "html")
     }),
 
+    "html_extract_main" -> ((s, dir) => {
+      // MAIN-content selection on top of html_extract's cleaning —
+      // the justext core: block segmentation on block-level tags +
+      // the (minWords, link-density) keep rule, all integer
+      // arithmetic. The page fixture plants the three boilerplate
+      // shapes a real page carries around its prose: a nav bar (3
+      // words, 100% linked), a link-farm listing (12 words, 100%
+      // linked — length alone would keep it), and an entity-laden
+      // footer (3 words); plus a SECOND prose block with an inline
+      // link at 25% density that must be KEPT (the rule is a
+      // density cut, not a no-links cut). The md5'd main text
+      // hash-checks that exactly the prose survives.
+      val d = Tables.documents(s, dir)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script>var nav = 1 &amp;&amp; 2;</script>" +
+          "<style>a { color: blue; }</style></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></nav><p>"),
+        col("text"),
+        lit("</p><p>Read the full guide at <a href=\"/guide\">the " +
+          "documentation portal</a> for complete details today</p><div>"),
+        expr("repeat('<a href=\"/deal\">hot deal item</a> ', 4)"),
+        lit("</div><footer>Copyright &amp; terms</footer></body></html>"))
+      graft.textops.Html.extractMain(
+        d.select(col("doc_id"), html.as("html")), "doc_id", "html",
+        minWords = 5, maxLinkPct = 30)
+    }),
+
+    "sql_html_extract" -> ((s, dir) => {
+      // SQL front door for the HTML cleaner: html_clean(...) is the
+      // composed extraction expression built by the SAME Column
+      // builder the DataFrame operator uses (eager bridge — cannot
+      // drift); same fixture page, same columns, same oracle as
+      // html_extract.
+      GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""WITH h AS (SELECT doc_id,
+                 concat('<html><head><title>Doc ', cast(doc_id AS STRING),
+                   '</title><SCRIPT type="text/javascript">var x = 1 &amp;&amp; 2;\nif (x < 3) { x = 4; }</SCRIPT>',
+                   '<style>p { color: red; }</style></head><body><!-- nav\nboilerplate --><p>',
+                   text, '</p>',
+                   repeat('<a href="/l">link</a>', cast(doc_id % 4 AS INT)),
+                   '<div>Tail &amp; footer&nbsp;&lt;end&gt;</div></body></html>') AS html
+                 FROM documents_v)
+               SELECT doc_id,
+                 regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+                 cast(size(regexp_extract_all(html, '(?i)<a[\\s>]', 0)) AS BIGINT) AS n_links,
+                 cast(length(clean) AS BIGINT) AS clean_len,
+                 md5(clean) AS clean_fp
+               FROM (SELECT doc_id, html, html_clean(html) AS clean FROM h)""")
+    }),
+
     "seq_pack" -> ((s, dir) =>
       // global concat-then-chunk packing; distributed two-pass prefix
       // sum (range buckets + broadcast base offsets), no
@@ -3385,40 +3438,12 @@ object SparkEntry {
          FROM documents"""
     },
 
-    "html_extract" ->
-      // replays the cleaning contract literally, same step order:
-      // block drops → tag strip → entity decode (&amp; last) →
-      // whitespace collapse; RE2-safe patterns so both regex engines
-      // agree character for character
-      """WITH h AS (SELECT doc_id,
-           '<html><head><title>Doc ' || doc_id::VARCHAR ||
-           '</title><SCRIPT type="text/javascript">var x = 1 ' ||
-           '&amp;&amp; 2;' || chr(10) || 'if (x < 3) { x = 4; }</SCRIPT>' ||
-           '<style>p { color: red; }</style></head><body><!-- nav' ||
-           chr(10) || 'boilerplate --><p>' || text || '</p>' ||
-           repeat('<a href="/l">link</a>', (doc_id % 4)::INT) ||
-           '<div>Tail &amp; footer&nbsp;&lt;end&gt;</div></body></html>'
-             AS html
-           FROM documents),
-         c AS (SELECT doc_id, html,
-           trim(regexp_replace(
-             replace(replace(replace(replace(replace(replace(
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 html,
-                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-                 '(?s)<!--.*?-->', ' ', 'g'),
-                 '(?s)<[^>]+>', ' ', 'g'),
-               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-               '&#39;', ''''), '&amp;', '&'),
-             '\s+', ' ', 'g')) AS clean
-           FROM h)
-         SELECT doc_id,
-           regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
-           len(regexp_extract_all(html, '(?i)<a[\s>]'))::BIGINT AS n_links,
-           length(clean)::BIGINT AS clean_len,
-           md5(clean) AS clean_fp
-         FROM c""",
+    "html_extract" -> htmlExtractOracle,
+    // the SQL front door builds the same page and calls the composed
+    // html_clean(...) expression — identical decision, same oracle
+    "sql_html_extract" -> htmlExtractOracle,
+
+    "html_extract_main" -> htmlExtractMainOracle,
 
     "seq_pack" ->
       // the distributed two-pass prefix sum equals this single global
@@ -3914,6 +3939,106 @@ object SparkEntry {
          FROM (SELECT DISTINCT inc_id FROM incb) i
          LEFT JOIN ibest USING (inc_id)"""
   )
+
+  /** Replays the HTML cleaning contract literally, same step order:
+    * block drops → tag strip → entity decode (`&amp;` last) →
+    * whitespace collapse; RE2-safe patterns so both regex engines
+    * agree character for character. Shared by `html_extract` and its
+    * SQL front door `sql_html_extract` (same page, same decision).
+    */
+  private lazy val htmlExtractOracle: String =
+    """WITH h AS (SELECT doc_id,
+           '<html><head><title>Doc ' || doc_id::VARCHAR ||
+           '</title><SCRIPT type="text/javascript">var x = 1 ' ||
+           '&amp;&amp; 2;' || chr(10) || 'if (x < 3) { x = 4; }</SCRIPT>' ||
+           '<style>p { color: red; }</style></head><body><!-- nav' ||
+           chr(10) || 'boilerplate --><p>' || text || '</p>' ||
+           repeat('<a href="/l">link</a>', (doc_id % 4)::INT) ||
+           '<div>Tail &amp; footer&nbsp;&lt;end&gt;</div></body></html>'
+             AS html
+           FROM documents),
+         c AS (SELECT doc_id, html,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 html,
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS clean
+           FROM h)
+         SELECT doc_id,
+           regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+           len(regexp_extract_all(html, '(?i)<a[\s>]'))::BIGINT AS n_links,
+           length(clean)::BIGINT AS clean_len,
+           md5(clean) AS clean_fp
+         FROM c"""
+
+  /** Replays the justext-core main-content selection: the block
+    * segmentation (block-level tags → chr(1) delimiters → split), the
+    * per-block cleaner, the integer (minWords=5, maxLinkPct=30) keep
+    * rule over word and anchor-word counts, and the document-order
+    * join — all as DuckDB list lambdas mirroring Spark's higher-order
+    * array functions one for one.
+    */
+  private lazy val htmlExtractMainOracle: String = {
+    // the per-unit cleaner (tag strip → entities &amp;-last → collapse)
+    def cleanSql(x: String): String =
+      s"""trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace($x, '(?s)<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&amp;', '&'),
+             '\\s+', ' ', 'g'))"""
+    def wcSql(c: String): String =
+      s"(CASE WHEN length($c) = 0 THEN 0 ELSE len(string_split($c, ' ')) END)"
+    def awSql(b: String): String =
+      s"""coalesce(list_sum(list_transform(
+           regexp_extract_all($b, '(?is)<a(\\s[^>]*)?>(.*?)</a>', 2),
+           a -> ${wcSql(cleanSql("a"))})), 0)"""
+    def keepSql(b: String): String =
+      s"(${wcSql(cleanSql(b))} >= 5 AND " +
+        s"${awSql(b)} * 100 <= ${wcSql(cleanSql(b))} * 30)"
+    val blockTag = "(?is)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|" +
+      "section|article|header|footer|nav|aside|blockquote|br)[^>]*>"
+    s"""WITH hm AS (SELECT doc_id,
+           '<html><head><title>Doc ' || doc_id::VARCHAR ||
+           '</title><script>var nav = 1 &amp;&amp; 2;</script>' ||
+           '<style>a { color: blue; }</style></head><body>' ||
+           '<nav><a href="/">Home</a> <a href="/about">About</a> ' ||
+           '<a href="/contact">Contact</a></nav><p>' || text ||
+           '</p><p>Read the full guide at <a href="/guide">the ' ||
+           'documentation portal</a> for complete details today</p><div>' ||
+           repeat('<a href="/deal">hot deal item</a> ', 4) ||
+           '</div><footer>Copyright &amp; terms</footer></body></html>'
+             AS html
+           FROM documents),
+         blk AS (SELECT doc_id, html,
+           string_split(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+             '$blockTag', chr(1), 'g'), chr(1)) AS blocks
+           FROM hm),
+         m AS (SELECT doc_id, html, blocks,
+           array_to_string(list_transform(
+             list_filter(blocks, b -> ${keepSql("b")}),
+             b -> ${cleanSql("b")}), ' ') AS main
+           FROM blk)
+         SELECT doc_id,
+           regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+           len(regexp_extract_all(html, '(?i)<a[\\s>]'))::BIGINT AS n_links,
+           len(list_filter(blocks,
+             b -> ${wcSql(cleanSql("b"))} > 0))::BIGINT AS n_blocks,
+           len(list_filter(blocks, b -> ${keepSql("b")}))::BIGINT AS n_kept,
+           length(main)::BIGINT AS main_len,
+           md5(main) AS main_fp
+         FROM m"""
+  }
 
   /** The video near-dup fixture's clip fingerprints in closed form —
     * the frame-aware twin of [[duckDhashCtes]]: quadratic-residue

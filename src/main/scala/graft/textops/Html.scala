@@ -77,4 +77,119 @@ object Html {
       length(clean).cast("long").as("clean_len"),
       md5(clean).as("clean_fp"))
   }
+
+  // ---- main-content selection (the justext/trafilatura core) ----
+
+  /** A block-LEVEL tag (open or close): the boundaries the browser
+    * renders as line breaks, and therefore the segmentation unit of
+    * every block-scoring boilerplate remover. `<br>` included — link
+    * farms are routinely `<a>…</a><br>` chains. */
+  val blockTagPattern: String =
+    "(?is)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|" +
+      "header|footer|nav|aside|blockquote|br)[^>]*>"
+
+  /** Anchor ELEMENT with its content as group 2 — RE2-safe
+    * (non-greedy, no lookaround), so both engines extract the same
+    * anchor texts. */
+  val anchorContentPattern: String = "(?is)<a(\\s[^>]*)?>(.*?)</a>"
+
+  /** Collapsed word count of an already-cleaned (trimmed,
+    * single-spaced) text column: 0 for empty, else spaces + 1. */
+  private def wordsOf(cleaned: Column): Column =
+    when(length(cleaned) === 0, lit(0))
+      .otherwise(size(split(cleaned, " ")))
+
+  /** Split an HTML column (script/style/comments already dropped
+    * upstream) into block-level units on a \\u0001 delimiter. */
+  private def blocksOf(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, scriptPattern, " "),
+        stylePattern, " "),
+      commentPattern, " ")
+    split(regexp_replace(noBlocks, blockTagPattern, "\u0001"), "\u0001")
+  }
+
+  /** [[cleanText]]'s tag-strip + entity-decode + whitespace steps on
+    * one block (or anchor content) — the per-unit cleaner. */
+  private def cleanOf(b: Column): Column = {
+    val noTags = regexp_replace(b, tagPattern, " ")
+    val decoded = entityDecode.foldLeft(noTags) { case (c, (ent, ch)) =>
+      replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  private def anchorWordsOf(b: Column): Column =
+    aggregate(
+      transform(
+        regexp_extract_all(b, lit(anchorContentPattern), lit(2)),
+        a => wordsOf(cleanOf(a))),
+      lit(0), (acc, x) => acc + x)
+
+  private def keepBlock(b: Column, minWords: Int,
+                        maxLinkPct: Int): Column = {
+    val w = wordsOf(cleanOf(b))
+    w >= minWords && anchorWordsOf(b) * 100 <= w * maxLinkPct
+  }
+
+  /** MAIN-content text of an HTML column — [[cleanText]]'s contract
+    * extended with the justext core: segment the page into
+    * block-level units, score each block by length and LINK DENSITY,
+    * and keep only prose-like blocks. Nav bars, footers, and
+    * link-farm listings — which [[cleanText]] leaks into the training
+    * text — are dropped by construction. Deterministic integer
+    * arithmetic end to end (both engines replay the keep rule
+    * bit-identically):
+    *
+    *   1. drop script/style/comment blocks (shared prefix with
+    *      [[cleanText]]);
+    *   2. replace every BLOCK-level tag with a \\u0001 delimiter and
+    *      split — the segmentation justext performs on the DOM,
+    *      expressed on the tag stream;
+    *   3. per block: clean the prose ([[cleanText]]'s tag-strip +
+    *      entity + whitespace steps), count its words, and count the
+    *      words inside its `<a>` elements;
+    *   4. KEEP a block iff `words >= minWords` AND
+    *      `100 * anchor_words <= maxLinkPct * words` (link density —
+    *      justext's stoplist-free core signal);
+    *   5. join kept blocks with single spaces, in document order.
+    */
+  def mainText(html: Column, minWords: Int = 5,
+               maxLinkPct: Int = 30): Column = {
+    require(minWords >= 1 && maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"bad thresholds: minWords=$minWords maxLinkPct=$maxLinkPct")
+    array_join(
+      transform(
+        filter(blocksOf(html), b => keepBlock(b, minWords, maxLinkPct)),
+        cleanOf _),
+      " ")
+  }
+
+  /** Per-document MAIN-content extraction record — the
+    * boilerplate-dropping twin of [[extract]] (same title/links
+    * metadata, plus block accounting so a drift in segmentation or
+    * the keep rule shows up as a count, not just a hash change).
+    *
+    * Output: (id, title, n_links, n_blocks, n_kept, main_len,
+    * main_fp). One scan-stage projection per document — the
+    * segmentation, per-block scoring, and join are codegen'd
+    * higher-order array functions, no UDF, no shuffle.
+    */
+  def extractMain(df: DataFrame, idCol: String, htmlCol: String,
+                  minWords: Int = 5, maxLinkPct: Int = 30): DataFrame = {
+    val h = col(htmlCol)
+    val blocks = blocksOf(h)
+    val main = mainText(h, minWords, maxLinkPct)
+    df.select(col(idCol),
+      regexp_extract(h, titlePattern, 1).as("title"),
+      size(regexp_extract_all(h, lit(anchorPattern), lit(0)))
+        .cast("long").as("n_links"),
+      size(filter(blocks, b => wordsOf(cleanOf(b)) > 0))
+        .cast("long").as("n_blocks"),
+      size(filter(blocks, b => keepBlock(b, minWords, maxLinkPct)))
+        .cast("long").as("n_kept"),
+      length(main).cast("long").as("main_len"),
+      md5(main).as("main_fp"))
+  }
 }
