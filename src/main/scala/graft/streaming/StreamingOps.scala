@@ -198,6 +198,48 @@ object StreamingOps {
         maxBucket), batchId)
     }
 
+  /** The streaming daily-ingest probe for the IMAGE modality — the
+    * [[ingestCleanProbe]] shape applied to binary payloads: each
+    * micro-batch's images are decoded and dHashed ONCE (partition-
+    * scoped codec, payload never shuffled), and the 8-byte
+    * fingerprints probe the persisted corpus fingerprint store with
+    * [[graft.dedup.Dedup.hammingIncremental]]; the sink receives one
+    * (media_id, dup_of, hamming, is_new) row per incoming image.
+    *
+    * `corpusFps` is a THUNK over the persisted (media_id, dhash)
+    * store, re-evaluated per trigger: the intended sink appends each
+    * batch's ACCEPTED fingerprints back to the store path, so the
+    * next micro-batch probes corpus ∪ previously-accepted —
+    * arrival-order-wins, exactly the text pipeline's compaction
+    * contract. The query itself keeps NO state; the store is the
+    * state (and is all the state there is — 16 bytes per corpus
+    * image, never the payloads).
+    *
+    * Parity contract (pinned in StreamingSpec): per-image decisions
+    * depend only on (image, store), so with compaction the stream
+    * equals the batch [[graft.dedup.Dedup.hammingIncremental]] run
+    * per arrival prefix, and a twin arriving AFTER its original was
+    * accepted in an earlier micro-batch is caught — the cross-batch
+    * planted-twin case. Without intra-batch twins the single-batch
+    * decision is bit-identical to the batch form.
+    *
+    * Scale shape per trigger: O(micro-batch) decode + narrow
+    * fingerprinting; only the increment's banded keys broadcast; the
+    * corpus fingerprint store streams through a broadcast join and
+    * never shuffles — the batch plan's shape, once per trigger.
+    */
+  def imageIngestProbe(media: DataFrame, corpusFps: () => DataFrame,
+                       maxHamming: Int = 3, maxBucket: Int = 64)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val sig = graft.multimodal.Multimodal.dhashFeatures(batch)
+        .filter(col("decodable"))
+        .select(col("media_id"), col("dhash"))
+      sink(graft.dedup.Dedup.hammingIncremental(sig, corpusFps(),
+        "media_id", "dhash", maxHamming, maxBucket), batchId)
+    }
+
   /** Quality-gate filter (stateless): identical plan batch or stream —
     * the shape of an inline corpus filter in a streaming ingest path.
     */

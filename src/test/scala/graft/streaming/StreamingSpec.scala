@@ -132,6 +132,82 @@ class StreamingSpec extends AnyFunSuite {
       batchDecision.filter(_._1 != 20L))
   }
 
+  test("imageIngestProbe: compacting stream catches a cross-batch planted twin; batch parity") {
+    import spark.implicits._
+    val M = graft.multimodal.Multimodal
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("img_store").toString
+    // corpus = {1, 2, 62}, fingerprinted at "ingest time" and
+    // persisted as the (media_id, dhash) store. Increment, two
+    // micro-batches: b1 = fresh base image 65 (must be accepted);
+    // b2 = {twin(62), twin(65)} — twin(62) hits the ORIGINAL corpus,
+    // twin(65) hits only the COMPACTED store (the cross-batch catch
+    // that requires the accepted-fingerprint append between
+    // triggers). 62 and 65 are the bucket<5 ids the twin generator
+    // perturbs.
+    val corpusImgs2 = M.syntheticImagesNearDup(
+      Seq(1L, 2L, 62L).toDF("doc_id"), "doc_id", twins = false)
+    M.dhashFeatures(corpusImgs2).filter(col("decodable"))
+      .select(col("media_id"), col("dhash"))
+      .write.mode("overwrite").parquet(storeDir)
+    // md5Bucket: 62 < 5 and 65 < 5 must BOTH hold for twins to exist
+    val buckets = Seq(62L, 65L).toDF("doc_id")
+      .select(graft.util.Sampling.md5Bucket(col("doc_id")))
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(_ < 5), s"fixture ids must carry twins: ${buckets.toSeq}")
+    val b1 = M.syntheticImagesNearDup(Seq(65L).toDF("doc_id"), "doc_id",
+      twins = false)
+    val b2 = M.syntheticImagesNearDup(Seq(62L, 65L).toDF("doc_id"),
+      "doc_id", base = false) // the perturbed twins (ids + 10^7)
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("img_feed").toString
+    b1.coalesce(1).write.mode("append").parquet(feedDir)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var batches = 0
+    val q = StreamingOps.imageIngestProbe(stream,
+        () => spark.read.parquet(storeDir)) { (df, _) =>
+      val rows = df.collect()
+      out.synchronized { out ++= rows; batches += 1 }
+      // compaction: accepted fingerprints join the store before the
+      // next trigger — arrival-order-wins
+      val accepted = rows.filter(_.getBoolean(3)).map(_.getLong(0))
+      if (accepted.nonEmpty)
+        M.dhashFeatures(spark.read.parquet(feedDir)
+            .filter(col("media_id").isin(accepted: _*)))
+          .filter(col("decodable"))
+          .select(col("media_id"), col("dhash"))
+          .write.mode("append").parquet(storeDir)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3))).toMap
+    // b1: 65 is fresh -> accepted
+    assert(got(65L) == (-1L, true), s"got: $got")
+    // b2: twin of corpus image 62 hits the original store
+    assert(got(10000062L) == (62L, false), s"got: $got")
+    // b2: twin of ACCEPTED image 65 hits only the compacted store —
+    // the cross-micro-batch catch that requires compaction
+    assert(got(10000065L) == (65L, false), s"got: $got")
+    // batch parity on the no-cross-batch prefix: batch 1's decision
+    // equals the batch operator against the original store
+    val batchB1 = graft.dedup.Dedup.hammingIncremental(
+        M.dhashFeatures(b1).filter(col("decodable"))
+          .select(col("media_id"), col("dhash")),
+        M.dhashFeatures(corpusImgs2).filter(col("decodable"))
+          .select(col("media_id"), col("dhash")),
+        "media_id", "dhash").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3))).toMap
+    assert(batchB1(65L) == got(65L))
+  }
+
   test("windowedCounts: streaming (memory sink) equals batch on same data") {
     val batchEv = Tables.events(spark, dir)
     val batch = StreamingOps.windowedCounts(batchEv)
