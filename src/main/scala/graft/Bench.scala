@@ -66,8 +66,16 @@ object Bench {
     // 0.72s warmed (plan unchanged). The min of two full passes charges
     // every query its steady-state cost.
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      // drain garbage from previous queries OUTSIDE the timed window so
-      // a full GC doesn't land mid-query (standard benchmark hygiene)
+      // drain PREVIOUS queries' suite state outside the timed window:
+      // localCheckpoint blocks have no auto-unpersist hook and
+      // accumulate in the one-JVM MemoryStore across the suite — by
+      // the alphabetical dedup_* block they cost later rows up to 10×
+      // (r9: dedup_resolve_best 121s in-suite vs 12s isolated, driver
+      // gc_sec near zero — NOT collector time, block-eviction
+      // pressure). Dropping leftover blocks + a full GC makes each
+      // row's in-suite seconds match its isolated seconds.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -85,6 +85,14 @@ object ScaleBench {
         .asScala.map(_.getCollectionTime).sum
     }
     def timeOne(name: String): (Double, Long, Double) = {
+      // drop PREVIOUS queries' localCheckpoint blocks before timing:
+      // they accumulate in the one-JVM MemoryStore with no unpersist
+      // hook, and by the alphabetical dedup_* block the eviction
+      // pressure costs rows up to 10× (r9: dedup_resolve_best 121s
+      // in-suite vs 12s isolated — with driver gc_sec ≈ 0, so the
+      // gc_noisy flag alone cannot catch this class)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       val g0 = gcMillis()
       val t0 = System.nanoTime()

@@ -1734,6 +1734,31 @@ object SparkEntry {
                FROM (SELECT doc_id, html, html_clean(html) AS clean FROM h)""")
     }),
 
+    "sql_html_extract_main" -> ((s, dir) => {
+      // SQL front door for the MAIN-content selector: html_main(...)
+      // is the composed justext-core expression (same eager-bridge
+      // builder as the DataFrame operator — cannot drift); same
+      // fixture page as html_extract_main, trimmed to the main-text
+      // columns a SQL user asks for.
+      GraftFunctions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+      s.sql("""WITH h AS (SELECT doc_id,
+                 concat('<html><head><title>Doc ', cast(doc_id AS STRING),
+                   '</title><script>var nav = 1 &amp;&amp; 2;</script>',
+                   '<style>a { color: blue; }</style></head><body>',
+                   '<nav><a href="/">Home</a> <a href="/about">About</a> ',
+                   '<a href="/contact">Contact</a></nav><p>', text,
+                   '</p><p>Read the full guide at <a href="/guide">the ',
+                   'documentation portal</a> for complete details today</p><div>',
+                   repeat('<a href="/deal">hot deal item</a> ', 4),
+                   '</div><footer>Copyright &amp; terms</footer></body></html>') AS html
+                 FROM documents_v)
+               SELECT doc_id,
+                 cast(length(main) AS BIGINT) AS main_len,
+                 md5(main) AS main_fp
+               FROM (SELECT doc_id, html_main(html) AS main FROM h)""")
+    }),
+
     "seq_pack" -> ((s, dir) =>
       // global concat-then-chunk packing; distributed two-pass prefix
       // sum (range buckets + broadcast base offsets), no
@@ -2066,6 +2091,32 @@ object SparkEntry {
         .select(col("media_id"), col("clip_dhash"))
       Dedup.hammingPairs(sig, "media_id", "clip_dhash", maxHamming = 3,
         maxBucket = 64)
+    }),
+
+    "video_neardup_incremental" -> ((s, dir) => {
+      // the daily-ingest decision for the video modality — the clip
+      // twin of image_neardup_incremental: corpus = base clips of
+      // bucket<70 ids (demuxed + majority-fingerprinted once, at
+      // "ingest time"); increment = fresh base clips (bucket>=70)
+      // plus the perturbed twins — each twin must come back flagged
+      // against its original. Ids split BEFORE the generator so the
+      // assemble+demux kernel runs exactly once per side; only the
+      // increment's banded keys broadcast, the corpus fingerprint
+      // stream never shuffles, Hamming verify on the probe row.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      def sigOf(clips: DataFrame) =
+        Multimodal.videoDhashFeatures(clips, step = 2)
+          .filter(col("decodable"))
+          .select(col("media_id"), col("clip_dhash"))
+      val corpus = sigOf(Multimodal.syntheticAvisNearDup(
+        ids.filter(bucket < 70), "doc_id", twins = false))
+      val inc = sigOf(Multimodal.syntheticAvisNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticAvisNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.hammingIncremental(inc, corpus, "media_id", "clip_dhash",
+        maxHamming = 3, maxBucket = 64)
     }),
 
     "image_neardup_incremental" -> ((s, dir) => {
@@ -3444,6 +3495,44 @@ object SparkEntry {
     "sql_html_extract" -> htmlExtractOracle,
 
     "html_extract_main" -> htmlExtractMainOracle,
+    // the SQL front door computes the same main text on the same page
+    // — its oracle is the main oracle trimmed to the main-text columns
+    "sql_html_extract_main" ->
+      s"""WITH vbase AS ($htmlExtractMainOracle)
+         SELECT doc_id, main_len, main_fp FROM vbase""",
+
+    "video_neardup_incremental" ->
+      // mirrors Dedup.hammingIncremental over the clip split: corpus =
+      // base clips of bucket<70 ids; increment = fresh base clips
+      // (bucket>=70) + ALL perturbed twins; each twin must come back
+      // flagged against its original through the banded probe
+      s"""WITH $duckVideoDhashCtes,
+         vband AS (SELECT media_id, clip_dhash, b,
+             (clip_dhash >> (b * 16)) & 65535 AS key
+           FROM vdh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         vincb AS (SELECT i.media_id AS inc_id, i.clip_dhash AS ih, b, key
+                  FROM vband i LEFT JOIN vmb ON vmb.doc_id = i.media_id
+                  WHERE i.media_id >= 10000000 OR vmb.bkt >= 70),
+         vcorb AS (SELECT i.media_id AS dup_id, i.clip_dhash AS ch2, b, key
+                  FROM vband i JOIN vmb ON vmb.doc_id = i.media_id
+                  WHERE i.media_id < 10000000 AND vmb.bkt < 70),
+         vikeys AS (SELECT DISTINCT b, key FROM vincb),
+         vimat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM vcorb c
+                  JOIN vikeys USING (b, key)),
+         vicap AS (SELECT dup_id, ch2, b, key FROM vimat
+                  QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         viver AS (SELECT DISTINCT i.inc_id, m.dup_id,
+               bit_count(xor(i.ih, m.ch2)) AS hamming
+               FROM vincb i JOIN vicap m USING (b, key)
+               WHERE i.inc_id <> m.dup_id),
+         vibest AS (SELECT inc_id, dup_id, hamming FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY hamming ASC, dup_id) AS rn
+             FROM viver WHERE hamming <= 3) WHERE rn = 1)
+         SELECT i.inc_id AS media_id, vibest.dup_id AS dup_of,
+           vibest.hamming, (vibest.dup_id IS NULL) AS is_new
+         FROM (SELECT DISTINCT inc_id FROM vincb) i
+         LEFT JOIN vibest USING (inc_id)""",
 
     "seq_pack" ->
       // the distributed two-pass prefix sum equals this single global
