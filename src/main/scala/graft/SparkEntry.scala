@@ -1134,6 +1134,19 @@ object SparkEntry {
       graft.textops.Vocab.lmScore(Tables.documents(s, dir),
         "doc_id", "text")),
 
+    "quality_model_score" -> ((s, dir) => {
+      // the LEARNED-filter scoring pass (fastText/DCLM class): a
+      // linear unigram model scored as one broadcast weight-table
+      // join + ONE combinable per-doc aggregate. The fixture weight
+      // table is the corpus's own top-2000 tokens (md5-fold weights
+      // — both engines replay it), standing in for a trained model's
+      // file (Classifier.weightsFromFile is the external path);
+      // integer micro-unit score, OOV tokens weigh 0
+      val d = Tables.documents(s, dir)
+      graft.textops.Classifier.scoreLinear(d, "doc_id", "text",
+        graft.textops.Classifier.fixtureWeights(d, "text", vocab = 2000))
+    }),
+
     "doc_winnow" -> ((s, dir) =>
       // rolling-hash (winnowing) fingerprints as (doc_id, fp) rows
       TextOps.winnowing(Tables.documents(s, dir), "doc_id", "text",
@@ -2762,6 +2775,34 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_ngrams,
            round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
          FROM ng JOIN d USING (ngram) GROUP BY doc_id""",
+
+    "quality_model_score" ->
+      // replays the fixture vocabulary (top-2000 tokens, count desc /
+      // token asc cut), the md5-fold weights, the OOV-zero left join,
+      // and the all-positive round-half-up micro-unit division
+      """WITH qmt AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> '')) AS token
+           FROM documents),
+         qmv AS (SELECT token FROM qmt GROUP BY token
+                 ORDER BY count(*) DESC, token ASC LIMIT 2000),
+         qmw AS (SELECT token,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(token), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 2001 AS weight
+           FROM qmv),
+         qms AS (SELECT doc_id, count(*) AS n_tokens,
+               count(w.weight) AS n_invocab,
+               sum(COALESCE(w.weight, 0)) AS wsum
+             FROM qmt LEFT JOIN qmw w USING (token) GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(qms.n_tokens, 0) AS n_tokens,
+           COALESCE(qms.n_invocab, 0) AS n_invocab,
+           CASE WHEN qms.doc_id IS NULL THEN NULL
+                ELSE (wsum * 2000000 + n_tokens) // (n_tokens * 2) END
+             AS score_micro
+         FROM documents d LEFT JOIN qms USING (doc_id)""",
 
     "lm_score" ->
       // replays Vocab.lmScore on the string keys (the engine joins on

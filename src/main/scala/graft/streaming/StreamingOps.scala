@@ -240,6 +240,27 @@ object StreamingOps {
         "media_id", "dhash", maxHamming, maxBucket), batchId)
     }
 
+  /** The [[imageIngestProbe]] contract for the VIDEO modality: each
+    * micro-batch's clips demux + majority-fingerprint once
+    * ([[graft.multimodal.Multimodal.videoDhashFeatures]], frame
+    * sampling at `step`), and the 8-byte clip fingerprints probe the
+    * persisted (media_id, clip_dhash) store. Same compacting-thunk /
+    * arrival-order-wins / no-query-state semantics; parity pinned in
+    * StreamingSpec alongside the image twin.
+    */
+  def videoIngestProbe(media: DataFrame, corpusFps: () => DataFrame,
+                       step: Int = 2, maxHamming: Int = 3,
+                       maxBucket: Int = 64)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val sig = graft.multimodal.Multimodal.videoDhashFeatures(batch, step)
+        .filter(col("decodable"))
+        .select(col("media_id"), col("clip_dhash"))
+      sink(graft.dedup.Dedup.hammingIncremental(sig, corpusFps(),
+        "media_id", "clip_dhash", maxHamming, maxBucket), batchId)
+    }
+
   /** Quality-gate filter (stateless): identical plan batch or stream —
     * the shape of an inline corpus filter in a streaming ingest path.
     */

@@ -1,0 +1,133 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LEARNED-filter scoring — the fastText/DCLM-class quality
+  * classifier pass every modern pretraining pipeline runs after the
+  * heuristic gates, reduced to its deterministic scoring core: a
+  * LINEAR model over unigram features,
+  *
+  *   score(doc) = Σ_tok w(tok) / n_tokens,
+  *
+  * exactly the inference arithmetic of a bag-of-words linear
+  * classifier (fastText with unigram features and a frozen embedding
+  * collapses to a per-token weight lookup + mean). TRAINING is out of
+  * scope here (no labels in this corpus); what the engine owns is the
+  * 100 TB-shaped scoring pass, against either
+  *
+  *  - a WEIGHT TABLE the caller loads ([[weightsFromFile]] — the
+  *    standard `token weight` text format, through Hadoop's
+  *    FileSystem so hdfs:/s3a: paths work), or
+  *  - the corpus's own deterministic fixture table
+  *    ([[fixtureWeights]] — top-`vocab` tokens by frequency, weights
+  *    derived from the md5 fold both engines replay), which is what
+  *    the registered oracle row scores with.
+  *
+  * Scale shape: the weight table is VOCABULARY-sized (fastText ships
+  * a few hundred thousand rows — broadcast-scale on any executor), so
+  * scoring is one narrow token scan + a broadcast hash join + ONE
+  * combinable per-doc aggregate. The corpus never shuffles anything
+  * wider than (doc_id, weight) partial sums. Weights are INTEGERS in
+  * [0, 2000] and the reported score is in integer micro-units
+  * (round-half-up division, all-positive operands — the engines'
+  * integer divisions agree only on non-negative values, the
+  * stl_seasonal lesson), so the row hash-checks bit for bit.
+  */
+object Classifier {
+
+  /** The md5 fold both engines replay (15 hex chars → BIGINT), mapped
+    * to an integer weight in [0, 2000]. */
+  private def md5Weight(token: Column): Column = pmod(
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long"), lit(2001L))
+
+  /** Deterministic fixture weight table: the corpus's top-`vocab`
+    * tokens by frequency (ties broken by token — the TakeOrdered cut
+    * both engines compute identically), each weighted by the md5
+    * fold. Stands in for a trained model's weight file; the scoring
+    * pass downstream is identical either way.
+    */
+  def fixtureWeights(df: DataFrame, textCol: String,
+                     vocab: Int = 2000): DataFrame = {
+    require(vocab >= 1, s"vocab must be >= 1, got $vocab")
+    graft.util.Par.spread(df)
+      .select(explode(TextOps.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("token").asc)
+      .limit(vocab)
+      .select(col("token"), md5Weight(col("token")).as("weight"))
+  }
+
+  /** Load a `token weight` text table (one pair per line, `#`
+    * comments allowed) through Hadoop's FileSystem — the external
+    * path for scoring with a REAL trained model's weights, the
+    * [[graft.functions.BpeVocab.fromFile]] convention. Weights must
+    * be integers (scale float weights to micro-units upstream; the
+    * scoring arithmetic is exact integer end to end).
+    */
+  def weightsFromFile(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    val rows =
+      try {
+        val out = Vector.newBuilder[(String, Long)]
+        var lineNo = 0
+        var line = in.readLine()
+        while (line != null) {
+          lineNo += 1
+          val t = line.trim
+          if (t.nonEmpty && !t.startsWith("#")) {
+            val parts = t.split("\\s+")
+            require(parts.length == 2,
+              s"$path:$lineNo: expected 'token weight', got '$t'")
+            out += ((parts(0), parts(1).toLong))
+          }
+          line = in.readLine()
+        }
+        out.result()
+      } finally in.close()
+    import spark.implicits._
+    rows.toDF("token", "weight")
+  }
+
+  /** Score every document under a linear unigram model: per-doc token
+    * count, in-vocabulary hit count, and the mean weight in integer
+    * micro-units (`score_micro = round_half_up(10⁶ · Σw / n)`;
+    * out-of-vocabulary tokens contribute weight 0 — the OOV
+    * convention of any fixed-vocab classifier). NULL score for
+    * token-less documents (no silent drops — dirty rows surface).
+    *
+    * One narrow scan (tokens + lower), one broadcast join against the
+    * vocabulary-sized weight table, ONE combinable aggregate, one
+    * broadcast join back to the id list. Output:
+    * (doc_id, n_tokens, n_invocab, score_micro).
+    */
+  def scoreLinear(df: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame): DataFrame = {
+    val toks = graft.util.Par.spread(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("token"))
+    val scored = toks
+      .join(broadcast(weights.select(col("token"),
+        col("weight").cast("long").as("_w"))), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("_w")).as("n_invocab"),
+        sum(coalesce(col("_w"), lit(0L))).as("_wsum"))
+      // round-half-up on strictly non-negative operands: (2·10⁶·Σw + n)
+      // div (2n) — truncating and flooring division agree here, so
+      // Spark's `div` and DuckDB's `//` produce the same integer
+      .select(col("doc_id"), col("n_tokens"), col("n_invocab"),
+        expr("(_wsum * 2000000L + n_tokens) div (n_tokens * 2L)")
+          .as("score_micro"))
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(broadcast(scored), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_invocab"), lit(0L)).as("n_invocab"),
+        col("score_micro"))
+  }
+}

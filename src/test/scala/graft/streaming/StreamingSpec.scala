@@ -208,6 +208,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchB1(65L) == got(65L))
   }
 
+  test("videoIngestProbe: compacting stream catches a cross-batch planted twin clip") {
+    import spark.implicits._
+    val M = graft.multimodal.Multimodal
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("vid_store").toString
+    // corpus = {1, 2, 62}; b1 = fresh clip 65 (accepted + compacted);
+    // b2 = {twin(62), twin(65)} — twin(62) hits the original store,
+    // twin(65) only the compacted one (the cross-batch catch)
+    val corpusClips = M.syntheticAvisNearDup(
+      Seq(1L, 2L, 62L).toDF("doc_id"), "doc_id", twins = false)
+    def sigOf(clips: org.apache.spark.sql.DataFrame) =
+      M.videoDhashFeatures(clips, step = 2).filter(col("decodable"))
+        .select(col("media_id"), col("clip_dhash"))
+    sigOf(corpusClips).write.mode("overwrite").parquet(storeDir)
+    val b1 = M.syntheticAvisNearDup(Seq(65L).toDF("doc_id"), "doc_id",
+      twins = false)
+    val b2 = M.syntheticAvisNearDup(Seq(62L, 65L).toDF("doc_id"),
+      "doc_id", base = false)
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("vid_feed").toString
+    b1.coalesce(1).write.mode("append").parquet(feedDir)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var batches = 0
+    val q = StreamingOps.videoIngestProbe(stream,
+        () => spark.read.parquet(storeDir)) { (df, _) =>
+      val rows = df.collect()
+      out.synchronized { out ++= rows; batches += 1 }
+      val accepted = rows.filter(_.getBoolean(3)).map(_.getLong(0))
+      if (accepted.nonEmpty)
+        sigOf(spark.read.parquet(feedDir)
+            .filter(col("media_id").isin(accepted: _*)))
+          .write.mode("append").parquet(storeDir)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3))).toMap
+    assert(got(65L) == (-1L, true), s"got: $got")
+    assert(got(10000062L) == (62L, false), s"got: $got")
+    assert(got(10000065L) == (65L, false), s"got: $got")
+  }
+
   test("windowedCounts: streaming (memory sink) equals batch on same data") {
     val batchEv = Tables.events(spark, dir)
     val batch = StreamingOps.windowedCounts(batchEv)
