@@ -302,7 +302,39 @@ object PlanDump {
         ("Edit-distance near-dedup: LSH band candidates (ids-only " +
           "shuffles, bucket caps) re-join 400-char prefixes for the " +
           "few candidate pairs; the Levenshtein verify is the " +
-          "threshold DP form, after a prefix-length band filter."))
+          "threshold DP form, after a prefix-length band filter."),
+      "range_join_events" ->
+        ("Point-in-interval range join as an EQUI join: intervals " +
+          "explode to their covering time buckets (bounded by the " +
+          "in-plan spread assert), points hash to exactly one bucket, " +
+          "the residual BETWEEN runs after the (bucket, user_id) " +
+          "shuffle join — never a BroadcastNestedLoopJoin/cartesian."),
+      "dedup_spans_probe_updated" ->
+        ("The delta-append span probe: base store scanned twice " +
+          "(pushed df<=maxDf candidate scan + the unfiltered " +
+          "base-df lookup for delta fps), NEVER shuffled; the " +
+          "checkpoint-truncated delta branch unions in as an " +
+          "ExistingRDD leaf; effective df (base + delta rows per fp) " +
+          "derives lazily for probed fps only. No store rewrite " +
+          "anywhere in the timed plan."),
+      "video_neardup" ->
+        ("Video content near-dedup: clips assemble+demux+hash in ONE " +
+          "narrow mapPartitions pass (per-frame dHash majority-voted " +
+          "into a 64-bit clip fingerprint — only 8 bytes per clip " +
+          "leave the partition); the Hamming band self-join shuffles " +
+          "(id, band, key) rows only, bucket-capped."),
+      "html_extract_main" ->
+        ("Main-content extraction: segmentation, per-block scoring " +
+          "(word count + anchor-word link density), and the " +
+          "document-order join are all codegen'd higher-order array " +
+          "functions in the scan-stage projection — one narrow pass, " +
+          "no UDF, no shuffle, no join."),
+      "quality_model_score" ->
+        ("Learned-filter scoring: the vocabulary-sized weight table " +
+          "(top-2000 TakeOrdered cut + md5-fold weights) broadcasts; " +
+          "the corpus token stream joins it map-side and feeds ONE " +
+          "combinable per-doc aggregate — nothing wider than " +
+          "(doc_id, weight) partials crosses the exchange."))
 
     val md = new StringBuilder
     md.append("# Physical plans of flagship operators\n\n")

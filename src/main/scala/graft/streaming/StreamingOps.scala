@@ -261,6 +261,30 @@ object StreamingOps {
         "media_id", "clip_dhash", maxHamming, maxBucket), batchId)
     }
 
+  /** The ingest-probe contract for the EMBEDDING modality — the last
+    * of the modality set (text spans/composite, image, video): each
+    * micro-batch of (vec_id, embedding) rows probes the corpus with
+    * [[graft.simops.Similarity.nearDupIncremental]] (the increment's
+    * hyperplane band keys broadcast; the corpus never shuffles; full
+    * vectors move only for verified candidates). The corpus is a
+    * THUNK re-evaluated per trigger so the sink's accepted-vector
+    * append gives arrival-order-wins; the query keeps no state.
+    * Unlike the fingerprint modalities the store here is the vector
+    * frame itself — banding is cheap relative to the exact-cosine
+    * verify, so nothing is precomputed.
+    */
+  def embeddingIngestProbe(vectors: DataFrame, corpus: () => DataFrame,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           threshold: Double = 0.9, numPlanes: Int = 64,
+                           bands: Int = 4, dim: Int = -1)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.simops.Similarity.nearDupIncremental(batch, corpus(),
+        idCol, vecCol, threshold, numPlanes, bands, dim), batchId)
+    }
+
   /** Quality-gate filter (stateless): identical plan batch or stream —
     * the shape of an inline corpus filter in a streaming ingest path.
     */
