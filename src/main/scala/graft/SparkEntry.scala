@@ -62,6 +62,32 @@ object SparkEntry {
 
   private val minhashBandedCtes = minhashBandedCtesFrom("documents")
 
+  /** The multi-line fixture view both line-dedup oracles replay —
+    * mirrors [[graft.textops.LineDedup.multilineFixture]] (8-token
+    * lines from the doc's own tokens, the md5 bucket < 20 boilerplate
+    * plant and the bucket >= 80 first-line self-dup plant). Ends in
+    * `ml(doc_id, ls)`. No leading WITH.
+    */
+  private val lineFixtureCtes =
+    """lw AS (SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+           FROM documents),
+         mlb AS (SELECT doc_id,
+           list_transform(generate_series(1,
+               greatest(CAST(ceil(len(w) / 8.0) AS BIGINT), 1)),
+             g -> array_to_string(w[((g-1)*8+1):least(g*8, len(w))], ' ')) AS ls0,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+           FROM lw),
+         ml AS (SELECT doc_id, ls0
+           || (CASE WHEN bucket < 20
+               THEN ['accept cookies to continue'] ELSE []::VARCHAR[] END)
+           || (CASE WHEN bucket >= 80
+               THEN [ls0[1]] ELSE []::VARCHAR[] END) AS ls
+           FROM mlb)"""
+
   /** [[minhashBandedCtes]] + the batch pair pipeline mirroring
     * [[graft.dedup.Dedup.minhashLsh]] (bucket cap → candidate pairs →
     * exact-Jaccard verify), ending in `mpairs(doc_a, doc_b, jaccard)`.
@@ -1072,6 +1098,42 @@ object SparkEntry {
       // engines: every threshold compares an IEEE division of the
       // same integers
       TextOps.qualityFilter(Tables.documents(s, dir), "doc_id", "text")),
+
+    "sample_dsir" -> ((s, dir) =>
+      // DSIR-style importance scoring (Xie et al. 2023): hashed
+      // n-gram bucket models for target (source = src0) vs the raw
+      // pool, per-doc avg log-likelihood ratio, top-quartile keep.
+      // One combinable bucket-count agg (10k buckets), broadcast
+      // log-ratio table, one combinable per-doc agg, one
+      // percentile_approx scalar — the corpus never shuffles
+      graft.textops.Classifier.dsirScore(Tables.documents(s, dir),
+        "doc_id", "text", col("source") === "src0")),
+
+    "dedup_lines_intra" -> ((s, dir) =>
+      // C4's within-document rule: keep each distinct line's FIRST
+      // occurrence, preserve document order. Pure per-row array
+      // arithmetic — no shuffle at any corpus size. The corpus is
+      // single-line prose, so the row runs over the deterministic
+      // multi-line fixture view (lines of 8 own-tokens + planted
+      // boilerplate/self-dup lines — both md5 draws the oracle
+      // replays); ~20% of docs carry a within-doc duplicate to drop
+      graft.textops.LineDedup.dedupLinesIntra(
+        graft.textops.LineDedup.multilineFixture(
+          Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "text")),
+
+    "dedup_lines_corpus" -> ((s, dir) =>
+      // MassiveText/RefinedWeb's cross-document rule: a line survives
+      // only at its globally FIRST occurrence (min (doc_id, pos)) —
+      // the planted cookie-banner boilerplate drops from every doc
+      // but one. Line strings never shuffle: (xxhash64, doc_id, pos)
+      // 24-byte rows feed one combinable min agg + one hash-keyed
+      // join; cleaned text is rebuilt from each doc's own lines by
+      // surviving position
+      graft.textops.LineDedup.dedupLinesCorpus(
+        graft.textops.LineDedup.multilineFixture(
+          Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id", "text")),
 
     "sample_cap_per_source" -> ((s, dir) =>
       // "at most k docs per source" by deterministic md5 draw — the
@@ -2665,6 +2727,83 @@ object SparkEntry {
            FROM r)
          SELECT doc_id, source, rank::BIGINT AS rank
          FROM rk WHERE rank <= 10""",
+
+    "sample_dsir" ->
+      // replays the hashed-n-gram bucket models (md5-fold % 10000),
+      // add-one smoothing, the per-doc avg log-ratio rounded 6dp,
+      // and the quartile threshold as explicit rank selection (the
+      // corpus_profile_approx discrete-quantile convention)
+      s"""WITH dt AS (SELECT doc_id, source = 'src0' AS t,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> '') AS w
+           FROM documents),
+         fu AS (SELECT doc_id, t, unnest(w) AS f FROM dt),
+         fbg AS (SELECT doc_id, t, w[i] || ' ' || w[i+1] AS f
+               FROM (SELECT doc_id, t, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+                     FROM dt WHERE len(w) >= 2)),
+         fa AS (SELECT doc_id, t,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(f), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 10000 AS b
+           FROM (SELECT * FROM fu UNION ALL SELECT * FROM fbg)),
+         c AS (SELECT b, count(*) AS cr, count(*) FILTER (t) AS ct
+               FROM fa GROUP BY b),
+         tot AS (SELECT sum(cr) AS rtot, sum(ct) AS ttot FROM c),
+         lr AS (SELECT b, ln((ct + 1.0) / (ttot + 10000))
+                        - ln((cr + 1.0) / (rtot + 10000)) AS lr
+               FROM c, tot),
+         s AS (SELECT doc_id, count(*) AS n_feats,
+               round(avg(lr), 6) AS dsir_score
+               FROM fa JOIN lr USING (b) GROUP BY doc_id),
+         r AS (SELECT dsir_score, row_number() OVER (ORDER BY dsir_score) AS rn,
+               count(*) OVER () AS n FROM s),
+         thr AS (SELECT max(CASE WHEN rn =
+               greatest(CAST(ceil(0.75 * n) AS BIGINT), 1)
+               THEN dsir_score END) AS t3 FROM r)
+         SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+           s.dsir_score,
+           COALESCE(s.dsir_score > thr.t3, false) AS keep
+         FROM documents d LEFT JOIN s USING (doc_id), thr""",
+
+    "dedup_lines_intra" ->
+      // replays the multi-line fixture (8-token lines + the two md5
+      // plant draws), then C4's keep-first-occurrence-within-doc:
+      // an element survives iff its index IS its value's first index
+      s"""WITH $lineFixtureCtes,
+         l AS (SELECT doc_id, ls, i, ls[i] AS line
+               FROM ml, unnest(generate_series(1, len(ls))) AS t(i)),
+         k AS (SELECT doc_id, i, line FROM l
+               WHERE list_position(ls, line) = i)
+         SELECT ml.doc_id, len(ml.ls)::BIGINT AS n_lines,
+           c.n_kept, c.text_clean
+         FROM ml JOIN (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(line, chr(10) ORDER BY i) AS text_clean
+           FROM k GROUP BY doc_id) c USING (doc_id)""",
+
+    "dedup_lines_corpus" ->
+      // same fixture, then the MassiveText cross-document rule: a
+      // line survives only at its global min (doc_id, position).
+      // The oracle keys on the line STRING where the engine keys on
+      // xxhash64 of the same string (the novelty_score collision
+      // convention)
+      s"""WITH $lineFixtureCtes,
+         l AS (SELECT doc_id, ls, i, ls[i] AS line
+               FROM ml, unnest(generate_series(1, len(ls))) AS t(i)),
+         f1 AS (SELECT line, min(doc_id) AS d0 FROM l GROUP BY line),
+         f2 AS (SELECT l.line, l.doc_id, min(l.i) AS i0 FROM l
+               JOIN f1 ON l.line = f1.line AND l.doc_id = f1.d0
+               GROUP BY l.line, l.doc_id),
+         k AS (SELECT l.doc_id, l.i, l.line FROM l
+               JOIN f2 ON l.line = f2.line AND l.doc_id = f2.doc_id
+                 AND l.i = f2.i0)
+         SELECT ml.doc_id, len(ml.ls)::BIGINT AS n_lines,
+           COALESCE(c.n_kept, 0)::BIGINT AS n_kept,
+           COALESCE(c.text_clean, '') AS text_clean
+         FROM ml LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(line, chr(10) ORDER BY i) AS text_clean
+           FROM k GROUP BY doc_id) c USING (doc_id)""",
 
     "sql_quality_score" -> duckQualityScoreOracle,
 

@@ -93,6 +93,83 @@ object Classifier {
     rows.toDF("token", "weight")
   }
 
+  /** DSIR-style importance scoring (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169) — the
+    * distribution-matching data-selection axis beside the heuristic
+    * gates ([[TextOps.qualityFilter]]) and the learned filter
+    * ([[scoreLinear]]): score each raw document by how much more
+    * likely its hashed n-gram features are under the TARGET
+    * distribution than under the raw pool,
+    *
+    *   score(doc) = avg over features f of
+    *                [ ln p_target(b(f)) − ln p_raw(b(f)) ],
+    *
+    * with features = unigrams + bigrams hashed into `nBuckets`
+    * buckets (the paper's hashed n-gram generative model) and
+    * add-one smoothing on both bucket models. `isTarget` marks the
+    * rows that define the target distribution (in DSIR: the
+    * high-quality corpus you want more of); here it is a predicate
+    * over the SAME frame so one scan feeds both models. The keep
+    * flag selects the top quartile by score — the deterministic
+    * stand-in for the paper's Gumbel resampling draw (the md5-draw
+    * convention covers randomized keeps elsewhere; the QUANTILE cut
+    * is the reproducible form, per [[graft.pipeline.Pipeline
+    * .sampleQualityTiers]]).
+    *
+    * Scale shape: one narrow feature scan (md5-fold bucket ids — the
+    * minhash kernel's per-shingle arithmetic), ONE combinable
+    * bucket-count aggregate to a `nBuckets`-sized table, scalar
+    * totals and the log-ratio table broadcast, then ONE combinable
+    * per-doc aggregate. The quartile threshold is one
+    * `percentile_approx` aggregate broadcast as a scalar frame —
+    * never a global-window ntile. The corpus never shuffles anything
+    * wider than (doc_id, log-ratio) partials; the doc attach-back is
+    * a doc-keyed join with no broadcast hint. Score rounds to 6dp
+    * before the threshold compare (the lm_score float-parity
+    * convention).
+    *
+    * Output: `(doc_id, n_feats, dsir_score, keep)` for every input
+    * doc (token-less docs: NULL score, keep = false).
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, nBuckets: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val ex = graft.util.Par.spread(df)
+      .select(col(idCol).cast("long").as("doc_id"), isTarget.as("_t"),
+        explode(concat(toks, bigrams)).as("_f"))
+      .select(col("doc_id"), col("_t"),
+        graft.util.Sampling.md5Bucket(col("_f"), nBuckets.toLong).as("_b"))
+    val counts = ex.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_cr"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"))
+    val totals = counts.agg(sum(col("_cr")).as("_rtot"),
+      sum(col("_ct")).as("_ttot"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("_b"),
+        (log((col("_ct") + lit(1.0)) / (col("_ttot") + lit(nBuckets))) -
+          log((col("_cr") + lit(1.0)) / (col("_rtot") + lit(nBuckets))))
+          .as("_lr"))
+    val scored = ex.join(broadcast(ratios), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(avg(col("_lr")), 6).as("dsir_score"))
+    val thr = scored.agg(percentile_approx(col("dsir_score"), lit(0.75),
+      lit(100000)).as("_thr"))
+    // doc-sized attach-back: no broadcast hint (see scoreLinear)
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(thr))
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("dsir_score"),
+        coalesce(col("dsir_score") > col("_thr"), lit(false)).as("keep"))
+  }
+
   /** Score every document under a linear unigram model: per-doc token
     * count, in-vocabulary hit count, and the mean weight in integer
     * micro-units (`score_micro = round_half_up(10⁶ · Σw / n)`;
@@ -123,8 +200,12 @@ object Classifier {
       .select(col("doc_id"), col("n_tokens"), col("n_invocab"),
         expr("(_wsum * 2000000L + n_tokens) div (n_tokens * 2L)")
           .as("score_micro"))
+    // the attach-back joins two DOC-sized frames — no broadcast hint
+    // (a hint here forces materializing the whole corpus's aggregate
+    // on every executor; size-based broadcasts the planner picks at
+    // small SF adapt away on a real corpus)
     df.select(col(idCol).cast("long").as("doc_id"))
-      .join(broadcast(scored), Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_invocab"), lit(0L)).as("n_invocab"),

@@ -1,0 +1,129 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LINE-level deduplication — the C4/MassiveText/RefinedWeb cleaning
+  * step that runs BETWEEN document-level near-dedup and span-level
+  * reuse detection: web text repeats whole lines (cookie banners,
+  * nav bars, footers, share buttons) verbatim within a page and
+  * across millions of pages, and line granularity catches exactly the
+  * boilerplate that document MinHash (too coarse) and winnow spans
+  * (offset-sensitive) both miss.
+  *
+  * Two standard variants, matching the published pipelines:
+  *
+  *  - [[dedupLinesIntra]] — WITHIN each document, keep only the first
+  *    occurrence of every distinct line (the C4 "discard all but one
+  *    of any repeated lines in a page" rule). Pure per-row array
+  *    arithmetic: no shuffle, no join — a narrow scan at any corpus
+  *    size.
+  *  - [[dedupLinesCorpus]] — ACROSS the corpus, a line survives only
+  *    at its globally FIRST occurrence (min (doc_id, position)); every
+  *    other copy — in the same document or any other — is dropped
+  *    (the MassiveText/RefinedWeb "remove duplicated lines across
+  *    documents" rule, first-occurrence-wins like the exact-dedup
+  *    min-id convention).
+  *
+  * Scale shape of the corpus variant: line STRINGS never cross an
+  * exchange. The exploded frame ships only `(xxhash64(line), doc_id,
+  * position)` — 24-byte rows — into ONE combinable min aggregate plus
+  * one hash-keyed join; the surviving positions return to the
+  * document as a sorted int array on a doc-keyed join, and the
+  * cleaned text is rebuilt from the document's OWN line array by
+  * position. Equality up to the vanishing xxhash64 collision contract
+  * (the novelty_score / decontaminate convention).
+  */
+object LineDedup {
+
+  /** Deterministic multi-line fixture view: the driver corpus is
+    * single-line prose, so the registered line-dedup rows would be
+    * vacuous on it (every doc = one unique line, nothing to drop —
+    * the embedding_neardup_planted lesson). This view gives every doc
+    * newline structure derived from its OWN tokens (lines of
+    * `lineLen` tokens), then plants the two duplication modes the
+    * operators exist to catch:
+    *
+    *  - md5 bucket < 20  → the doc gains the GLOBAL boilerplate line
+    *    (the cross-document cookie-banner shape);
+    *  - md5 bucket >= 80 → the doc's first line is appended again
+    *    (the within-document repeated-line shape).
+    *
+    * Both draws and the line split are integer/md5 arithmetic the
+    * DuckDB oracle replays literally.
+    */
+  def multilineFixture(df: DataFrame, idCol: String, textCol: String,
+                       lineLen: Int = 8): DataFrame = {
+    require(lineLen >= 1, s"lineLen must be >= 1, got $lineLen")
+    val toks = TextOps.tokens(col(textCol))
+    val nLines = greatest(ceil(size(toks) / lit(lineLen.toDouble))
+      .cast("int"), lit(1))
+    val lines0 = transform(sequence(lit(1), nLines),
+      g => array_join(slice(toks, (g - 1) * lineLen + 1, lit(lineLen)), " "))
+    val bucket = graft.util.Sampling.md5Bucket(col(idCol))
+    val planted = concat(lines0,
+      when(bucket < 20, array(lit(Boilerplate)))
+        .otherwise(array().cast("array<string>")),
+      when(bucket >= 80, array(element_at(lines0, 1)))
+        .otherwise(array().cast("array<string>")))
+    df.select(col(idCol), array_join(planted, "\n").as(textCol))
+  }
+
+  /** The planted cross-document boilerplate line. */
+  val Boilerplate = "accept cookies to continue"
+
+  /** Within-document line dedup (C4 rule): keep each distinct line's
+    * FIRST occurrence, preserve document order. One narrow scan —
+    * `array_position(lines, x) == i+1` keeps an element iff its own
+    * index is the first index of its value. Output:
+    * `(doc_id, n_lines, n_kept, text_clean)`.
+    */
+  def dedupLinesIntra(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, (x, i) => array_position(lines, x) === i + 1)
+    graft.util.Par.spread(df).select(
+      col(idCol).cast("long").as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("text_clean"))
+  }
+
+  /** Corpus-wide line dedup (MassiveText/RefinedWeb rule): a line
+    * survives only in the document where it FIRST occurs — global
+    * min `(doc_id, position)` per distinct line — and only at that
+    * position; all other copies anywhere drop.
+    *
+    * Plan: narrow explode to `(h = xxhash64(line), doc_id, i)` → ONE
+    * combinable `min(struct(doc_id, i))` per h → hash-keyed join
+    * (24-byte rows, AQE-splittable — no hint) filters to surviving
+    * positions → doc-keyed collect of the kept-position array →
+    * doc-keyed join back to the corpus, where the cleaned text is
+    * rebuilt from the document's own lines by position. Line strings
+    * never shuffle. Output: `(doc_id, n_lines, n_kept, text_clean)`
+    * for every input doc (a fully-boilerplate doc keeps 0 lines and
+    * an empty `text_clean`).
+    */
+  def dedupLinesCorpus(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val spread = graft.util.Par.spread(df)
+    val lines = split(col(textCol), "\n")
+    val ex = spread.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(lines).as(Seq("_i", "_ln")))
+      .select(col("doc_id"), col("_i"), xxhash64(col("_ln")).as("_h"))
+    val owner = ex.groupBy(col("_h"))
+      .agg(min(struct(col("doc_id"), col("_i"))).as("_o"))
+    val keptPos = ex.join(owner, Seq("_h"))
+      .filter(col("doc_id") === col("_o.doc_id") && col("_i") === col("_o._i"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("_i"))).as("_kp"))
+    spread.select(col(idCol).cast("long").as("doc_id"), lines.as("_lines"))
+      .join(keptPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("_lines")).cast("long").as("n_lines"),
+        coalesce(size(col("_kp")), lit(0)).cast("long").as("n_kept"),
+        array_join(filter(col("_lines"),
+          (_, i) => coalesce(array_contains(col("_kp"), i), lit(false))),
+          "\n").as("text_clean"))
+  }
+}

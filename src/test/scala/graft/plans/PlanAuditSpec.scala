@@ -594,4 +594,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("quality_model_score: only the vocab table is hint-broadcast; the doc attach-back shuffles") {
+    // the weight table is vocabulary-bounded (limit 2000) — its
+    // broadcast hint is legitimate at any corpus size. The final
+    // attach-back joins two DOC-sized frames and must NOT be
+    // hint-forced (round 9 shipped it broadcast(scored) — every
+    // executor would materialize the whole corpus's aggregate).
+    // With size-based broadcasts off, exactly the hinted join stays
+    // broadcast and the doc-keyed join plans shuffled.
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("quality_model_score")
+      assert(opCount(p, "BroadcastHashJoin") == 1, p)
+      assert(opCount(p, "SortMergeJoin") + opCount(p, "ShuffledHashJoin") >= 1, p)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
 }

@@ -74,4 +74,62 @@ class ClassifierSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("dsirScore: target-vocabulary docs outrank pool docs; top quartile keeps") {
+    import spark.implicits._
+    // target docs share a vocabulary ('good quality prose'); pool docs
+    // don't. A raw doc WRITTEN in target vocabulary must outscore raw
+    // docs that aren't — the whole point of importance reweighting.
+    val rows = Seq(
+      (1L, "good quality prose here", true),
+      (2L, "good quality prose there", true),
+      (3L, "good quality prose found", false), // target-like raw doc
+      (4L, "junk spam noise filler", false),
+      (5L, "other random pool words", false),
+      (6L, "more unrelated pool stuff", false),
+      (7L, "yet another pool doc", false),
+      (8L, "", false)) // token-less
+    val df = rows.toDF("doc_id", "text", "is_t")
+    val got = Classifier.dsirScore(df, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          r.getBoolean(3))).toMap
+    assert(got.size == 8)
+    // 4 tokens -> 4 unigrams + 3 bigrams
+    assert(got(1L)._1 == 7L)
+    assert(got(8L) == ((0L, got(8L)._2, false)) && got(8L)._2.isNaN)
+    val targetLike = got(3L)._2
+    for (id <- Seq(4L, 5L, 6L, 7L))
+      assert(targetLike > got(id)._2,
+        s"doc 3 ($targetLike) should outscore doc $id (${got(id)._2})")
+    // keep implements the documented rank rule: score strictly above
+    // the value at 1-based rank ceil(0.75·n) of the n scored docs
+    // (here both top scores TIE the threshold value, so nothing keeps
+    // — the strictly-above convention shared with sampleQualityTiers)
+    val scores = got.values.collect { case (_, s, _) if !s.isNaN => s }
+      .toSeq.sorted
+    val thr = scores(math.ceil(0.75 * scores.size).toInt - 1)
+    got.foreach { case (id, (_, s, keep)) =>
+      assert(keep == (!s.isNaN && s > thr), s"doc $id: score $s thr $thr")
+    }
+  }
+
+  test("dsirScore plan: ratio table broadcasts; doc attach-back carries no broadcast hint") {
+    import spark.implicits._
+    val conf = spark.conf
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = (1L to 60L).map(i => (i, s"tok$i alpha beta", i % 4 == 0))
+        .toDF("doc_id", "text", "is_t")
+      val p = Classifier.dsirScore(d, "doc_id", "text", col("is_t"))
+        .queryExecution.executedPlan.toString
+      // hinted broadcasts: ratio table, totals scalar, threshold scalar
+      // — all bucket/scalar-sized. The doc-keyed join must shuffle.
+      assert(
+        p.linesIterator.count(l => l.contains("SortMergeJoin") ||
+          l.contains("ShuffledHashJoin")) >= 1, p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
 }
