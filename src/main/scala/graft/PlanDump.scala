@@ -329,6 +329,22 @@ object PlanDump {
           "document-order join are all codegen'd higher-order array " +
           "functions in the scan-stage projection — one narrow pass, " +
           "no UDF, no shuffle, no join."),
+      "dedup_lines_corpus" ->
+        ("Corpus-wide line dedup: line STRINGS never cross an " +
+          "exchange — the exploded frame ships (xxhash64, doc_id, " +
+          "pos) 24-byte rows into one combinable min(struct) " +
+          "aggregate plus one hash-keyed join (no hint, AQE picks), " +
+          "and surviving positions return as a sorted int array on " +
+          "a doc-keyed join; cleaned text rebuilds from each doc's " +
+          "own line array in the final projection."),
+      "sample_dsir" ->
+        ("DSIR importance scoring: ONE codegen'd kernel scan emits " +
+          "every feature's bucket id (unigram+bigram md5 folds — " +
+          "no HOF lambda, no feature strings); a 10k-bucket " +
+          "combinable agg fits both models, the log-ratio table and " +
+          "quartile threshold broadcast as scalar frames, and the " +
+          "per-doc score is ONE combinable aggregate — the corpus " +
+          "never shuffles, the doc attach-back carries no hint."),
       "quality_model_score" ->
         ("Learned-filter scoring: the vocabulary-sized weight table " +
           "(top-2000 TakeOrdered cut + md5-fold weights) broadcasts; " +

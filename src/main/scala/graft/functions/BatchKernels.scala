@@ -126,6 +126,62 @@ object BatchKernelUtil {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Hashed n-gram feature buckets for DSIR importance scoring
+    * ([[graft.textops.Classifier.dsirScore]]): tokenize on ASCII
+    * whitespace (the `TextOps.tokens` boundaries — safe on UTF-8,
+    * see [[wordKgramXx]]), then emit `md5-fold % nBuckets` for every
+    * unigram and every adjacent bigram ("tok1 tok2", digested over
+    * the joined BYTES — no joined string ever allocates). Equals
+    * `transform(concat(toks, bigrams),
+    *   f => pmod(conv(substring(md5(f), 1, 15), 16, 10), B))`
+    * bit for bit (the [[graft.util.Sampling.md5Bucket]] fold on
+    * each feature string); pinned by an equivalence spec. Output
+    * order: unigrams then bigrams — downstream is aggregation, but
+    * the equivalence spec pins it anyway.
+    */
+  def dsirBuckets(text: UTF8String, nBuckets: Int): ArrayData = {
+    val nBytes = text.numBytes()
+    var starts = new Array[Int](32)
+    var ends = new Array[Int](32)
+    var n = 0
+    var tokStart = -1
+    var i = 0
+    while (i <= nBytes) {
+      val ws = i == nBytes || {
+        val b = text.getByte(i); b == 32 || (b >= 9 && b <= 13) }
+      if (!ws) { if (tokStart < 0) tokStart = i }
+      else if (tokStart >= 0) {
+        if (n == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, n * 2)
+          ends = java.util.Arrays.copyOf(ends, n * 2)
+        }
+        starts(n) = tokStart; ends(n) = i; n += 1; tokStart = -1
+      }
+      i += 1
+    }
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val md = mdLocal.get()
+    val base = text.getBytes
+    val out = new Array[Long](n + (if (n >= 2) n - 1 else 0))
+    var j = 0
+    while (j < n) {
+      md.reset()
+      md.update(base, starts(j), ends(j) - starts(j))
+      out(j) = hexPrefix15(md.digest()) % nBuckets
+      j += 1
+    }
+    j = 0
+    while (j < n - 1) {
+      md.reset()
+      md.update(base, starts(j), ends(j) - starts(j))
+      md.update(' '.toByte)
+      md.update(base, starts(j + 1), ends(j + 1) - starts(j + 1))
+      out(n + j) = hexPrefix15(md.digest()) % nBuckets
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Winnowing fingerprint SET of a document in one pass — equals the
     * relational formulation in `TextOps.winnowingViaWindow` (hash every
     * character k-gram via [[kgramHashes]]'s md5-prefix hash, keep the
@@ -418,6 +474,36 @@ object KgramHashesExpr {
   def apply(c: Column, k: Int): Column =
     GraftColumnBridge.toColumn(
       new KgramHashesExpr(GraftColumnBridge.toExpression(c), k))
+}
+
+/** `dsir_buckets(text, nBuckets)` — see [[BatchKernelUtil.dsirBuckets]]. */
+case class DsirBucketsExpr(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+  require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dsir_buckets needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BatchKernelUtil.dsirBuckets(input.asInstanceOf[UTF8String], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BatchKernelUtil.dsirBuckets($c, $nBuckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DsirBucketsExpr {
+  def apply(c: Column, nBuckets: Int): Column =
+    GraftColumnBridge.toColumn(
+      new DsirBucketsExpr(GraftColumnBridge.toExpression(c), nBuckets))
 }
 
 /** `winnow_fps(text, k, w)` — see [[BatchKernelUtil.winnowFps]]. */

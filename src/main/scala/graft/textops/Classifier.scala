@@ -134,16 +134,14 @@ object Classifier {
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
                 isTarget: Column, nBuckets: Int = 10000): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val toks = TextOps.tokens(lower(col(textCol)))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // ONE codegen'd kernel pass per row emits every feature's bucket
+    // id (unigram + bigram md5 folds — [[graft.functions
+    // .DsirBucketsExpr]], bit-identical to the HOF twin
+    // [[dsirBucketsViaColumns]]): only 8-byte bucket ids ever explode
     val ex = graft.util.Par.spread(df)
       .select(col(idCol).cast("long").as("doc_id"), isTarget.as("_t"),
-        explode(concat(toks, bigrams)).as("_f"))
-      .select(col("doc_id"), col("_t"),
-        graft.util.Sampling.md5Bucket(col("_f"), nBuckets.toLong).as("_b"))
+        explode(graft.functions.DsirBucketsExpr(lower(col(textCol)),
+          nBuckets)).as("_b"))
     val counts = ex.groupBy(col("_b"))
       .agg(count(lit(1)).as("_cr"),
         sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"))
@@ -168,6 +166,22 @@ object Classifier {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         col("dsir_score"),
         coalesce(col("dsir_score") > col("_thr"), lit(false)).as("keep"))
+  }
+
+  /** Column-expression twin of [[graft.functions.DsirBucketsExpr]],
+    * kept for the kernel-equivalence spec (the BatchKernels
+    * convention): unigram + adjacent-bigram feature strings, each
+    * folded through [[graft.util.Sampling.md5Bucket]].
+    */
+  private[graft] def dsirBucketsViaColumns(text: Column,
+                                           nBuckets: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams),
+      f => graft.util.Sampling.md5Bucket(f, nBuckets.toLong))
   }
 
   /** Score every document under a linear unigram model: per-doc token

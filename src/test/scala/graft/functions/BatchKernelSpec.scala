@@ -119,6 +119,20 @@ class BatchKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("DsirBucketsExpr == explode/md5Bucket HOF form") {
+    for (b <- Seq(16, 10000)) {
+      val both = docs
+        .select(
+          DsirBucketsExpr(lower(col("text")), b).as("k"),
+          graft.textops.Classifier
+            .dsirBucketsViaColumns(lower(col("text")), b).as("e"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"b=$b")
+      }
+    }
+  }
+
   test("HyperplaneSigExpr == per-plane when/dot form") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
