@@ -2006,6 +2006,29 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (north star; codec stubbed, see Multimodal) ----
+    "warc_wet_roundtrip" -> ((s, dir) => {
+      // the crawl-ingest front door: documents -> WET conversion
+      // records (WARC/1.0, the public web-crawl text-distribution
+      // format) -> .warc shards -> streamed per-file parse back.
+      // The oracle hash checks the round-trip: any header/payload
+      // framing bug, lossy byte handling, or Content-Length drift
+      // would mismatch against the parquet original. Fixed tmp dir
+      // for the same reason as jsonl_roundtrip (repeated bench/verify
+      // invocations reuse one directory)
+      val d = Tables.documents(s, dir).select(
+        concat(lit("http://graft.invalid/doc/"), col("doc_id"))
+          .as("target_uri"),
+        col("text"))
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warc_rt").toString
+      graft.sources.Warc.writeWet(d, tmp)
+      graft.sources.Warc.read(s, tmp).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("warc_type"), col("target_uri"), col("content_length"),
+        col("content").cast("string").as("text"))
+    }),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       // the corpus interchange gate: documents -> JSONL (gzip) -> read
       // back under the explicit schema. Registered so the ORACLE hash
@@ -4030,6 +4053,15 @@ object SparkEntry {
          FROM sh c JOIN ph ON ph.s = c.s
          WHERE c.doc_id >= 20
          GROUP BY 1, 2""",
+
+    "warc_wet_roundtrip" ->
+      // the Spark side went parquet -> WET records -> .warc shards
+      // -> streamed parse; a lossless round-trip must reproduce the
+      // text and its UTF-8 byte count (DuckDB strlen is bytes)
+      """SELECT doc_id, 'conversion' AS warc_type,
+           'http://graft.invalid/doc/' || doc_id AS target_uri,
+           strlen(text)::BIGINT AS content_length, text
+         FROM documents""",
 
     "jsonl_roundtrip" ->
       // the Spark side went parquet -> JSONL -> frame; a lossless

@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, BufferedInputStream, DataInputStream}
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def parse(bytes: Array[Byte]) =
+    Warc.parseStream(new DataInputStream(
+      new BufferedInputStream(new ByteArrayInputStream(bytes)))).toVector
+
+  test("buildRecord/parseStream round-trip, multiple records") {
+    val r1 = Warc.buildRecord("conversion", "http://a/1",
+      "2000-01-01T00:00:00Z", "text/plain", "hello world".getBytes("UTF-8"))
+    val r2 = Warc.buildRecord("response", "http://a/2",
+      "2000-01-01T00:00:00Z", "application/http", Array[Byte](0, 1, 2, 3))
+    val got = parse(r1 ++ r2)
+    assert(got.size == 2)
+    assert(got(0).warcType == "conversion")
+    assert(got(0).targetUri == "http://a/1")
+    assert(new String(got(0).content, "UTF-8") == "hello world")
+    assert(got(1).warcType == "response")
+    assert(got(1).content.toSeq == Seq[Byte](0, 1, 2, 3))
+  }
+
+  test("Content-Length counts BYTES: multi-byte payload framing survives") {
+    val text = "déjà vu — 的是了"
+    val rec = Warc.buildRecord("conversion", "http://a/mb",
+      "2000-01-01T00:00:00Z", "text/plain", text.getBytes("UTF-8"))
+    val tail = Warc.buildRecord("conversion", "http://a/after",
+      "2000-01-01T00:00:00Z", "text/plain", "next".getBytes("UTF-8"))
+    val got = parse(rec ++ tail)
+    assert(got.size == 2)
+    assert(new String(got(0).content, "UTF-8") == text)
+    assert(new String(got(1).content, "UTF-8") == "next")
+  }
+
+  test("payload containing WARC framing bytes does not desync the parser") {
+    // length-prefixed framing must not care what the payload contains
+    val evil = "WARC/1.0\r\nContent-Length: 0\r\n\r\n embedded fake record"
+    val rec = Warc.buildRecord("conversion", "http://a/evil",
+      "2000-01-01T00:00:00Z", "text/plain", evil.getBytes("UTF-8"))
+    val tail = Warc.buildRecord("conversion", "http://a/after",
+      "2000-01-01T00:00:00Z", "text/plain", "ok".getBytes("UTF-8"))
+    val got = parse(rec ++ tail)
+    assert(got.size == 2)
+    assert(new String(got(0).content, "UTF-8") == evil)
+    assert(new String(got(1).content, "UTF-8") == "ok")
+  }
+
+  test("truncated payload fails loudly, not silently") {
+    val rec = Warc.buildRecord("conversion", "http://a/t",
+      "2000-01-01T00:00:00Z", "text/plain", "full payload".getBytes("UTF-8"))
+    val cut = rec.take(rec.length - 10)
+    val e = intercept[RuntimeException] { parse(cut) }
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("writeWet/read round-trip through real shard files, sharded by partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_spec").toString
+    val df = (1L to 100L)
+      .map(i => (s"http://x/$i", s"doc $i text with newline\nand 'quotes'"))
+      .toDF("target_uri", "text").repartition(4)
+    Warc.writeWet(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc"))
+    assert(files.length == 4, files.map(_.getName).toSeq)
+    val back = Warc.read(spark, dir)
+    assert(back.count() == 100)
+    val got = back.select(col("target_uri"),
+        col("content").cast("string").as("text"), col("warc_type"),
+        col("record_id"), col("content_length"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+    val (t7, w7, id7, l7) = got("http://x/7")
+    assert(t7 == "doc 7 text with newline\nand 'quotes'")
+    assert(w7 == "conversion")
+    assert(id7.startsWith("<urn:md5:") && id7.endsWith(">"))
+    assert(l7 == t7.getBytes("UTF-8").length.toLong)
+  }
+}
