@@ -2006,6 +2006,32 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (north star; codec stubbed, see Multimodal) ----
+    "tar_shards_roundtrip" -> ((s, dir) => {
+      // the WebDataset contract: each sample's members as consecutive
+      // tar entries ({key}.txt + {key}.cls here — the text/label
+      // pairing every multimodal trainer reads), one .tar shard per
+      // partition, samples grouped by a doc-keyed repartition +
+      // within-partition sort. The oracle hash checks the byte-level
+      // round-trip of BOTH members per doc
+      val d = Tables.documents(s, dir)
+      val members = d.select(col("doc_id"),
+          explode(map(lit("txt"), col("text"), lit("cls"), col("lang"))))
+        .select(col("doc_id"),
+          concat_ws(".", col("doc_id"), col("key")).as("name"),
+          encode(col("value"), "UTF-8").as("content"))
+        .repartition(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"), col("name"))
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_tar_rt").toString
+      graft.sources.Tar.writeTarShards(members, tmp)
+      graft.sources.Tar.read(s, tmp).select(
+        regexp_extract(col("name"), "^(\\d+)\\.", 1)
+          .cast("long").as("doc_id"),
+        regexp_extract(col("name"), "\\.(\\w+)$", 1).as("ext"),
+        col("size"),
+        col("content").cast("string").as("content"))
+    }),
+
     "warc_wet_roundtrip" -> ((s, dir) => {
       // the crawl-ingest front door: documents -> WET conversion
       // records (WARC/1.0, the public web-crawl text-distribution
@@ -4053,6 +4079,15 @@ object SparkEntry {
          FROM sh c JOIN ph ON ph.s = c.s
          WHERE c.doc_id >= 20
          GROUP BY 1, 2""",
+
+    "tar_shards_roundtrip" ->
+      // both members per doc must come back byte-identical (DuckDB
+      // strlen is bytes — the tar size field)
+      """SELECT doc_id, 'txt' AS ext, strlen(text)::BIGINT AS size,
+           text AS content FROM documents
+         UNION ALL
+         SELECT doc_id, 'cls', strlen(lang)::BIGINT, lang
+         FROM documents""",
 
     "warc_wet_roundtrip" ->
       // the Spark side went parquet -> WET records -> .warc shards
