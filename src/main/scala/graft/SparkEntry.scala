@@ -2055,6 +2055,25 @@ object SparkEntry {
         col("content").cast("string").as("text"))
     }),
 
+    "warc_wet_gz_roundtrip" -> ((s, dir) => {
+      // the same WET round-trip through the crawls' ACTUAL shard
+      // layout: .warc.gz with one gzip member per record (member
+      // boundary = record boundary — offset indexes give record
+      // random access). Shares warc_wet_roundtrip's oracle
+      val d = Tables.documents(s, dir).select(
+        concat(lit("http://graft.invalid/doc/"), col("doc_id"))
+          .as("target_uri"),
+        col("text"))
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warcgz_rt").toString
+      graft.sources.Warc.writeWet(d, tmp, gzipPerRecord = true)
+      graft.sources.Warc.read(s, tmp).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("warc_type"), col("target_uri"), col("content_length"),
+        col("content").cast("string").as("text"))
+    }),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       // the corpus interchange gate: documents -> JSONL (gzip) -> read
       // back under the explicit schema. Registered so the ORACLE hash
@@ -4093,6 +4112,13 @@ object SparkEntry {
       // the Spark side went parquet -> WET records -> .warc shards
       // -> streamed parse; a lossless round-trip must reproduce the
       // text and its UTF-8 byte count (DuckDB strlen is bytes)
+      """SELECT doc_id, 'conversion' AS warc_type,
+           'http://graft.invalid/doc/' || doc_id AS target_uri,
+           strlen(text)::BIGINT AS content_length, text
+         FROM documents""",
+
+    "warc_wet_gz_roundtrip" ->
+      // identical contract through the member-per-record gzip layout
       """SELECT doc_id, 'conversion' AS warc_type,
            'http://graft.invalid/doc/' || doc_id AS target_uri,
            strlen(text)::BIGINT AS content_length, text

@@ -92,10 +92,18 @@ object Warc {
     * under task retry (deterministic names + bytes, overwrite
     * create); the caller owns partitioning — shard with
     * [[Sinks.shardCol]] upstream for size-targeted shards.
+    *
+    * `gzipPerRecord = true` writes `.warc.gz` shards with ONE GZIP
+    * MEMBER PER RECORD — the layout the public crawls actually
+    * distribute (member boundaries = record boundaries, so an offset
+    * index gives record-level random access without decompressing
+    * the shard). Java's gzip writes a zero MTIME, so the bytes stay
+    * deterministic.
     */
   def writeWet(df: DataFrame, path: String, uriCol: String = "target_uri",
                textCol: String = "text",
-               warcDate: String = "2000-01-01T00:00:00Z"): Unit = {
+               warcDate: String = "2000-01-01T00:00:00Z",
+               gzipPerRecord: Boolean = false): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
@@ -109,27 +117,83 @@ object Warc {
     rows.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val p = new Path(path, f"part-$pid%05d.warc")
+        val ext = if (gzipPerRecord) ".warc.gz" else ".warc"
+        val p = new Path(path, f"part-$pid%05d$ext")
         val pfs = p.getFileSystem(serConf.value.value)
         val out = pfs.create(p, true)
+        // ONE Deflater per partition, reset per member: a fresh
+        // GZIPOutputStream per record allocates a native deflater per
+        // row — the per-row-tax class the 100x anchor keeps catching
+        val deflater = if (gzipPerRecord)
+          new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true) else null
         try it.foreach { r =>
-          out.write(buildRecord("conversion", r.getString(0), warcDate,
-            "text/plain", r.getString(1).getBytes("UTF-8")))
-        } finally out.close()
+          val rec = buildRecord("conversion", r.getString(0), warcDate,
+            "text/plain", r.getString(1).getBytes("UTF-8"))
+          if (gzipPerRecord) gzipMember(rec, deflater, out)
+          else out.write(rec)
+        } finally {
+          if (deflater != null) deflater.end()
+          out.close()
+        }
       }
     }
   }
 
-  /** Parse every `.warc` shard under `path` into the [[schema]]
-    * record frame. Per-file parallel, per-record memory (the shard
-    * streams; see class doc). Malformed shards fail loudly — a crawl
-    * ingest must not silently drop records.
+  /** Write one complete gzip MEMBER (header, raw-deflate body, CRC32 +
+    * ISIZE trailer) with a caller-owned reusable [[java.util.zip
+    * .Deflater]] (`nowrap = true`, reset here per member). Byte-wise
+    * the layout `GZIPOutputStream` produces (zero MTIME — the output
+    * stays deterministic).
+    */
+  private[sources] def gzipMember(data: Array[Byte],
+      deflater: java.util.zip.Deflater,
+      out: java.io.OutputStream): Unit = {
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    deflater.reset()
+    deflater.setInput(data)
+    deflater.finish()
+    val buf = new Array[Byte](1 << 16)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(data)
+    def le32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    le32(crc.getValue)
+    le32(data.length.toLong)
+  }
+
+  /** Parse every `.warc` / `.warc.gz` shard under `path` into the
+    * [[schema]] record frame. Per-file parallel, per-record memory
+    * (the shard streams; see class doc). `.warc.gz` shards stream
+    * through `GZIPInputStream`, which reads concatenated members
+    * transparently — both the crawl's member-per-record layout and a
+    * whole-shard single member parse identically. Malformed shards
+    * fail loudly — a crawl ingest must not silently drop records.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    // only pass globs that match something: Hadoop's FileInputFormat
+    // throws on a non-matching input pattern, and a directory holds
+    // either plain or gzipped shards (or a mix)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val globs = Seq(s"$path/*.warc", s"$path/*.warc.gz")
+      .filter(g => fs.globStatus(new Path(g)).nonEmpty)
+    require(globs.nonEmpty, s"no .warc or .warc.gz shards under $path")
     val rdd = spark.sparkContext
-      .binaryFiles(path + "/*.warc")
-      .flatMap { case (_, pds) =>
-        val in = new DataInputStream(new BufferedInputStream(pds.open()))
+      .binaryFiles(globs.mkString(","))
+      .flatMap { case (file, pds) =>
+        val raw = pds.open()
+        val in = new DataInputStream(new BufferedInputStream(
+          if (file.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw, 1 << 16)
+          else raw))
         parseStream(in)
       }
       .map(r => Row(r.warcType, r.recordId, r.warcDate, r.targetUri,

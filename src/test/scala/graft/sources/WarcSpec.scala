@@ -60,6 +60,32 @@ class WarcSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("gzip member-per-record shards round-trip and interop with system gzip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_gz").toString
+    val df = (1L to 40L).map(i => (s"http://x/$i", s"doc $i body"))
+      .toDF("target_uri", "text").repartition(2)
+    Warc.writeWet(df, dir, gzipPerRecord = true)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 2, files.map(_.getName).toSeq)
+    val back = Warc.read(spark, dir)
+    assert(back.count() == 40)
+    val got = back.select(col("target_uri"),
+        col("content").cast("string")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("http://x/3") == "doc 3 body")
+    // member boundaries are REAL gzip members: the system gunzip
+    // decompresses the concatenation, and the plain parser reads it
+    import scala.sys.process._
+    assume(("which gzip" #> new java.io.File("/dev/null")).! == 0)
+    val plain = (Seq("gzip", "-dc", files.head.getPath) #> new java.io.File(s"$dir/plain.bin")).!
+    assert(plain == 0)
+    val recs = parse(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/plain.bin")))
+    assert(recs.nonEmpty && recs.forall(_.warcType == "conversion"))
+  }
+
   test("writeWet/read round-trip through real shard files, sharded by partition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("warc_spec").toString
