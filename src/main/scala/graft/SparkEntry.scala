@@ -1099,6 +1099,19 @@ object SparkEntry {
       // same integers
       TextOps.qualityFilter(Tables.documents(s, dir), "doc_id", "text")),
 
+    "url_canonicalize" -> ((s, dir) => {
+      // the crawl-frontier dedup key: canonical URL (lowercase
+      // scheme/host, fragment dropped, default port + www stripped,
+      // tracking params dropped, params sorted, trailing slash
+      // folded). The corpus has no URL column, so each doc carries a
+      // deterministic messy-URL fixture covering every rule; one
+      // narrow projection, no shuffle
+      val d = Tables.documents(s, dir)
+      val url = graft.textops.Url.urlFixture(col("doc_id"), col("source"))
+      d.select(col("doc_id"), url.as("url"),
+        graft.textops.Url.canonicalize(url).as("url_canonical"))
+    }),
+
     "sample_dsir" -> ((s, dir) =>
       // DSIR-style importance scoring (Xie et al. 2023): hashed
       // n-gram bucket models for target (source = src0) vs the raw
@@ -2795,6 +2808,57 @@ object SparkEntry {
            FROM r)
          SELECT doc_id, source, rank::BIGINT AS rank
          FROM rk WHERE rank <= 10""",
+
+    "url_canonicalize" ->
+      // replays the messy-URL fixture (md5 bucket draw) and every
+      // canonicalization rule literally: lowercase scheme/host, www +
+      // default-port strip, fragment drop, tracking-param filter,
+      // param sort, trailing-slash fold
+      """WITH ub AS (SELECT doc_id, source,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+           FROM documents),
+         u AS (SELECT doc_id,
+           'HTTP://WWW.' || upper(source) || '.Example.COM:80/Docs/'
+             || doc_id ||
+           CASE WHEN bucket < 20 THEN '/?utm_source=x&b=2&a=1#frag'
+                WHEN bucket < 40 THEN '?a=1&utm_campaign=y&fbclid=z'
+                WHEN bucket < 60 THEN '/#section-2'
+                WHEN bucket < 80 THEN '?z=9&a=1'
+                ELSE '' END AS url
+           FROM ub),
+         p AS (SELECT doc_id, url,
+           lower(regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+           lower(regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 2)) AS host0,
+           regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS path0,
+           regexp_extract(url,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS q0
+           FROM u),
+         c AS (SELECT doc_id, url, scheme,
+           CASE WHEN scheme = 'http'
+                THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':80$', '')
+                WHEN scheme = 'https'
+                THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':443$', '')
+                ELSE regexp_replace(host0, '^www\.', '') END AS host,
+           CASE WHEN path0 = '' THEN '/'
+                WHEN path0 <> '/' THEN regexp_replace(path0, '/$', '')
+                ELSE path0 END AS path,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_replace(q0, '^\?', ''), '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[^=]*|gclid|fbclid)(=|$)'))), '&') AS q
+           FROM p)
+         SELECT doc_id, url,
+           CASE WHEN scheme <> '' AND host <> ''
+                THEN scheme || '://' || host || path ||
+                     CASE WHEN q <> '' THEN '?' || q ELSE '' END
+           END AS url_canonical
+         FROM c""",
 
     "sample_dsir" ->
       // replays the hashed-n-gram bucket models (md5-fold % 10000),
