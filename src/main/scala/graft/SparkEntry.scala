@@ -1099,6 +1099,20 @@ object SparkEntry {
       // same integers
       TextOps.qualityFilter(Tables.documents(s, dir), "doc_id", "text")),
 
+    "domain_profile" -> ((s, dir) => {
+      // the domain-blocklist input signal: the per-source datasheet
+      // re-keyed on the canonical-URL HOST (how a crawl pipeline
+      // actually strata-keys quality before blocklisting domains) —
+      // derives the domain through the full canonicalize chain, then
+      // the SAME one-scan/one-agg profile as corpus_profile
+      val d = Tables.documents(s, dir)
+      val url = graft.textops.Url.urlFixture(col("doc_id"), col("source"))
+      val host = regexp_extract(graft.textops.Url.canonicalize(url),
+        "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+      graft.textops.Vocab.corpusProfile(
+        d.withColumn("domain", host), "domain", "lang", "text")
+    }),
+
     "url_canonicalize" -> ((s, dir) => {
       // the crawl-frontier dedup key: canonical URL (lowercase
       // scheme/host, fragment dropped, default port + www stripped,
@@ -2808,6 +2822,22 @@ object SparkEntry {
            FROM r)
          SELECT doc_id, source, rank::BIGINT AS rank
          FROM rk WHERE rank <= 10""",
+
+    "domain_profile" ->
+      // the canonical host of the fixture URL is lower(source) ||
+      // '.example.com' by construction — the oracle derives it
+      // directly and replays the corpus_profile arithmetic per domain
+      s"""WITH b AS (SELECT lower(source) || '.example.com' AS domain,
+             lang, $duckQualityParts FROM documents),
+         s AS (SELECT domain, lang, n_tok,
+             $duckQualityFromParts AS quality FROM b)
+         SELECT domain, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(avg(quality), 6) AS mean_quality,
+           round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
+           round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
+           count(DISTINCT lang) AS n_langs
+         FROM s GROUP BY domain""",
 
     "url_canonicalize" ->
       // replays the messy-URL fixture (md5 bucket draw) and every
