@@ -3100,9 +3100,9 @@ object SparkEntry {
          SELECT d.doc_id,
            COALESCE(qms.n_tokens, 0) AS n_tokens,
            COALESCE(qms.n_invocab, 0) AS n_invocab,
-           CASE WHEN qms.doc_id IS NULL THEN NULL
+           CAST(CASE WHEN qms.doc_id IS NULL THEN NULL
                 ELSE (wsum * 2000000 + n_tokens) // (n_tokens * 2) END
-             AS score_micro
+             AS BIGINT) AS score_micro
          FROM documents d LEFT JOIN qms USING (doc_id)""",
 
     "lm_score" ->

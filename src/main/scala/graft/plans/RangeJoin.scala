@@ -79,8 +79,14 @@ object RangeJoin {
     // extra pass): an interval covering more than maxSpread buckets
     // fails the job with a sizing message instead of silently building
     // a million-element sequence per row
+    // NULL-bounded intervals keep their prior drop-row behavior
+    // (sequence(null, ...) yields NULL → explode drops the row): the
+    // guard exists to catch mis-sized bucketWidth, not dirty rows, so
+    // a NULL spread coalesces to "ok" rather than failing the job
+    // (assert_true raises on NULL conditions too).
     val spreadOk = assert_true(
-      bucketOf(endCol) - bucketOf(startCol) < lit(maxSpread),
+      coalesce(bucketOf(endCol) - bucketOf(startCol) < lit(maxSpread),
+        lit(true)),
       lit(s"RangeJoin: an interval spans >= $maxSpread buckets — " +
         s"bucketWidth $bucketWidth is far below the interval length; " +
         "raise bucketWidth toward the typical interval length"))

@@ -245,6 +245,52 @@ object Sinks {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Task-commit protocol for raw-file sinks (WARC / tar shards), which
+    * write bytes directly from tasks with no Hadoop OutputCommitter:
+    * the payload streams to an ATTEMPT-UNIQUE temp name and renames
+    * into place only after a fully successful write. Under speculative
+    * execution two attempts of one partition then never interleave
+    * bytes in the final file — each attempt owns its temp; rename is
+    * atomic per attempt, and because shard bytes are deterministic
+    * (same rows → same bytes) whichever attempt wins the rename leaves
+    * an identical complete file. A failed attempt deletes its temp, so
+    * a partial output never masquerades as a shard.
+    */
+  private[sources] def writeTaskFile(
+      conf: org.apache.hadoop.conf.Configuration,
+      finalPath: org.apache.hadoop.fs.Path)(
+      write: java.io.OutputStream => Unit): Unit = {
+    val fs = finalPath.getFileSystem(conf)
+    val ctx = org.apache.spark.TaskContext.get()
+    val attempt = if (ctx != null) ctx.taskAttemptId() else 0L
+    val tmp = new org.apache.hadoop.fs.Path(finalPath.getParent,
+      s".${finalPath.getName}.attempt-$attempt.tmp")
+    val out = fs.create(tmp, true)
+    var ok = false
+    try { write(out); ok = true }
+    finally {
+      out.close()
+      if (ok) {
+        // delete-then-rename: HDFS/local rename refuses an existing
+        // destination; the loser of a speculative race just drops its
+        // temp (the winner's file is byte-identical)
+        if (fs.exists(finalPath)) fs.delete(finalPath, false)
+        if (!fs.rename(tmp, finalPath)) fs.delete(tmp, false)
+      } else fs.delete(tmp, false)
+    }
+  }
+
+  /** Emit the `_SUCCESS` marker after a raw-file sink's job completes —
+    * downstream readers can then distinguish a complete output
+    * directory from the debris of a failed job.
+    */
+  private[sources] def markSuccess(
+      conf: org.apache.hadoop.conf.Configuration, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    val fs = p.getFileSystem(conf)
+    fs.create(p, true).close()
+  }
+
   /** Append-mode streaming parquet sink with mandatory checkpointing —
     * exactly-once file output keyed by the checkpoint's offset log. The
     * caller picks the trigger; the helper only refuses the footguns

@@ -105,21 +105,27 @@ object Tar {
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = new Path(path, f"part-$pid%05d.tar")
-        val pfs = p.getFileSystem(serConf.value.value)
-        val out = pfs.create(p, true)
-        try {
+        Sinks.writeTaskFile(serConf.value.value, p) { out =>
           it.foreach(r =>
             out.write(buildEntry(r.getString(0), r.getAs[Array[Byte]](1))))
           out.write(trailer)
-        } finally out.close()
+        }
       }
     }
+    Sinks.markSuccess(conf, path)
   }
 
   /** Parse every `.tar` shard under `path` into the [[schema]] member
     * frame. Per-file parallel, per-member memory.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    // guard the glob (mirrors Warc.read): an empty or wrong directory
+    // otherwise surfaces as an obscure Hadoop input-path exception
+    val conf = spark.sparkContext.hadoopConfiguration
+    val glob = new Path(path + "/*.tar")
+    val fs = glob.getFileSystem(conf)
+    require(fs.globStatus(glob) != null && fs.globStatus(glob).nonEmpty,
+      s"no .tar shards under $path")
     val rdd = spark.sparkContext
       .binaryFiles(path + "/*.tar")
       .flatMap { case (_, pds) =>

@@ -119,25 +119,23 @@ object Warc {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val ext = if (gzipPerRecord) ".warc.gz" else ".warc"
         val p = new Path(path, f"part-$pid%05d$ext")
-        val pfs = p.getFileSystem(serConf.value.value)
-        val out = pfs.create(p, true)
         // ONE Deflater per partition, reset per member: a fresh
         // GZIPOutputStream per record allocates a native deflater per
         // row — the per-row-tax class the 100x anchor keeps catching
         val deflater = if (gzipPerRecord)
           new java.util.zip.Deflater(
             java.util.zip.Deflater.DEFAULT_COMPRESSION, true) else null
-        try it.foreach { r =>
-          val rec = buildRecord("conversion", r.getString(0), warcDate,
-            "text/plain", r.getString(1).getBytes("UTF-8"))
-          if (gzipPerRecord) gzipMember(rec, deflater, out)
-          else out.write(rec)
-        } finally {
-          if (deflater != null) deflater.end()
-          out.close()
-        }
+        try Sinks.writeTaskFile(serConf.value.value, p) { out =>
+          it.foreach { r =>
+            val rec = buildRecord("conversion", r.getString(0), warcDate,
+              "text/plain", r.getString(1).getBytes("UTF-8"))
+            if (gzipPerRecord) gzipMember(rec, deflater, out)
+            else out.write(rec)
+          }
+        } finally if (deflater != null) deflater.end()
       }
     }
+    Sinks.markSuccess(conf, path)
   }
 
   /** Write one complete gzip MEMBER (header, raw-deflate body, CRC32 +

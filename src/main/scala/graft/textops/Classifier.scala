@@ -116,15 +116,18 @@ object Classifier {
     * is the reproducible form, per [[graft.pipeline.Pipeline
     * .sampleQualityTiers]]).
     *
-    * Scale shape: one narrow feature scan (md5-fold bucket ids — the
-    * minhash kernel's per-shingle arithmetic), ONE combinable
-    * bucket-count aggregate to a `nBuckets`-sized table, scalar
-    * totals and the log-ratio table broadcast, then ONE combinable
-    * per-doc aggregate. The quartile threshold is one
+    * Scale shape: ONE narrow feature scan (md5-fold bucket ids — the
+    * minhash kernel's per-shingle arithmetic) collapsed immediately
+    * to `(doc_id, _t, bucket, count)` — the single exchange BOTH the
+    * bucket-model aggregate and the per-doc scorer consume (runtime
+    * ReuseExchange dedupes the identical subtrees, so the kernel
+    * never replays through lazy lineage). Scalar totals and the
+    * log-ratio table broadcast; the per-doc score is one combinable
+    * count-weighted aggregate. The quartile threshold is one
     * `percentile_approx` aggregate broadcast as a scalar frame —
-    * never a global-window ntile. The corpus never shuffles anything
-    * wider than (doc_id, log-ratio) partials; the doc attach-back is
-    * a doc-keyed join with no broadcast hint. Score rounds to 6dp
+    * never a global-window ntile. Nothing wider than those 4-column
+    * 8-byte-ish rows ever shuffles; the doc attach-back is a
+    * doc-keyed join with no broadcast hint. Score rounds to 6dp
     * before the threshold compare (the lm_score float-parity
     * convention).
     *
@@ -138,13 +141,30 @@ object Classifier {
     // id (unigram + bigram md5 folds — [[graft.functions
     // .DsirBucketsExpr]], bit-identical to the HOF twin
     // [[dsirBucketsViaColumns]]): only 8-byte bucket ids ever explode
+    // the explicit isNotNull matters for exchange reuse: the
+    // attach-back left join infers isnotnull(doc_id) on ITS branch
+    // only, which would make the two kernel subtrees non-identical
+    // and defeat ReuseExchange — filtering at the base keeps both
+    // branches byte-identical (a NULL-id row could never survive the
+    // id-keyed attach-back anyway)
     val ex = graft.util.Par.spread(df)
+      .where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"), isTarget.as("_t"),
         explode(graft.functions.DsirBucketsExpr(lower(col(textCol)),
           nBuckets)).as("_b"))
-    val counts = ex.groupBy(col("_b"))
-      .agg(count(lit(1)).as("_cr"),
-        sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"))
+    // collapse the explode ONCE to (doc_id, _t, _b, count): both the
+    // bucket-model aggregate and the per-doc scorer then consume the
+    // SAME exchange (runtime ReuseExchange dedupes identical Exchange
+    // subtrees), so the tokenize+md5 kernel scans the corpus exactly
+    // once per action — previously each consumer replayed the full
+    // kernel scan through lazy lineage (checkpointing is not an
+    // option: `ex` is token-scale, and corpus-scale checkpoint blocks
+    // leak into the session MemoryStore)
+    val perDoc = ex.groupBy(col("doc_id"), col("_t"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val counts = perDoc.groupBy(col("_b"))
+      .agg(sum(col("_c")).as("_cr"),
+        sum(when(col("_t"), col("_c")).otherwise(0L)).as("_ct"))
     val totals = counts.agg(sum(col("_cr")).as("_rtot"),
       sum(col("_ct")).as("_ttot"))
     val ratios = counts.crossJoin(broadcast(totals))
@@ -152,10 +172,15 @@ object Classifier {
         (log((col("_ct") + lit(1.0)) / (col("_ttot") + lit(nBuckets))) -
           log((col("_cr") + lit(1.0)) / (col("_rtot") + lit(nBuckets))))
           .as("_lr"))
-    val scored = ex.join(broadcast(ratios), Seq("_b"))
+    // count-weighted mean replays avg over the pre-collapse exploded
+    // rows (duplicate buckets in a doc repeat their ratio); the 6dp
+    // round is the float-parity mechanism, as for every distributed
+    // sum here (term order is nondeterministic either way)
+    val scored = perDoc.join(broadcast(ratios), Seq("_b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"),
-        round(avg(col("_lr")), 6).as("dsir_score"))
+      .agg(sum(col("_c")).as("n_feats"),
+        round(sum(col("_lr") * col("_c")) / sum(col("_c")), 6)
+          .as("dsir_score"))
     val thr = scored.agg(percentile_approx(col("dsir_score"), lit(0.75),
       lit(100000)).as("_thr"))
     // doc-sized attach-back: no broadcast hint (see scoreLinear)

@@ -40,6 +40,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 11L), (3L, 11L)))
   }
 
+  test("NULL-bounded intervals drop silently; the spread guard still fires") {
+    import spark.implicits._
+    val pts = Seq((1L, 50L)).toDF("pid", "p")
+    // a NULL start/end is a dirty row, not a sizing error: it must drop
+    // (prior sequence(null,..) behavior), not fail the job via the
+    // assert_true spread guard nulling out
+    val dirty = Seq((10L, Option.empty[Long], Option(100L)),
+                    (11L, Option(0L), Option.empty[Long]),
+                    (12L, Option(0L), Option(100L)))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(pts, dirty, "p", "s", "e", 30)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 12L)))
+    // and an absurdly undersized bucketWidth still fails loudly
+    val wide = Seq((20L, 0L, 10000000L)).toDF("iid", "s", "e")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, wide, "p", "s", "e", 1).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("equi keys narrow candidates before the residual filter") {
     import spark.implicits._
     val pts = Seq(("u1", 1L, 50L), ("u2", 2L, 50L)).toDF("user", "pid", "p")
