@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // contended-box marker: a bench sharing the machine with sbt test
+    // once clobbered the scored artifact with +28% noise — record the
+    // 1-min load average at start so a contaminated run is self-labeling
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,12 +93,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadAvg}"""
     println(line)
     // also persist the full line as an artifact: the driver's log capture
     // keeps only the stdout tail, which truncated 24 per-query rows from
-    // BENCH_r05 — the file is the durable copy of the same JSON
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // BENCH_r05 — the file is the durable copy of the same JSON.
+    // bench.json is the SCORED artifact (solo sf0.1): an ad-hoc run at
+    // any other scale lands in bench_adhoc.json unless the caller
+    // explicitly routes it — an sf0.01 debug run and an interleaved
+    // re-run have each clobbered the scored file in past rounds
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (sfDir.stripSuffix("/").endsWith("sf0.1")) "bench.json"
+      else "bench_adhoc.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
