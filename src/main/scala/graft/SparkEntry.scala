@@ -2101,6 +2101,79 @@ object SparkEntry {
         col("content").cast("string").as("text"))
     }),
 
+    "warc_response_roundtrip" -> ((s, dir) => {
+      // the RAW-crawl layer one step before WET: documents -> WARC
+      // `response` records whose payload is a full HTTP envelope
+      // (status line + ordered headers + Content-Length + body) ->
+      // .warc shards -> streamed parse WITH the envelope split in the
+      // same pass. Adversarial by construction: the body carries WARC
+      // framing AND a fake inner HTTP envelope (the split must stop
+      // at the FIRST header/body separator), and the target URI is
+      // non-ASCII (the UTF-8 header-decode fix, hash-gated here)
+      val d = Tables.documents(s, dir).select(
+        concat(lit("http://graft.invalid/café/"), col("doc_id"))
+          .as("target_uri"),
+        lit("HTTP/1.1 200 OK").as("status_line"),
+        array(struct(lit("Content-Type").as("name"),
+          lit("text/html; charset=utf-8").as("value"))).as("http_headers"),
+        concat(lit("WARC/1.0\r\nContent-Length: 0\r\n\r\n" +
+          "HTTP/1.1 500 fake\r\n\r\n"), col("text"))
+          .cast("binary").as("body"))
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warcresp_rt").toString
+      graft.sources.Warc.writeResponse(d, tmp)
+      graft.sources.Warc.readResponses(s, tmp).select(
+        regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"), col("status_line"), col("http_status"),
+        element_at(col("http_headers"), 1).getField("value")
+          .as("content_type"),
+        // the writer-appended envelope Content-Length (2nd header:
+        // Content-Type is the only caller header), checked
+        // numerically against the actual body span
+        element_at(col("http_headers"), 2).getField("value")
+          .cast("long").as("http_content_length"),
+        col("body_length"),
+        col("body").cast("string").as("body_text"))
+    }),
+
+    "warc_response_extract" -> ((s, dir) => {
+      // the COMPLETE raw-crawl -> clean-text chain: documents wrapped
+      // in the html_extract_main fixture page -> WARC response
+      // records (HTTP envelope) -> shards -> envelope split -> justext
+      // main-content extraction on the recovered body. Shares
+      // html_extract_main's oracle verbatim — the crawl hop must be
+      // invisible to the extractor
+      val d = Tables.documents(s, dir)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script>var nav = 1 &amp;&amp; 2;</script>" +
+          "<style>a { color: blue; }</style></head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></nav><p>"),
+        col("text"),
+        lit("</p><p>Read the full guide at <a href=\"/guide\">the " +
+          "documentation portal</a> for complete details today</p><div>"),
+        expr("repeat('<a href=\"/deal\">hot deal item</a> ', 4)"),
+        lit("</div><footer>Copyright &amp; terms</footer></body></html>"))
+      val rows = d.select(
+        concat(lit("http://graft.invalid/doc/"), col("doc_id"))
+          .as("target_uri"),
+        lit("HTTP/1.1 200 OK").as("status_line"),
+        array(struct(lit("Content-Type").as("name"),
+          lit("text/html; charset=utf-8").as("value"))).as("http_headers"),
+        html.cast("binary").as("body"))
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warcresp_ex").toString
+      graft.sources.Warc.writeResponse(rows, tmp)
+      val resp = graft.sources.Warc.readResponses(s, tmp).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("body").cast("string").as("html"))
+      graft.textops.Html.extractMain(resp, "doc_id", "html",
+        minWords = 5, maxLinkPct = 30)
+    }),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       // the corpus interchange gate: documents -> JSONL (gzip) -> read
       // back under the explicit schema. Registered so the ORACLE hash
@@ -4217,6 +4290,30 @@ object SparkEntry {
            'http://graft.invalid/doc/' || doc_id AS target_uri,
            strlen(text)::BIGINT AS content_length, text
          FROM documents""",
+
+    "warc_response_roundtrip" ->
+      // the Spark side went parquet -> HTTP envelopes inside WARC
+      // response records -> shards -> streamed parse + envelope
+      // split. The oracle reconstructs every surfaced column from the
+      // documents table: the adversarial planted prefix (WARC framing
+      // + a fake inner envelope) must ride through as BODY bytes, the
+      // writer's envelope Content-Length must equal the body span,
+      // and the non-ASCII URI must round-trip exactly
+      """WITH p AS (SELECT 'WARC/1.0' || chr(13) || chr(10) ||
+             'Content-Length: 0' || chr(13) || chr(10) || chr(13) || chr(10) ||
+             'HTTP/1.1 500 fake' || chr(13) || chr(10) || chr(13) || chr(10)
+             AS prefix)
+         SELECT doc_id,
+           'http://graft.invalid/café/' || doc_id AS target_uri,
+           'HTTP/1.1 200 OK' AS status_line,
+           200 AS http_status,
+           'text/html; charset=utf-8' AS content_type,
+           strlen(prefix || text)::BIGINT AS http_content_length,
+           strlen(prefix || text)::BIGINT AS body_length,
+           prefix || text AS body_text
+         FROM documents, p""",
+
+    "warc_response_extract" -> htmlExtractMainOracle,
 
     "jsonl_roundtrip" ->
       // the Spark side went parquet -> JSONL -> frame; a lossless

@@ -103,17 +103,98 @@ object Warc {
   def writeWet(df: DataFrame, path: String, uriCol: String = "target_uri",
                textCol: String = "text",
                warcDate: String = "2000-01-01T00:00:00Z",
-               gzipPerRecord: Boolean = false): Unit = {
-    val spark = df.sparkSession
+               gzipPerRecord: Boolean = false,
+               writeIndex: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
+    writeShards(rows, path, gzipPerRecord, writeIndex) { r =>
+      val uri = r.getString(0)
+      (uri, buildRecord("conversion", uri, warcDate, "text/plain",
+        r.getString(1).getBytes("UTF-8")))
+    }
+  }
+
+  /** Write WARC `response` records — the RAW-crawl layer one step
+    * before WET: the payload is a full HTTP envelope (status line +
+    * headers + body), `Content-Type: application/http;
+    * msgtype=response` (ISO 28500's convention for captured HTTP
+    * messages). `headersCol` is an `array<struct<name,value>>` —
+    * arrays preserve the caller's header order, so bytes stay
+    * deterministic (a map would iterate in hash order); the writer
+    * appends the envelope's own `Content-Length` from the body size.
+    * Same shard/commit/gzip-member machinery as [[writeWet]].
+    */
+  def writeResponse(df: DataFrame, path: String,
+                    uriCol: String = "target_uri",
+                    statusCol: String = "status_line",
+                    headersCol: String = "http_headers",
+                    bodyCol: String = "body",
+                    warcDate: String = "2000-01-01T00:00:00Z",
+                    gzipPerRecord: Boolean = false,
+                    writeIndex: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(uriCol).cast("string"),
+      col(statusCol).cast("string"), col(headersCol),
+      col(bodyCol).cast("binary"))
+    writeShards(rows, path, gzipPerRecord, writeIndex) { r =>
+      val uri = r.getString(0)
+      val headers = r.getSeq[Row](2).map(h => (h.getString(0), h.getString(1)))
+      val envelope = buildHttpResponse(r.getString(1), headers,
+        r.getAs[Array[Byte]](3))
+      (uri, buildRecord("response", uri, warcDate,
+        "application/http; msgtype=response", envelope))
+    }
+  }
+
+  /** Serialize one HTTP response envelope: status line, headers in the
+    * given order, a `Content-Length` derived from the body, blank
+    * line, body bytes. Header names/values encode as UTF-8 (ASCII for
+    * anything spec-conformant; captured reality is messier and must
+    * round-trip).
+    */
+  def buildHttpResponse(statusLine: String, headers: Seq[(String, String)],
+                        body: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(statusLine).append("\r\n")
+    headers.foreach { case (n, v) => sb.append(n).append(": ")
+      .append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(body.length).append("\r\n\r\n")
+    val h = sb.toString.getBytes("UTF-8")
+    val out = new Array[Byte](h.length + body.length)
+    System.arraycopy(h, 0, out, 0, h.length)
+    System.arraycopy(body, 0, out, h.length, body.length)
+    out
+  }
+
+  /** The shared shard writer: one `.warc[.gz]` file per partition
+    * through the task-commit protocol, the partition-scoped reused
+    * Deflater when gzipping per record, and (optionally) a CDX-style
+    * offset-index sidecar. `recordOf` maps a row to
+    * `(target_uri, serialized record bytes)`.
+    *
+    * The sidecar (`part-NNNNN.warc.gz.cdx`, tab-separated
+    * `record_id  offset  length` lines) records each gzip MEMBER's
+    * byte span — the writer aligns members to records precisely so
+    * this index gives O(1) record-level random access ([[readAt]])
+    * without decompressing the shard, the role CDX files play for the
+    * public crawls. Index entries accumulate in task memory: tens of
+    * bytes per record, ~5 MB for a 100k-record shard — bounded by the
+    * caller's shard sizing, not the corpus.
+    */
+  private def writeShards(rows: DataFrame, path: String,
+      gzipPerRecord: Boolean, writeIndex: Boolean)(
+      recordOf: Row => (String, Array[Byte])): Unit = {
+    require(!writeIndex || gzipPerRecord,
+      "offset index requires gzipPerRecord=true (member = record); a " +
+        "plain .warc shard is already seekable by byte offset")
+    val spark = rows.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
-    import org.apache.spark.sql.functions.col
     val serConf = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(conf))
-    val rows = df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
     rows.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -125,17 +206,43 @@ object Warc {
         val deflater = if (gzipPerRecord)
           new java.util.zip.Deflater(
             java.util.zip.Deflater.DEFAULT_COMPRESSION, true) else null
-        try Sinks.writeTaskFile(serConf.value.value, p) { out =>
-          it.foreach { r =>
-            val rec = buildRecord("conversion", r.getString(0), warcDate,
-              "text/plain", r.getString(1).getBytes("UTF-8"))
-            if (gzipPerRecord) gzipMember(rec, deflater, out)
-            else out.write(rec)
+        val index = if (writeIndex)
+          new scala.collection.mutable.ArrayBuffer[String]() else null
+        try {
+          Sinks.writeTaskFile(serConf.value.value, p) { rawOut =>
+            var offset = 0L
+            it.foreach { r =>
+              val (uri, rec) = recordOf(r)
+              if (gzipPerRecord) {
+                val counting = new CountingOutputStream(rawOut)
+                gzipMember(rec, deflater, counting)
+                if (index != null) {
+                  index += s"<urn:md5:${md5Hex(uri)}>\t$offset\t${counting.count}"
+                }
+                offset += counting.count
+              } else rawOut.write(rec)
+            }
+          }
+          if (index != null) {
+            val ip = new Path(path, f"part-$pid%05d$ext.cdx")
+            Sinks.writeTaskFile(serConf.value.value, ip) { iout =>
+              index.foreach { line =>
+                iout.write(line.getBytes("UTF-8")); iout.write('\n') }
+            }
           }
         } finally if (deflater != null) deflater.end()
       }
     }
     Sinks.markSuccess(conf, path)
+  }
+
+  private final class CountingOutputStream(under: java.io.OutputStream)
+      extends java.io.OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { under.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      under.write(b, off, len); count += len
+    }
   }
 
   /** Write one complete gzip MEMBER (header, raw-deflate body, CRC32 +
@@ -199,6 +306,134 @@ object Warc {
     spark.createDataFrame(rdd, schema)
   }
 
+  val responseSchema: StructType = StructType(Seq(
+    StructField("record_id", StringType),
+    StructField("warc_date", StringType),
+    StructField("target_uri", StringType),
+    StructField("status_line", StringType),
+    StructField("http_status", IntegerType),
+    StructField("http_headers", ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("value", StringType))))),
+    StructField("body_length", LongType, nullable = false),
+    StructField("body", BinaryType)))
+
+  /** Parse `response` records under `path` with their HTTP envelopes
+    * split — the raw-crawl ingest front door (`warcinfo`/`request`/
+    * other record types are skipped; [[read]] surfaces everything
+    * unsplit). The split happens in the SAME per-record streaming
+    * pass as the WARC parse — no second scan, no UDF. Dirty rows
+    * surface per-row: a payload with no envelope (no CRLFCRLF, or no
+    * HTTP status line) comes back with NULL status and the whole
+    * payload as body, never a failed job.
+    */
+  def readResponses(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val globs = Seq(s"$path/*.warc", s"$path/*.warc.gz")
+      .filter(g => fs.globStatus(new Path(g)).nonEmpty)
+    require(globs.nonEmpty, s"no .warc or .warc.gz shards under $path")
+    val rdd = spark.sparkContext
+      .binaryFiles(globs.mkString(","))
+      .flatMap { case (file, pds) =>
+        val raw = pds.open()
+        val in = new DataInputStream(new BufferedInputStream(
+          if (file.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw, 1 << 16)
+          else raw))
+        parseStream(in).filter(_.warcType == "response")
+      }
+      .map { r =>
+        val (status, headers, body) = splitHttpEnvelope(r.content)
+        val code = statusCodeOf(status)
+        Row(r.recordId, r.warcDate, r.targetUri, status, code,
+          if (headers == null) null
+          else headers.map { case (n, v) => Row(n, v) },
+          body.length.toLong, body)
+      }
+    spark.createDataFrame(rdd, responseSchema)
+  }
+
+  /** Split an HTTP message payload into (status line, headers, body).
+    * Returns `(null, null, payload)` when no header/body separator or
+    * no `HTTP/` status line is present — the per-row dirty-data
+    * surface. The header block decodes as UTF-8 WHOLE, never
+    * char-by-byte (the mojibake class fixed in `readLine`).
+    */
+  private[sources] def splitHttpEnvelope(
+      payload: Array[Byte]): (String, Seq[(String, String)], Array[Byte]) = {
+    // find the first \r\n\r\n
+    var i = 0
+    var sep = -1
+    while (sep < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') sep = i
+      else i += 1
+    }
+    if (sep < 0) return (null, null, payload)
+    val head = new String(payload, 0, sep, "UTF-8")
+    val lines = head.split("\r\n", -1)
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
+      return (null, null, payload)
+    val headers = lines.drop(1).toSeq.flatMap { l =>
+      val j = l.indexOf(':')
+      if (j <= 0) None
+      else Some(l.substring(0, j) -> l.substring(j + 1).trim)
+    }
+    val body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+    (lines(0), headers, body)
+  }
+
+  private[sources] def statusCodeOf(statusLine: String): Integer = {
+    if (statusLine == null) return null
+    val parts = statusLine.split(" ")
+    if (parts.length < 2) return null
+    try Integer.valueOf(parts(1).toInt)
+    catch { case _: NumberFormatException => null }
+  }
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("shard", StringType),
+    StructField("record_id", StringType),
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false)))
+
+  /** Read the CDX-style offset sidecars written by
+    * `writeIndex = true`: one row per record with its shard path and
+    * gzip-member byte span. Joining this against a wanted-id list and
+    * calling [[readAt]] per hit is the O(records-wanted) random-access
+    * path; a full [[read]] pays the whole-corpus scan.
+    */
+  def readIndex(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("sep", "\t")
+      .schema("record_id STRING, offset LONG, length LONG")
+      .csv(s"$path/*.cdx")
+      .select(regexp_replace(input_file_name(), "\\.cdx$", "").as("shard"),
+        col("record_id"), col("offset"), col("length"))
+  }
+
+  /** Fetch ONE record from a member-per-record `.warc.gz` shard by its
+    * index span: seek to `offset`, read `length` bytes, inflate the
+    * single member, parse the one record — O(record), never O(shard).
+    * This is the consumer side of the CDX sidecar; an equality spec
+    * gates it against the streaming read.
+    */
+  def readAt(conf: org.apache.hadoop.conf.Configuration, shard: String,
+             offset: Long, length: Long): Rec = {
+    require(length <= Int.MaxValue, s"member too large: $length")
+    val p = new Path(shard)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val member = new Array[Byte](length.toInt)
+    try { in.seek(offset); in.readFully(member) } finally in.close()
+    val din = new DataInputStream(new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(member)))
+    val it = parseStream(din)
+    require(it.hasNext, s"no record in member at $shard:$offset")
+    it.next()
+  }
+
   private[sources] case class Rec(warcType: String, recordId: String,
       warcDate: String, targetUri: String, contentType: String,
       content: Array[Byte])
@@ -208,16 +443,24 @@ object Warc {
     new Iterator[Rec] {
       private var nextRec: Rec = _
       private var done = false
+      // accumulate BYTES and decode the line as UTF-8 whole: the old
+      // per-byte `b.toChar` append reconstructed multi-byte sequences
+      // as one mojibake char per byte, so a non-ASCII WARC-Target-URI
+      // written correctly by the UTF-8 writer came back corrupted.
+      // One buffer per iterator, reset per line (no per-line alloc).
+      // (declared BEFORE the eager advance() below — field init order.)
+      private val lineBuf = new java.io.ByteArrayOutputStream(256)
       advance()
 
       private def readLine(): String = {
-        val sb = new java.lang.StringBuilder
+        lineBuf.reset()
         var b = in.read()
         while (b != -1 && b != '\n') {
-          if (b != '\r') sb.append(b.toChar)
+          if (b != '\r') lineBuf.write(b)
           b = in.read()
         }
-        if (b == -1 && sb.length == 0) null else sb.toString
+        if (b == -1 && lineBuf.size == 0) null
+        else new String(lineBuf.toByteArray, "UTF-8")
       }
 
       private def advance(): Unit = {

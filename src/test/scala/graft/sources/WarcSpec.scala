@@ -86,6 +86,88 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.nonEmpty && recs.forall(_.warcType == "conversion"))
   }
 
+  test("non-ASCII WARC-Target-URI round-trips byte-exact") {
+    // the writer emits proper UTF-8 header bytes; the old per-byte
+    // toChar readLine reconstructed them as mojibake — pinned here
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_utf8").toString
+    val uri = "http://例え.テスト/café/straße?q=日本語"
+    val df = Seq((uri, "body")).toDF("target_uri", "text")
+    Warc.writeWet(df, dir)
+    val got = Warc.read(spark, dir).select("target_uri").as[String].collect()
+    assert(got.toSeq == Seq(uri))
+  }
+
+  test("response records: HTTP envelope round-trips, splitter surfaces dirty rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_resp").toString
+    // adversarial body: contains WARC framing AND an HTTP envelope of
+    // its own — the length-prefixed parse and the FIRST-crlfcrlf split
+    // must both stay put; plus a non-ASCII URI through the fixed reader
+    val evil = ("WARC/1.0\r\nContent-Length: 0\r\n\r\n" +
+      "HTTP/1.1 500 fake\r\nX: y\r\n\r\nnested").getBytes("UTF-8")
+    val rows = Seq(
+      ("http://a/ok", "HTTP/1.1 200 OK",
+        Seq(("Content-Type", "text/html; charset=utf-8"), ("Server", "g")),
+        "<html><body>hi</body></html>".getBytes("UTF-8")),
+      ("http://a/évil", "HTTP/1.1 404 Not Found",
+        Seq(("Content-Type", "text/plain")), evil))
+      .toDF("target_uri", "status_line", "http_headers", "body")
+    Warc.writeResponse(rows, dir)
+    val back = Warc.readResponses(spark, dir)
+      .collect().map(r => r.getString(2) -> r).toMap
+    val ok = back("http://a/ok")
+    assert(ok.getString(3) == "HTTP/1.1 200 OK")
+    assert(ok.getInt(4) == 200)
+    val hdrs = ok.getSeq[org.apache.spark.sql.Row](5)
+      .map(h => h.getString(0) -> h.getString(1)).toMap
+    assert(hdrs("Content-Type") == "text/html; charset=utf-8")
+    assert(hdrs("Content-Length") == "28")
+    assert(new String(ok.getAs[Array[Byte]](7), "UTF-8")
+      == "<html><body>hi</body></html>")
+    val ev = back("http://a/évil")
+    assert(ev.getInt(4) == 404)
+    assert(ev.getAs[Array[Byte]](7).toSeq == evil.toSeq)
+    // a payload with NO envelope surfaces NULL status + whole body
+    val (s0, h0, b0) = Warc.splitHttpEnvelope("no envelope".getBytes("UTF-8"))
+    assert(s0 == null && h0 == null &&
+      new String(b0, "UTF-8") == "no envelope")
+    // read() still surfaces the records unsplit with the right type
+    assert(Warc.read(spark, dir)
+      .where(col("warc_type") === "response").count() == 2)
+  }
+
+  test("offset index: readAt fetches ONE member ≡ the streamed record") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_cdx").toString
+    val df = (1L to 50L).map(i => (s"http://x/$i", s"doc $i body"))
+      .toDF("target_uri", "text").repartition(2)
+    Warc.writeWet(df, dir, gzipPerRecord = true, writeIndex = true)
+    val cdx = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".cdx"))
+    assert(cdx.length == 2, cdx.map(_.getName).toSeq)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = Warc.readIndex(spark, dir).collect()
+    assert(idx.length == 50)
+    // every index row resolves to the identical record the stream sees
+    val streamed = Warc.read(spark, dir)
+      .select(col("record_id"), col("target_uri"),
+        col("content").cast("string"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    idx.foreach { r =>
+      val rec = Warc.readAt(conf, r.getString(0), r.getLong(2), r.getLong(3))
+      assert(rec.recordId == r.getString(1))
+      val (uri, text) = streamed(rec.recordId)
+      assert(rec.targetUri == uri)
+      assert(new String(rec.content, "UTF-8") == text)
+    }
+    // writeIndex without member-per-record gzip is a caller error
+    intercept[IllegalArgumentException] {
+      Warc.writeWet(df, dir + "_bad", writeIndex = true)
+    }
+  }
+
   test("writeWet/read round-trip through real shard files, sharded by partition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("warc_spec").toString
