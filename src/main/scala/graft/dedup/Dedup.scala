@@ -1207,10 +1207,15 @@ object Dedup {
     * answer without scoring the text.
     *
     * Scale shape: [[clusters]]' closure + ONE combinable argmax — the
-    * per-cluster best is `max(struct(quality, −id))`, a map-side-
-    * combinable aggregate whose shuffle carries one 16-byte partial
-    * per cluster — then a cluster-keyed join back to members. No
-    * window over the corpus.
+    * per-cluster best is `max(q_micro·2⁴² + (2⁴²−1−id))`, the
+    * (quality, smallest-id-wins) order PACKED into one long: quality
+    * is already 6dp in [0,1] so `round(q·10⁶)` is an exact 20-bit
+    * integer, and a packed-long max is HASH-aggregable where
+    * `max(struct(q, −id))` plans a SortAggregate that sorts every
+    * member row on both sides of the exchange (the LineDedup owner
+    * lesson). One 8-byte partial per cluster crosses the shuffle —
+    * then a cluster-keyed join back to members. No window over the
+    * corpus. Ids guarded in-plan to [0, 2⁴²).
     *
     * Output: (doc_id, keep_id, kept).
     */
@@ -1221,10 +1226,15 @@ object Dedup {
         graft.textops.TextOps.qualityScore(col(textCol)).as("_q"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("_grp", coalesce(col("cluster_id"), col("doc_id")))
+    val Q = 1L << 42
+    val guard = assert_true(col("doc_id").between(0L, Q - 1),
+      lit("resolveBest: doc id outside [0, 2^42) — the packed argmax " +
+        "key would overflow"))
     val best = m.groupBy(col("_grp"))
-      .agg(max(struct(col("_q").as("q"), (-col("doc_id")).as("nid")))
-        .as("_b"))
-      .select(col("_grp"), (-col("_b.nid")).cast("long").as("keep_id"))
+      .agg(max(when(guard.isNull,
+        round(col("_q") * 1e6).cast("long") * Q +
+          (lit(Q - 1) - col("doc_id")))).as("_b"))
+      .select(col("_grp"), (lit(Q - 1) - col("_b") % Q).as("keep_id"))
     m.join(best, Seq("_grp"))
       .select(col("doc_id"), col("keep_id"),
         (col("doc_id") === col("keep_id")).as("kept"))

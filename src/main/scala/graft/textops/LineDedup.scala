@@ -74,12 +74,37 @@ object LineDedup {
 
   /** Within-document line dedup (C4 rule): keep each distinct line's
     * FIRST occurrence, preserve document order. One narrow scan —
-    * `array_position(lines, x) == i+1` keeps an element iff its own
-    * index is the first index of its value. Output:
+    * `array_distinct` IS first-occurrence-keep in encounter order, as
+    * one codegen'd hash-set pass. The first cut used the HOF
+    * `filter(lines, (x, i) => array_position(lines, x) === i + 1)`,
+    * which is O(lines²) per document on the INTERPRETED path
+    * (array_position rescans the array per element, and HOF lambda
+    * bodies don't codegen — the DsirBucketsExpr lesson): invisible on
+    * ~6-line fixture docs, a real per-row tax on thousand-line web
+    * pages. The HOF form survives as [[dedupLinesIntraHof]], the
+    * equivalence-spec twin. Output:
     * `(doc_id, n_lines, n_kept, text_clean)`.
     */
   def dedupLinesIntra(df: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = array_distinct(lines)
+    graft.util.Par.spread(df).select(
+      col(idCol).cast("long").as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("text_clean"))
+  }
+
+  /** The original O(n²) HOF form of [[dedupLinesIntra]] — kept ONLY as
+    * the equivalence-test twin (the BatchKernels convention). Note the
+    * one semantic edge outside real input: a NULL line element drops
+    * here (SQL equality never matches NULL) but `array_distinct`
+    * keeps one NULL; `split()` never produces NULL elements, so the
+    * twins agree on every reachable input.
+    */
+  private[graft] def dedupLinesIntraHof(df: DataFrame, idCol: String,
+                                        textCol: String): DataFrame = {
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, (x, i) => array_position(lines, x) === i + 1)
     graft.util.Par.spread(df).select(
@@ -94,36 +119,75 @@ object LineDedup {
     * min `(doc_id, position)` per distinct line — and only at that
     * position; all other copies anywhere drop.
     *
-    * Plan: narrow explode to `(h = xxhash64(line), doc_id, i)` → ONE
-    * combinable `min(struct(doc_id, i))` per h → hash-keyed join
-    * (24-byte rows, AQE-splittable — no hint) filters to surviving
-    * positions → doc-keyed collect of the kept-position array →
-    * doc-keyed join back to the corpus, where the cleaned text is
-    * rebuilt from the document's own lines by position. Line strings
-    * never shuffle. Output: `(doc_id, n_lines, n_kept, text_clean)`
-    * for every input doc (a fully-boilerplate doc keeps 0 lines and
-    * an empty `text_clean`).
+    * Plan: narrow explode to `(h = xxhash64(line), doc_id, i)`, the
+    * owner key PACKED into one long — `doc_id·2²¹ + i` (positions
+    * bounded in-plan at 2²¹ lines/doc; numeric order ≡ lexicographic
+    * (doc, pos) order) — then ONE combinable `min(packed)` per h.
+    * The packing matters twice over: `min(struct(doc_id, i))` is not
+    * hash-aggregable, so Catalyst plans a SortAggregate that SORTS
+    * every exploded line row on both sides of the exchange (measured:
+    * the sort was most of 872s on a 500M-line probe; the packed
+    * HashAggregate form runs the same probe in ~90s). And the owner
+    * longs ARE the surviving positions — a line survives exactly at
+    * its global-min (doc, pos) — so no re-join against the exploded
+    * frame is needed at all (the first cut's corpus-line-scale join
+    * computed a frame already in hand). Then one doc-keyed collect of
+    * the kept-position array and one doc-keyed join back to the
+    * corpus, where the cleaned text is rebuilt from the document's
+    * own lines by INDEXING the sorted kept positions (O(kept)
+    * element_at lookups — never a per-line membership scan).
+    * Line strings never shuffle. Output:
+    * `(doc_id, n_lines, n_kept, text_clean)` for every input doc (a
+    * fully-boilerplate doc keeps 0 lines and an empty `text_clean`).
     */
   def dedupLinesCorpus(df: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val spread = graft.util.Par.spread(df)
     val lines = split(col(textCol), "\n")
+    // 2^21 = 2M lines/doc headroom; ids up to 2^42 before the pack
+    // overflows a long. Both guarded IN-PLAN (codegen'd branch, no
+    // extra pass) — silent corruption is the alternative.
+    val L = 1L << 21
+    val guard = assert_true(
+      col("_i") < lit(L) && col("doc_id").between(0L, (1L << 42) - 1),
+      lit("dedupLinesCorpus: position >= 2^21 or doc id outside " +
+        "[0, 2^42) — the packed owner key would overflow"))
     val ex = spread.select(col(idCol).cast("long").as("doc_id"),
         posexplode(lines).as(Seq("_i", "_ln")))
-      .select(col("doc_id"), col("_i"), xxhash64(col("_ln")).as("_h"))
-    val owner = ex.groupBy(col("_h"))
-      .agg(min(struct(col("doc_id"), col("_i"))).as("_o"))
-    val keptPos = ex.join(owner, Seq("_h"))
-      .filter(col("doc_id") === col("_o.doc_id") && col("_i") === col("_o._i"))
+      .select(xxhash64(col("_ln")).as("_h"),
+        when(guard.isNull, col("doc_id") * L + col("_i")).as("_p"))
+    val owner = ex.groupBy(col("_h")).agg(min(col("_p")).as("_p"))
+    // integer `div`, never `/` (double quotient rounds above 2^52 —
+    // the RangeJoin bucket lesson; _p ranges up to 2^63)
+    val keptPos = owner
+      .select(expr(s"_p div ${L}L").as("doc_id"),
+        (col("_p") % L).cast("int").as("_i"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("_i"))).as("_kp"))
+    // rebuild by INDEXING the kept positions (O(kept) element_at
+    // lookups), not by filtering the full line array with a per-line
+    // array_contains membership scan (O(lines · kept) interpreted) —
+    // _kp is already sorted, so the transform preserves document
+    // order; a doc with no surviving lines coalesces to the empty
+    // array → empty text_clean. HOF twin: [[rebuildByMembershipHof]].
+    val keptArr = coalesce(col("_kp"), array().cast("array<int>"))
     spread.select(col(idCol).cast("long").as("doc_id"), lines.as("_lines"))
       .join(keptPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("_lines")).cast("long").as("n_lines"),
         coalesce(size(col("_kp")), lit(0)).cast("long").as("n_kept"),
-        array_join(filter(col("_lines"),
-          (_, i) => coalesce(array_contains(col("_kp"), i), lit(false))),
-          "\n").as("text_clean"))
+        array_join(transform(keptArr,
+          i => element_at(col("_lines"), i + 1)), "\n").as("text_clean"))
   }
+
+  /** The original O(lines·kept) membership-scan rebuild — kept ONLY as
+    * the equivalence-test twin for [[dedupLinesCorpus]]'s indexing
+    * rebuild: given the line array and the kept-position array, both
+    * must reproduce the identical cleaned text.
+    */
+  private[graft] def rebuildByMembershipHof(linesCol: Column,
+                                            keptPosCol: Column): Column =
+    array_join(filter(linesCol,
+      (_, i) => coalesce(array_contains(keptPosCol, i), lit(false))),
+      "\n")
 }

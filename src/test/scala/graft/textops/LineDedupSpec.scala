@@ -23,6 +23,45 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got(4L) == (1L, 1L, ""))
   }
 
+  test("array_distinct intra form ≡ the O(n²) HOF twin, incl. a 1k-line doc") {
+    // the codegen'd hash-set pass must reproduce the HOF form exactly
+    // on every reachable input shape: scattered repeats, all-dup docs,
+    // adjacent dups, empty lines mid-doc, and a LONG doc (the shape
+    // where the quadratic twin actually hurts)
+    val longDoc = (0 until 1000).map(i => s"line ${i % 137}").mkString("\n")
+    val df = Seq(
+      (1L, "a b\nc d\na b\ne\nc d"),
+      (2L, "x\nx\nx"),
+      (3L, "solo"),
+      (4L, ""),
+      (5L, "p\n\nq\n\np"),          // empty lines are lines too
+      (6L, longDoc)
+    ).toDF("doc_id", "text")
+    val fast = LineDedup.dedupLinesIntra(df, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val hof = LineDedup.dedupLinesIntraHof(df, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(fast == hof)
+    // and the long doc really deduped to its 137 distinct lines
+    assert(fast.find(_.head == 6L).get(2) == 137L)
+  }
+
+  test("corpus rebuild by position-indexing ≡ the membership-scan HOF twin") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq(0, 2)),
+      (Seq("a", "b"), Seq[Int]()),       // nothing kept -> empty text
+      (Seq("x"), Seq(0)),
+      ((0 until 500).map(i => s"l$i"), (0 until 500 by 7))) // long doc
+      .toDF("_lines", "_kp")
+    val got = df.select(
+      array_join(transform(col("_kp"),
+        i => element_at(col("_lines"), i + 1)), "\n").as("fast"),
+      LineDedup.rebuildByMembershipHof(col("_lines"), col("_kp")).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
   test("dedupLinesCorpus: global first occurrence wins across and within docs") {
     val df = Seq(
       (10L, "banner\nunique ten\nbanner"), // owns banner at pos 0; pos-2 copy drops
