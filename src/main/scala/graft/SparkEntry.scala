@@ -1113,6 +1113,32 @@ object SparkEntry {
         d.withColumn("domain", host), "domain", "lang", "text")
     }),
 
+    "domain_filter" -> ((s, dir) => {
+      // DOMAIN-level gating — the decision the domain_profile
+      // datasheet feeds (RefinedWeb/C4 domain rules): keep/drop every
+      // doc by its canonical host's AGGREGATE mean quality and doc
+      // volume. A spam domain is PLANTED in-query (md5 bucket < 10:
+      // host swapped to spam-farm.example.com, text to punctuation
+      // junk scoring ~0.05 — far under the 0.3 cut, while real
+      // domains sit at ~0.55) so the gate verifies a real drop. One
+      // corpus scan into a domain-sized combinable agg, one
+      // domain-keyed attach-back join, no broadcast hint (domain
+      // tables reach tens of millions at crawl scale; AQE decides)
+      val d = Tables.documents(s, dir)
+      val url = graft.textops.Url.urlFixture(col("doc_id"), col("source"))
+      val host = regexp_extract(graft.textops.Url.canonicalize(url),
+        "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val planted = d.select(col("doc_id"),
+        when(bucket < 10, lit("spam-farm.example.com"))
+          .otherwise(host).as("domain"),
+        when(bucket < 10, lit("!!! buy now !!! buy now !!!"))
+          .otherwise(col("text")).as("text"))
+      graft.textops.Vocab.domainFilter(planted, "domain", "text")
+        .select(col("doc_id"), col("domain"), col("domain_n_docs"),
+          col("domain_mean_quality"), col("keep"))
+    }),
+
     "url_canonicalize" -> ((s, dir) => {
       // the crawl-frontier dedup key: canonical URL (lowercase
       // scheme/host, fragment dropped, default port + www stripped,
@@ -2911,6 +2937,34 @@ object SparkEntry {
            round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
            count(DISTINCT lang) AS n_langs
          FROM s GROUP BY domain""",
+
+    "domain_filter" ->
+      // replays the planted spam domain (md5 bucket < 10 swaps host +
+      // junk text), the per-domain mean-quality aggregate, and the
+      // (mean_quality >= 0.3 AND n_docs >= 2) keep rule per doc
+      s"""WITH ub AS (SELECT doc_id, source, text,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+           FROM documents),
+         pl AS (SELECT doc_id,
+           CASE WHEN bucket < 10 THEN 'spam-farm.example.com'
+                ELSE lower(source) || '.example.com' END AS domain,
+           CASE WHEN bucket < 10 THEN '!!! buy now !!! buy now !!!'
+                ELSE text END AS text
+           FROM ub),
+         b AS (SELECT doc_id, domain, $duckQualityParts FROM pl),
+         s AS (SELECT doc_id, domain,
+           $duckQualityFromParts AS quality FROM b),
+         prof AS (SELECT domain, count(*) AS domain_n_docs,
+           round(avg(quality), 6) AS domain_mean_quality
+           FROM s GROUP BY domain)
+         SELECT s.doc_id, s.domain, prof.domain_n_docs,
+           prof.domain_mean_quality,
+           (prof.domain_mean_quality >= 0.3 AND prof.domain_n_docs >= 2)
+             AS keep
+         FROM s JOIN prof USING (domain)""",
 
     "url_canonicalize" ->
       // replays the messy-URL fixture (md5 bucket draw) and every

@@ -90,6 +90,41 @@ object Vocab {
         count_distinct(col(langCol)).as("n_langs"))
   }
 
+  /** DOMAIN-level gating — the decision operator the [[corpusProfile]]
+    * datasheet exists to feed (the RefinedWeb/C4 domain-rule step):
+    * keep or drop every document by its domain's AGGREGATE quality and
+    * volume, not its own text. A spam host whose individual pages pass
+    * per-doc gates still reads as junk in aggregate (low mean quality)
+    * — and a domain with too few documents carries no signal either
+    * way and is dropped as unvetted (`minDocs`, the blocklist
+    * convention of treating unknown hosts conservatively).
+    *
+    * Scale shape: ONE corpus scan into the profile aggregate (a
+    * domain-count-sized table: mean quality is combinable — the
+    * percentile columns of the full datasheet are deliberately NOT
+    * computed here), then one domain-keyed join back. No broadcast
+    * hint: a domain table can reach tens of millions of rows at crawl
+    * scale, and hot domains skew the attach-back — AQE's size-based
+    * broadcast and skew-split both apply (the scoreLinear lesson).
+    *
+    * Output: `(docs columns…, domain_n_docs, domain_mean_quality,
+    * keep)` — every input doc surfaces with its decision; nothing
+    * silently drops.
+    */
+  def domainFilter(df: DataFrame, domainCol: String, textCol: String,
+                   minMeanQuality: Double = 0.3,
+                   minDocs: Long = 2): DataFrame = {
+    val prof = graft.util.Par.spread(df)
+      .select(col(domainCol), TextOps.qualityScore(col(textCol)).as("_q"))
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("domain_n_docs"),
+        round(avg(col("_q")), 6).as("domain_mean_quality"))
+    df.join(prof, Seq(domainCol), "left")
+      .withColumn("keep",
+        coalesce(col("domain_mean_quality") >= minMeanQuality &&
+          col("domain_n_docs") >= minDocs, lit(false)))
+  }
+
   /** [[corpusProfile]] with SKETCHED percentiles: `approx_percentile`
     * (Greenwald-Khanna, bounded-memory) replaces the exact buffering
     * `percentile`, so no stratum ever materializes its value list on a

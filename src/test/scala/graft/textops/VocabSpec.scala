@@ -195,6 +195,26 @@ class VocabSpec extends AnyFunSuite {
     assert(a == m(Vocab.noveltyScoreViaJoin(d, "doc_id", "text")))
   }
 
+  test("domainFilter: aggregate-quality drop, minDocs drop, NULL domain surfaces") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks away to find some more interesting things to do today"
+    val df = Seq(
+      (1L, Option("good.com"), good),
+      (2L, Option("good.com"), good),
+      (3L, Option("spam.com"), "!!! ??? !!! ??? !!!"),
+      (4L, Option("spam.com"), "!!! ??? !!! ??? !!!"),
+      (5L, Option("lone.com"), good),              // 1 doc < minDocs
+      (6L, Option.empty[String], good))            // dirty row
+      .toDF("doc_id", "domain", "text")
+    val got = Vocab.domainFilter(df, "domain", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false))
+    // every input row surfaced — nothing silently dropped
+    assert(got.size == 6)
+  }
+
   test("topNgrams plan: partial aggregation + TakeOrdered, no global sort exchange") {
     val d = docs(1L -> "a b c a b", 2L -> "b c d")
     val plan = Vocab.topNgrams(d, "text", n = 2, k = 2)
