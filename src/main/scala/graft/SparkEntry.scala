@@ -1944,6 +1944,15 @@ object SparkEntry {
         "doc_id", "text", tiers = 4,
         pctByTier = Map(1 -> 5, 2 -> 20, 3 -> 50, 4 -> 90))),
 
+    "sample_ppl_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail perplexity buckets: per-doc fluency
+      // under the corpus's own bigram LM (lm_score), quartile-boundary
+      // buckets from ONE percentile_approx scalar (head = most
+      // fluent), 90/50/10% md5 keep-draws — the model-based-quality
+      // curriculum beside the heuristic tiers
+      graft.pipeline.Pipeline.samplePerplexityBuckets(
+        Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- REAL-tokenizer (BPE) budget family: the same operators
     // metered in the subword units a trainer actually consumes. One
     // codegen'd scan-stage kernel (BpeCountExpr, memoized per distinct
@@ -3251,6 +3260,47 @@ object SparkEntry {
            round(avg(ln((c12.c12 + 1.0) / (c1.c1 + v.vv))), 6) AS avg_logp
          FROM bg JOIN c12 USING (bg) JOIN c1 ON c1.tok = bg.w1, v
          GROUP BY doc_id""",
+
+    "sample_ppl_buckets" ->
+      // the lm_score CTE chain feeding the quality_tiers conventions:
+      // quartile thresholds as explicit rank selection (value at
+      // 1-based rank ceil(p·n) — ties safe: the VALUE at a sorted
+      // position is deterministic), head/middle/tail by strict >
+      // compares on the 6dp score, then the shared md5-bucket draw
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg, w[i] AS w1
+                FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                      FROM toks WHERE len(w) >= 2)),
+         c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+         uni AS (SELECT unnest(w) AS tok FROM toks),
+         c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS vv FROM uni),
+         lm AS (SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c12.c12 + 1.0) / (c1.c1 + v.vv))), 6) AS avg_logp
+           FROM bg JOIN c12 USING (bg) JOIN c1 ON c1.tok = bg.w1, v
+           GROUP BY doc_id),
+         r AS (SELECT avg_logp, row_number() OVER (ORDER BY avg_logp) AS rn,
+               count(*) OVER () AS n FROM lm),
+         t AS (SELECT
+               max(CASE WHEN rn = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+                   THEN avg_logp END) AS t1,
+               max(CASE WHEN rn = greatest(CAST(ceil(0.75 * n) AS BIGINT), 1)
+                   THEN avg_logp END) AS t3
+             FROM r),
+         b AS (SELECT doc_id, n_bigrams, avg_logp,
+               CASE WHEN avg_logp > t.t3 THEN 'head'
+                    WHEN avg_logp > t.t1 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket,
+               list_sum(list_transform(generate_series(1, 15),
+                 p -> ((strpos('0123456789abcdef',
+                        substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                       << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+             FROM lm, t)
+         SELECT doc_id, n_bigrams, avg_logp, ppl_bucket, bucket FROM b
+         WHERE bucket < CASE ppl_bucket WHEN 'head' THEN 90
+                        WHEN 'middle' THEN 50 ELSE 10 END""",
 
     "tfidf_terms" ->
       // smooth tf-idf: score = tf * ln((N+1)/(df+1)) rounded to 6dp on

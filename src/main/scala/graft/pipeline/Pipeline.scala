@@ -379,6 +379,55 @@ object Pipeline {
       .filter(col("bucket") < pct)
   }
 
+  /** CCNet-style PERPLEXITY-BUCKET sampling (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every document under the corpus's own
+    * LM ([[graft.textops.Vocab.lmScore]] — the KenLM stand-in), split
+    * the corpus into head/middle/tail buckets at the quartile
+    * boundaries of the per-doc average log-likelihood (head = most
+    * fluent = highest avg_logp = LOWEST perplexity, the quarter CCNet
+    * trusts most; tail = the bottom quarter), then keep each bucket
+    * at its own rate via the shared md5 draw — the
+    * model-based-quality curriculum axis beside the heuristic tiers
+    * ([[sampleQualityTiers]]) and the learned filter.
+    *
+    * Scale shape: lmScore's own shape (two combinable count aggs, a
+    * vocab-sized model join, one per-doc agg), then ONE
+    * `percentile_approx` scalar broadcast for the boundaries — never
+    * a global-window ntile — and a narrow draw. Docs with no bigram
+    * (under two tokens) have undefined perplexity and are not scored,
+    * matching CCNet's drop of un-scorable fragments. Quartile
+    * fractions are exact binary doubles (0.25/0.75) so both engines'
+    * ceil(p·n) rank arithmetic agrees at EVERY corpus size (a 1/3
+    * tercile literal rounds differently when 3 divides n).
+    *
+    * Output: (doc_id, n_bigrams, avg_logp, ppl_bucket, bucket) for
+    * the KEPT docs.
+    */
+  def samplePerplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                              pctByBucket: Map[String, Int] =
+                                Map("head" -> 90, "middle" -> 50,
+                                  "tail" -> 10),
+                              accuracy: Int = 100000): DataFrame = {
+    require(Seq("head", "middle", "tail").forall(pctByBucket.contains),
+      s"pctByBucket must cover head/middle/tail, got ${pctByBucket.keys}")
+    pctByBucket.values.foreach(p =>
+      require(p >= 0 && p <= 100, s"percentage must be in [0,100], got $p"))
+    val scored = graft.textops.Vocab.lmScore(df, idCol, textCol)
+    val thr = scored.agg(percentile_approx(col("avg_logp"),
+      array(lit(0.25), lit(0.75)), lit(accuracy)).as("_thr"))
+    val bucketName = when(col("avg_logp") > element_at(col("_thr"), 2),
+        "head")
+      .when(col("avg_logp") > element_at(col("_thr"), 1), "middle")
+      .otherwise("tail")
+    val pct = when(col("ppl_bucket") === "head", lit(pctByBucket("head")))
+      .when(col("ppl_bucket") === "middle", lit(pctByBucket("middle")))
+      .otherwise(lit(pctByBucket("tail")))
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), col("n_bigrams"), col("avg_logp"),
+        bucketName.as("ppl_bucket"), md5Bucket(col(idCol)).as("bucket"))
+      .filter(col("bucket") < pct)
+  }
+
   /** The DAILY-INGEST pipeline composed in ONE DAG — the incremental
     * twin of [[corpusClean]]: a crawl increment is quality-gated, then
     * checked against the existing corpus for exact duplicates
