@@ -35,6 +35,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan("lag_distributed").contains("SinglePartition"))
   }
 
+  test("domain_filter: combinable agg + join, no window, no pair scan") {
+    val p = plan("domain_filter")
+    assert(opCount(p, "Window") == 0, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("sample_ppl_buckets: bucket thresholds are a scalar agg, never a corpus window") {
+    // the ONLY windowless global pass allowed is percentile_approx's
+    // scalar aggregate; a global-window ntile would show as Window +
+    // SinglePartition over the corpus
+    val p = plan("sample_ppl_buckets")
+    assert(opCount(p, "Window") == 0, p)
+  }
+
   test("q1_pricing pushes the date filter into the parquet scan") {
     val scanLines = plan("q1_pricing").linesIterator
       .filter(_.contains("PushedFilters")).mkString
