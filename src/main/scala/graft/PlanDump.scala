@@ -331,12 +331,28 @@ object PlanDump {
           "no UDF, no shuffle, no join."),
       "dedup_lines_corpus" ->
         ("Corpus-wide line dedup: line STRINGS never cross an " +
-          "exchange — the exploded frame ships (xxhash64, doc_id, " +
-          "pos) 24-byte rows into one combinable min(struct) " +
-          "aggregate plus one hash-keyed join (no hint, AQE picks), " +
-          "and surviving positions return as a sorted int array on " +
-          "a doc-keyed join; cleaned text rebuilds from each doc's " +
-          "own line array in the final projection."),
+          "exchange — the exploded frame ships (xxhash64(line), " +
+          "doc_id·2^21 + pos) 16-byte rows into one combinable " +
+          "HASH-aggregable min (the packed long replaces " +
+          "min(struct), which planned a SortAggregate sorting every " +
+          "line row on both sides of its exchange), the owner longs " +
+          "ARE the surviving positions (no re-join against the " +
+          "exploded frame), and cleaned text rebuilds by INDEXING " +
+          "each doc's own line array at the sorted kept positions."),
+      "warc_response_extract" ->
+        ("Raw-crawl to clean text in one DAG: response records " +
+          "stream per-file-parallel with the HTTP envelope split in " +
+          "the same per-record pass (no second scan), and the " +
+          "justext main-content extraction runs as codegen'd array " +
+          "functions over the recovered body — the crawl hop adds " +
+          "no shuffle and no join to html_extract_main's plan."),
+      "domain_filter" ->
+        ("Domain-level gating: ONE corpus scan into a domain-count-" +
+          "sized combinable (count, mean-quality) aggregate, one " +
+          "domain-keyed attach-back join with NO broadcast hint — " +
+          "domain tables reach tens of millions of rows at crawl " +
+          "scale, and hot domains skew the join; AQE's size-based " +
+          "broadcast and skew-split both apply."),
       "sample_dsir" ->
         ("DSIR importance scoring: ONE codegen'd kernel scan emits " +
           "every feature's bucket id (unigram+bigram md5 folds — " +
