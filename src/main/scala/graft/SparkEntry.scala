@@ -1188,6 +1188,20 @@ object SparkEntry {
           Tables.documents(s, dir), "doc_id", "text"),
         "doc_id", "text")),
 
+    "dedup_lines_incremental" -> ((s, dir) => {
+      // line-granularity DAILY INGEST: doc_id % 10 >= 7 plays the
+      // crawl increment — deliberately ORTHOGONAL to the fixture's
+      // md5 plants, so increment docs carry the boilerplate line the
+      // corpus already owns (a real cross-set drop) plus their own
+      // self-dup plants (the within-increment first-occurrence rule).
+      // Increment line hashes broadcast; the corpus never shuffles
+      val d = graft.textops.LineDedup.multilineFixture(
+        Tables.documents(s, dir), "doc_id", "text")
+      val isInc = pmod(col("doc_id"), lit(10)) >= 7
+      graft.textops.LineDedup.dedupLinesIncremental(
+        d.filter(isInc), d.filter(!isInc), "doc_id", "text")
+    }),
+
     "sample_cap_per_source" -> ((s, dir) =>
       // "at most k docs per source" by deterministic md5 draw — the
       // per-domain ceiling applied before mixture weighting. Salted
@@ -3102,6 +3116,32 @@ object SparkEntry {
          FROM ml LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n_kept,
              string_agg(line, chr(10) ORDER BY i) AS text_clean
            FROM k GROUP BY doc_id) c USING (doc_id)""",
+
+    "dedup_lines_incremental" ->
+      // same fixture; the increment (doc_id % 10 >= 7) keeps a line
+      // iff it appears NOWHERE in the corpus slice and is the global
+      // first occurrence within the increment itself
+      s"""WITH $lineFixtureCtes,
+         l AS (SELECT doc_id, ls, i, ls[i] AS line
+               FROM ml, unnest(generate_series(1, len(ls))) AS t(i)),
+         inc AS (SELECT * FROM l WHERE doc_id % 10 >= 7),
+         cor AS (SELECT DISTINCT line FROM l WHERE doc_id % 10 < 7),
+         new AS (SELECT inc.* FROM inc LEFT JOIN cor
+               ON inc.line = cor.line WHERE cor.line IS NULL),
+         f1 AS (SELECT line, min(doc_id) AS d0 FROM new GROUP BY line),
+         f2 AS (SELECT n.line, n.doc_id, min(n.i) AS i0 FROM new n
+               JOIN f1 ON n.line = f1.line AND n.doc_id = f1.d0
+               GROUP BY n.line, n.doc_id),
+         k AS (SELECT n.doc_id, n.i, n.line FROM new n
+               JOIN f2 ON n.line = f2.line AND n.doc_id = f2.doc_id
+                 AND n.i = f2.i0)
+         SELECT ml.doc_id, len(ml.ls)::BIGINT AS n_lines,
+           COALESCE(c.n_kept, 0)::BIGINT AS n_kept,
+           COALESCE(c.text_clean, '') AS text_clean
+         FROM ml LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(line, chr(10) ORDER BY i) AS text_clean
+           FROM k GROUP BY doc_id) c USING (doc_id)
+         WHERE ml.doc_id % 10 >= 7""",
 
     "sql_quality_score" -> duckQualityScoreOracle,
 

@@ -285,6 +285,29 @@ object StreamingOps {
         idCol, vecCol, threshold, numPlanes, bands, dim), batchId)
     }
 
+  /** The ingest-probe contract at LINE granularity — completing the
+    * per-granularity set (document exact/near, passage spans, lines):
+    * each micro-batch of documents runs
+    * [[graft.textops.LineDedup.dedupLinesIncremental]] against the
+    * corpus thunk — an incoming doc's line survives iff it appears
+    * nowhere in the corpus AND first within the batch — and the sink
+    * receives the cleaned (doc_id, n_lines, n_kept, text_clean) rows.
+    * The corpus is a THUNK re-evaluated per trigger so the sink's
+    * compaction (append accepted docs' lines) gives
+    * arrival-order-wins across micro-batches; the query keeps no
+    * state. Per-trigger cost is the batch operator's: increment line
+    * hashes broadcast, the corpus streams through one narrow
+    * projection and never shuffles.
+    */
+  def lineIngestProbe(docs: DataFrame, corpus: () => DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text")
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.textops.LineDedup.dedupLinesIncremental(batch, corpus(),
+        idCol, textCol), batchId)
+    }
+
   /** Quality-gate filter (stateless): identical plan batch or stream —
     * the shape of an inline corpus filter in a streaming ingest path.
     */

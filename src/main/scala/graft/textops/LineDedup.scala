@@ -180,6 +180,62 @@ object LineDedup {
           i => element_at(col("_lines"), i + 1)), "\n").as("text_clean"))
   }
 
+  /** The DAILY-INGEST form of [[dedupLinesCorpus]] — line-granularity
+    * dedup at the ingest point (the missing incremental twin beside
+    * the exact/minhash/span/image/video/embedding ingest decisions):
+    * an incoming document's line survives iff its hash appears
+    * NOWHERE in the existing corpus AND this is its first occurrence
+    * (global min packed (doc, pos)) within the increment itself —
+    * arrival-order-wins, the same convention as every other
+    * incremental here.
+    *
+    * Scale shape (the exactIncremental probe shape): the increment's
+    * distinct line hashes BROADCAST against the corpus's line-hash
+    * projection — the corpus never shuffles, and only matched hashes
+    * (bounded by the increment) come back. Everything else is
+    * increment-sized: the packed-long min owner aggregate, the
+    * kept-position collect, the doc-keyed rebuild join. Line strings
+    * never cross an exchange on either side.
+    *
+    * Output: `(doc_id, n_lines, n_kept, text_clean)` for every
+    * INCOMING doc.
+    */
+  def dedupLinesIncremental(incoming: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val L = 1L << 21
+    val guard = assert_true(
+      col("_i") < lit(L) && col("doc_id").between(0L, (1L << 42) - 1),
+      lit("dedupLinesIncremental: position >= 2^21 or doc id outside " +
+        "[0, 2^42) — the packed owner key would overflow"))
+    val incEx = incoming
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(lines).as(Seq("_i", "_ln")))
+      .select(xxhash64(col("_ln")).as("_h"),
+        when(guard.isNull, col("doc_id") * L + col("_i")).as("_p"))
+    val owner = incEx.groupBy(col("_h")).agg(min(col("_p")).as("_p"))
+    val hit = graft.util.Par.spread(corpus)
+      .select(explode(split(col(textCol), "\n")).as("_ln"))
+      .select(xxhash64(col("_ln")).as("_h"))
+      .join(broadcast(owner.select(col("_h"))), "_h")
+      .distinct()
+      .withColumn("_in_corpus", lit(true))
+    val keptPos = owner.join(broadcast(hit), Seq("_h"), "left")
+      .filter(coalesce(!col("_in_corpus"), lit(true)))
+      .select(expr(s"_p div ${L}L").as("doc_id"),
+        (col("_p") % L).cast("int").as("_i"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("_i"))).as("_kp"))
+    val keptArr = coalesce(col("_kp"), array().cast("array<int>"))
+    incoming.select(col(idCol).cast("long").as("doc_id"), lines.as("_lines"))
+      .join(keptPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("_lines")).cast("long").as("n_lines"),
+        coalesce(size(col("_kp")), lit(0)).cast("long").as("n_kept"),
+        array_join(transform(keptArr,
+          i => element_at(col("_lines"), i + 1)), "\n").as("text_clean"))
+  }
+
   /** The original O(lines·kept) membership-scan rebuild — kept ONLY as
     * the equivalence-test twin for [[dedupLinesCorpus]]'s indexing
     * rebuild: given the line array and the kept-position array, both

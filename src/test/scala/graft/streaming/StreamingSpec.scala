@@ -132,6 +132,57 @@ class StreamingSpec extends AnyFunSuite {
       batchDecision.filter(_._1 != 20L))
   }
 
+  test("lineIngestProbe: cross-batch line catch requires compaction; batch parity") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("line_store").toString
+    Seq((1L, "banner line\ncorpus one"), (2L, "corpus two"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    // b1: doc 10 loses the corpus-owned banner, keeps "fresh ten";
+    // compaction appends its CLEANED text to the corpus. b2: doc 20
+    // repeats "fresh ten" — it must drop via the COMPACTED store only
+    // (the cross-micro-batch catch), while "fresh twenty" survives.
+    val b1 = Seq((10L, "fresh ten\nbanner line")).toDF("doc_id", "text")
+    val b2 = Seq((20L, "fresh ten\nfresh twenty")).toDF("doc_id", "text")
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("line_feed").toString
+    b1.coalesce(1).write.mode("append").parquet(feedDir)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var batches = 0
+    val q = StreamingOps.lineIngestProbe(stream,
+        () => spark.read.parquet(corpusDir)) { (df, _) =>
+      val rows = df.collect()
+      out.synchronized { out ++= rows; batches += 1 }
+      // compaction: the cleaned accepted docs join the corpus before
+      // the next trigger — arrival-order-wins
+      val cleaned = rows.filter(_.getLong(2) > 0)
+        .map(r => (r.getLong(0), r.getString(3)))
+      if (cleaned.nonEmpty)
+        cleaned.toSeq.toDF("doc_id", "text")
+          .write.mode("append").parquet(corpusDir)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(10L) == (2L, 1L, "fresh ten"), s"got: $got")
+    assert(got(20L) == (2L, 1L, "fresh twenty"), s"got: $got")
+    // batch parity on the no-cross-batch prefix: b1's stream decision
+    // equals the batch operator against the original corpus
+    val batchB1 = graft.textops.LineDedup.dedupLinesIncremental(
+        b1, spark.read.parquet(corpusDir).filter(col("doc_id") < 10),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(batchB1(10L) == got(10L))
+  }
+
   test("imageIngestProbe: compacting stream catches a cross-batch planted twin; batch parity") {
     import spark.implicits._
     val M = graft.multimodal.Multimodal

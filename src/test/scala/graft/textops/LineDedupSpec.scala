@@ -88,6 +88,32 @@ class LineDedupSpec extends AnyFunSuite {
     assert(got(2L) == (1L, 0L, ""))
   }
 
+  test("dedupLinesIncremental: corpus hit, within-increment first-wins, clean pass") {
+    val corpus = Seq(
+      (1L, "known banner\ncorpus prose one"),
+      (2L, "corpus prose two")).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, "known banner\nfresh ten"),       // banner drops (corpus owns it)
+      (11L, "fresh eleven\nfresh shared"),    // owns 'fresh shared' (min doc)
+      (12L, "fresh shared\nfresh twelve"),    // 'fresh shared' drops (11 owns)
+      (13L, "untouched lines\nall fresh"))
+      .toDF("doc_id", "text")
+    val got = LineDedup.dedupLinesIncremental(inc, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(10L) == (2L, 1L, "fresh ten"))
+    assert(got(11L) == (2L, 2L, "fresh eleven\nfresh shared"))
+    assert(got(12L) == (2L, 1L, "fresh twelve"))
+    assert(got(13L) == (2L, 2L, "untouched lines\nall fresh"))
+    // probe shape: the corpus side never shuffles — its line hashes
+    // meet the BROADCAST increment hash set; and no sort-based
+    // aggregate sneaks in (the packed-long min stays hash-aggregable)
+    val plan = LineDedup.dedupLinesIncremental(inc, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("multilineFixture: 8-token lines, boilerplate and self-dup plants") {
     val text = (1 to 20).map(i => s"t$i").mkString(" ")
     // bucket draws are md5(doc_id)-determined: scan ids for one in
