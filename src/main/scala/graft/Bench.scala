@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Scored-artifact routing: ONLY the canonical sf0.1 dir (exact
+    * basename — `endsWith("sf0.1")` also matched the zsf0.1 anchor
+    * dir, the precise clobbering class this routing exists to close)
+    * writes `bench.json`; every other scale lands in
+    * `bench_adhoc.json`.
+    */
+  private[graft] def artifactFor(sfDir: String): String =
+    if (new java.io.File(sfDir.stripSuffix("/")).getName == "sf0.1")
+      "bench.json"
+    else "bench_adhoc.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -102,9 +113,8 @@ object Bench {
     // any other scale lands in bench_adhoc.json unless the caller
     // explicitly routes it — an sf0.01 debug run and an interleaved
     // re-run have each clobbered the scored file in past rounds
-    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
-      if (sfDir.stripSuffix("/").endsWith("sf0.1")) "bench.json"
-      else "bench_adhoc.json")
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .getOrElse(artifactFor(sfDir))
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }

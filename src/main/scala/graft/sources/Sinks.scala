@@ -270,13 +270,33 @@ object Sinks {
     try { write(out); ok = true }
     finally {
       out.close()
-      if (ok) {
-        // delete-then-rename: HDFS/local rename refuses an existing
-        // destination; the loser of a speculative race just drops its
-        // temp (the winner's file is byte-identical)
-        if (fs.exists(finalPath)) fs.delete(finalPath, false)
-        if (!fs.rename(tmp, finalPath)) fs.delete(tmp, false)
-      } else fs.delete(tmp, false)
+      if (ok) commitTaskFile(fs, tmp, finalPath)
+      else fs.delete(tmp, false)
+    }
+  }
+
+  /** The commit step of [[writeTaskFile]], isolated so the
+    * rename-failure contract is unit-testable: delete-then-rename
+    * (HDFS/local rename refuses an existing destination; the loser of
+    * a speculative race just drops its temp — the winner's file is
+    * byte-identical). A rename failure is ONLY benign when the
+    * winner's file is actually there; on a sole attempt (or when this
+    * attempt just deleted the destination and then failed to rename)
+    * a silent temp delete would lose the shard while the job still
+    * writes `_SUCCESS` — that case must throw.
+    */
+  private[sources] def commitTaskFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      finalPath: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(finalPath)) fs.delete(finalPath, false)
+    if (!fs.rename(tmp, finalPath)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(finalPath))
+        throw new java.io.IOException(
+          s"writeTaskFile: commit failed for $finalPath — rename " +
+            "lost and no winner's file exists; the shard would be " +
+            "silently dropped")
     }
   }
 

@@ -281,17 +281,20 @@ object Warc {
     * whole-shard single member parse identically. Malformed shards
     * fail loudly — a crawl ingest must not silently drop records.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    // only pass globs that match something: Hadoop's FileInputFormat
-    // throws on a non-matching input pattern, and a directory holds
-    // either plain or gzipped shards (or a mix)
+  /** The shared shard→record RDD behind [[read]] / [[readResponses]]:
+    * glob-guard (Hadoop's FileInputFormat throws on a non-matching
+    * input pattern, and a directory holds either plain or gzipped
+    * shards, or a mix), per-file parallel binaryFiles, transparent
+    * gzip-member decompression, streaming parse.
+    */
+  private def recordRdd(spark: SparkSession,
+                        path: String): org.apache.spark.rdd.RDD[Rec] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
+    val fs = new Path(path).getFileSystem(conf)
     val globs = Seq(s"$path/*.warc", s"$path/*.warc.gz")
       .filter(g => fs.globStatus(new Path(g)).nonEmpty)
     require(globs.nonEmpty, s"no .warc or .warc.gz shards under $path")
-    val rdd = spark.sparkContext
+    spark.sparkContext
       .binaryFiles(globs.mkString(","))
       .flatMap { case (file, pds) =>
         val raw = pds.open()
@@ -301,6 +304,10 @@ object Warc {
           else raw))
         parseStream(in)
       }
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val rdd = recordRdd(spark, path)
       .map(r => Row(r.warcType, r.recordId, r.warcDate, r.targetUri,
         r.contentType, r.content.length.toLong, r.content))
     spark.createDataFrame(rdd, schema)
@@ -327,22 +334,8 @@ object Warc {
     * payload as body, never a failed job.
     */
   def readResponses(spark: SparkSession, path: String): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    val globs = Seq(s"$path/*.warc", s"$path/*.warc.gz")
-      .filter(g => fs.globStatus(new Path(g)).nonEmpty)
-    require(globs.nonEmpty, s"no .warc or .warc.gz shards under $path")
-    val rdd = spark.sparkContext
-      .binaryFiles(globs.mkString(","))
-      .flatMap { case (file, pds) =>
-        val raw = pds.open()
-        val in = new DataInputStream(new BufferedInputStream(
-          if (file.endsWith(".gz"))
-            new java.util.zip.GZIPInputStream(raw, 1 << 16)
-          else raw))
-        parseStream(in).filter(_.warcType == "response")
-      }
+    val rdd = recordRdd(spark, path)
+      .filter(_.warcType == "response")
       .map { r =>
         val (status, headers, body) = splitHttpEnvelope(r.content)
         val code = statusCodeOf(status)
@@ -406,10 +399,22 @@ object Warc {
     */
   def readIndex(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // input_file_name() returns a PERCENT-ENCODED URI — a shard dir
+    // with spaces/%/non-ASCII would store a string that readAt's
+    // `new Path(shard)` resolves to a wrong or missing file. Decode
+    // through java.net.URI → hadoop Path (NOT url_decode, whose
+    // form-encoding rules turn a literal '+' into a space). The index
+    // frame is sidecar-sized metadata, so a UDF here is off the hot
+    // path by construction.
+    val decodeUri = udf((s: String) =>
+      if (s == null) null
+      else new Path(new java.net.URI(s)).toString)
     spark.read.option("sep", "\t")
       .schema("record_id STRING, offset LONG, length LONG")
       .csv(s"$path/*.cdx")
-      .select(regexp_replace(input_file_name(), "\\.cdx$", "").as("shard"),
+      .select(
+        decodeUri(regexp_replace(input_file_name(), "\\.cdx$", ""))
+          .as("shard"),
         col("record_id"), col("offset"), col("length"))
   }
 

@@ -148,15 +148,23 @@ object LineDedup {
     // overflows a long. Both guarded IN-PLAN (codegen'd branch, no
     // extra pass) — silent corruption is the alternative.
     val L = 1L << 21
+    // NULL doc id = dirty row: passes the assert (isNull disjunct —
+    // assert_true also fires on NULL conditions, which would fail the
+    // whole job with a misleading overflow message) and packs to a
+    // NULL key, filtered before the ownership agg. Such a doc claims
+    // no lines and keeps none (n_kept=0) — the RangeJoin
+    // dirty-rows-drop convention, not a job abort.
     val guard = assert_true(
-      col("_i") < lit(L) && col("doc_id").between(0L, (1L << 42) - 1),
+      col("doc_id").isNull ||
+        (col("_i") < lit(L) && col("doc_id").between(0L, (1L << 42) - 1)),
       lit("dedupLinesCorpus: position >= 2^21 or doc id outside " +
         "[0, 2^42) — the packed owner key would overflow"))
     val ex = spread.select(col(idCol).cast("long").as("doc_id"),
         posexplode(lines).as(Seq("_i", "_ln")))
       .select(xxhash64(col("_ln")).as("_h"),
         when(guard.isNull, col("doc_id") * L + col("_i")).as("_p"))
-    val owner = ex.groupBy(col("_h")).agg(min(col("_p")).as("_p"))
+    val owner = ex.where(col("_p").isNotNull)
+      .groupBy(col("_h")).agg(min(col("_p")).as("_p"))
     // integer `div`, never `/` (double quotient rounds above 2^52 —
     // the RangeJoin bucket lesson; _p ranges up to 2^63)
     val keptPos = owner
@@ -204,8 +212,10 @@ object LineDedup {
                             idCol: String, textCol: String): DataFrame = {
     val lines = split(col(textCol), "\n")
     val L = 1L << 21
+    // NULL doc id passes the assert and drops (see dedupLinesCorpus)
     val guard = assert_true(
-      col("_i") < lit(L) && col("doc_id").between(0L, (1L << 42) - 1),
+      col("doc_id").isNull ||
+        (col("_i") < lit(L) && col("doc_id").between(0L, (1L << 42) - 1)),
       lit("dedupLinesIncremental: position >= 2^21 or doc id outside " +
         "[0, 2^42) — the packed owner key would overflow"))
     val incEx = incoming
@@ -213,7 +223,8 @@ object LineDedup {
         posexplode(lines).as(Seq("_i", "_ln")))
       .select(xxhash64(col("_ln")).as("_h"),
         when(guard.isNull, col("doc_id") * L + col("_i")).as("_p"))
-    val owner = incEx.groupBy(col("_h")).agg(min(col("_p")).as("_p"))
+    val owner = incEx.where(col("_p").isNotNull)
+      .groupBy(col("_h")).agg(min(col("_p")).as("_p"))
     val hit = graft.util.Par.spread(corpus)
       .select(explode(split(col(textCol), "\n")).as("_ln"))
       .select(xxhash64(col("_ln")).as("_h"))

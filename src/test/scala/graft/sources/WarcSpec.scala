@@ -168,6 +168,26 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("readIndex decodes the shard URI: spaces/% in the dir still readAt") {
+    import spark.implicits._
+    // input_file_name() returns a PERCENT-ENCODED URI — before the
+    // decode fix, a shard dir with a space (or a literal '%') stored
+    // a shard string readAt resolved to a missing file
+    val base = java.nio.file.Files.createTempDirectory("warc enc %40").toString
+    val df = (1L to 10L).map(i => (s"http://x/$i", s"doc $i body"))
+      .toDF("target_uri", "text").repartition(1)
+    Warc.writeWet(df, base, gzipPerRecord = true, writeIndex = true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = Warc.readIndex(spark, base).collect()
+    assert(idx.length == 10)
+    idx.foreach { r =>
+      val shard = r.getString(0)
+      assert(!shard.contains("%20"), s"shard still percent-encoded: $shard")
+      val rec = Warc.readAt(conf, shard, r.getLong(2), r.getLong(3))
+      assert(rec.recordId == r.getString(1))
+    }
+  }
+
   test("writeWet/read round-trip through real shard files, sharded by partition") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("warc_spec").toString

@@ -114,6 +114,35 @@ class LineDedupSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
+  test("NULL doc id is a dirty row that drops, not a job abort") {
+    // assert_true fires on NULL conditions too — before the isNull
+    // disjunct, a NULL id failed the whole job with a misleading
+    // 'packed owner key would overflow' message. The contract now:
+    // NULL-id rows claim no lines and keep none (RangeJoin's
+    // dirty-rows-drop convention), clean ids are unaffected.
+    val df = Seq[(Option[Long], String)](
+      (Some(1L), "a\nb"),
+      (None, "a\nzz"),     // dirty: shares 'a' with doc 1, owns 'zz'
+      (Some(2L), "zz\nc")
+    ).toDF("doc_id", "text")
+    val got = LineDedup.dedupLinesCorpus(df, "doc_id", "text")
+      .collect().map(r => Option(r.get(0)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(got(Some(1L)) == (2L, "a\nb"))
+    // the NULL doc never claims ownership: doc 2 keeps 'zz'
+    assert(got(Some(2L)) == (2L, "zz\nc"))
+    assert(got(None) == (0L, ""))
+
+    val inc = LineDedup.dedupLinesIncremental(
+      Seq[(Option[Long], String)]((Some(9L), "new\na"), (None, "new"))
+        .toDF("doc_id", "text"),
+      Seq((1L, "a")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => Option(r.get(0)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(inc(Some(9L)) == (1L, "new"))
+    assert(inc(None) == (0L, ""))
+  }
+
   test("multilineFixture: 8-token lines, boilerplate and self-dup plants") {
     val text = (1 to 20).map(i => s"t$i").mkString(" ")
     // bucket draws are md5(doc_id)-determined: scan ids for one in
