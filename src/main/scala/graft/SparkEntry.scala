@@ -116,6 +116,65 @@ object SparkEntry {
 
   private val minhashPairCtes = minhashPairCtesFrom("documents")
 
+  /** DuckDB mirror of [[graft.textops.TextOps.noSpaceScriptClass]] —
+    * identical code-point ranges spelled in RE2's `\x{…}` syntax (NOT
+    * `\p{Han}`: script-property classes drift across the engines'
+    * Unicode versions; explicit ranges cannot).
+    */
+  private val duckNoSpaceClass: String =
+    "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}" +
+      "\\x{F900}-\\x{FAFF}\\x{0E00}-\\x{0E7F}\\x{0E80}-\\x{0EFF}" +
+      "\\x{1000}-\\x{109F}\\x{1780}-\\x{17FF}" +
+      "\\x{20000}-\\x{2A6DF}\\x{2F800}-\\x{2FA1F}]"
+
+  /** DuckDB replay of [[graft.textops.TextOps.segmentScripts]]. */
+  private def duckSegment(e: String): String =
+    s"regexp_replace($e, '($duckNoSpaceClass)', ' \\1 ', 'g')"
+
+  /** Hex→Han map for the planted-CJK fixture: the 10 zh stopwords
+    * first (so a planted doc's language signal is real), 6 common Han
+    * fillers after.
+    */
+  private val cjkHan16 = "的是了在和有我不这他中大来上国人"
+  private val cjkKata16 = "アイウエオカキクケコサシスセソタ"
+
+  /** The planted-CJK fixture the multilingual twin rows share: docs
+    * whose PAIR key (doc_id div 2) lands in md5 bucket < 30 have their
+    * text swapped for a NO-SPACE mixed-script string — 32 Han chars
+    * derived from the pair key (so id-partners 2k/2k+1 share the base:
+    * a planted near-dup pair) plus a 4-katakana per-doc suffix (so the
+    * pair is near, not exact). Everything derives from md5(doc_id), so
+    * the DuckDB oracle replays it exactly ([[cjkFixtureCtes]]).
+    */
+  private def cjkFixture(d: DataFrame): DataFrame = {
+    val hex = "0123456789abcdef"
+    val bucket = graft.util.Sampling.md5Bucket(expr("doc_id div 2"))
+    val base = translate(
+      md5(expr("doc_id div 2").cast("string")), hex, cjkHan16)
+    val suf = translate(
+      substring(md5(col("doc_id").cast("string")), 1, 4), hex, cjkKata16)
+    d.select(col("doc_id"), col("lang"),
+      when(bucket < 30, concat(base, suf)).otherwise(col("text")).as("text"))
+  }
+
+  /** DuckDB twin of [[cjkFixture]]; ends in `cjk(doc_id, lang, text)`.
+    * No leading WITH.
+    */
+  private val cjkFixtureCtes: String =
+    s"""cjkb AS (SELECT doc_id, lang, text,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5((doc_id // 2)::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+           FROM documents),
+         cjk AS (SELECT doc_id, lang,
+           CASE WHEN bucket < 30 THEN
+             translate(md5((doc_id // 2)::VARCHAR),
+               '0123456789abcdef', '$cjkHan16')
+             || translate(substr(md5(doc_id::VARCHAR), 1, 4),
+               '0123456789abcdef', '$cjkKata16')
+           ELSE text END AS text FROM cjkb)"""
+
   /** Recursive min-label transitive closure over a `(doc_a, doc_b)` pair
     * CTE (appended to its chain; the whole WITH is declared RECURSIVE),
     * ending in `lbl(node, cluster_id)` — the DuckDB mirror of
@@ -1079,6 +1138,32 @@ object SparkEntry {
         TextOps.langId(col("text")).as("lang_pred"))
     }),
 
+    "text_stats_cjk" -> ((s, dir) => {
+      // the multilingual-twin of text_stats over the planted no-space
+      // fixture: without segmentScripts a CJK doc collapses to ~ONE
+      // whitespace token (n_tokens_ws ≈ 1 — the silent quality-gate
+      // poison a multilingual crawl hits); with it, one token per
+      // ideograph. Both counts surface side-by-side; stopword_ratio
+      // runs on the segmented text through the same fused gate kernel
+      val seg = TextOps.segmentScripts(col("text"))
+      cjkFixture(Tables.documents(s, dir)).select(col("doc_id"),
+        length(col("text")).as("n_chars_computed"),
+        TextOps.tokenCount(col("text")).as("n_tokens_ws"),
+        TextOps.tokenCount(seg).as("n_tokens_seg"),
+        round(TextOps.stopwordRatio(seg), 6).as("stopword_ratio"))
+    }),
+
+    "lang_id_cjk" -> ((s, dir) => {
+      // langId over the planted fixture: unsegmented, a no-space zh
+      // doc has ZERO marker hits ('und'); segmented, its single-char
+      // stopwords surface and zh wins — the same op, fed right
+      val d = cjkFixture(Tables.documents(s, dir))
+      d.select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred_ws"),
+        TextOps.langId(TextOps.segmentScripts(col("text")))
+          .as("lang_pred"))
+    }),
+
     "quality_score" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       d.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
@@ -1129,8 +1214,13 @@ object SparkEntry {
       val host = regexp_extract(graft.textops.Url.canonicalize(url),
         "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      // bucket 10 plants the NULL-domain slice: a doc whose URL failed
+      // to parse carries no host — the gate's advertised conservative
+      // path (keep coalesces to false) must actually be exercised, and
+      // NULL group-by keys must not join back to any profile row
       val planted = d.select(col("doc_id"),
         when(bucket < 10, lit("spam-farm.example.com"))
+          .when(bucket === 10, lit(null).cast("string"))
           .otherwise(host).as("domain"),
         when(bucket < 10, lit("!!! buy now !!! buy now !!!"))
           .otherwise(col("text")).as("text"))
@@ -1292,6 +1382,20 @@ object SparkEntry {
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)),
+
+    "dedup_minhash_cjk" -> ((s, dir) =>
+      // the SAME minhash pipeline over segmentScripts-padded text —
+      // zero signature churn, one extra codegen'd regexp pass. The
+      // fixture plants no-space Han near-dup pairs (id-partners share
+      // a 32-ideograph base, differ in a 4-kana suffix): unsegmented,
+      // each doc is ONE token → one whole-text shingle → the pairs
+      // are invisible; segmented, character shingles carry them at
+      // jaccard ≈ 0.79 (DedupSpec pins both directions)
+      Dedup.minhashLsh(
+        cjkFixture(Tables.documents(s, dir))
+          .withColumn("text", TextOps.segmentScripts(col("text"))),
+        "doc_id", "text",
         shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)),
 
     "dedup_clusters" -> ((s, dir) =>
@@ -2894,6 +2998,38 @@ object SparkEntry {
 
     "text_stats" -> duckTextStatsOracle,
 
+    "text_stats_cjk" -> {
+      val stops = TextOps.stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $cjkFixtureCtes,
+         segd AS (SELECT doc_id, text,
+           ${duckSegment("text")} AS seg FROM cjk),
+         t AS (SELECT doc_id, length(text) AS n_chars_computed,
+           len(list_filter(string_split_regex(text, '\\s+'),
+             x -> x <> '')) AS n_tokens_ws,
+           len(list_filter(string_split_regex(seg, '\\s+'),
+             x -> x <> '')) AS n_tokens_seg,
+           list_filter(string_split_regex(lower(seg), '\\s+'),
+             x -> x <> '') AS wseg
+           FROM segd)
+         SELECT doc_id, n_chars_computed, n_tokens_ws, n_tokens_seg,
+           round(CASE WHEN len(wseg) = 0 THEN 0.0 ELSE
+             len(list_filter(wseg, x -> list_contains($stops, x)))::DOUBLE
+             / len(wseg)::DOUBLE END, 6) AS stopword_ratio
+         FROM t"""
+    },
+
+    "lang_id_cjk" ->
+      s"""WITH $cjkFixtureCtes,
+         l0 AS (SELECT doc_id,
+           list_sort(${duckLangPacks("text")})[-1] AS bw,
+           list_sort(${duckLangPacks(duckSegment("text"))})[-1] AS bs
+           FROM cjk)
+         SELECT doc_id,
+           CASE WHEN bw.h = 0 THEN 'und' ELSE bw.l END AS lang_pred_ws,
+           CASE WHEN bs.h = 0 THEN 'und' ELSE bs.l END AS lang_pred
+         FROM l0""",
+
     // the SQL-front-door rows make the IDENTICAL computation through
     // spark.sql + the registered graft functions — same oracles
     "sql_text_stats" -> duckTextStatsOracle,
@@ -2973,6 +3109,7 @@ object SparkEntry {
            FROM documents),
          pl AS (SELECT doc_id,
            CASE WHEN bucket < 10 THEN 'spam-farm.example.com'
+                WHEN bucket = 10 THEN NULL
                 ELSE lower(source) || '.example.com' END AS domain,
            CASE WHEN bucket < 10 THEN '!!! buy now !!! buy now !!!'
                 ELSE text END AS text
@@ -2985,9 +3122,9 @@ object SparkEntry {
            FROM s GROUP BY domain)
          SELECT s.doc_id, s.domain, prof.domain_n_docs,
            prof.domain_mean_quality,
-           (prof.domain_mean_quality >= 0.3 AND prof.domain_n_docs >= 2)
-             AS keep
-         FROM s JOIN prof USING (domain)""",
+           COALESCE(prof.domain_mean_quality >= 0.3
+                    AND prof.domain_n_docs >= 2, FALSE) AS keep
+         FROM s LEFT JOIN prof USING (domain)""",
 
     "url_canonicalize" ->
       // replays the messy-URL fixture (md5 bucket draw) and every
@@ -3492,6 +3629,14 @@ object SparkEntry {
 
     "dedup_minhash" ->
       s"""WITH $minhashPairCtes
+         SELECT doc_a, doc_b, jaccard FROM mpairs""",
+
+    "dedup_minhash_cjk" ->
+      // the planted fixture + segmentScripts pad, then the IDENTICAL
+      // signature/band/verify CTEs over the padded relation
+      s"""WITH $cjkFixtureCtes,
+         seg AS (SELECT doc_id, ${duckSegment("text")} AS text FROM cjk),
+         ${minhashPairCtesFrom("seg")}
          SELECT doc_a, doc_b, jaccard FROM mpairs""",
 
     "dedup_editdist" ->
@@ -5129,15 +5274,21 @@ object SparkEntry {
   /** DuckDB twin of the language-ID heuristic — shared by `lang_id`
     * and its SQL-front-door twin.
     */
-  private lazy val duckLangIdOracle: String = {
-    val packs = TextOps.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+  /** The (hits, lang) struct list behind every langId oracle,
+    * parameterized on the text expression so the segmented twin
+    * replays the identical argmax over padded text.
+    */
+  private def duckLangPacks(textExpr: String): String =
+    TextOps.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"struct_pack(h := len(list_filter(list_distinct(string_split_regex(lower(text), '\\s+')), x -> list_contains($list, x))), l := '$lang')"
+      s"struct_pack(h := len(list_filter(list_distinct(string_split_regex(lower($textExpr), '\\s+')), x -> list_contains($list, x))), l := '$lang')"
     }.mkString("[", ", ", "]")
+
+  private lazy val duckLangIdOracle: String =
     s"""SELECT doc_id, lang,
        CASE WHEN best.h = 0 THEN 'und' ELSE best.l END AS lang_pred
-       FROM (SELECT doc_id, lang, list_sort($packs)[-1] AS best FROM documents)"""
-  }
+       FROM (SELECT doc_id, lang,
+         list_sort(${duckLangPacks("text")})[-1] AS best FROM documents)"""
 
   /** DuckDB twin of the quality score — shared by `quality_score` and
     * its SQL-front-door twin.

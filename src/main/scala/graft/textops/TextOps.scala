@@ -20,6 +20,58 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Unicode-block character class of the NO-SPACE scripts
+    * [[segmentScripts]] pads: Hiragana/Katakana (U+3040–30FF), the Han
+    * ideograph blocks (Ext A, Unified, Compat, plus the supplementary
+    * Ext B and Compat Supplement planes — matched as code points, so
+    * surrogate pairs never split), and the Southeast-Asian no-space
+    * scripts Thai, Lao, Myanmar, Khmer. Hangul is deliberately
+    * ABSENT — Korean text carries inter-word spaces, so whitespace
+    * tokenization is already the right granularity there.
+    */
+  private[graft] val noSpaceScriptClass: String =
+    "[\\u3040-\\u30FF" +     // Hiragana + Katakana
+      "\\u3400-\\u4DBF" +    // CJK Ext A
+      "\\u4E00-\\u9FFF" +    // CJK Unified Ideographs
+      "\\uF900-\\uFAFF" +    // CJK Compat Ideographs
+      "\\u0E00-\\u0E7F" +    // Thai
+      "\\u0E80-\\u0EFF" +    // Lao
+      "\\u1000-\\u109F" +    // Myanmar
+      "\\u1780-\\u17FF" +    // Khmer
+      "\\x{20000}-\\x{2A6DF}" +  // CJK Ext B
+      "\\x{2F800}-\\x{2FA1F}]"   // CJK Compat Supplement
+
+  /** Script-aware pre-segmentation for NO-SPACE scripts: pad every
+    * code point of [[noSpaceScriptClass]] with spaces, so downstream
+    * whitespace tokenization — [[tokens]], the fused [[gateStats]]
+    * kernel, shingles/MinHash, the BPE pre-split, lm_score/DSIR
+    * n-grams — sees one token per ideograph instead of collapsing a
+    * whole CJK document to ~one "token" (which silently degrades every
+    * quality gate, dedup shingle and LM score a multilingual crawl
+    * feeds). One-ideograph-one-token is the public C4/mC4/BERT
+    * convention for Han; for kana and the Thai/Lao/Myanmar/Khmer
+    * blocks per-code-point is a crude but DETERMINISTIC fallback (it
+    * splits combining vowel marks from their base) — bounded
+    * degradation, unlike the silent one-token collapse, and character
+    * shingles still make near-dup detection work there.
+    *
+    * Deliberately a TEXT→TEXT Column transform, not a tokenizer
+    * variant: it composes with every existing token-level operator
+    * (`minhashLsh(df.withColumn("text", segmentScripts($"text")), …)`)
+    * with zero signature churn, stays inside whole-stage codegen (one
+    * regexp pass), and a DuckDB oracle replays it as the identical
+    * regexp_replace. Latin/space-script text passes through unchanged
+    * except where the padded blocks appear.
+    */
+  def segmentScripts(text: Column): Column =
+    regexp_replace(text, s"($noSpaceScriptClass)", " $1 ")
+
+  /** [[tokens]] over [[segmentScripts]]-padded text — the multilingual
+    * tokenizer: whitespace words for space scripts, one token per
+    * ideograph/code point for the no-space blocks.
+    */
+  def tokensSegmented(text: Column): Column = tokens(segmentScripts(text))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = gateStats(text).getField("n_tokens")
 

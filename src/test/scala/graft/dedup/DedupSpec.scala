@@ -106,6 +106,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash+LSH over segmentScripts catches no-space CJK near-dups") {
+    import org.apache.spark.sql.functions.col
+    // a no-space Han pair differing in ONE trailing ideograph, plus an
+    // unrelated Han doc — all md5-deterministic, so the found set is
+    // stable run to run
+    val a = "这是一个用于去重检测的固定测试文本内容相当长足够产生很多字符级三元组"
+    val b = a.dropRight(1) + "尾"
+    val c = "完全不同的另一篇文档讲述火花窗口函数与分布式聚合的实现细节与性能权衡"
+    val df = docs(1L -> a, 2L -> b, 3L -> c)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashLsh(d, "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // WITHOUT segmentation each doc is one whitespace token → one
+    // whole-text shingle → the near pair is INVISIBLE (the silent
+    // multilingual failure mode this operator family had)
+    assert(pairs(df) == Set.empty)
+    // WITH the pre-pass: character shingles carry the pair; the
+    // unrelated doc stays unpaired
+    val seg = df.withColumn("text",
+      graft.textops.TextOps.segmentScripts(col("text")))
+    assert(pairs(seg) == Set((1L, 2L)))
+  }
+
   test("editDistancePairs: the one-token revision pairs with a small distance; unrelated docs don't") {
     val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
     val got = Dedup.editDistancePairs(df, "doc_id", "text",

@@ -17,6 +17,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(one("", size(TextOps.tokens(col("t")))) == 0)
   }
 
+  test("segmentScripts: one token per no-space-script code point") {
+    def toks(t: String): Seq[String] = {
+      import spark.implicits._
+      Seq(t).toDF("t").select(TextOps.tokensSegmented(col("t")))
+        .collect().head.getSeq[String](0)
+    }
+    // Han + kana segment per code point; Latin words stay words
+    assert(toks("hello 東京タワー world") ==
+      Seq("hello", "東", "京", "タ", "ワ", "ー", "world"))
+    // a no-space Han run no longer collapses to one "token"
+    assert(toks("这是一个测试") == Seq("这", "是", "一", "个", "测", "试"))
+    // Thai (no-space script): per-code-point fallback, deterministic
+    assert(toks("ไทย") == Seq("ไ", "ท", "ย"))
+    // supplementary-plane Han (CJK Ext B) matches as a CODE POINT —
+    // the surrogate pair must never split into two garbage tokens
+    assert(toks("a𠀀b") == Seq("a", "𠀀", "b"))
+    // Korean has inter-word spaces: Hangul is deliberately untouched
+    assert(toks("한국어 텍스트") == Seq("한국어", "텍스트"))
+    // pure space-script text is unchanged by the pre-pass
+    assert(toks("plain ascii text!") == Seq("plain", "ascii", "text!"))
+    // mixed: ideographs inside a Latin word boundary split out
+    assert(toks("abc中def") == Seq("abc", "中", "def"))
+  }
+
+  test("segmentScripts threads zh through langId and the gate kernel") {
+    val zh = "的是了在和有我不这他"
+    // unsegmented: the whole string is ONE token, no marker hits → und
+    assert(one(zh, TextOps.langId(col("t"))) == "und")
+    // segmented: every zh stopword is its own token → zh wins
+    assert(one(zh, TextOps.langId(TextOps.segmentScripts(col("t")))) == "zh")
+    // the fused gate kernel sees the same boundaries (kernel ≡ split)
+    assert(one(zh, TextOps.tokenCount(TextOps.segmentScripts(col("t")))) == 10)
+    val sr = one(zh, TextOps.stopwordRatio(TextOps.segmentScripts(col("t"))))
+      .asInstanceOf[Double]
+    assert(sr == 1.0, s"all-stopword zh text should ratio 1.0, got $sr")
+  }
+
   test("quality score stays in [0, 1] across degenerate inputs") {
     for (t <- Seq("", "!!!", "a", ("the and of to in " * 40),
         "x " * 500, "@#$%^&*" * 30)) {
