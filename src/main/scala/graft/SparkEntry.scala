@@ -2327,6 +2327,74 @@ object SparkEntry {
         minWords = 5, maxLinkPct = 30)
     }),
 
+    "warc_digest_dedup" -> ((s, dir) => {
+      // digest-keyed exact dedup AT INGEST: the step public-crawl
+      // consumers run on the WARC-Payload-Digest HEADER (sha1:BASE32
+      // of the HTTP body, stamped by the writer) before any
+      // text-level pass — the dedup reads the parsed header only,
+      // never re-hashing payload bytes. The fixture plants exact-byte
+      // duplicates (every 7th doc re-crawled under a new id) and the
+      // shards open with warcinfo preambles that readResponses must
+      // skip by type. Oracle groups the same crawl by raw text —
+      // byte-equality ⇔ digest-equality
+      val d = Tables.documents(s, dir)
+      val crawl = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("text")))
+      val rows = crawl.select(
+        concat(lit("http://graft.invalid/doc/"), col("doc_id"))
+          .as("target_uri"),
+        lit("HTTP/1.1 200 OK").as("status_line"),
+        array(struct(lit("Content-Type").as("name"),
+          lit("text/plain").as("value"))).as("http_headers"),
+        col("text").cast("binary").as("body"))
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warc_digest").toString
+      graft.sources.Warc.writeResponse(rows, tmp, warcinfo = true)
+      graft.sources.Warc.readResponses(s, tmp)
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("payload_digest"))
+        .groupBy(col("payload_digest"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_count"))
+        .select(col("keep_id"), col("dup_count"))
+    }),
+
+    "warc_types" -> ((s, dir) => {
+      // the mixed raw-crawl record surface: response + request shards,
+      // each opening with a warcinfo preamble, all surfaced UNSPLIT by
+      // Warc.read. Counts pin the type mix (4 + 2 warcinfo records
+      // from the fixed repartition) AND digest presence: responses
+      // carry sha1 payload digests, requests and warcinfo do not
+      val d = Tables.documents(s, dir)
+      val respDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warc_types_rs").toString
+      val reqDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warc_types_rq").toString
+      graft.sources.Warc.writeResponse(d.select(
+        concat(lit("http://graft.invalid/doc/"), col("doc_id"))
+          .as("target_uri"),
+        lit("HTTP/1.1 200 OK").as("status_line"),
+        array(struct(lit("Content-Type").as("name"),
+          lit("text/plain").as("value"))).as("http_headers"),
+        col("text").cast("binary").as("body")).repartition(4),
+        respDir, warcinfo = true)
+      graft.sources.Warc.writeRequest(d.select(
+        concat(lit("http://graft.invalid/doc/"), col("doc_id"))
+          .as("target_uri"),
+        concat(lit("GET /doc/"), col("doc_id"), lit(" HTTP/1.1"))
+          .as("request_line"),
+        array(struct(lit("Host").as("name"),
+          lit("graft.invalid").as("value"))).as("http_headers"))
+        .repartition(2), reqDir, warcinfo = true)
+      graft.sources.Warc.read(s, respDir)
+        .unionAll(graft.sources.Warc.read(s, reqDir))
+        .groupBy(col("warc_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("payload_digest")).as("n_digest"))
+    }),
+
     "jsonl_roundtrip" -> ((s, dir) => {
       // the corpus interchange gate: documents -> JSONL (gzip) -> read
       // back under the explicit schema. Registered so the ORACLE hash
@@ -4603,6 +4671,30 @@ object SparkEntry {
          FROM documents, p""",
 
     "warc_response_extract" -> htmlExtractMainOracle,
+
+    "warc_digest_dedup" ->
+      // the engine dedups on the parsed WARC-Payload-Digest header;
+      // the oracle replays the same decision on raw text equality —
+      // byte-equal bodies ⇔ equal sha1 digests, so the groups match
+      // without re-deriving base32(sha1) in SQL (the digest ENCODING
+      // itself is pinned by WarcSpec against RFC 4648's own vectors)
+      """WITH crawl AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text FROM documents
+           WHERE doc_id % 7 = 0)
+         SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM crawl GROUP BY text""",
+
+    "warc_types" ->
+      // 4 response-shard + 2 request-shard warcinfo preambles from the
+      // fixed repartition; only responses carry payload digests
+      """SELECT 'response' AS warc_type, count(*) AS n,
+           count(*) AS n_digest FROM documents
+         UNION ALL
+         SELECT 'request', count(*), 0::BIGINT FROM documents
+         UNION ALL
+         SELECT 'warcinfo', 6::BIGINT, 0::BIGINT""",
 
     "jsonl_roundtrip" ->
       // the Spark side went parquet -> JSONL -> frame; a lossless

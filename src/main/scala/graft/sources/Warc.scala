@@ -55,6 +55,7 @@ object Warc {
     StructField("warc_date", StringType),
     StructField("target_uri", StringType),
     StructField("content_type", StringType),
+    StructField("payload_digest", StringType),
     StructField("content_length", LongType, nullable = false),
     StructField("content", BinaryType)))
 
@@ -66,15 +67,65 @@ object Warc {
     dig.map(b => f"$b%02x").mkString
   }
 
-  /** One serialized record (see class doc for the layout). */
+  private val Base32Alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+  /** RFC 4648 base32 (uppercase, '=' padding). Pinned against the
+    * RFC's own §10 test vectors in WarcSpec.
+    */
+  private[sources] def base32(data: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(5, data.length - i)
+      var buf = 0L
+      var j = 0
+      while (j < 5) {
+        buf = (buf << 8) | (if (j < n) data(i + j) & 0xFFL else 0L)
+        j += 1
+      }
+      val outChars = n match {
+        case 1 => 2; case 2 => 4; case 3 => 5; case 4 => 7; case _ => 8
+      }
+      var k = 0
+      while (k < 8) {
+        if (k < outChars)
+          sb.append(Base32Alphabet(((buf >> (35 - 5 * k)) & 0x1F).toInt))
+        else sb.append('=')
+        k += 1
+      }
+      i += 5
+    }
+    sb.toString
+  }
+
+  /** `sha1:BASE32` payload digest — the convention the public crawls
+    * label every record with (SHA-1 is 160 bits = exactly 32 base32
+    * chars, no padding). Digest-keyed exact dedup at ingest reads this
+    * HEADER instead of re-hashing payload bytes.
+    */
+  def sha1Base32(payload: Array[Byte]): String = {
+    val dig = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(payload)
+    "sha1:" + base32(dig)
+  }
+
+  /** One serialized record (see class doc for the layout).
+    * `payloadDigest` (nullable) emits a `WARC-Payload-Digest` header —
+    * for `response` records the digest of the HTTP BODY (the message
+    * payload, not the envelope), for `conversion` records the digest
+    * of the whole text payload, matching public-crawl convention.
+    */
   def buildRecord(warcType: String, targetUri: String, warcDate: String,
-                  contentType: String, payload: Array[Byte]): Array[Byte] = {
+                  contentType: String, payload: Array[Byte],
+                  payloadDigest: String = null): Array[Byte] = {
     val header = new StringBuilder
     header.append("WARC/1.0\r\n")
     header.append(s"WARC-Type: $warcType\r\n")
     header.append(s"WARC-Record-ID: <urn:md5:${md5Hex(targetUri)}>\r\n")
     header.append(s"WARC-Date: $warcDate\r\n")
     header.append(s"WARC-Target-URI: $targetUri\r\n")
+    if (payloadDigest != null)
+      header.append(s"WARC-Payload-Digest: $payloadDigest\r\n")
     header.append(s"Content-Type: $contentType\r\n")
     header.append(s"Content-Length: ${payload.length}\r\n")
     header.append("\r\n")
@@ -84,6 +135,34 @@ object Warc {
     System.arraycopy(payload, 0, out, h.length, payload.length)
     System.arraycopy(Crlf, 0, out, h.length + payload.length, 2)
     System.arraycopy(Crlf, 0, out, h.length + payload.length + 2, 2)
+    out
+  }
+
+  /** One `warcinfo` preamble record (the shard-metadata record every
+    * public-crawl shard opens with): `WARC-Filename` names the shard,
+    * the body is `application/warc-fields` key-value lines, and the
+    * record id is the md5 of the filename (pure function of the shard
+    * → task retries rewrite identical bytes).
+    */
+  private[sources] def buildWarcinfo(filename: String,
+                                     warcDate: String): Array[Byte] = {
+    val body = ("software: graft\r\n" +
+      "format: WARC File Format 1.0\r\n").getBytes("UTF-8")
+    val header = new StringBuilder
+    header.append("WARC/1.0\r\n")
+    header.append("WARC-Type: warcinfo\r\n")
+    header.append(s"WARC-Record-ID: <urn:md5:${md5Hex(filename)}>\r\n")
+    header.append(s"WARC-Date: $warcDate\r\n")
+    header.append(s"WARC-Filename: $filename\r\n")
+    header.append("Content-Type: application/warc-fields\r\n")
+    header.append(s"Content-Length: ${body.length}\r\n")
+    header.append("\r\n")
+    val h = header.toString.getBytes("UTF-8")
+    val out = new Array[Byte](h.length + body.length + 4)
+    System.arraycopy(h, 0, out, 0, h.length)
+    System.arraycopy(body, 0, out, h.length, body.length)
+    System.arraycopy(Crlf, 0, out, h.length + body.length, 2)
+    System.arraycopy(Crlf, 0, out, h.length + body.length + 2, 2)
     out
   }
 
@@ -104,13 +183,16 @@ object Warc {
                textCol: String = "text",
                warcDate: String = "2000-01-01T00:00:00Z",
                gzipPerRecord: Boolean = false,
-               writeIndex: Boolean = false): Unit = {
+               writeIndex: Boolean = false,
+               warcinfo: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
     val rows = df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
-    writeShards(rows, path, gzipPerRecord, writeIndex) { r =>
+    writeShards(rows, path, gzipPerRecord, writeIndex, warcinfo,
+        warcDate) { r =>
       val uri = r.getString(0)
+      val payload = r.getString(1).getBytes("UTF-8")
       (uri, buildRecord("conversion", uri, warcDate, "text/plain",
-        r.getString(1).getBytes("UTF-8")))
+        payload, sha1Base32(payload)))
     }
   }
 
@@ -131,19 +213,64 @@ object Warc {
                     bodyCol: String = "body",
                     warcDate: String = "2000-01-01T00:00:00Z",
                     gzipPerRecord: Boolean = false,
-                    writeIndex: Boolean = false): Unit = {
+                    writeIndex: Boolean = false,
+                    warcinfo: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
     val rows = df.select(col(uriCol).cast("string"),
       col(statusCol).cast("string"), col(headersCol),
       col(bodyCol).cast("binary"))
-    writeShards(rows, path, gzipPerRecord, writeIndex) { r =>
+    writeShards(rows, path, gzipPerRecord, writeIndex, warcinfo,
+        warcDate) { r =>
       val uri = r.getString(0)
       val headers = r.getSeq[Row](2).map(h => (h.getString(0), h.getString(1)))
-      val envelope = buildHttpResponse(r.getString(1), headers,
-        r.getAs[Array[Byte]](3))
+      val body = r.getAs[Array[Byte]](3)
+      val envelope = buildHttpResponse(r.getString(1), headers, body)
+      // digest over the HTTP BODY (the message payload), not the
+      // envelope — the key public-crawl consumers dedup on at ingest
       (uri, buildRecord("response", uri, warcDate,
-        "application/http; msgtype=response", envelope))
+        "application/http; msgtype=response", envelope, sha1Base32(body)))
     }
+  }
+
+  /** Write WARC `request` records — the captured outbound HTTP request
+    * beside each response in a raw crawl. The payload is the request
+    * envelope only (request line + ordered headers + blank line; GET
+    * requests carry no body), `Content-Type: application/http;
+    * msgtype=request`. [[readResponses]] skips these by type; [[read]]
+    * surfaces them unsplit like any other record.
+    */
+  def writeRequest(df: DataFrame, path: String,
+                   uriCol: String = "target_uri",
+                   requestLineCol: String = "request_line",
+                   headersCol: String = "http_headers",
+                   warcDate: String = "2000-01-01T00:00:00Z",
+                   gzipPerRecord: Boolean = false,
+                   writeIndex: Boolean = false,
+                   warcinfo: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.col
+    val rows = df.select(col(uriCol).cast("string"),
+      col(requestLineCol).cast("string"), col(headersCol))
+    writeShards(rows, path, gzipPerRecord, writeIndex, warcinfo,
+        warcDate) { r =>
+      val uri = r.getString(0)
+      val headers = r.getSeq[Row](2).map(h => (h.getString(0), h.getString(1)))
+      val envelope = buildHttpRequest(r.getString(1), headers)
+      (uri, buildRecord("request", uri, warcDate,
+        "application/http; msgtype=request", envelope))
+    }
+  }
+
+  /** Serialize one HTTP request envelope: request line, headers in the
+    * given order, blank line — no body (the GET-shaped capture).
+    */
+  def buildHttpRequest(requestLine: String,
+                       headers: Seq[(String, String)]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(requestLine).append("\r\n")
+    headers.foreach { case (n, v) => sb.append(n).append(": ")
+      .append(v).append("\r\n") }
+    sb.append("\r\n")
+    sb.toString.getBytes("UTF-8")
   }
 
   /** Serialize one HTTP response envelope: status line, headers in the
@@ -182,7 +309,8 @@ object Warc {
     * caller's shard sizing, not the corpus.
     */
   private def writeShards(rows: DataFrame, path: String,
-      gzipPerRecord: Boolean, writeIndex: Boolean)(
+      gzipPerRecord: Boolean, writeIndex: Boolean,
+      warcinfo: Boolean, warcDate: String)(
       recordOf: Row => (String, Array[Byte])): Unit = {
     require(!writeIndex || gzipPerRecord,
       "offset index requires gzipPerRecord=true (member = record); a " +
@@ -211,16 +339,21 @@ object Warc {
         try {
           Sinks.writeTaskFile(serConf.value.value, p) { rawOut =>
             var offset = 0L
-            it.foreach { r =>
-              val (uri, rec) = recordOf(r)
+            def emit(recordId: String, rec: Array[Byte]): Unit =
               if (gzipPerRecord) {
                 val counting = new CountingOutputStream(rawOut)
                 gzipMember(rec, deflater, counting)
-                if (index != null) {
-                  index += s"<urn:md5:${md5Hex(uri)}>\t$offset\t${counting.count}"
-                }
+                if (index != null)
+                  index += s"$recordId\t$offset\t${counting.count}"
                 offset += counting.count
               } else rawOut.write(rec)
+            if (warcinfo) {
+              val name = p.getName
+              emit(s"<urn:md5:${md5Hex(name)}>", buildWarcinfo(name, warcDate))
+            }
+            it.foreach { r =>
+              val (uri, rec) = recordOf(r)
+              emit(s"<urn:md5:${md5Hex(uri)}>", rec)
             }
           }
           if (index != null) {
@@ -309,7 +442,7 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame = {
     val rdd = recordRdd(spark, path)
       .map(r => Row(r.warcType, r.recordId, r.warcDate, r.targetUri,
-        r.contentType, r.content.length.toLong, r.content))
+        r.contentType, r.payloadDigest, r.content.length.toLong, r.content))
     spark.createDataFrame(rdd, schema)
   }
 
@@ -317,6 +450,7 @@ object Warc {
     StructField("record_id", StringType),
     StructField("warc_date", StringType),
     StructField("target_uri", StringType),
+    StructField("payload_digest", StringType),
     StructField("status_line", StringType),
     StructField("http_status", IntegerType),
     StructField("http_headers", ArrayType(StructType(Seq(
@@ -339,7 +473,8 @@ object Warc {
       .map { r =>
         val (status, headers, body) = splitHttpEnvelope(r.content)
         val code = statusCodeOf(status)
-        Row(r.recordId, r.warcDate, r.targetUri, status, code,
+        Row(r.recordId, r.warcDate, r.targetUri, r.payloadDigest, status,
+          code,
           if (headers == null) null
           else headers.map { case (n, v) => Row(n, v) },
           body.length.toLong, body)
@@ -441,7 +576,7 @@ object Warc {
 
   private[sources] case class Rec(warcType: String, recordId: String,
       warcDate: String, targetUri: String, contentType: String,
-      content: Array[Byte])
+      payloadDigest: String, content: Array[Byte])
 
   /** Iterate records off a stream; closes it at EOF. */
   private[sources] def parseStream(in: DataInputStream): Iterator[Rec] =
@@ -498,6 +633,7 @@ object Warc {
           headers.getOrElse("warc-date", ""),
           headers.getOrElse("warc-target-uri", ""),
           headers.getOrElse("content-type", ""),
+          headers.getOrElse("warc-payload-digest", null),
           payload)
       }
 

@@ -117,17 +117,21 @@ class WarcSpec extends AnyFunSuite {
     val back = Warc.readResponses(spark, dir)
       .collect().map(r => r.getString(2) -> r).toMap
     val ok = back("http://a/ok")
-    assert(ok.getString(3) == "HTTP/1.1 200 OK")
-    assert(ok.getInt(4) == 200)
-    val hdrs = ok.getSeq[org.apache.spark.sql.Row](5)
+    assert(ok.getString(4) == "HTTP/1.1 200 OK")
+    assert(ok.getInt(5) == 200)
+    val hdrs = ok.getSeq[org.apache.spark.sql.Row](6)
       .map(h => h.getString(0) -> h.getString(1)).toMap
     assert(hdrs("Content-Type") == "text/html; charset=utf-8")
     assert(hdrs("Content-Length") == "28")
-    assert(new String(ok.getAs[Array[Byte]](7), "UTF-8")
+    assert(new String(ok.getAs[Array[Byte]](8), "UTF-8")
       == "<html><body>hi</body></html>")
+    // the writer stamps sha1:BASE32 of the BODY; the reader surfaces it
+    assert(ok.getString(3) == Warc.sha1Base32(
+      "<html><body>hi</body></html>".getBytes("UTF-8")))
     val ev = back("http://a/évil")
-    assert(ev.getInt(4) == 404)
-    assert(ev.getAs[Array[Byte]](7).toSeq == evil.toSeq)
+    assert(ev.getInt(5) == 404)
+    assert(ev.getAs[Array[Byte]](8).toSeq == evil.toSeq)
+    assert(ev.getString(3) == Warc.sha1Base32(evil))
     // a payload with NO envelope surfaces NULL status + whole body
     val (s0, h0, b0) = Warc.splitHttpEnvelope("no envelope".getBytes("UTF-8"))
     assert(s0 == null && h0 == null &&
@@ -186,6 +190,78 @@ class WarcSpec extends AnyFunSuite {
       val rec = Warc.readAt(conf, shard, r.getLong(2), r.getLong(3))
       assert(rec.recordId == r.getString(1))
     }
+  }
+
+  test("base32 matches RFC 4648 §10 test vectors; sha1 digest is 32 chars unpadded") {
+    val vectors = Seq(
+      "" -> "", "f" -> "MY======", "fo" -> "MZXQ====",
+      "foo" -> "MZXW6===", "foob" -> "MZXW6YQ=", "fooba" -> "MZXW6YTB",
+      "foobar" -> "MZXW6YTBOI======")
+    vectors.foreach { case (in, want) =>
+      assert(Warc.base32(in.getBytes("UTF-8")) == want, s"base32($in)")
+    }
+    // SHA-1 is 160 bits = exactly 32 base32 chars, never padded
+    val d = Warc.sha1Base32("abc".getBytes("UTF-8"))
+    assert(d.startsWith("sha1:") && d.length == 37 && !d.contains("="))
+    // deterministic and byte-sensitive
+    assert(d == Warc.sha1Base32("abc".getBytes("UTF-8")))
+    assert(d != Warc.sha1Base32("abd".getBytes("UTF-8")))
+  }
+
+  test("warcinfo preamble: one per shard, skipped by readResponses, read surfaces it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_info").toString
+    val rows = (1L to 20L).map(i => (s"http://x/$i", "HTTP/1.1 200 OK",
+        Seq(("Content-Type", "text/plain")), s"body $i".getBytes("UTF-8")))
+      .toDF("target_uri", "status_line", "http_headers", "body")
+      .repartition(2)
+    Warc.writeResponse(rows, dir, warcinfo = true)
+    val all = Warc.read(spark, dir)
+    assert(all.where(col("warc_type") === "warcinfo").count() == 2)
+    assert(all.count() == 22)
+    // the preamble names its own shard and parses as warc-fields
+    val info = all.where(col("warc_type") === "warcinfo")
+      .select(col("content").cast("string")).as[String].collect()
+    assert(info.forall(_.contains("format: WARC File Format 1.0")))
+    // type-filtered response parse is preamble-blind
+    assert(Warc.readResponses(spark, dir).count() == 20)
+  }
+
+  test("request records round-trip; readResponses skips them") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_req").toString
+    val rows = Seq(("http://x/1", "GET /1 HTTP/1.1",
+        Seq(("Host", "x"), ("Accept", "*/*"))))
+      .toDF("target_uri", "request_line", "http_headers")
+    Warc.writeRequest(rows, dir)
+    val got = Warc.read(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getString(0) == "request")
+    assert(r.getString(4) == "application/http; msgtype=request")
+    assert(r.isNullAt(5)) // requests carry no payload digest
+    assert(new String(r.getAs[Array[Byte]](7), "UTF-8")
+      == "GET /1 HTTP/1.1\r\nHost: x\r\nAccept: */*\r\n\r\n")
+    assert(Warc.readResponses(spark, dir).count() == 0)
+  }
+
+  test("digest-keyed dedup groups byte-equal bodies from the parsed header alone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc_dig").toString
+    val rows = Seq(
+      ("http://x/1", "same body"), ("http://x/2", "same body"),
+      ("http://x/3", "other body"))
+      .map { case (u, b) => (u, "HTTP/1.1 200 OK",
+        Seq(("Content-Type", "text/plain")), b.getBytes("UTF-8")) }
+      .toDF("target_uri", "status_line", "http_headers", "body")
+    Warc.writeResponse(rows, dir)
+    val groups = Warc.readResponses(spark, dir)
+      .groupBy(col("payload_digest")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(groups.values.toSeq.sorted == Seq(1L, 2L))
+    assert(groups.keySet == Set(
+      Warc.sha1Base32("same body".getBytes("UTF-8")),
+      Warc.sha1Base32("other body".getBytes("UTF-8"))))
   }
 
   test("writeWet/read round-trip through real shard files, sharded by partition") {
