@@ -138,6 +138,25 @@ object SparkEntry {
   private val cjkHan16 = "的是了在和有我不这他中大来上国人"
   private val cjkKata16 = "アイウエオカキクケコサシスセソタ"
 
+  /** The html_extract_main fixture page around each document's text —
+    * shared by `html_extract_main`, `warc_response_extract`, and
+    * `crawl_clean` (oracle twin: [[htmlMainCtes]]'s `hm` CTE). Plants
+    * the three boilerplate shapes a real page carries around its
+    * prose (nav bar, link farm, entity-laden footer) plus a prose
+    * block with an inline link the keep rule must retain.
+    */
+  private def htmlFixturePage: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit("</title><script>var nav = 1 &amp;&amp; 2;</script>" +
+      "<style>a { color: blue; }</style></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact</a></nav><p>"),
+    col("text"),
+    lit("</p><p>Read the full guide at <a href=\"/guide\">the " +
+      "documentation portal</a> for complete details today</p><div>"),
+    expr("repeat('<a href=\"/deal\">hot deal item</a> ', 4)"),
+    lit("</div><footer>Copyright &amp; terms</footer></body></html>"))
+
   /** The planted-CJK fixture the multilingual twin rows share: docs
     * whose PAIR key (doc_id div 2) lands in md5 bucket < 30 have their
     * text swapped for a NO-SPACE mixed-script string — 32 Han chars
@@ -1940,19 +1959,8 @@ object SparkEntry {
       // density cut, not a no-links cut). The md5'd main text
       // hash-checks that exactly the prose survives.
       val d = Tables.documents(s, dir)
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title><script>var nav = 1 &amp;&amp; 2;</script>" +
-          "<style>a { color: blue; }</style></head><body>" +
-          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
-          "<a href=\"/contact\">Contact</a></nav><p>"),
-        col("text"),
-        lit("</p><p>Read the full guide at <a href=\"/guide\">the " +
-          "documentation portal</a> for complete details today</p><div>"),
-        expr("repeat('<a href=\"/deal\">hot deal item</a> ', 4)"),
-        lit("</div><footer>Copyright &amp; terms</footer></body></html>"))
       graft.textops.Html.extractMain(
-        d.select(col("doc_id"), html.as("html")), "doc_id", "html",
+        d.select(col("doc_id"), htmlFixturePage.as("html")), "doc_id", "html",
         minWords = 5, maxLinkPct = 30)
     }),
 
@@ -2298,24 +2306,13 @@ object SparkEntry {
       // html_extract_main's oracle verbatim — the crawl hop must be
       // invisible to the extractor
       val d = Tables.documents(s, dir)
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title><script>var nav = 1 &amp;&amp; 2;</script>" +
-          "<style>a { color: blue; }</style></head><body>" +
-          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
-          "<a href=\"/contact\">Contact</a></nav><p>"),
-        col("text"),
-        lit("</p><p>Read the full guide at <a href=\"/guide\">the " +
-          "documentation portal</a> for complete details today</p><div>"),
-        expr("repeat('<a href=\"/deal\">hot deal item</a> ', 4)"),
-        lit("</div><footer>Copyright &amp; terms</footer></body></html>"))
       val rows = d.select(
         concat(lit("http://graft.invalid/doc/"), col("doc_id"))
           .as("target_uri"),
         lit("HTTP/1.1 200 OK").as("status_line"),
         array(struct(lit("Content-Type").as("name"),
           lit("text/html; charset=utf-8").as("value"))).as("http_headers"),
-        html.cast("binary").as("body"))
+        htmlFixturePage.cast("binary").as("body"))
       val tmp = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft_warcresp_ex").toString
       graft.sources.Warc.writeResponse(rows, tmp)
@@ -2393,6 +2390,35 @@ object SparkEntry {
         .groupBy(col("warc_type"))
         .agg(count(lit(1)).as("n"),
           count(col("payload_digest")).as("n_digest"))
+    }),
+
+    "crawl_clean" -> ((s, dir) => {
+      // the COMPLETE crawl->training-data DAG in ONE registered row:
+      // documents wrapped in the html_extract_main fixture page ->
+      // WARC response shards (HTTP envelopes, payload digests,
+      // warcinfo preambles) -> envelope split -> justext main-content
+      // extraction -> quality gate -> exact dedup -> MinHash
+      // near-dedup -> sequence packing. The oracle chains the
+      // per-stage oracles' CTEs over the same fixture; the plan fence
+      // (PlanAuditSpec) pins that no hash exchange carries html or
+      // extracted text
+      val d = Tables.documents(s, dir)
+      val rows = d.select(
+        concat(lit("http://graft.invalid/doc/"), col("doc_id"))
+          .as("target_uri"),
+        lit("HTTP/1.1 200 OK").as("status_line"),
+        array(struct(lit("Content-Type").as("name"),
+          lit("text/html; charset=utf-8").as("value"))).as("http_headers"),
+        htmlFixturePage.cast("binary").as("body"))
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_crawl_clean").toString
+      graft.sources.Warc.writeResponse(rows, tmp, warcinfo = true)
+      val resp = graft.sources.Warc.readResponses(s, tmp).select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("body").cast("string").as("html"))
+      graft.pipeline.Pipeline.crawlClean(resp, "doc_id", "html",
+        minQuality = 0.3, budget = 2048)
     }),
 
     "jsonl_roundtrip" -> ((s, dir) => {
@@ -4696,6 +4722,35 @@ object SparkEntry {
          UNION ALL
          SELECT 'warcinfo', 6::BIGINT, 0::BIGINT""",
 
+    "crawl_clean" ->
+      // the per-stage oracles chained end to end: the shared
+      // html_extract_main fixture+extraction CTEs (the WARC hop is
+      // checked lossless by warc_response_roundtrip/_extract), then
+      // corpus_clean_near's gate + exact-dedup + minhash-pair CTEs
+      // over the EXTRACTED text, then corpus_clean's prefix-sum pack
+      // replay over the survivors
+      s"""WITH $htmlMainCtes,
+         cw AS (SELECT doc_id, main AS text FROM m),
+         cqb AS (SELECT doc_id, text, $duckQualityParts FROM cw),
+         cq AS (SELECT doc_id, text,
+             $duckQualityFromParts AS quality FROM cqb),
+         cg AS (SELECT * FROM cq WHERE quality >= 0.3),
+         sdocs AS (SELECT * FROM (SELECT *, row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn FROM cg) WHERE rn = 1),
+         ${minhashPairCtesFrom("sdocs")},
+         surv AS (SELECT doc_id, quality,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+           FROM sdocs
+           WHERE doc_id NOT IN (SELECT doc_b FROM mpairs)),
+         pk AS (SELECT doc_id, quality, n_tokens,
+           COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM surv)
+         SELECT doc_id, quality, n_tokens,
+           CAST(pre // 2048 AS BIGINT) AS pack_id,
+           CAST(pre % 2048 AS BIGINT) AS pack_offset FROM pk""",
+
     "jsonl_roundtrip" ->
       // the Spark side went parquet -> JSONL -> frame; a lossless
       // round-trip must hash-equal the original columns
@@ -4918,27 +4973,35 @@ object SparkEntry {
     * join — all as DuckDB list lambdas mirroring Spark's higher-order
     * array functions one for one.
     */
-  private lazy val htmlExtractMainOracle: String = {
-    // the per-unit cleaner (tag strip → entities &amp;-last → collapse)
-    def cleanSql(x: String): String =
-      s"""trim(regexp_replace(
-             replace(replace(replace(replace(replace(replace(
-               regexp_replace($x, '(?s)<[^>]+>', ' ', 'g'),
-               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-               '&#39;', ''''), '&amp;', '&'),
-             '\\s+', ' ', 'g'))"""
-    def wcSql(c: String): String =
-      s"(CASE WHEN length($c) = 0 THEN 0 ELSE len(string_split($c, ' ')) END)"
-    def awSql(b: String): String =
-      s"""coalesce(list_sum(list_transform(
-           regexp_extract_all($b, '(?is)<a(\\s[^>]*)?>(.*?)</a>', 2),
-           a -> ${wcSql(cleanSql("a"))})), 0)"""
-    def keepSql(b: String): String =
-      s"(${wcSql(cleanSql(b))} >= 5 AND " +
-        s"${awSql(b)} * 100 <= ${wcSql(cleanSql(b))} * 30)"
-    val blockTag = "(?is)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|" +
-      "section|article|header|footer|nav|aside|blockquote|br)[^>]*>"
-    s"""WITH hm AS (SELECT doc_id,
+  // DuckDB mirrors of Html.mainText's per-unit helpers — shared by the
+  // html_extract_main oracle and the crawl_clean composition oracle.
+  // the per-unit cleaner (tag strip → entities &amp;-last → collapse)
+  private def htmlCleanSql(x: String): String =
+    s"""trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace($x, '(?s)<[^>]+>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&amp;', '&'),
+           '\\s+', ' ', 'g'))"""
+  private def htmlWcSql(c: String): String =
+    s"(CASE WHEN length($c) = 0 THEN 0 ELSE len(string_split($c, ' ')) END)"
+  private def htmlAwSql(b: String): String =
+    s"""coalesce(list_sum(list_transform(
+         regexp_extract_all($b, '(?is)<a(\\s[^>]*)?>(.*?)</a>', 2),
+         a -> ${htmlWcSql(htmlCleanSql("a"))})), 0)"""
+  private def htmlKeepSql(b: String): String =
+    s"(${htmlWcSql(htmlCleanSql(b))} >= 5 AND " +
+      s"${htmlAwSql(b)} * 100 <= ${htmlWcSql(htmlCleanSql(b))} * 30)"
+  private val htmlBlockTagSql = "(?is)</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|" +
+    "section|article|header|footer|nav|aside|blockquote|br)[^>]*>"
+
+  /** The shared html_extract_main fixture + main-text CTE chain,
+    * ending in `m(doc_id, html, blocks, main)` — no leading WITH.
+    * Reused by the `crawl_clean` oracle, whose engine side recovers
+    * the SAME page from WARC response shards before extracting.
+    */
+  private lazy val htmlMainCtes: String =
+    s"""hm AS (SELECT doc_id,
            '<html><head><title>Doc ' || doc_id::VARCHAR ||
            '</title><script>var nav = 1 &amp;&amp; 2;</script>' ||
            '<style>a { color: blue; }</style></head><body>' ||
@@ -4956,23 +5019,25 @@ object SparkEntry {
                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                '(?s)<!--.*?-->', ' ', 'g'),
-             '$blockTag', chr(1), 'g'), chr(1)) AS blocks
+             '$htmlBlockTagSql', chr(1), 'g'), chr(1)) AS blocks
            FROM hm),
          m AS (SELECT doc_id, html, blocks,
            array_to_string(list_transform(
-             list_filter(blocks, b -> ${keepSql("b")}),
-             b -> ${cleanSql("b")}), ' ') AS main
-           FROM blk)
+             list_filter(blocks, b -> ${htmlKeepSql("b")}),
+             b -> ${htmlCleanSql("b")}), ' ') AS main
+           FROM blk)"""
+
+  private lazy val htmlExtractMainOracle: String =
+    s"""WITH $htmlMainCtes
          SELECT doc_id,
            regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
            len(regexp_extract_all(html, '(?i)<a[\\s>]'))::BIGINT AS n_links,
            len(list_filter(blocks,
-             b -> ${wcSql(cleanSql("b"))} > 0))::BIGINT AS n_blocks,
-           len(list_filter(blocks, b -> ${keepSql("b")}))::BIGINT AS n_kept,
+             b -> ${htmlWcSql(htmlCleanSql("b"))} > 0))::BIGINT AS n_blocks,
+           len(list_filter(blocks, b -> ${htmlKeepSql("b")}))::BIGINT AS n_kept,
            length(main)::BIGINT AS main_len,
            md5(main) AS main_fp
          FROM m"""
-  }
 
   /** The video near-dup fixture's clip fingerprints in closed form —
     * the frame-aware twin of [[duckDhashCtes]]: quadratic-residue

@@ -784,4 +784,86 @@ object Pipeline {
     kept.join(drop, Seq(idCol), "left_anti")
       .select(col(idCol), col(strataCol), col("quality"), col("n_tokens"))
   }
+
+  /** The END-TO-END crawl pipeline from raw WARC `response` records to
+    * packed training sequences — the single DAG a public-crawl
+    * consumer actually runs: envelope-split responses →
+    * [[graft.textops.Html.mainText]] main-content extraction →
+    * quality gate → exact dedup → MinHash near-dedup (the greedy
+    * smaller-id-wins rule of [[corpusCleanNear]]) → [[seqPackCounted]]
+    * sequence packing.
+    *
+    * `responses` is the [[graft.sources.Warc.readResponses]] frame (or
+    * anything carrying `idCol` + an HTML `htmlCol`). Scale shape: the
+    * extraction + gate kernel + fingerprint + token count all run in
+    * the SAME scan-stage projection, so no hash exchange ever carries
+    * html or extracted text — the fingerprint-dedup window, the LSH
+    * band self-join, and the two packing prefix-sum windows move only
+    * narrow derived columns (ids, hashes, counts; fenced in
+    * PlanAuditSpec). Survivor text for the near-dup verify re-reads
+    * the source via one id-keyed semi join — re-scanning storage
+    * instead of shuffling the corpus, the [[corpusCleanNear]]
+    * discipline. The two checkpoints hold narrow survivor frames
+    * (id, quality, n_tokens), never text.
+    *
+    * Output: one row per surviving document —
+    * (idCol, quality, n_tokens, pack_id, pack_offset).
+    */
+  private def crawlExtracted(responses: DataFrame, idCol: String,
+                             htmlCol: String, minWords: Int,
+                             maxLinkPct: Int): DataFrame =
+    responses.select(col(idCol),
+      graft.textops.Html.mainText(col(htmlCol), minWords, maxLinkPct)
+        .as("_main"))
+
+  /** The pre-checkpoint narrow stage of [[crawlClean]] — extraction +
+    * gate + fingerprint exact-dedup — exposed so PlanAuditSpec can pin
+    * that no hash exchange carries html or extracted text (the
+    * composite's checkpoint truncates lineage, hiding this stage).
+    * Output: (idCol, quality, n_tokens), the exact-dedup survivors.
+    */
+  def crawlCleanNarrow(responses: DataFrame, idCol: String,
+                       htmlCol: String, minQuality: Double,
+                       minWords: Int = 5,
+                       maxLinkPct: Int = 30): DataFrame = {
+    val extracted = crawlExtracted(responses, idCol, htmlCol, minWords,
+      maxLinkPct)
+    val gated = graft.util.Par.spread(extracted)
+      .select(col(idCol), col("_main"),
+        TextOps.gateStats(col("_main")).as("_ts"))
+      .withColumn("quality", TextOps.qualityScoreFrom(col("_ts")))
+      .filter(graft.util.Par.noPushdown(col("quality") >= minQuality))
+    val narrow = gated.select(col(idCol), col("quality"),
+      col("_ts").getField("n_tokens").cast("long").as("n_tokens"),
+      TextOps.fingerprint(col("_main")).as("_fp"))
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    narrow
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
+  def crawlClean(responses: DataFrame, idCol: String, htmlCol: String,
+                 minQuality: Double, budget: Int,
+                 minWords: Int = 5, maxLinkPct: Int = 30,
+                 shingleSize: Int = 3, bands: Int = 8,
+                 rowsPerBand: Int = 2, threshold: Double = 0.5,
+                 maxBucket: Int = 64, numBuckets: Int = 32): DataFrame = {
+    val extracted = crawlExtracted(responses, idCol, htmlCol, minWords,
+      maxLinkPct)
+    val kept = crawlCleanNarrow(responses, idCol, htmlCol, minQuality,
+        minWords, maxLinkPct)
+      .localCheckpoint()
+    val survivorText = extracted.select(col(idCol), col("_main").as("text"))
+      .join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+    val pairs = graft.dedup.Dedup.minhashLsh(survivorText, idCol, "text",
+      shingleSize, bands, rowsPerBand, threshold, maxBucket)
+    val drop = pairs.select(col("doc_b").as(idCol)).distinct()
+    val surv = kept.join(drop, Seq(idCol), "left_anti").localCheckpoint()
+    seqPackCounted(surv.select(col(idCol), col("n_tokens")), idCol,
+        budget, numBuckets)
+      .join(surv.select(col(idCol), col("quality")), Seq(idCol))
+      .select(col(idCol), col("quality"), col("n_tokens"),
+        col("pack_id"), col("pack_offset"))
+  }
 }

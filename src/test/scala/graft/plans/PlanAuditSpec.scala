@@ -128,6 +128,35 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("crawl_clean's dedup exchange carries neither html nor extracted text") {
+    // the crawl composition's first stage: main-content extraction,
+    // gate kernel, fingerprint, and token count all run in the SAME
+    // scan-stage projection, so the exact-dedup window's hash exchange
+    // moves (id, quality, n_tokens, _fp) — never the page or its
+    // extracted text. Audited on the exposed pre-checkpoint stage
+    // (crawlCleanNarrow; the composite's checkpoint truncates
+    // lineage), AQE off so exchanges are visible, hash exchanges only
+    // (the round-robin spread IS the scan stage and rightly sees html).
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = graft.sources.Tables.documents(spark, dir)
+      val resp = docs.selectExpr("doc_id",
+        "concat('<html><body><p>', text, '</p></body></html>') AS html")
+      val staged = graft.pipeline.Pipeline.crawlCleanNarrow(
+        resp, "doc_id", "html", 0.3)
+      val exchanges = staged.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(exchanges.nonEmpty, "expected the fingerprint dedup exchange")
+      for (e <- exchanges; attr <- e.output)
+        assert(attr.name != "html" && attr.name != "_main",
+          s"dedup exchange carries page text:\n${e.output.mkString(", ")}")
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("pii_scrub and sample_stratified stay narrow (no exchange)") {
     for (q <- Seq("pii_scrub", "sample_stratified")) {
       val p = plan(q)
