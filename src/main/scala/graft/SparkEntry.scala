@@ -1400,8 +1400,11 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text")),
 
     "dedup_minhash" -> ((s, dir) =>
+      // bands = -1 = AUTO: geometry derived from the corpus count
+      // (Dedup.scaledBandGeometry) — identical to 8x2 below the 65536
+      // knee (every driver sf, zsf1), rows grow ~1/decade above it
       Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)),
+        shingleSize = 3, bands = -1, rowsPerBand = -1, threshold = 0.5)),
 
     "dedup_minhash_cjk" -> ((s, dir) =>
       // the SAME minhash pipeline over segmentScripts-padded text —
@@ -1415,18 +1418,35 @@ object SparkEntry {
         cjkFixture(Tables.documents(s, dir))
           .withColumn("text", TextOps.segmentScripts(col("text"))),
         "doc_id", "text",
-        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5)),
+        shingleSize = 3, bands = -1, rowsPerBand = -1, threshold = 0.5)),
+
+    "dedup_minhash_capstats" -> ((s, dir) => {
+      // the bucket cap's OBSERVABILITY row: per band, how many LSH
+      // buckets exceed maxBucket=64 and how many banded keys they
+      // carry (= what lshCandidatePairs drops). The fixture plants a
+      // 71-strong exact-duplicate pile (70 re-crawls of doc 0), whose
+      // identical signatures flood one bucket in EVERY band past the
+      // cap — so the dropped mass is non-zero and hash-checked
+      val d = Tables.documents(s, dir)
+      val planted = d.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(1), lit(70))).as("k"), col("text"))
+        .select((lit(20000000L) + col("k")).as("doc_id"), col("text"))
+      val crawl = d.select(col("doc_id"), col("text")).unionAll(planted)
+      Dedup.lshCapAudit(crawl, "doc_id", "text", shingleSize = 3,
+        bands = 8, rowsPerBand = 2, maxBucket = 64)
+    }),
 
     "dedup_clusters" -> ((s, dir) =>
       // pairs are edges; the dedup decision needs components — transitive
       // closure by distributed min-label propagation over minhash pairs
       Dedup.clusters(Dedup.minhashLsh(Tables.documents(s, dir), "doc_id",
-        "text", shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5))),
+        "text", shingleSize = 3, bands = -1, rowsPerBand = -1,
+        threshold = 0.5))),
 
     "dedup_resolve" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       Dedup.resolve(d, "doc_id", Dedup.minhashLsh(d, "doc_id", "text",
-        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5))
+        shingleSize = 3, bands = -1, rowsPerBand = -1, threshold = 0.5))
     }),
 
     "dedup_resolve_best" -> ((s, dir) => {
@@ -1438,7 +1458,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       Dedup.resolveBest(d, "doc_id", "text",
         Dedup.minhashLsh(d, "doc_id", "text",
-          shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5))
+          shingleSize = 3, bands = -1, rowsPerBand = -1, threshold = 0.5))
     }),
 
     "split_leakage_free" -> ((s, dir) => {
@@ -1447,7 +1467,7 @@ object SparkEntry {
       // split, so no test doc has a near-copy in train
       val d = Tables.documents(s, dir)
       Dedup.splitLeakageFree(d, "doc_id", Dedup.minhashLsh(d, "doc_id",
-        "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
+        "text", shingleSize = 3, bands = -1, rowsPerBand = -1,
         threshold = 0.5))
     }),
 
@@ -1470,14 +1490,37 @@ object SparkEntry {
         "text", maxHamming = 3).select(col("doc_a"), col("doc_b")))),
 
     "ngram_jaccard" -> ((s, dir) =>
-      // sorted-prefix (in-array AllPairs) form: output-identical to the
-      // plain inverted index (equivalence-tested), no per-document
-      // broadcast, prefix pruning + length filter cap hot-shingle damage,
-      // and the prefix is a pure projection (no pre-join shuffles) — the
-      // registered 100 TB shape; ngramJaccardPrefix (rarest-first) stays
-      // as the variant for corpora dominated by a few ubiquitous shingles
+      // sorted-prefix (in-array AllPairs) form with the maxDf
+      // boilerplate cap (the dedup_spans convention): shingles in more
+      // than 16 documents leave the SETS before prefix, candidate join,
+      // and verify — a frequency-f shingle costs ~((1-t)f)^2 candidate
+      // pairs and the hottest f grows linearly on Zipf text, so an
+      // ABSOLUTE cap is what keeps candidate volume linear at 100 TB
+      // (a relative cap re-admits the quadratic term). Jaccard is then
+      // measured over DISTINCTIVE shingles; the uncapped form stays as
+      // ngramJaccard/ngramJaccardPrefix (equivalence-tested trio), and
+      // ngram_df_capstats makes the dropped mass visible
       Dedup.ngramJaccardSortedPrefix(Tables.documents(s, dir), "doc_id",
-        "text", shingleSize = 3, threshold = 0.8)),
+        "text", shingleSize = 3, threshold = 0.8, maxDf = 16)),
+
+    "ngram_df_capstats" -> ((s, dir) => {
+      // the cap's OBSERVABILITY row (no silent recall cliff): how many
+      // distinct shingles the df cap drops and how much posting mass
+      // they carried — the number a pipeline owner watches when
+      // deciding whether 16 still means 'boilerplate' on their corpus
+      val d = Tables.documents(s, dir)
+      val sh = d.select(col("doc_id"),
+        // WordShinglesExpr output is already per-doc distinct, so
+        // count(*) per shingle IS its document frequency
+        explode_outer(graft.textops.TextOps.shinglesFromTokens(
+          graft.textops.TextOps.tokens(lower(col("text"))), 3))
+          .as("shingle"))
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") > 16, 1)).as("n_hot"),
+          coalesce(sum(when(col("df") > 16, col("df"))), lit(0L))
+            .cast("long").as("postings_dropped"))
+    }),
 
     "dedup_spans" -> ((s, dir) =>
       // passage-level reuse: pairs sharing >= 5 winnow fingerprints
@@ -3805,14 +3848,20 @@ object SparkEntry {
          FROM lbl""",
 
     "ngram_jaccard" ->
+      // the maxDf=16 boilerplate cap replayed on shingle STRINGS
+      // (engine counts df on xxhash64 of the shingle — identical up to
+      // vanishing in-pair collisions, the same contract as the verify)
       """WITH toks AS (SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
            FROM documents),
          idx AS (SELECT doc_id, w,
            unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks),
-         sh AS (SELECT DISTINCT doc_id,
+         sh0 AS (SELECT DISTINCT doc_id,
            CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
                 ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle FROM idx),
+         dfc AS (SELECT shingle FROM sh0 GROUP BY shingle
+                 HAVING count(*) <= 16),
+         sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfc USING (shingle)),
          sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
                FROM sh a JOIN sh b USING (shingle)
@@ -3821,6 +3870,35 @@ object SparkEntry {
            round(inter::DOUBLE / (x.n_sh + y.n_sh - inter), 6) AS jaccard
          FROM p JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
          WHERE inter::DOUBLE / (x.n_sh + y.n_sh - inter) >= 0.8""",
+
+    "ngram_df_capstats" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         idx AS (SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i FROM toks),
+         sh AS (SELECT DISTINCT doc_id,
+           CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+                ELSE w[i] || ' ' || w[i+1] || ' ' || w[i+2] END AS shingle FROM idx),
+         dfs AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+         SELECT count(*) AS n_shingles,
+           count(*) FILTER (df > 16) AS n_hot,
+           coalesce(sum(df) FILTER (df > 16), 0)::BIGINT AS postings_dropped
+         FROM dfs""",
+
+    "dedup_minhash_capstats" ->
+      s"""WITH crawl AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT 20000000 + k, text
+           FROM documents, (SELECT unnest(generate_series(1, 70)) AS k)
+           WHERE doc_id = 0),
+         ${minhashBandedCtesFrom("crawl")},
+         bs AS (SELECT bnd, bucket, count(*) AS n FROM banded GROUP BY 1, 2)
+         SELECT bnd AS band, count(*) AS n_buckets,
+           count(*) FILTER (n > 64) AS n_over_cap,
+           coalesce(sum(n) FILTER (n > 64), 0)::BIGINT AS keys_dropped
+         FROM bs GROUP BY 1""",
 
     "embedding_neardup" ->
       s"""WITH $embPairCtes

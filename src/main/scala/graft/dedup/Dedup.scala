@@ -169,11 +169,93 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Corpus-scaled MinHash band geometry — the
+    * [[graft.simops.Similarity.nearDupPairsBanded]] band-bits law
+    * applied to (bands × rowsPerBand). With FIXED geometry, a random
+    * pair's per-band collision probability j^r is constant while the
+    * pair population grows n², so candidate volume (and the silent
+    * recall loss once buckets flood the cap) grows with every corpus
+    * decade — the r10 anchor measured 4.8×/decade on `dedup_minhash`
+    * at 8×2. Growing ROWS per band sharpens the band filter
+    * (collision j^r), and bands re-solve the LSH S-curve so recall at
+    * the verify threshold stays ≥ 90%:
+    *
+    *   r = r0 + 1 per THREE corpus doublings past `knee` (≈ +1/decade)
+    *   b = ⌈ln(10) / −ln(1 − t^r)⌉   (P[candidate | j=t] ≥ 0.9)
+    *
+    * Below the knee the geometry is EXACTLY the (bands0, r0) default —
+    * identical at every driver sf and at the zsf1 anchor, so the
+    * DuckDB oracles (which bake the 8×2 signature structurally)
+    * replay unchanged everywhere the gate runs; above the knee only
+    * the bench anchors see the scaled geometry (the BASELINE
+    * convention shared with [[scaledWinnowWindow]]). False candidates
+    * never corrupt output (exact-Jaccard verify); geometry moves only
+    * WHICH true pairs are surfaced, pinned by the planted-pair recall
+    * assertions in DedupSpec at both geometries.
+    */
+  def scaledBandGeometry(n: Long, threshold: Double = 0.5,
+                         bands0: Int = 8, r0: Int = 2,
+                         knee: Long = 65536L): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold in (0,1), got $threshold")
+    if (n <= knee) (bands0, r0)
+    else {
+      val q = (n + knee - 1) / knee
+      val d = 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+      val r = r0 + (d + 2) / 3
+      val b = math.ceil(math.log(10.0) /
+        -math.log1p(-math.pow(threshold, r))).toInt
+      (math.max(b, 1), r)
+    }
+  }
+
+  /** `bands <= 0` = AUTO: derive the geometry from the corpus size
+    * (one count() action — the [[spanPairs]] w-AUTO precedent).
+    * Incrementals keep EXPLICIT geometry on purpose: their banded
+    * probes must match the persisted signature store they were built
+    * with, so geometry changes there ride a store rebuild, never a
+    * corpus-count drift.
+    */
+  private def resolveBandGeometry(df: DataFrame, bands: Int,
+      rowsPerBand: Int, threshold: Double): (Int, Int) =
+    if (bands > 0) (bands, rowsPerBand)
+    else scaledBandGeometry(df.count(), threshold)
+
+  /** Cap-audit of the banded LSH candidate stage — `maxBucket`'s
+    * observability companion (no silent recall cliff): per band, the
+    * bucket count, how many buckets exceed the cap, and how many
+    * banded keys those buckets carry (= the keys [[lshCandidatePairs]]
+    * drops). A pipeline owner watches `keys_dropped` grow to know when
+    * the geometry (or the cap) no longer fits the corpus — the same
+    * role ngram_df_capstats plays for the df cap. One extra combinable
+    * aggregate over the banded frame; never runs in the dedup path
+    * itself.
+    */
+  def lshCapAudit(df: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3, bands: Int = 8,
+                  rowsPerBand: Int = 2, threshold: Double = 0.5,
+                  maxBucket: Int = 64): DataFrame = {
+    val (bandsEff, rowsEff) = resolveBandGeometry(df, bands, rowsPerBand,
+      threshold)
+    val banded = bandKeysOf(
+      shingleSetsOf(graft.util.Par.spread(df), idCol, textCol, shingleSize),
+      bandsEff, rowsEff)
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        count(when(col("n") > maxBucket, 1)).as("n_over_cap"),
+        coalesce(sum(when(col("n") > maxBucket, col("n"))), lit(0L))
+          .cast("long").as("keys_dropped"))
+  }
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    val pairs = lshCandidatePairs(df, idCol, textCol, shingleSize, bands,
-      rowsPerBand, maxBucket)
+    val (bandsEff, rowsEff) = resolveBandGeometry(df, bands, rowsPerBand,
+      threshold)
+    val pairs = lshCandidatePairs(df, idCol, textCol, shingleSize, bandsEff,
+      rowsEff, maxBucket)
 
     val shs = shingleSetsOf(graft.util.Par.spread(df), idCol, textCol,
       shingleSize)
@@ -214,8 +296,12 @@ object Dedup {
                         maxBucket: Int = 64): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
-    val pairs = lshCandidatePairs(df, idCol, textCol, shingleSize, bands,
-      rowsPerBand, maxBucket)
+    // candidate recall here rides SHINGLE similarity, so the scaled
+    // geometry's S-curve pin (threshold 0.5) applies unchanged
+    val (bandsEff, rowsEff) = resolveBandGeometry(df, bands, rowsPerBand,
+      0.5)
+    val pairs = lshCandidatePairs(df, idCol, textCol, shingleSize, bandsEff,
+      rowsEff, maxBucket)
     val tx = graft.util.Par.spread(df)
       .select(col(idCol).as("doc_id"),
         substring(col(textCol), 1, prefixLen).as("_t"))
@@ -614,7 +700,8 @@ object Dedup {
     */
   def ngramJaccardSortedPrefix(df: DataFrame, idCol: String,
                                textCol: String, shingleSize: Int = 3,
-                               threshold: Double = 0.2): DataFrame = {
+                               threshold: Double = 0.2,
+                               maxDf: Int = 0): DataFrame = {
     require(threshold >= 0.0 && threshold <= 1.0,
       s"threshold in [0,1], got $threshold")
     val tokenized = graft.util.Par.spread(df)
@@ -623,8 +710,37 @@ object Dedup {
     val withSh = tokenized.select(col("doc_id"),
       TextOps.shinglesFromTokens(col("_toks"), shingleSize).as("sh"))
     // hash + sort in one codegen'd pass (XxSortedHashesExpr)
-    val hashed = withSh.select(col("doc_id"),
+    val hashedAll = withSh.select(col("doc_id"),
       graft.functions.XxSortedHashesExpr(col("sh")).as("_hs"))
+    // maxDf > 0 = BOILERPLATE-BLIND mode (the spanPairs df-cap
+    // convention): shingles present in more than maxDf documents are
+    // dropped from the SETS themselves before the prefix, the
+    // candidate join, and the verify — so the AllPairs prefix bound
+    // stays sound over the filtered arrays and the output jaccard
+    // measures similarity over DISTINCTIVE shingles. This is the
+    // scale law: a corpus-frequency-f shingle generates ~((1−t)·f)²
+    // candidate pairs, and on Zipf text the hottest f grows linearly
+    // with the corpus — quadratic with a fixed index, ≤ maxDf·postings
+    // (linear) under an ABSOLUTE cap. (A relative cap — df ≤ p·n —
+    // re-admits the quadratic term; sharing a shingle with >maxDf
+    // documents stops being evidence of pairwise reuse at ANY corpus
+    // size, which is what makes the absolute form the right law.)
+    val hashed =
+      if (maxDf <= 0) hashedAll
+      else {
+        val occ = hashedAll.select(col("doc_id"),
+          explode_outer(col("_hs")).as("h"))
+        // per-doc shingles are already distinct, so count(*) = df;
+        // shuffle_hash keeps a mis-estimated posting side from being
+        // broadcast (the spanPairs df-probe lesson)
+        val eligible = occ.groupBy(col("h"))
+          .agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDf)
+          .select(col("h"))
+        occ.join(eligible.hint("shuffle_hash"), Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("h"))).as("_hs"))
+      }
     val prefix = hashed
       .select(col("doc_id"), size(col("_hs")).as("n"),
         posexplode_outer(slice(col("_hs"), lit(1),

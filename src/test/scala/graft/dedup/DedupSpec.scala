@@ -106,6 +106,72 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("scaledBandGeometry: 8x2 below the knee, rows +1 per ~decade, recall-solved bands") {
+    // below/at knee: EXACTLY the default geometry (oracle compatibility
+    // at every driver sf and the zsf1 anchor)
+    assert(Dedup.scaledBandGeometry(500) == (8, 2))
+    assert(Dedup.scaledBandGeometry(50000) == (8, 2))
+    assert(Dedup.scaledBandGeometry(65536) == (8, 2))
+    // first doubling past the knee: rows 3, bands re-solved for >= 90%
+    // recall at t=0.5 (b = ceil(ln 10 / -ln(1 - 0.5^3)) = 18)
+    assert(Dedup.scaledBandGeometry(65537) == (18, 3))
+    assert(Dedup.scaledBandGeometry(500000) == (18, 3)) // zsf10 regime
+    // 4 doublings: rows 4, b = ceil(ln 10 / -ln(1 - 0.5^4)) = 36
+    assert(Dedup.scaledBandGeometry(600000) == (36, 4))
+    // recall holds analytically at every geometry the law emits:
+    // P[candidate | j=t] = 1 - (1 - t^r)^b >= 0.9
+    for (n <- Seq(1L << 17, 1L << 20, 1L << 24, 1L << 30, 1L << 40)) {
+      val (b, r) = Dedup.scaledBandGeometry(n)
+      val p = 1.0 - math.pow(1.0 - math.pow(0.5, r), b)
+      assert(p >= 0.9, s"n=$n geometry=($b,$r) recall=$p")
+    }
+  }
+
+  test("planted near-dup recall holds at BOTH the default and the 100x scaled geometry") {
+    // the two-scale recall assertion behind the AUTO rows: the same
+    // planted near-dup must surface under (8,2) — every driver sf —
+    // and under (18,3), the geometry the law emits for the zsf10
+    // corpus size. The verify threshold is what gates OUTPUT, so both
+    // geometries must carry the pair through candidates.
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    for ((b, r) <- Seq((8, 2), (18, 3))) {
+      val pairs = Dedup.minhashLsh(df, "doc_id", "text",
+          shingleSize = 3, bands = b, rowsPerBand = r, threshold = 0.3)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L)), s"geometry ($b,$r)")
+    }
+    // AUTO (bands <= 0) equals the explicit default below the knee
+    val auto = Dedup.minhashLsh(df, "doc_id", "text", shingleSize = 3,
+        bands = -1, rowsPerBand = -1, threshold = 0.3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(auto == Set((1L, 2L)))
+  }
+
+  test("sorted-prefix maxDf cap: distinctive pairs survive, boilerplate-only pairs drop") {
+    // 20 docs sharing ONLY a verbatim boilerplate sentence (df 20 > 16
+    // for each of its shingles) plus one genuine near-dup pair whose
+    // shared shingles are rare. Uncapped, the boilerplate docs pair up
+    // quadratically at threshold ~0; capped, only the distinctive pair
+    // remains — and its jaccard is measured over rare shingles only.
+    val boiler = "accept all cookies to continue reading this site"
+    val filler = (1L to 20L).map(i =>
+      i -> s"$boiler unique$i word$i token$i extra$i")
+    val df = docs((filler :+
+      (100L -> base) :+ (101L -> nearDup)): _*)
+    val capped = Dedup.ngramJaccardSortedPrefix(df, "doc_id", "text",
+        shingleSize = 3, threshold = 0.3, maxDf = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"capped pairs: $capped")
+    // uncapped keeps the boilerplate cross-pairs (the quadratic mass
+    // the cap exists to drop)
+    val uncapped = Dedup.ngramJaccardSortedPrefix(df, "doc_id", "text",
+        shingleSize = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.exists { case (a, b) => a <= 20 && b <= 20 },
+      "expected boilerplate-only pairs without the cap")
+  }
+
   test("minhash+LSH over segmentScripts catches no-space CJK near-dups") {
     import org.apache.spark.sql.functions.col
     // a no-space Han pair differing in ONE trailing ideograph, plus an
