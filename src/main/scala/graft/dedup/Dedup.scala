@@ -368,20 +368,32 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("_n") <= maxBucket)
+    // pairs is CANDIDATE-sized (bounded by increment × maxBucket) and
+    // forks three ways below (verify left side, corpus candidate ids,
+    // increment candidate ids) — checkpoint it, or each fork re-runs
+    // the corpus-scale signature probe above (2 corpus sig passes
+    // measured; the bimodal zsf10 G1 readings rode on that rework)
     val pairs = capped.join(
         broadcast(incBanded.select(col("band"), col("bucket"),
           col("doc_id").as("inc_id"))), Seq("band", "bucket"))
       .select(col("inc_id"), col("doc_id").as("dup_id"))
       .dropDuplicates("inc_id", "dup_id")
+      .localCheckpoint()
     // verify payloads: candidate corpus ids broadcast back against the
     // corpus shingle scan (again no corpus shuffle); increment shingles
-    // come from the checkpoint
+    // come from the checkpoint, RESTRICTED to candidate docs before
+    // broadcasting — the whole increment's shingle arrays are a
+    // hundreds-of-MB broadcast build at the 100x anchor (the G1
+    // bimodality source), the candidate slice is pair-bounded
     val candIds = pairs.select(col("dup_id").as("doc_id")).distinct()
     val corpusSh = shingleSetsOf(graft.util.Par.spread(corpus), idCol,
         textCol, shingleSize)
       .join(broadcast(candIds), "doc_id")
+    val incCandSh = incSh.join(
+      broadcast(pairs.select(col("inc_id").as("doc_id")).distinct()),
+      "doc_id")
     val verified = pairs
-      .join(broadcast(incSh.select(col("doc_id").as("inc_id"),
+      .join(broadcast(incCandSh.select(col("doc_id").as("inc_id"),
         col("sh").as("sh_a"))), "inc_id")
       .join(corpusSh.select(col("doc_id").as("dup_id"),
         col("sh").as("sh_b")), "dup_id")
@@ -441,15 +453,25 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("_n") <= maxBucket)
+    // candidate-sized; forks three ways below — checkpoint, or each
+    // fork re-probes the stored banded frame (minhashIncremental's
+    // broadcast-build discipline, same rationale)
     val pairs = capped.join(
         broadcast(incBanded.select(col("band"), col("bucket"),
           col("doc_id").as("inc_id"))), Seq("band", "bucket"))
       .select(col("inc_id"), col("doc_id").as("dup_id"))
       .dropDuplicates("inc_id", "dup_id")
+      .localCheckpoint()
     val candIds = pairs.select(col("dup_id").as("doc_id")).distinct()
     val corpusHs = store.shingleHashes.join(broadcast(candIds), "doc_id")
+    // hash (and broadcast) only the CANDIDATE slice of the increment —
+    // the whole-increment hash-array broadcast was the G1-bimodality
+    // build at the 100x anchor
+    val incCandSh = incSh.join(
+      broadcast(pairs.select(col("inc_id").as("doc_id")).distinct()),
+      "doc_id")
     val verified = pairs
-      .join(broadcast(incSh.select(col("doc_id").as("inc_id"),
+      .join(broadcast(incCandSh.select(col("doc_id").as("inc_id"),
         graft.functions.XxSortedHashesExpr(col("sh")).as("hs_a"))), "inc_id")
       .join(corpusHs.select(col("doc_id").as("dup_id"),
         col("hs").as("hs_b")), "dup_id")
