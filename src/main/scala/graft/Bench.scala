@@ -94,7 +94,14 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // FULL-evaluation count (round 11): Dataset.count() lets Catalyst
+      // prune every column — a pure projection/window query collapses
+      // to a bare scan count, so such rows timed the SCAN, not their
+      // work. toRdd executes the real physical plan (all output
+      // columns) and the RDD count just drains it — the honest action
+      // for a bench that certifies operator cost.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val first = pass()

@@ -96,7 +96,12 @@ object ScaleBench {
       System.gc()
       val g0 = gcMillis()
       val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(name)(spark, sfDir).count()
+      // FULL-evaluation count (round 11, shared with Bench): .count()
+      // let Catalyst prune pure projection/window rows to a bare scan
+      // count — those anchors timed the scan, not the operator. toRdd
+      // executes the real physical plan with all output columns.
+      val n = try SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.toRdd.count()
         catch { case e: Throwable =>
           System.err.println(s"[scalebench] $name failed: ${e.getMessage}")
           -1L

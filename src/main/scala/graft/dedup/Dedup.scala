@@ -453,15 +453,15 @@ object Dedup {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("_n") <= maxBucket)
-    // candidate-sized; forks three ways below — checkpoint, or each
-    // fork re-probes the stored banded frame (minhashIncremental's
-    // broadcast-build discipline, same rationale)
+    // NOT checkpointed (unlike minhashIncremental's pairs): each fork
+    // here replays a cheap stored-parquet probe — never a corpus
+    // signing — and the lazy plan keeps the store-scan fence in
+    // PlanAuditSpec able to see the whole timed pipeline
     val pairs = capped.join(
         broadcast(incBanded.select(col("band"), col("bucket"),
           col("doc_id").as("inc_id"))), Seq("band", "bucket"))
       .select(col("inc_id"), col("doc_id").as("dup_id"))
       .dropDuplicates("inc_id", "dup_id")
-      .localCheckpoint()
     val candIds = pairs.select(col("dup_id").as("doc_id")).distinct()
     val corpusHs = store.shingleHashes.join(broadcast(candIds), "doc_id")
     // hash (and broadcast) only the CANDIDATE slice of the increment —

@@ -211,10 +211,22 @@ object SeriesStats {
     * Generic doubles (cosines, ratios) don't hit this; exact decimals
     * do.
     *
-    * Plan: the trend window and the seasonal aggregate share the
-    * series partitioning (the aggregate's grouping keys extend it, the
-    * retention_cohorts shape), and the join back is co-partitioned on
-    * the same keys — ONE series-keyed exchange end to end.
+    * Plan: the seasonal mean is a WHOLE-PARTITION window over
+    * (series, season) stacked directly on the trend window — the
+    * series hash partitioning already satisfies the second window's
+    * clustered distribution (season extends the keys), so the whole
+    * decomposition is ONE scan, ONE series-keyed exchange, two
+    * in-partition sorts. The groupBy+join-back form this replaced
+    * read right but planned wrong at scale: the aggregate subtree
+    * recomputed the entire scan→shuffle→window pipeline (its project
+    * differed by one column, so ReuseExchange never fired) and the
+    * join re-exchanged every WIDE corpus row on (series, season) into
+    * a sort-merge join — 3 corpus exchanges, 2 scans, and a 7×/decade
+    * anchor slope; the window form measures ~2×/decade (StlProbe).
+    * An unbounded frame here is the O(partition) single-pass kind,
+    * not the quadratic mid-partition-to-unboundedFollowing fence
+    * class. NULL season/series values form their own window groups
+    * (rows surface; the old inner join silently dropped them).
     *
     * Output: input cols + (trend, seasonal, remainder) as micro-unit-
     * exact doubles.
@@ -230,17 +242,18 @@ object SeriesStats {
       .partitionBy(spec.seriesCols.map(col): _*)
       .orderBy(spec.orderCols.map(col): _*)
       .rowsBetween(-halfWidth, halfWidth)
+    val wSeas = Window
+      .partitionBy((spec.seriesCols :+ seasonCol).map(col): _*)
     val vU = round(col(valueCol) * math.round(math.pow(10, fracDigits)))
       .cast("long")
-    val t = df
+    df
       .withColumn("_vm", vU * toMicros)
       .withColumn("_trm",
         divHalfUp(sum(col("_vm")).over(w), count(lit(1)).over(w)))
       .withColumn("_detm", col("_vm") - col("_trm"))
-    val keys = spec.seriesCols :+ seasonCol
-    val seas = t.groupBy(keys.map(col): _*)
-      .agg(divHalfUp(sum(col("_detm")), count(lit(1))).as("_seam"))
-    t.join(seas, keys)
+      .withColumn("_seam",
+        divHalfUp(sum(col("_detm")).over(wSeas),
+          count(lit(1)).over(wSeas)))
       .withColumn("trend", col("_trm") / 1e6)
       .withColumn("seasonal", col("_seam") / 1e6)
       .withColumn("remainder",

@@ -157,6 +157,21 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("stl_seasonal is one exchange, two windows, no join") {
+    // the seasonal mean is a whole-partition window stacked on the
+    // trend window — series hash partitioning satisfies both, so the
+    // decomposition is ONE scan + ONE exchange. The groupBy+join-back
+    // form this fences against recomputed the entire scan→shuffle→
+    // window pipeline (ReuseExchange never fired) and re-exchanged
+    // every wide corpus row on (series, season) into an SMJ —
+    // 3 exchanges, 2 scans, 7×/decade at the anchors (StlProbe).
+    val p = plan("stl_seasonal")
+    assert(opCount(p, "Exchange") == 1, s"expected exactly 1 exchange:\n$p")
+    assert(opCount(p, "Window") == 2, s"expected 2 window ops:\n$p")
+    assert(!p.contains("Join"), s"join-back crept back in:\n$p")
+    assert(opCount(p, "FileScan") + opCount(p, "Scan parquet") >= 1)
+  }
+
   test("pii_scrub and sample_stratified stay narrow (no exchange)") {
     for (q <- Seq("pii_scrub", "sample_stratified")) {
       val p = plan(q)
@@ -268,10 +283,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // every frame in this operator is per-document, so an explicit
     // broadcast() hint (round 1 broadcast O(n_docs) set sizes) is always
     // a scale regression. Size-based broadcasts the planner picks at
-    // test SF are fine — those adapt away on a real corpus.
+    // test SF are fine — those adapt away on a real corpus. The df-cap
+    // probe's shuffle_hash hint is the opposite: it FORBIDS broadcast
+    // off a bad estimate (the spanPairs lesson), so only broadcast
+    // hints are fenced.
     val analyzed = SparkEntry.queries("ngram_jaccard")(spark, dir)
       .queryExecution.analyzed.toString
-    assert(!analyzed.contains("ResolvedHint"))
+    assert(!analyzed.toLowerCase.matches("(?s).*resolvedhint[^\\n]*broadcast.*"),
+      s"broadcast hint in ngram_jaccard:\n$analyzed")
   }
 
   test("topk_ngrams plans a distributed top-k, not a global sort") {
