@@ -4482,7 +4482,7 @@ object SparkEntry {
          sh AS (SELECT lang, ts, w / ws.wsum AS share FROM sf, ws),
          t0 AS (SELECT min(ts / share) AS tout FROM sh),
          r AS (SELECT lang,
-               CAST(floor(share * t0.tout / ts * 10000) AS BIGINT) AS keep
+               CAST(floor(share * t0.tout / ts * 10000 + 1e-9) AS BIGINT) AS keep
              FROM sh, t0)
          SELECT b.doc_id, b.lang, b.n_tokens
          FROM b JOIN r USING (lang)
@@ -4506,7 +4506,7 @@ object SparkEntry {
          sh AS (SELECT source, ts, pw / ps.psum AS share FROM pw, ps),
          t0 AS (SELECT min(ts / share) AS tout FROM sh),
          r AS (SELECT source,
-               CAST(floor(share * t0.tout / ts * 10000) AS BIGINT) AS keep
+               CAST(floor(share * t0.tout / ts * 10000 + 1e-9) AS BIGINT) AS keep
              FROM sh, t0)
          SELECT b.doc_id, b.source, b.n_tokens
          FROM b JOIN r USING (source)
@@ -4584,7 +4584,7 @@ object SparkEntry {
          sh AS (SELECT lang, ts, w / ws.wsum AS share FROM sf, ws),
          t0 AS (SELECT min(ts / share) AS tout FROM sh),
          r AS (SELECT lang,
-               CAST(floor(share * t0.tout / ts * 10000) AS BIGINT) AS keep
+               CAST(floor(share * t0.tout / ts * 10000 + 1e-9) AS BIGINT) AS keep
              FROM sh, t0)
          SELECT mb.doc_id, mb.lang, mb.n_tokens
          FROM mb JOIN r USING (lang)

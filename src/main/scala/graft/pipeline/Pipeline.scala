@@ -585,8 +585,13 @@ object Pipeline {
     val tout = withShare.agg(min(col("_ts") / col("_share")).as("_tout"))
     val rates = withShare.crossJoin(broadcast(tout))
       .select(col(strataCol),
-        floor(col("_share") * col("_tout") / col("_ts") * 10000)
-          .cast("long").as("_keep"))
+        // +1e-9 guards the STRUCTURALLY exact boundary: the argmin
+        // stratum (the one binding T_out) prices at exactly 10000
+        // basis points, where a 1-ulp pow/fsum divergence between
+        // engines flips the floor (the ngram minOverlap convention;
+        // zsf1 caught src2 at 9999 vs 10000)
+        floor(col("_share") * col("_tout") / col("_ts") * 10000
+          + lit(1e-9)).cast("long").as("_keep"))
     base.join(broadcast(rates), strataCol)
       .filter(graft.util.Sampling.md5Bucket(col(idCol), 10000) < col("_keep"))
       .select(col(idCol), col(strataCol), col("n_tokens"))
@@ -625,8 +630,13 @@ object Pipeline {
     val tout = withShare.agg(min(col("_ts") / col("_share")).as("_tout"))
     val rates = withShare.crossJoin(broadcast(tout))
       .select(col(strataCol),
-        floor(col("_share") * col("_tout") / col("_ts") * 10000)
-          .cast("long").as("_keep"))
+        // +1e-9 guards the STRUCTURALLY exact boundary: the argmin
+        // stratum (the one binding T_out) prices at exactly 10000
+        // basis points, where a 1-ulp pow/fsum divergence between
+        // engines flips the floor (the ngram minOverlap convention;
+        // zsf1 caught src2 at 9999 vs 10000)
+        floor(col("_share") * col("_tout") / col("_ts") * 10000
+          + lit(1e-9)).cast("long").as("_keep"))
     base.join(broadcast(rates), strataCol)
       .filter(graft.util.Sampling.md5Bucket(col(idCol), 10000) < col("_keep"))
       .select(col(idCol), col(strataCol), col("n_tokens"))
