@@ -92,6 +92,12 @@ object Bench {
       // row's in-suite seconds match its isolated seconds.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // broadcast blocks are NOT RDDs: their cleanup rides the async
+      // ContextCleaner, and after ~160 queries the accumulated blocks
+      // inflated the heavy dedup rows 1.4-4x vs isolated (r9-r11
+      // adjudications). Drop them synchronously so in-suite == isolated.
+      try org.apache.spark.graftbench.BroadcastDrain.drain(spark.sparkContext)
+      catch { case _: Throwable => }
       System.gc()
       val t0 = System.nanoTime()
       // FULL-evaluation count (round 11): Dataset.count() lets Catalyst

@@ -93,6 +93,12 @@ object ScaleBench {
       // gc_noisy flag alone cannot catch this class)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // broadcast blocks are NOT RDDs: their cleanup rides the async
+      // ContextCleaner, and after ~160 queries the accumulated blocks
+      // inflated the heavy dedup rows 1.4-4x vs isolated (r9-r11
+      // adjudications). Drop them synchronously so in-suite == isolated.
+      try org.apache.spark.graftbench.BroadcastDrain.drain(spark.sparkContext)
+      catch { case _: Throwable => }
       System.gc()
       val g0 = gcMillis()
       val t0 = System.nanoTime()

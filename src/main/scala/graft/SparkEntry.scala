@@ -4791,14 +4791,22 @@ object SparkEntry {
          FROM crawl GROUP BY text""",
 
     "warc_types" ->
-      // 4 response-shard + 2 request-shard warcinfo preambles from the
-      // fixed repartition; only responses carry payload digests
+      // one warcinfo preamble per NON-EMPTY shard (writeShards skips
+      // empty partitions entirely), so the expected count derives from
+      // the doc count instead of hardcoding 4+2: round-robin
+      // repartition(k) leaves no empty shard while every scan
+      // partition carries >= k rows (true at every gate scale — the
+      // single-file gate tables scan as 1-2 partitions of hundreds of
+      // rows), and below k docs exactly n shards are non-empty. Only
+      // responses carry payload digests
       """SELECT 'response' AS warc_type, count(*) AS n,
            count(*) AS n_digest FROM documents
          UNION ALL
          SELECT 'request', count(*), 0::BIGINT FROM documents
          UNION ALL
-         SELECT 'warcinfo', 6::BIGINT, 0::BIGINT""",
+         SELECT 'warcinfo',
+           LEAST(4, count(*)) + LEAST(2, count(*)), 0::BIGINT
+         FROM documents""",
 
     "crawl_clean" ->
       // the per-stage oracles chained end to end: the shared

@@ -35,6 +35,22 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GEOMETRY-KNEE FENCE: the dedup_minhash / dedup_clusters /
+    // dedup_resolve / split_leakage_free oracles structurally bake the
+    // 8x2 MinHash geometry (and the spans oracles the w=4 winnow
+    // window); the engine's AUTO paths emit the same values only while
+    // the corpus stays at or below the 65536-doc knee of
+    // graft.dedup.Dedup.scaledBandGeometry / scaledWinnowWindow. Fail
+    // LOUDLY here rather than letting a larger-sf gate run die in
+    // opaque hash mismatches. (The parquet count is footer metadata —
+    // no scan.)
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    require(nDocs <= 65536L,
+      s"correctness gate dir $sfDir has $nDocs documents, past the " +
+        "65536-doc knee where Dedup.scaledBandGeometry (and " +
+        "scaledWinnowWindow) leave the 8x2 / w=4 geometry the DuckDB " +
+        "oracles bake structurally — gate at a smaller sf, or " +
+        "parameterize those oracle CTEs on the same law first")
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

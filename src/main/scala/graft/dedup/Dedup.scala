@@ -180,8 +180,22 @@ object Dedup {
     * (collision j^r), and bands re-solve the LSH S-curve so recall at
     * the verify threshold stays ≥ 90%:
     *
-    *   r = r0 + 1 per THREE corpus doublings past `knee` (≈ +1/decade)
+    *   r = min(r0 + 1 per THREE corpus doublings past `knee`, rCap)
     *   b = ⌈ln(10) / −ln(1 − t^r)⌉   (P[candidate | j=t] ≥ 0.9)
+    *
+    * The bands half of the law is EXPONENTIAL in r (≈ ln10 / t^r for
+    * small t^r): at t=0.5 the per-doc signature budget b·r runs
+    * 16 → 54 → 144 → 365 hashes at r = 2/3/4/5 — roughly 2×/decade of
+    * corpus ON TOP of the decade itself, which is the price of holding
+    * 90% analytic recall at a low threshold while the pair population
+    * grows n². `rCap` (default 5, ≥ ~4M docs) bounds that trade: past
+    * it the geometry FREEZES at the cap's solve (365 hashes at the
+    * defaults — already past most published MinHash budgets) and
+    * candidate growth reverts to the capped regime where `maxBucket`
+    * bounds the join fan-out and [[lshCapAudit]] / the capstats rows
+    * surface exactly how much bucket mass the cap drops. Every emitted
+    * geometry at or below the cap still holds ≥ 90% analytic recall
+    * (DedupSpec pins the law table including the cap).
     *
     * Below the knee the geometry is EXACTLY the (bands0, r0) default —
     * identical at every driver sf and at the zsf1 anchor, so the
@@ -195,14 +209,15 @@ object Dedup {
     */
   def scaledBandGeometry(n: Long, threshold: Double = 0.5,
                          bands0: Int = 8, r0: Int = 2,
-                         knee: Long = 65536L): (Int, Int) = {
+                         knee: Long = 65536L, rCap: Int = 5): (Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0,
       s"threshold in (0,1), got $threshold")
+    require(rCap >= r0, s"rCap ($rCap) must be >= r0 ($r0)")
     if (n <= knee) (bands0, r0)
     else {
       val q = (n + knee - 1) / knee
       val d = 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
-      val r = r0 + (d + 2) / 3
+      val r = math.min(r0 + (d + 2) / 3, rCap)
       val b = math.ceil(math.log(10.0) /
         -math.log1p(-math.pow(threshold, r))).toInt
       (math.max(b, 1), r)
@@ -215,11 +230,25 @@ object Dedup {
     * probes must match the persisted signature store they were built
     * with, so geometry changes there ride a store rebuild, never a
     * corpus-count drift.
+    *
+    * The AUTO count is an EAGER action at DataFrame-BUILD time, and it
+    * replays `df`'s full unmaterialized lineage once before the run
+    * replays it again — a caller whose frame hides expensive upstream
+    * work (extraction, joins) should either pass `knownCount` (any
+    * value > 0 skips the action; cheap when a checkpointed narrow twin
+    * of the frame already exists, e.g. crawlClean's survivor frame) or
+    * cache/localCheckpoint the frame first. Composed operators
+    * (clusters → minhashLsh) otherwise re-count per call. Note the
+    * output is corpus-cardinality-dependent under AUTO by design:
+    * identical documents can dedup differently on either side of the
+    * geometry knee (the documented scaled-geometry contract).
     */
   private def resolveBandGeometry(df: DataFrame, bands: Int,
-      rowsPerBand: Int, threshold: Double): (Int, Int) =
+      rowsPerBand: Int, threshold: Double,
+      knownCount: Long = -1L): (Int, Int) =
     if (bands > 0) (bands, rowsPerBand)
-    else scaledBandGeometry(df.count(), threshold)
+    else scaledBandGeometry(
+      if (knownCount > 0) knownCount else df.count(), threshold)
 
   /** Cap-audit of the banded LSH candidate stage — `maxBucket`'s
     * observability companion (no silent recall cliff): per band, the
@@ -234,9 +263,9 @@ object Dedup {
   def lshCapAudit(df: DataFrame, idCol: String, textCol: String,
                   shingleSize: Int = 3, bands: Int = 8,
                   rowsPerBand: Int = 2, threshold: Double = 0.5,
-                  maxBucket: Int = 64): DataFrame = {
+                  maxBucket: Int = 64, knownCount: Long = -1L): DataFrame = {
     val (bandsEff, rowsEff) = resolveBandGeometry(df, bands, rowsPerBand,
-      threshold)
+      threshold, knownCount)
     val banded = bandKeysOf(
       shingleSetsOf(graft.util.Par.spread(df), idCol, textCol, shingleSize),
       bandsEff, rowsEff)
@@ -251,9 +280,10 @@ object Dedup {
 
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-                 threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Int = 64,
+                 knownCount: Long = -1L): DataFrame = {
     val (bandsEff, rowsEff) = resolveBandGeometry(df, bands, rowsPerBand,
-      threshold)
+      threshold, knownCount)
     val pairs = lshCandidatePairs(df, idCol, textCol, shingleSize, bandsEff,
       rowsEff, maxBucket)
 
@@ -293,13 +323,14 @@ object Dedup {
                         maxDist: Int, prefixLen: Int = 400,
                         shingleSize: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 2,
-                        maxBucket: Int = 64): DataFrame = {
+                        maxBucket: Int = 64,
+                        knownCount: Long = -1L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
     // candidate recall here rides SHINGLE similarity, so the scaled
     // geometry's S-curve pin (threshold 0.5) applies unchanged
     val (bandsEff, rowsEff) = resolveBandGeometry(df, bands, rowsPerBand,
-      0.5)
+      0.5, knownCount)
     val pairs = lshCandidatePairs(df, idCol, textCol, shingleSize, bandsEff,
       rowsEff, maxBucket)
     val tx = graft.util.Par.spread(df)

@@ -788,8 +788,13 @@ object Pipeline {
       .localCheckpoint()
     val survivorText = docs.select(col(idCol), col(textCol))
       .join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+    // under AUTO geometry the corpus count comes from the CHECKPOINTED
+    // narrow survivor frame (same cardinality as survivorText by
+    // construction) — never from survivorText itself, whose lineage
+    // would replay the gate per count
     val pairs = graft.dedup.Dedup.minhashLsh(survivorText, idCol, textCol,
-      shingleSize, bands, rowsPerBand, threshold, maxBucket)
+      shingleSize, bands, rowsPerBand, threshold, maxBucket,
+      knownCount = if (bands <= 0) kept.count() else -1L)
     val drop = pairs.select(col("doc_b").as(idCol)).distinct()
     kept.join(drop, Seq(idCol), "left_anti")
       .select(col(idCol), col(strataCol), col("quality"), col("n_tokens"))
@@ -866,8 +871,12 @@ object Pipeline {
       .localCheckpoint()
     val survivorText = extracted.select(col(idCol), col("_main").as("text"))
       .join(kept.select(col(idCol)), Seq(idCol), "left_semi")
+    // AUTO-geometry count from the CHECKPOINTED narrow frame (same
+    // cardinality as survivorText) — counting survivorText would
+    // re-run html extraction over the whole crawl just to size bands
     val pairs = graft.dedup.Dedup.minhashLsh(survivorText, idCol, "text",
-      shingleSize, bands, rowsPerBand, threshold, maxBucket)
+      shingleSize, bands, rowsPerBand, threshold, maxBucket,
+      knownCount = if (bands <= 0) kept.count() else -1L)
     val drop = pairs.select(col("doc_b").as(idCol)).distinct()
     val surv = kept.join(drop, Seq(idCol), "left_anti").localCheckpoint()
     seqPackCounted(surv.select(col(idCol), col("n_tokens")), idCol,

@@ -49,6 +49,13 @@ import org.apache.spark.sql.types._
   */
 object Warc {
 
+  /** SCHEMA-EVOLUTION RULE (learned the hard way in round 11, when
+    * `payload_digest` landed mid-schema and every positional consumer
+    * — including WarcSpec's own getString indices — had to be bumped):
+    * new columns are APPENDED at the end of these frames from now on,
+    * and consumers should prefer name-based access
+    * (`getAs[String]("payload_digest")`) over positions.
+    */
   val schema: StructType = StructType(Seq(
     StructField("warc_type", StringType),
     StructField("record_id", StringType),

@@ -118,12 +118,21 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.scaledBandGeometry(500000) == (18, 3)) // zsf10 regime
     // 4 doublings: rows 4, b = ceil(ln 10 / -ln(1 - 0.5^4)) = 36
     assert(Dedup.scaledBandGeometry(600000) == (36, 4))
+    // the signature budget is EXPONENTIAL in r (b ~ ln10 / t^r), so r
+    // caps at 5 (365 hashes/doc): from ~4M docs on, geometry FREEZES
+    // at the cap's solve instead of growing b*r without bound — past
+    // the cap the maxBucket cap + capstats observability bound the
+    // candidate volume (the documented trade in the scaladoc)
+    assert(Dedup.scaledBandGeometry(1L << 24) == (73, 5))
+    assert(Dedup.scaledBandGeometry(1L << 30) == (73, 5))
+    assert(Dedup.scaledBandGeometry(1L << 40) == (73, 5))
     // recall holds analytically at every geometry the law emits:
     // P[candidate | j=t] = 1 - (1 - t^r)^b >= 0.9
     for (n <- Seq(1L << 17, 1L << 20, 1L << 24, 1L << 30, 1L << 40)) {
       val (b, r) = Dedup.scaledBandGeometry(n)
       val p = 1.0 - math.pow(1.0 - math.pow(0.5, r), b)
       assert(p >= 0.9, s"n=$n geometry=($b,$r) recall=$p")
+      assert(b * r <= 365, s"n=$n geometry=($b,$r) budget=${b * r}")
     }
   }
 
@@ -145,6 +154,14 @@ class DedupSpec extends AnyFunSuite {
         bands = -1, rowsPerBand = -1, threshold = 0.3)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(auto == Set((1L, 2L)))
+    // knownCount replaces the AUTO count ACTION (no lineage replay):
+    // a planted above-knee count puts this tiny frame on the (18,3)
+    // geometry, and the planted pair still surfaces under it
+    val forced = Dedup.minhashLsh(df, "doc_id", "text", shingleSize = 3,
+        bands = -1, rowsPerBand = -1, threshold = 0.3,
+        knownCount = 200000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(forced == Set((1L, 2L)))
   }
 
   test("sorted-prefix maxDf cap: distinctive pairs survive, boilerplate-only pairs drop") {
