@@ -116,20 +116,33 @@ object SparkEntry {
 
   private val minhashPairCtes = minhashPairCtesFrom("documents")
 
-  /** DuckDB mirror of [[graft.textops.TextOps.noSpaceScriptClass]] —
-    * identical code-point ranges spelled in RE2's `\x{…}` syntax (NOT
-    * `\p{Han}`: script-property classes drift across the engines'
-    * Unicode versions; explicit ranges cannot).
+  /** DuckDB mirrors of [[graft.textops.TextOps.cjkPadClass]] /
+    * [[graft.textops.TextOps.seaBaseClass]] /
+    * [[graft.textops.TextOps.seaMarkClass]] — identical code-point
+    * ranges spelled in RE2's `\x{…}` syntax (NOT `\p{Han}`/`\p{M}`:
+    * property classes drift across the engines' Unicode versions;
+    * explicit ranges cannot; RE2 has no `\X` at all).
     */
-  private val duckNoSpaceClass: String =
+  private val duckCjkPadClass: String =
     "[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}" +
-      "\\x{F900}-\\x{FAFF}\\x{0E00}-\\x{0E7F}\\x{0E80}-\\x{0EFF}" +
-      "\\x{1000}-\\x{109F}\\x{1780}-\\x{17FF}" +
+      "\\x{F900}-\\x{FAFF}" +
       "\\x{20000}-\\x{2A6DF}\\x{2F800}-\\x{2FA1F}]"
+  private val duckSeaBaseClass: String =
+    "[\\x{0E00}-\\x{0E7F}\\x{0E80}-\\x{0EFF}" +
+      "\\x{1000}-\\x{109F}\\x{1780}-\\x{17FF}]"
+  private val duckSeaMarkClass: String =
+    "[\\x{0E31}\\x{0E34}-\\x{0E3A}\\x{0E47}-\\x{0E4E}" +
+      "\\x{0EB1}\\x{0EB4}-\\x{0EBC}\\x{0EC8}-\\x{0ECD}" +
+      "\\x{102B}-\\x{103E}\\x{17B4}-\\x{17D3}\\x{17DD}]"
 
-  /** DuckDB replay of [[graft.textops.TextOps.segmentScripts]]. */
+  /** DuckDB replay of [[graft.textops.TextOps.segmentScripts]]: Han/
+    * kana per code point, SEA scripts per grapheme cluster (base +
+    * trailing dependent signs) — the identical alternation, leftmost-
+    * first in both engines.
+    */
   private def duckSegment(e: String): String =
-    s"regexp_replace($e, '($duckNoSpaceClass)', ' \\1 ', 'g')"
+    s"regexp_replace($e, '($duckCjkPadClass|" +
+      s"$duckSeaBaseClass$duckSeaMarkClass*)', ' \\1 ', 'g')"
 
   /** Hex→Han map for the planted-CJK fixture: the 10 zh stopwords
     * first (so a planted doc's language signal is real), 6 common Han
@@ -193,6 +206,47 @@ object SparkEntry {
              || translate(substr(md5(doc_id::VARCHAR), 1, 4),
                '0123456789abcdef', '$cjkKata16')
            ELSE text END AS text FROM cjkb)"""
+
+  /** Hex→Thai map for the planted-SEA fixture: digits 0–9 → consonants
+    * (grapheme-cluster BASES), a–f → combining dependent signs (SARA A,
+    * SARA I, SARA II, MAI EK, MAI THO, MAI TRI — all in
+    * [[graft.textops.TextOps.seaMarkClass]]), so a translated md5
+    * string is a deterministic mix of bases and attaching marks.
+    */
+  private val seaThai16 =
+    "กขคงจฉชซดต" +
+      "ัิี่้๊"
+
+  /** The planted-Thai fixture behind `text_stats_sea`: docs in md5
+    * bucket < 30 have their text swapped for the 32-char translate of
+    * their own md5 under [[seaThai16]] — ~3/8 of the chars are
+    * combining signs, so per-CODE-POINT segmentation (round 11's rule)
+    * would count ~32 tokens while grapheme-cluster segmentation counts
+    * only the bases (plus orphan leading-sign runs). Everything
+    * derives from md5(doc_id); the oracle replays it exactly.
+    */
+  private def seaFixture(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      when(graft.util.Sampling.md5Bucket(col("doc_id")) < 30,
+        translate(md5(col("doc_id").cast("string")),
+          "0123456789abcdef", seaThai16))
+        .otherwise(col("text")).as("text"))
+
+  /** DuckDB twin of [[seaFixture]]; ends in `sea(doc_id, text)`. No
+    * leading WITH.
+    */
+  private val seaFixtureCtes: String =
+    s"""seab AS (SELECT doc_id, text,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+           FROM documents),
+         sea AS (SELECT doc_id,
+           CASE WHEN bucket < 30 THEN
+             translate(md5(doc_id::VARCHAR),
+               '0123456789abcdef', '$seaThai16')
+           ELSE text END AS text FROM seab)"""
 
   /** Recursive min-label transitive closure over a `(doc_a, doc_b)` pair
     * CTE (appended to its chain; the whole WITH is declared RECURSIVE),
@@ -1170,6 +1224,20 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).as("n_tokens_ws"),
         TextOps.tokenCount(seg).as("n_tokens_seg"),
         round(TextOps.stopwordRatio(seg), 6).as("stopword_ratio"))
+    }),
+
+    "text_stats_sea" -> ((s, dir) => {
+      // the grapheme-cluster pin for the SEA branch of segmentScripts:
+      // planted Thai docs are ~3/8 combining signs, so n_tokens_seg
+      // counts CLUSTERS (bases + orphan-sign runs), not code points —
+      // round 11's per-code-point rule read ~32 here and inflated
+      // every SEA quality gate ~2x. Unplanted (Latin) docs must pass
+      // through with n_tokens_seg == n_tokens_ws
+      val seg = TextOps.segmentScripts(col("text"))
+      seaFixture(Tables.documents(s, dir)).select(col("doc_id"),
+        length(col("text")).as("n_chars_computed"),
+        TextOps.tokenCount(col("text")).as("n_tokens_ws"),
+        TextOps.tokenCount(seg).as("n_tokens_seg"))
     }),
 
     "lang_id_cjk" -> ((s, dir) => {
@@ -3155,6 +3223,20 @@ object SparkEntry {
              / len(wseg)::DOUBLE END, 6) AS stopword_ratio
          FROM t"""
     },
+
+    "text_stats_sea" ->
+      // the identical fixture + the identical cluster-segmentation
+      // regexp (duckSegment), so n_tokens_seg counts clusters in both
+      // engines by construction
+      s"""WITH $seaFixtureCtes,
+         segd AS (SELECT doc_id, text,
+           ${duckSegment("text")} AS seg FROM sea)
+         SELECT doc_id, length(text) AS n_chars_computed,
+           len(list_filter(string_split_regex(text, '\\s+'),
+             x -> x <> '')) AS n_tokens_ws,
+           len(list_filter(string_split_regex(seg, '\\s+'),
+             x -> x <> '')) AS n_tokens_seg
+         FROM segd""",
 
     "lang_id_cjk" ->
       s"""WITH $cjkFixtureCtes,

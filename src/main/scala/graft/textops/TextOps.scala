@@ -41,30 +41,74 @@ object TextOps {
       "\\x{20000}-\\x{2A6DF}" +  // CJK Ext B
       "\\x{2F800}-\\x{2FA1F}]"   // CJK Compat Supplement
 
-  /** Script-aware pre-segmentation for NO-SPACE scripts: pad every
-    * code point of [[noSpaceScriptClass]] with spaces, so downstream
+  /** The Han/kana half of [[noSpaceScriptClass]] — padded PER CODE
+    * POINT (the public C4/mC4/BERT one-ideograph-one-token
+    * convention; these scripts carry no combining dependent signs in
+    * running text).
+    */
+  private[graft] val cjkPadClass: String =
+    "[\\u3040-\\u30FF\\u3400-\\u4DBF\\u4E00-\\u9FFF\\uF900-\\uFAFF" +
+      "\\x{20000}-\\x{2A6DF}\\x{2F800}-\\x{2FA1F}]"
+
+  /** The Southeast-Asian no-space blocks (Thai, Lao, Myanmar, Khmer)
+    * — padded as GRAPHEME CLUSTERS, not code points: these scripts
+    * write dependent vowels/tones as combining signs, and splitting a
+    * sign from its base inflates token counts ~2× (skewing quality
+    * gates and mixture shares) while emitting tokens no reader of the
+    * script would call characters.
+    */
+  private[graft] val seaBaseClass: String =
+    "[\\u0E00-\\u0E7F\\u0E80-\\u0EFF\\u1000-\\u109F\\u1780-\\u17FF]"
+
+  /** The dependent-sign subset of the four SEA blocks — the code
+    * points a grapheme cluster ATTACHES to its base (Unicode Mn + Mc
+    * dependent vowels, tones, medials, viramas/coeng). EXPLICIT
+    * ranges, not `\p{M}` or `\X`: script-property/grapheme classes
+    * drift across the two engines' Unicode table versions (and RE2
+    * has no `\X` at all); pinned ranges cannot drift. Thai U+0E31,
+    * 0E34–0E3A, 0E47–0E4E; Lao U+0EB1, 0EB4–0EBC, 0EC8–0ECD; Myanmar
+    * U+102B–103E (dependent vowels, medials, asat, anusvara, virama);
+    * Khmer U+17B4–17D3 + 17DD (dependent vowels, coeng, signs).
+    */
+  private[graft] val seaMarkClass: String =
+    "[\\u0E31\\u0E34-\\u0E3A\\u0E47-\\u0E4E" +
+      "\\u0EB1\\u0EB4-\\u0EBC\\u0EC8-\\u0ECD" +
+      "\\u102B-\\u103E\\u17B4-\\u17D3\\u17DD]"
+
+  /** Script-aware pre-segmentation for NO-SPACE scripts, so downstream
     * whitespace tokenization — [[tokens]], the fused [[gateStats]]
     * kernel, shingles/MinHash, the BPE pre-split, lm_score/DSIR
-    * n-grams — sees one token per ideograph instead of collapsing a
+    * n-grams — sees real character units instead of collapsing a
     * whole CJK document to ~one "token" (which silently degrades every
     * quality gate, dedup shingle and LM score a multilingual crawl
-    * feeds). One-ideograph-one-token is the public C4/mC4/BERT
-    * convention for Han; for kana and the Thai/Lao/Myanmar/Khmer
-    * blocks per-code-point is a crude but DETERMINISTIC fallback (it
-    * splits combining vowel marks from their base) — bounded
-    * degradation, unlike the silent one-token collapse, and character
-    * shingles still make near-dup detection work there.
+    * feeds). Two granularities in ONE alternation pass:
+    *
+    *   - Han/kana ([[cjkPadClass]]): one token per CODE POINT — the
+    *     public C4/mC4/BERT convention;
+    *   - Thai/Lao/Myanmar/Khmer ([[seaBaseClass]]): one token per
+    *     GRAPHEME CLUSTER — a base plus its trailing dependent signs
+    *     ([[seaMarkClass]]), so combining vowels/tones never sever
+    *     from their consonant (round 11 split per code point, which
+    *     inflated SEA token counts ~2×). An orphan leading sign (no
+    *     base) starts its own cluster and absorbs any signs after it
+    *     — degenerate input, deterministic either way.
+    *
+    * Hangul is deliberately NOT padded — Korean carries inter-word
+    * spaces, so whitespace tokenization is already right there.
     *
     * Deliberately a TEXT→TEXT Column transform, not a tokenizer
     * variant: it composes with every existing token-level operator
     * (`minhashLsh(df.withColumn("text", segmentScripts($"text")), …)`)
     * with zero signature churn, stays inside whole-stage codegen (one
     * regexp pass), and a DuckDB oracle replays it as the identical
-    * regexp_replace. Latin/space-script text passes through unchanged
+    * regexp_replace (both engines use leftmost-first alternation and
+    * the same explicit ranges, so the match structure is identical by
+    * construction). Latin/space-script text passes through unchanged
     * except where the padded blocks appear.
     */
   def segmentScripts(text: Column): Column =
-    regexp_replace(text, s"($noSpaceScriptClass)", " $1 ")
+    regexp_replace(text,
+      s"($cjkPadClass|$seaBaseClass$seaMarkClass*)", " $1 ")
 
   /** [[tokens]] over [[segmentScripts]]-padded text — the multilingual
     * tokenizer: whitespace words for space scripts, one token per

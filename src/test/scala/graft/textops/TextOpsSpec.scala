@@ -28,8 +28,21 @@ class TextOpsSpec extends AnyFunSuite {
       Seq("hello", "東", "京", "タ", "ワ", "ー", "world"))
     // a no-space Han run no longer collapses to one "token"
     assert(toks("这是一个测试") == Seq("这", "是", "一", "个", "测", "试"))
-    // Thai (no-space script): per-code-point fallback, deterministic
+    // Thai without combining signs: one token per code point (the
+    // pre-base vowel U+0E44 is NOT a combining sign — it stands alone)
     assert(toks("ไทย") == Seq("ไ", "ท", "ย"))
+    // Thai WITH a combining vowel: the sign attaches to its base —
+    // grapheme clusters, not code points (round 12; per-code-point
+    // splitting severed ิ from ก and inflated SEA token counts ~2x)
+    assert(toks("กิน") == Seq("กิ", "น"))
+    // Khmer: dependent vowel + coeng attach to the preceding base
+    // (coeng + following consonant staying separate is the documented
+    // extended-grapheme-cluster approximation)
+    assert(toks("ខ្មែរ") == Seq("ខ្", "មែ", "រ"))
+    // Myanmar: medials, asat and dependent vowels attach
+    assert(toks("မြန်မာ") == Seq("မြ", "န်", "မာ"))
+    // an orphan LEADING sign (no base) starts its own cluster
+    assert(toks("ิก") == Seq("ิ", "ก"))
     // supplementary-plane Han (CJK Ext B) matches as a CODE POINT —
     // the surrogate pair must never split into two garbage tokens
     assert(toks("a𠀀b") == Seq("a", "𠀀", "b"))
