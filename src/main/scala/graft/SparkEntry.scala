@@ -1819,11 +1819,26 @@ object SparkEntry {
 
     "dedup_semantic" -> ((s, dir) =>
       // SemDeDup: keep/drop per vector, cluster-scoped greedy
-      // lowest-id-wins at cosine >= 0.4; same fitted index as
-      // similarity_ivf (shared oracle CTEs)
-      graft.simops.Embed.semanticDedup(Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.4, nlist = 16, iters = 1,
-        fitSamplePct = 60)),
+      // lowest-id-wins at cosine >= 0.4 — at the autoNlist contract
+      // (nlist = ceil(n/32), assigned through the two-level forest) so
+      // the within-list pair fan-out stays O(n*targetListSize) instead
+      // of n^2/nlist with nlist frozen at 16
+      graft.simops.Embed.semanticDedupHier(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.4, targetListSize = 32,
+        iters = 1, fitSamplePct = 60)),
+
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      // the semantic-dedup DAILY-INGEST decision: index fitted on the
+      // corpus only (bucket < 70 — the dedup_minhash_incremental split
+      // convention), increment assigned through the same two-level
+      // projection, candidates compared within-list only; the corpus
+      // never shuffles (increment broadcast, hammingIncremental shape)
+      val e = Tables.embeddings(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
+      graft.simops.Embed.semanticDedupIncremental(e.filter(bucket >= 70),
+        e.filter(bucket < 70), "vec_id", "embedding", threshold = 0.4,
+        targetListSize = 32, iters = 1, fitSamplePct = 60)
+    }),
 
     "embedding_pq" -> ((s, dir) =>
       // product quantization: 8 subspaces x 16 codes = 32x compression
@@ -4253,15 +4268,55 @@ object SparkEntry {
     "dedup_spans_probe_updated" -> spanStoredUpdatedOracle,
 
     "dedup_semantic" -> {
-      // replay the shared fitted index, then the greedy rule: a vector
-      // drops iff a lower-id vector in its list scores cosine >= 0.4
+      // replay the two-level autoNlist fit, then the greedy rule: a
+      // vector drops iff a lower-id vector in its list scores cosine
+      // >= 0.4
       val cosAB = duckCosine("a.vv", "b.vv")
-      s"""WITH $duckIvfFitCtes,
-         drp AS (SELECT DISTINCT a.id FROM asg2 a JOIN asg2 b
+      s"""WITH ${duckHierFitCtes("embeddings")},
+         drp AS (SELECT DISTINCT a.id FROM asgh a JOIN asgh b
                  ON a.list_id = b.list_id AND a.id > b.id
                  WHERE round($cosAB, 4) >= 0.4)
          SELECT g.id AS vec_id, g.list_id, (d.id IS NULL) AS kept
-         FROM asg2 g LEFT JOIN drp d ON d.id = g.id"""
+         FROM asgh g LEFT JOIN drp d ON d.id = g.id"""
+    },
+
+    "dedup_semantic_incremental" -> {
+      // the fit + corpus assignment replayed over the bucket<70 corpus
+      // only; the increment is assigned through the same forest and
+      // compared within-list — best match = highest cosine, lowest
+      // corpus id
+      val cosAB = duckCosine("i.vv", "g.vv")
+      s"""WITH ${duckHierFitCtes(
+          s"(SELECT vec_id, embedding FROM embeddings WHERE ${
+            duckMd5Pct("vec_id")} < 70)")},
+         vinc AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings WHERE ${duckMd5Pct("vec_id")} >= 70),
+         ia1 AS (SELECT vinc.id, vinc.vv, c.list_id AS coarse_id,
+                 row_number() OVER (PARTITION BY vinc.id
+                   ORDER BY ${duckCosine("vinc.vv", "c.cv")} DESC,
+                     c.list_id) AS rn
+                FROM vinc, c1h c),
+         iac AS (SELECT id, vv, coarse_id FROM ia1 WHERE rn = 1),
+         ia2 AS (SELECT a.id, a.vv, a.coarse_id, c2.sub_id,
+                 row_number() OVER (PARTITION BY a.id
+                   ORDER BY ${duckCosine("a.vv", "c2.cv")} DESC,
+                     c2.sub_id) AS rn
+                FROM iac a LEFT JOIN c2h c2 ON c2.coarse_id = a.coarse_id),
+         iasg AS (SELECT id, vv,
+                 coarse_id * (SELECT s FROM csh) + COALESCE(sub_id, 0)
+                   AS list_id
+                FROM ia2 WHERE rn = 1),
+         ver AS (SELECT i.id AS inc_id, g.id AS dup_id,
+                   round($cosAB, 4) AS sim
+                 FROM iasg i JOIN asgh g ON g.list_id = i.list_id
+                 WHERE i.id <> g.id AND round($cosAB, 4) >= 0.4),
+         best AS (SELECT inc_id, dup_id, sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY sim DESC, dup_id) AS rn FROM ver) WHERE rn = 1)
+         SELECT i.id AS vec_id, i.list_id, best.dup_id AS dup_of,
+           best.sim, (best.dup_id IS NULL) AS is_new
+         FROM iasg i LEFT JOIN best ON best.inc_id = i.id"""
     },
 
     "embedding_pq" -> {
@@ -5440,6 +5495,100 @@ object SparkEntry {
                    ORDER BY $cosAC DESC, c.list_id) AS rn
                 FROM v, cent c),
          asg2 AS (SELECT id, vv, list_id FROM a2 WHERE rn = 1)"""
+  }
+
+  /** The md5 percent-bucket fold over an id expression — the SQL twin
+    * of [[graft.util.Sampling.md5Bucket]], shared by every sampling
+    * oracle.
+    */
+  private def duckMd5Pct(idExpr: String): String =
+    s"""list_sum(list_transform(generate_series(1, 15),
+           p -> ((strpos('0123456789abcdef',
+                  substr(md5($idExpr::VARCHAR), p, 1)) - 1)::BIGINT
+                 << (4 * (15 - p)))))::BIGINT % 100"""
+
+  /** The HIERARCHICAL (two-level) IVF fit + full assignment as DuckDB
+    * CTEs over `src` (a relation with vec_id + embedding) — `asgH`
+    * ends as every vector's (id, vv, list_id) under the fitted forest.
+    * Shared by the `dedup_semantic` / `dedup_semantic_incremental`
+    * oracles so the replay can never drift. Mirrors
+    * [[graft.simops.Ivf.fitHier]] at the [[graft.simops.Embed.autoNlist]]
+    * contract (targetListSize=32, iters=1, fitSamplePct=60):
+    *
+    *  - geometry from the relation's OWN count(*) — nlist =
+    *    clamp(4, 2²⁰, ⌈n/32⌉), C = ⌈√nlist⌉, S = ⌈nlist/C⌉ — the
+    *    cappedPct convention extended to the index shape, so both
+    *    engines derive the identical forest at every scale;
+    *  - level 1 = the duckIvfFitCtes fit with 16 → C (seeds = C
+    *    lowest-id sample vectors, one Lloyd pass, 6dp-rounded means);
+    *  - level 2 = per surviving coarse cell, seeds = the cell's S
+    *    lowest-id sample vectors, one Lloyd pass over the sample;
+    *  - final assignment covers ALL of `src`: coarse argmax then
+    *    within-cell sub argmax (ties → lowest id at both levels),
+    *    global list_id = coarse_id·S + sub_id. A coarse cell left
+    *    subless by Lloyd reassignment falls back to sub 0 on both
+    *    engines (the kernel's empty-cell guard / COALESCE here).
+    */
+  private def duckHierFitCtes(src: String): String = {
+    val t100 = graft.util.Sampling.FitSampleTarget * 100
+    def cos(a: String, b: String) = duckCosine(a, b)
+    s"""vh AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM $src),
+         geoh AS (SELECT GREATEST(4, LEAST(1048576,
+             (count(*) + 31) // 32)) AS nlist FROM vh),
+         csh AS (SELECT CAST(ceil(sqrt(nlist)) AS BIGINT) AS c,
+             (nlist + CAST(ceil(sqrt(nlist)) AS BIGINT) - 1)
+               // CAST(ceil(sqrt(nlist)) AS BIGINT) AS s FROM geoh),
+         fph AS (SELECT GREATEST(1, LEAST(60,
+             ($t100 + count(*) - 1) // count(*))) AS pct FROM vh),
+         svh AS (SELECT id, vv FROM vh
+                 WHERE ${duckMd5Pct("id")} < (SELECT pct FROM fph)),
+         inith AS (SELECT rn - 1 AS list_id, vv AS cv FROM
+             (SELECT vv, row_number() OVER (ORDER BY id) AS rn FROM svh)
+           WHERE rn <= (SELECT c FROM csh)),
+         a1h AS (SELECT svh.id, svh.vv, i.list_id,
+                 row_number() OVER (PARTITION BY svh.id
+                   ORDER BY ${cos("svh.vv", "i.cv")} DESC, i.list_id) AS rn
+                FROM svh, inith i),
+         asg1h AS (SELECT id, vv, list_id FROM a1h WHERE rn = 1),
+         cd1h AS (SELECT list_id, d, round(avg(vv[d]), 6) AS m
+                  FROM asg1h, (SELECT unnest(generate_series(1, 64)) AS d)
+                  GROUP BY list_id, d),
+         c1h AS (SELECT list_id, list(m ORDER BY d) AS cv
+                 FROM cd1h GROUP BY list_id),
+         sa1h AS (SELECT svh.id, svh.vv, c.list_id AS coarse_id,
+                 row_number() OVER (PARTITION BY svh.id
+                   ORDER BY ${cos("svh.vv", "c.cv")} DESC, c.list_id) AS rn
+                FROM svh, c1h c),
+         sasgh AS (SELECT id, vv, coarse_id FROM sa1h WHERE rn = 1),
+         seedh AS (SELECT coarse_id, rn - 1 AS sub_id, vv AS cv FROM
+             (SELECT coarse_id, vv, row_number() OVER
+                (PARTITION BY coarse_id ORDER BY id) AS rn FROM sasgh)
+           WHERE rn <= (SELECT s FROM csh)),
+         a2sh AS (SELECT sa.id, sa.vv, sa.coarse_id, sd.sub_id,
+                 row_number() OVER (PARTITION BY sa.id
+                   ORDER BY ${cos("sa.vv", "sd.cv")} DESC, sd.sub_id) AS rn
+                FROM sasgh sa JOIN seedh sd ON sd.coarse_id = sa.coarse_id),
+         g2h AS (SELECT id, vv, coarse_id, sub_id FROM a2sh WHERE rn = 1),
+         cd2h AS (SELECT coarse_id, sub_id, d, round(avg(vv[d]), 6) AS m
+                  FROM g2h, (SELECT unnest(generate_series(1, 64)) AS d)
+                  GROUP BY coarse_id, sub_id, d),
+         c2h AS (SELECT coarse_id, sub_id, list(m ORDER BY d) AS cv
+                 FROM cd2h GROUP BY coarse_id, sub_id),
+         fa1h AS (SELECT vh.id, vh.vv, c.list_id AS coarse_id,
+                 row_number() OVER (PARTITION BY vh.id
+                   ORDER BY ${cos("vh.vv", "c.cv")} DESC, c.list_id) AS rn
+                FROM vh, c1h c),
+         fach AS (SELECT id, vv, coarse_id FROM fa1h WHERE rn = 1),
+         fa2h AS (SELECT a.id, a.vv, a.coarse_id, c2.sub_id,
+                 row_number() OVER (PARTITION BY a.id
+                   ORDER BY ${cos("a.vv", "c2.cv")} DESC, c2.sub_id) AS rn
+                FROM fach a LEFT JOIN c2h c2 ON c2.coarse_id = a.coarse_id),
+         asgh AS (SELECT id, vv,
+                 coarse_id * (SELECT s FROM csh) + COALESCE(sub_id, 0)
+                   AS list_id
+                FROM fa2h WHERE rn = 1)"""
   }
 
   /** Engine-portable squared-L2 between two DuckDB lists (explicit

@@ -1295,3 +1295,108 @@ object WordCountsExpr {
     GraftColumnBridge.toColumn(
       new WordCountsExpr(GraftColumnBridge.toExpression(c)))
 }
+
+/** Second-level (within-coarse-cell) nearest-sub-centroid assignment for
+  * the hierarchical IVF index ([[graft.simops.Ivf]] `fitHier` /
+  * [[graft.simops.Embed.semanticDedupHier]]).
+  *
+  * The flat index's `nlist` argmax is O(nlist·dim) per row, which caps
+  * how far `nlist` can grow with the corpus; splitting the index into
+  * C = ⌈√nlist⌉ coarse cells × S = ⌈nlist/C⌉ sub-centroids makes the
+  * full assignment O((C+S)·dim) = O(√nlist·dim) per row, so nlist can
+  * honor the `autoNlist` contract (nlist ∝ corpus size) at any scale.
+  *
+  * `subCents(coarseId)` is that cell's sub-centroid matrix in ascending
+  * local-sub-id order (possibly sparse after Lloyd survivor drops —
+  * `subIds(coarseId)` carries the surviving ids); cosine uses the same
+  * left-to-right multiply-accumulate fold as
+  * [[BatchKernelUtil.centroidSims]] (and the DuckDB oracle's
+  * `list_sum(list_transform(...))`), zero-norm → 0.0; strict `>` keeps
+  * the FIRST max, so ties break to the lowest surviving sub id —
+  * `row_number() OVER (ORDER BY cos DESC, sub_id)` in SQL.
+  */
+object SubNearestUtil {
+  def nearestSub(vec: ArrayData, coarseId: Int,
+                 subCents: Array[Array[Array[Double]]],
+                 subNorms: Array[Array[Double]],
+                 subIds: Array[Array[Int]]): Int = {
+    val cents = subCents(coarseId)
+    if (cents.isEmpty) return 0
+    val x = vec.toDoubleArray()
+    var vn = 0.0
+    var j = 0
+    while (j < x.length) { vn += x(j) * x(j); j += 1 }
+    vn = math.sqrt(vn)
+    val norms = subNorms(coarseId)
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val n = math.min(x.length, c.length)
+      var acc = 0.0
+      var k = 0
+      while (k < n) { acc += x(k) * c(k); k += 1 }
+      val nn = vn * norms(i)
+      val sim = if (nn == 0.0) 0.0 else acc / nn
+      if (sim > bestSim) { bestSim = sim; best = i }
+      i += 1
+    }
+    subIds(coarseId)(best)
+  }
+}
+
+/** `sub_nearest(vec, coarse_id)` against a fixed two-level centroid
+  * forest — see [[SubNearestUtil.nearestSub]]. The centroids ride as
+  * codegen reference objects (index constants, like
+  * [[CentroidSimsExpr]]), so generated-code size stays O(1) no matter
+  * how large `nlist` grows.
+  */
+case class SubNearestExpr(left: Expression, right: Expression,
+                          subCents: Array[Array[Array[Double]]],
+                          subIds: Array[Array[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private lazy val subNorms: Array[Array[Double]] =
+    subCents.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    })
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sub_nearest needs (array<double>, int), got $other")
+    }
+
+  override def nullSafeEval(vec: Any, coarse: Any): Any =
+    SubNearestUtil.nearestSub(vec.asInstanceOf[ArrayData],
+      coarse.asInstanceOf[Int], subCents, subNorms, subIds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("subcents", subCents, "double[][][]")
+    val normsRef = ctx.addReferenceObj("subnorms", subNorms, "double[][]")
+    val idsRef = ctx.addReferenceObj("subids", subIds, "int[][]")
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.SubNearestUtil.nearestSub(" +
+        s"$v, $c, $centsRef, $normsRef, $idsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SubNearestExpr {
+  def apply(v: Column, coarseId: Column,
+            subCents: Array[Array[Array[Double]]],
+            subIds: Array[Array[Int]]): Column =
+    GraftColumnBridge.toColumn(
+      new SubNearestExpr(GraftColumnBridge.toExpression(v),
+        GraftColumnBridge.toExpression(coarseId), subCents, subIds))
+}

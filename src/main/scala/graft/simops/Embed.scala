@@ -489,4 +489,117 @@ object Embed {
       .select(col("vec_id"), col("list_id"),
         coalesce(!col("_drop"), lit(true)).as("kept"))
   }
+
+  /** [[semanticDedup]] at the [[autoNlist]] contract: nlist grows with
+    * the corpus (⌈n / targetListSize⌉), assigned through a TWO-LEVEL
+    * index ([[Ivf.fitHier]]) so the per-row assignment cost is
+    * O(√nlist·dim) instead of O(nlist·dim) — the shape that lets both
+    * halves of SemDeDup stay linear in corpus size: assignment
+    * O(n·√nlist·dim), within-list pair fan-out O(n·targetListSize).
+    * A flat [[semanticDedup]] honoring autoNlist would pay
+    * O(n·nlist·dim) = O(n²·dim/targetListSize) just to assign.
+    *
+    * Global list id = coarse_id · S + sub_id; the keep/drop rule, the
+    * 4dp cosine rounding, and the greedy lowest-id-wins convention are
+    * [[semanticDedup]]'s unchanged. `knownCount` skips the sizing
+    * count when the caller already knows n (checkpointed upstreams).
+    */
+  def semanticDedupHier(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, targetListSize: Int = 32,
+                        iters: Int = 1, fitSamplePct: Int = 100,
+                        knownCount: Long = -1L): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1,1], got $threshold")
+    val n = if (knownCount >= 0) knownCount
+      else df.select(col(idCol)).count()
+    val nlist = autoNlist(n, targetListSize)
+    val h = Ivf.fitHier(df, idCol, vecCol, nlist, iters, fitSamplePct, n)
+    val assigned = hierAssign(df, idCol, vecCol, h)
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.list_id") === col("b.list_id")
+          && col("a.vec_id") > col("b.vec_id"))
+      .filter(round(Similarity.cosinePre(
+        graft.functions.VectorOps.dot(col("a._v"), col("b._v")),
+        col("a._n"), col("b._n")), 4) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("_drop", lit(true))
+    assigned.select(col("vec_id"), col("list_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(!col("_drop"), lit(true)).as("kept"))
+  }
+
+  /** Full-corpus two-level assignment: a pure codegen'd projection —
+    * coarse argmax (C dots) then within-cell sub argmax (≤S dots), no
+    * shuffle. Output carries the vector and its norm for downstream
+    * pair scoring.
+    */
+  private def hierAssign(df: DataFrame, idCol: String, vecCol: String,
+                         h: Ivf.HierIndex): DataFrame =
+    graft.util.Par.spread(df)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_n", Similarity.norm(col("_v")))
+      .withColumn("_c",
+        Ivf.nearestList(h.coarse, Ivf.simsCol(h.coarse, col("_v"))))
+      .withColumn("list_id", h.listIdCol(col("_v"), col("_c")))
+      .drop("_c")
+
+  /** The semantic-dedup DAILY-INGEST decision — the embedding twin of
+    * [[graft.dedup.Dedup.hammingIncremental]]: for each incoming
+    * vector, is it a semantic near-dup (cosine ≥ threshold) of
+    * something already in the corpus, and of what? The index is fitted
+    * on the CORPUS only (the persisted-centroid convention: a stored
+    * index would replay exactly this fit), the increment is assigned
+    * to lists through the same two-level projection, and candidates
+    * are compared only within the incoming vector's list.
+    *
+    * Scale shape (the corpus NEVER shuffles): corpus assignment is a
+    * pure projection over the corpus scan; the increment's assigned
+    * frame is checkpointed and BROADCAST, so the within-list candidate
+    * join runs map-side against the corpus — no corpus-sized exchange
+    * anywhere, O(increment · listSize) candidate pairs.
+    *
+    * Output: one row per incoming id — (id, list_id, dup_of: best
+    * corpus match or null, sim or null, is_new). Best = highest
+    * cosine, then lowest corpus id.
+    */
+  def semanticDedupIncremental(incoming: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String,
+                               threshold: Double, targetListSize: Int = 32,
+                               iters: Int = 1, fitSamplePct: Int = 100,
+                               knownCorpusCount: Long = -1L): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1,1], got $threshold")
+    val n = if (knownCorpusCount >= 0) knownCorpusCount
+      else corpus.select(col(idCol)).count()
+    val nlist = autoNlist(n, targetListSize)
+    val h = Ivf.fitHier(corpus, idCol, vecCol, nlist, iters, fitSamplePct, n)
+    val inc = hierAssign(incoming, idCol, vecCol, h)
+      .withColumnRenamed("vec_id", "inc_id")
+      .withColumnRenamed("_v", "_iv")
+      .withColumnRenamed("_n", "_in")
+      .localCheckpoint()
+    val cor = hierAssign(corpus, idCol, vecCol, h)
+      .withColumnRenamed("vec_id", "dup_id")
+    val verified = cor.join(broadcast(inc), Seq("list_id"))
+      .filter(col("inc_id") =!= col("dup_id"))
+      .withColumn("sim", round(Similarity.cosinePre(
+        graft.functions.VectorOps.dot(col("_iv"), col("_v")),
+        col("_in"), col("_n")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("inc_id"), col("dup_id"), col("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("sim").desc, col("dup_id").asc)
+    val best = verified
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("inc_id"), col("dup_id").as("dup_of"), col("sim"))
+    // output ids come from the CHECKPOINTED assigned frame, not from
+    // `incoming` (whose lineage may be an expensive upstream)
+    inc.select(col("inc_id"), col("list_id"))
+      .join(broadcast(best), Seq("inc_id"), "left")
+      .select(col("inc_id").as(idCol), col("list_id"), col("dup_of"),
+        col("sim"), col("dup_of").isNull.as("is_new"))
+  }
 }

@@ -45,16 +45,20 @@ object Ivf {
     */
   private[simops] def fitSeq(df: DataFrame, idCol: String, vecCol: String,
                      nlist: Int, iters: Int,
-                     fitSamplePct: Int): Seq[(Int, Seq[Double])] = {
+                     fitSamplePct: Int,
+                     knownCount: Long = -1L): Seq[(Int, Seq[Double])] = {
     require(fitSamplePct > 0 && fitSamplePct <= 100,
       s"fitSamplePct must be in (0,100], got $fitSamplePct")
     val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
       col(vecCol).cast("array<double>").as("_v"))
     // pct capped to the absolute fit target (parquet-metadata count, no
-    // scan) so Lloyd passes cost O(target) at any corpus size
+    // scan) so Lloyd passes cost O(target) at any corpus size;
+    // `knownCount` lets callers that already counted (autoNlist sizing)
+    // skip the second count action
     val effPct =
       if (fitSamplePct >= 100) 100
-      else graft.util.Sampling.cappedPct(df.count(), fitSamplePct)
+      else graft.util.Sampling.cappedPct(
+        if (knownCount >= 0) knownCount else df.count(), fitSamplePct)
     val vecs =
       if (effPct >= 100) all
       else all.filter(
@@ -173,5 +177,99 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+  }
+
+  /** A fitted two-level index: `coarse` cells (survivor semantics, ids
+    * 0..C-1 possibly sparse) each subdivided into up to `s`
+    * sub-centroids. `subCents`/`subIds` are indexed BY coarse id
+    * (empty inner array for a dropped coarse cell); global list id =
+    * coarse_id · s + local sub id. Driver-resident index metadata —
+    * O(nlist·dim), bounded by [[Embed.autoNlist]]'s maxNlist clamp.
+    */
+  private[simops] case class HierIndex(
+      coarse: Seq[(Int, Seq[Double])], s: Int,
+      subCents: Array[Array[Array[Double]]], subIds: Array[Array[Int]]) {
+    def listIdCol(v: Column, coarseId: Column): Column =
+      coarseId * lit(s) +
+        graft.functions.SubNearestExpr(v, coarseId, subCents, subIds)
+  }
+
+  /** Hierarchical (two-level) IVF fit: C = ⌈√nlist⌉ coarse cells via
+    * [[fitSeq]], then per surviving coarse cell up to S = ⌈nlist/C⌉
+    * sub-centroids fitted on the SAME md5-bucket sample — seeds are
+    * each cell's S lowest-id sample vectors, refined by `iters` Lloyd
+    * passes with the fitSeq conventions (6dp-rounded per-dimension
+    * means, empty cells disappear keeping surviving ids, NULL dims
+    * contribute 0.0).
+    *
+    * Why two levels: a flat nlist-way argmax is O(nlist·dim) per row,
+    * so honoring `autoNlist` (nlist ∝ corpus) would make assignment
+    * itself quadratic-ish in corpus size; splitting √nlist × √nlist
+    * makes full assignment O(√nlist·dim) per row while the within-list
+    * pair fan-out keeps the O(targetListSize) bound. Both Lloyd levels
+    * are distributed (one map-side-partial hash aggregate per pass);
+    * the only driver-side state is the centroid forest itself —
+    * O(nlist·dim) doubles, bounded by autoNlist's 2²⁰ clamp (at the
+    * clamp, move the forest from plan literals to a broadcast relation;
+    * the assignment-cost law is unchanged).
+    */
+  private[simops] def fitHier(df: DataFrame, idCol: String, vecCol: String,
+                              nlist: Int, iters: Int, fitSamplePct: Int,
+                              knownCount: Long = -1L): HierIndex = {
+    val c = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val s = (nlist + c - 1) / c
+    val coarse = fitSeq(df, idCol, vecCol, c, iters, fitSamplePct, knownCount)
+    val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val effPct =
+      if (fitSamplePct >= 100) 100
+      else graft.util.Sampling.cappedPct(
+        if (knownCount >= 0) knownCount else df.count(), fitSamplePct)
+    val vecs =
+      if (effPct >= 100) all
+      else all.filter(
+        graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
+    val sasg = vecs
+      .withColumn("_sims", simsCol(coarse, col("_v")))
+      .withColumn("coarse_id", nearestList(coarse, col("_sims")))
+      .drop("_sims")
+    // seeds: each coarse cell's S lowest-id sample vectors
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("coarse_id")).orderBy(col("_id"))
+    var subs: Map[(Int, Int), Seq[Double]] =
+      sasg.withColumn("_rn", row_number().over(wSeed))
+        .filter(col("_rn") <= s)
+        .select(col("coarse_id"), (col("_rn") - 1).as("sub_id"), col("_v"))
+        .collect().iterator
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    require(subs.nonEmpty,
+      "Ivf.fitHier: cannot fit an index on an empty candidate frame")
+    val dim = coarse.iterator.map(_._2.length).max
+    for (_ <- 0 until iters) {
+      val (sc, si) = subArrays(c, subs)
+      val avgs = (0 until dim).map(i => round(avg(col("_v")(i)), 6).as(s"_m$i"))
+      val rows = sasg.withColumn("sub_id",
+          graft.functions.SubNearestExpr(col("_v"), col("coarse_id"), sc, si))
+        .groupBy("coarse_id", "sub_id").agg(avgs.head, avgs.tail: _*)
+        .collect()
+      subs = rows.iterator.map(r =>
+        ((r.getInt(0), r.getInt(1)), (2 until 2 + dim).map(i =>
+          if (r.isNullAt(i)) 0.0 else r.getDouble(i)): Seq[Double])).toMap
+    }
+    val (sc, si) = subArrays(c, subs)
+    HierIndex(coarse, s, sc, si)
+  }
+
+  private def subArrays(c: Int, subs: Map[(Int, Int), Seq[Double]])
+      : (Array[Array[Array[Double]]], Array[Array[Int]]) = {
+    val byCoarse = subs.toSeq.groupBy(_._1._1)
+    val cents = Array.tabulate(c) { ci =>
+      byCoarse.getOrElse(ci, Seq.empty).sortBy(_._1._2)
+        .map(_._2.toArray).toArray
+    }
+    val ids = Array.tabulate(c) { ci =>
+      byCoarse.getOrElse(ci, Seq.empty).map(_._1._2).sorted.toArray
+    }
+    (cents, ids)
   }
 }

@@ -627,6 +627,26 @@ class PlanAuditSpec extends AnyFunSuite {
     // centroid assignment is a projection: no exchange between the scan
     // and the first join input other than the list_id clustering itself
     assert(!p.contains("Exchange rangepartitioning"), p)
+    // the autoNlist contract rides the two-level kernel: both the
+    // coarse argmax and the within-cell sub argmax must be pure
+    // projections in the plan (no per-vector join against a centroid
+    // relation — that would re-shuffle the corpus as nlist grows)
+    assert(p.toLowerCase.contains("subnearestexpr"), p)
+  }
+
+  test("dedup_semantic_incremental: the corpus never shuffles on list keys") {
+    // hammingIncremental shape for the semantic modality: corpus
+    // assignment is a pure projection, the increment broadcasts into
+    // the within-list candidate join, and the only keyed exchanges are
+    // post-probe (the best-match window on inc_id partitions the
+    // MATCHED slice, not the corpus)
+    val p = plan("dedup_semantic_incremental")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.toLowerCase.contains("subnearestexpr"), p)
+    assert(!p.toLowerCase.contains("hashpartitioning(list_id"),
+      s"corpus-sized exchange keyed on list_id:\n$p")
+    assert(opCount(p, "BroadcastHashJoin") >= 1, p)
   }
 
   test("no registered query plans a quadratic unbounded-following window frame") {

@@ -57,6 +57,67 @@ class AnnPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupHier replays its greedy rule exactly on random corpora") {
+    // the hier path must satisfy the SAME definition as the flat one:
+    // within every (two-level) list, a vector is dropped iff a lower-id
+    // list-mate scores rounded cosine >= t — geometry changes WHICH
+    // pairs are compared, never the rule
+    for (seed <- Seq(7, 21)) {
+      val df = randomVecs(200, 8, seed)
+      val t = 0.55
+      // targetListSize=8 -> nlist=25, C=5, S=5: genuinely two-level
+      val out = Embed.semanticDedupHier(df, "vec_id", "embedding",
+        threshold = t, targetListSize = 8, iters = 1).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      assert(out.length == 200)
+      assert(out.map(_._2).distinct.length > 5,
+        "autoNlist geometry must yield more lists than the flat-16 knee")
+      val vecs = df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      out.groupBy(_._2).foreach { case (_, members) =>
+        val minId = members.map(_._1).min
+        assert(members.find(_._1 == minId).get._3,
+          s"min id $minId of a list must be kept (seed $seed)")
+        members.foreach { case (id, _, kept) =>
+          val hasLowerNeighbor = members.exists { case (o, _, _) =>
+            o < id && BigDecimal(cos(vecs(o), vecs(id)))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= t
+          }
+          assert(kept == !hasLowerNeighbor,
+            s"vec $id kept=$kept but lower-neighbor=$hasLowerNeighbor (seed $seed)")
+        }
+      }
+    }
+  }
+
+  test("semanticDedupIncremental: within-list best-match decision replayed") {
+    // corpus = ids 0..149, increment = exact copies of corpus vectors
+    // (ids +1000) plus fresh random vectors (ids +2000). An exact copy
+    // assigns to its original's list deterministically (identical input
+    // -> identical kernel argmax), so it MUST come back is_new=false
+    // with a cosine-1.0 best match; every flagged dup must share the
+    // incoming vector's list and be its highest-cosine lowest-id mate.
+    import org.apache.spark.sql.functions._
+    val corpus = randomVecs(150, 8, 13)
+    val copies = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val fresh = randomVecs(10, 8, 99)
+      .select((col("vec_id") + 2000).as("vec_id"), col("embedding"))
+    val out = Embed.semanticDedupIncremental(copies.union(fresh), corpus,
+      "vec_id", "embedding", threshold = 0.99, targetListSize = 8,
+      iters = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(4)))
+    assert(out.length == 30)
+    val byId = out.map(r => r._1 -> r).toMap
+    (0L until 20L).foreach { i =>
+      val (_, _, dupOf, isNew) = byId(i + 1000)
+      assert(!isNew, s"exact copy ${i + 1000} must be flagged")
+      assert(dupOf == i,
+        s"copy ${i + 1000} best match should be its original, got $dupOf")
+    }
+  }
+
   test("pqTopK ranks by the true reconstruction distance (self-consistency)") {
     // encode + ADC must agree: for every vector, querying WITH ITSELF
     // excluded, its own adist to any neighbor is symmetric in the codes
