@@ -961,18 +961,16 @@ object SparkEntry {
             .as("sum_qty"))
     }),
 
-    "q_window_stats" -> ((s, dir) => {
+    "q_window_stats" -> ((s, dir) =>
       // distribution window functions (ntile / percent_rank /
-      // cume_dist) over a (value, id) total order per event type
-      val ev = Tables.events(s, dir)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-        .orderBy(col("value").asc, col("event_id").asc)
-      ev.select(col("event_id"), col("event_type"), col("value"),
-        ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
-    }),
+      // cume_dist) over a (value, id) total order per event type —
+      // computed via the range-bucket re-key (EventAnalytics
+      // .distributionStats) so no single task ever sorts a whole
+      // event type: the direct ntile window keeps one task per
+      // distinct type alive forever (9.5x/decade on the r11 anchors)
+      graft.lagops.EventAnalytics.distributionStats(
+        Tables.events(s, dir), "event_type", "value", "event_id",
+        tiles = 4, buckets = 32)),
 
     "q3_topk_orders" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")

@@ -1400,3 +1400,58 @@ object SubNearestExpr {
       new SubNearestExpr(GraftColumnBridge.toExpression(v),
         GraftColumnBridge.toExpression(coarseId), subCents, subIds))
 }
+
+/** `count_below(value, cuts)` — how many elements of `cuts` are
+  * STRICTLY below `value`; the range-bucket assignment of
+  * [[graft.lagops.EventAnalytics.distributionStats]]. Identical
+  * semantics to `size(filter(cuts, c -> value > c))` (NULL elements
+  * are not counted, matching the HOF filter's three-valued logic) but
+  * as one codegen'd loop instead of an interpreted per-element lambda
+  * — the cuts array rides every corpus row, so the lambda overhead is
+  * corpus-sized.
+  */
+object CountBelowUtil {
+  def countBelow(value: Double, cuts: ArrayData): Int = {
+    var n = 0
+    var i = 0
+    val len = cuts.numElements()
+    while (i < len) {
+      if (!cuts.isNullAt(i) && value > cuts.getDouble(i)) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
+case class CountBelowExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"count_below needs (double, array<double>), got $other")
+    }
+
+  override def nullSafeEval(value: Any, cuts: Any): Any =
+    CountBelowUtil.countBelow(value.asInstanceOf[Double],
+      cuts.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.CountBelowUtil.countBelow($v, $c);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CountBelowExpr {
+  def apply(value: Column, cuts: Column): Column =
+    GraftColumnBridge.toColumn(
+      new CountBelowExpr(GraftColumnBridge.toExpression(value),
+        GraftColumnBridge.toExpression(cuts)))
+}

@@ -119,6 +119,94 @@ object EventAnalytics {
         round(max(col(valueCol)), 6).as("hi_seen"))
   }
 
+  /** Exact distribution-window statistics — ntile(`tiles`),
+    * percent_rank, cume_dist — over a (`valueCol`, `idCol`) total
+    * order per group, WITHOUT the single-task-per-group sort the
+    * direct window form plans.
+    *
+    * `ntile(k) OVER (PARTITION BY g ORDER BY v)` keeps one Spark task
+    * alive per distinct `g` forever: with a handful of groups the sort
+    * is effectively single-threaded at any corpus size (the shape that
+    * made the direct form the second-worst scaling row on the anchor
+    * table). This operator re-keys the work on (group, range-bucket):
+    *
+    *  1. per group, `buckets`-quantile cut points from ONE
+    *     `percentile_approx` aggregate (map-side combinable; the
+    *     approximation only balances work — the rank fix-up below
+    *     keeps the answer exact, so run-to-run sketch variation can
+    *     never change the output);
+    *  2. each row's bucket = #cuts strictly below its value (ties
+    *     land with their equals in the lower bucket, so bucket order
+    *     respects value order and equal values never split);
+    *  3. local row_number within (group, bucket) — the expensive sort,
+    *     now parallel across `buckets` tasks per group — plus a
+    *     bucket-count prefix sum over a groups×buckets-sized frame
+    *     gives the exact global rank: rank = offset + local row
+    *     number;
+    *  4. the three statistics are pure arithmetic in (rank, n): with a
+    *     UNIQUE tiebreak id every row is its own peer group, so
+    *     percent_rank = (rank-1)/(n-1), cume_dist = rank/n, and
+    *     ntile's first-(n mod k)-tiles-get-one-extra rule is a closed
+    *     form. Exactness therefore requires `idCol` unique within its
+    *     group — the same precondition the direct form needs to be
+    *     deterministic at all.
+    *
+    * Scale shape: one combinable aggregate (cuts), one combinable
+    * aggregate (bucket counts), two broadcast joins of groups- and
+    * groups×buckets-sized frames, and ONE data-sized exchange keyed
+    * (group, bucket) whose per-task partition is ~1/`buckets` of a
+    * group. No corpus-sized single-partition sort anywhere.
+    */
+  def distributionStats(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String, tiles: Int = 4,
+                        buckets: Int = 32): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val pcts = array((1 until buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    val cuts = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), pcts, lit(10000)).as("_cuts"))
+    val bucketed = df
+      .join(broadcast(cuts), Seq(groupCol))
+      .withColumn("_b", graft.functions.CountBelowExpr(
+        col(valueCol).cast("double"), col("_cuts")))
+      .drop("_cuts")
+    val counts = bucketed.groupBy(col(groupCol), col("_b"))
+      .agg(count(lit(1)).as("_cnt"))
+    val wPrefix = Window.partitionBy(col(groupCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTotal = Window.partitionBy(col(groupCol))
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(wPrefix), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(wTotal))
+      .drop("_cnt")
+    val wLocal = Window.partitionBy(col(groupCol), col("_b"))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val ranked = bucketed
+      .join(broadcast(offsets), Seq(groupCol, "_b"))
+      .withColumn("_rank", col("_off") + row_number().over(wLocal))
+    // ntile(k): first (n % k) tiles take ceil(n/k) rows, the rest
+    // floor(n/k) — the closed form of the SQL-standard rule. The
+    // `otherwise` branch divides by _base only when rank exceeds the
+    // big-tile region, which implies _base >= 1 (CaseWhen keeps the
+    // division lazy; greatest() belts the unreachable _base=0 case)
+    // exact long floor-division: subtract the remainder first so the
+    // double division is of a multiple — no representation wobble
+    val rem = col("_n") % lit(tiles.toLong)
+    val base = ((col("_n") - rem) / lit(tiles.toLong)).cast("long")
+    val bigRegion = rem * (base + 1)
+    val quartile = when(col("_rank") <= bigRegion,
+        floor((col("_rank") - 1) / (base + 1)) + 1)
+      .otherwise(rem + floor((col("_rank") - bigRegion - 1) /
+        greatest(base, lit(1L))) + 1)
+    ranked.select(col(idCol), col(groupCol), col(valueCol),
+      quartile.cast("int").as("quartile"),
+      round(when(col("_n") === 1, 0.0)
+        .otherwise((col("_rank") - 1).cast("double") / (col("_n") - 1)), 6)
+        .as("pct_rank"),
+      round(col("_rank").cast("double") / col("_n"), 6).as("cume"))
+  }
+
   def retention(df: DataFrame, userCol: String, timeCol: String,
                 bucket: String = "week"): DataFrame = {
     val periodDays = bucket match {

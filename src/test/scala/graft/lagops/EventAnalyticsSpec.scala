@@ -135,6 +135,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.exists(x => x._1 == 2L && x._3.isNaN))
   }
 
+  test("distributionStats equals the direct distribution windows exactly") {
+    import spark.implicits._
+    // the re-keyed form must be value-identical to the single-window
+    // form it replaces, including the shapes that stress the closed
+    // forms: duplicated values (ties share a range bucket), a group
+    // smaller than the tile count (every ntile size formula branch),
+    // and a singleton group (percent_rank's n-1 = 0 guard). buckets=4
+    // on 300 rows forces multi-row buckets so the prefix-sum offsets
+    // genuinely fix up local ranks.
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"t${i % 3}", math.floor(rng.nextDouble() * 40) / 4.0)
+    } ++ Seq((1000L, "tiny", 5.0), (1001L, "tiny", 3.0),
+      (1002L, "tiny", 3.0), (2000L, "single", 9.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5))
+    val direct = df.select(col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .collect().map(key).sortBy(_._1).toSeq
+    val rekeyed = EventAnalytics.distributionStats(df, "event_type",
+        "value", "event_id", tiles = 4, buckets = 4)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(rekeyed == direct)
+  }
+
   test("interpolate: duplicate-timestamp bracket fills (no 0/0 null)") {
     import spark.implicits._
     // the null row's previous and next observations share t=10: the

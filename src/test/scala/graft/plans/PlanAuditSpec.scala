@@ -619,6 +619,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("pqcodesexpr"), p)
   }
 
+  test("q_window_stats: the data-sized rank window is re-keyed on (type, bucket)") {
+    // the direct ntile window kept ONE task per event type alive at any
+    // corpus size; the re-keyed form must sort the corpus partitioned
+    // on (event_type, _b) — the bare-event_type window that remains
+    // runs over the groups×buckets counts frame only
+    val p = plan("q_window_stats")
+    assert("hashpartitioning\\(event_type#\\d+, _b#\\d+".r
+      .findFirstIn(p).isDefined, p)
+    assert(p.contains("percentile_approx"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("dedup_semantic: pairs join keyed on list_id, no cartesian scan") {
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct") &&
