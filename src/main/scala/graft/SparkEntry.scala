@@ -1838,6 +1838,14 @@ object SparkEntry {
         targetListSize = 32, iters = 1, fitSamplePct = 60)
     }),
 
+    "dedup_semantic_liststats" -> ((s, dir) =>
+      // the capstats row for the semantic geometry: the autoNlist pair
+      // bound is only as good as the real list-size distribution —
+      // integer-only aggregate over the same fitted forest
+      graft.simops.Embed.semanticListStats(Tables.embeddings(s, dir),
+        "vec_id", "embedding", targetListSize = 32, iters = 1,
+        fitSamplePct = 60)),
+
     "embedding_pq" -> ((s, dir) =>
       // product quantization: 8 subspaces x 16 codes = 32x compression
       // at dim 64; sampled codebook fit, pure-projection encode
@@ -4315,6 +4323,17 @@ object SparkEntry {
          SELECT i.id AS vec_id, i.list_id, best.dup_id AS dup_of,
            best.sim, (best.dup_id IS NULL) AS is_new
          FROM iasg i LEFT JOIN best ON best.inc_id = i.id"""
+    },
+
+    "dedup_semantic_liststats" -> {
+      // the same forest replay, reduced to the integer list-size
+      // distribution — no float surface
+      s"""WITH ${duckHierFitCtes("embeddings")},
+         szh AS (SELECT list_id, count(*) AS sz FROM asgh GROUP BY list_id)
+         SELECT sum(sz) AS n_vecs, count(*) AS n_lists,
+           max(sz) AS max_list,
+           sum(CASE WHEN sz > 64 THEN 1 ELSE 0 END) AS over_2x_target
+         FROM szh"""
     },
 
     "embedding_pq" -> {

@@ -545,6 +545,35 @@ object Embed {
       .withColumn("list_id", h.listIdCol(col("_v"), col("_c")))
       .drop("_c")
 
+  /** Observability for the semantic-dedup geometry — the capstats
+    * convention ([[graft.dedup.Dedup]]'s `dedup_minhash_capstats` /
+    * `ngram_df_capstats`): the O(n·targetListSize) within-list pair
+    * bound is only as good as the ACTUAL list-size distribution the
+    * fitted forest produces, so surface it as an oracle-checked row
+    * rather than a silent law. One integer-only aggregate over the
+    * assignment projection — no float surface at all.
+    *
+    * Output: one row — (n_vecs, n_lists, max_list, over_2x_target =
+    * #lists larger than 2·targetListSize, the skew the pair bound
+    * quietly absorbs).
+    */
+  def semanticListStats(df: DataFrame, idCol: String, vecCol: String,
+                        targetListSize: Int = 32, iters: Int = 1,
+                        fitSamplePct: Int = 100,
+                        knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0) knownCount
+      else df.select(col(idCol)).count()
+    val nlist = autoNlist(n, targetListSize)
+    val h = Ivf.fitHier(df, idCol, vecCol, nlist, iters, fitSamplePct, n)
+    hierAssign(df, idCol, vecCol, h)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+      .agg(sum(col("sz")).as("n_vecs"),
+        count(lit(1)).as("n_lists"),
+        max(col("sz")).as("max_list"),
+        sum(when(col("sz") > lit(2L * targetListSize), 1L)
+          .otherwise(0L)).as("over_2x_target"))
+  }
+
   /** The semantic-dedup DAILY-INGEST decision — the embedding twin of
     * [[graft.dedup.Dedup.hammingIncremental]]: for each incoming
     * vector, is it a semantic near-dup (cosine ≥ threshold) of

@@ -285,6 +285,33 @@ object StreamingOps {
         idCol, vecCol, threshold, numPlanes, bands, dim), batchId)
     }
 
+  /** The SEMANTIC-modality ingest probe — completing the per-modality
+    * set (document exact/near, passage spans, lines, image, video,
+    * embedding-LSH): each micro-batch of vectors runs
+    * [[graft.simops.Embed.semanticDedupIncremental]] against the
+    * corpus thunk — the two-level autoNlist index is fitted on the
+    * corpus, the batch is assigned through the same pure-projection
+    * forest, and candidates are compared within-list only — and the
+    * sink receives the (id, list_id, dup_of, sim, is_new) decision
+    * rows. The corpus thunk re-evaluates per trigger, so sink-side
+    * compaction (append accepted vectors) gives arrival-order-wins
+    * across micro-batches; the query itself keeps no state. Per-trigger
+    * cost is the batch operator's: the corpus never shuffles — it
+    * streams through the assignment projection into a broadcast join
+    * against the batch's banded frame.
+    */
+  def semanticIngestProbe(vectors: DataFrame, corpus: () => DataFrame,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          threshold: Double = 0.4,
+                          targetListSize: Int = 32)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.simops.Embed.semanticDedupIncremental(batch, corpus(),
+        idCol, vecCol, threshold, targetListSize), batchId)
+    }
+
   /** The ingest-probe contract at LINE granularity — completing the
     * per-granularity set (document exact/near, passage spans, lines):
     * each micro-batch of documents runs

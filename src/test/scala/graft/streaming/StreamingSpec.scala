@@ -357,6 +357,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(10000005L) == (5L, false), s"got: $got")
   }
 
+  test("semanticIngestProbe: compacting stream catches a cross-batch planted copy") {
+    import spark.implicits._
+    // one-hot float vectors at cosine 0 between distinct ids; exact
+    // copies (id + 10^7) at cosine 1.0 — assignment is deterministic
+    // (identical input -> identical two-level argmax), so every copy
+    // MUST land in its original's list and come back flagged
+    def vec(pos: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == pos) 1.0f else 0.0f)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("sem_store").toString
+    Seq((1L, vec(1)), (2L, vec(2)), (3L, vec(3)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(corpusDir)
+    // b1 = fresh vector 5 (accepted + compacted); b2 = copy(3) -> hits
+    // the original corpus; copy(5) -> hits only the compacted store
+    val b1 = Seq((5L, vec(5))).toDF("vec_id", "embedding")
+    val b2 = Seq((10000003L, vec(3)), (10000005L, vec(5)))
+      .toDF("vec_id", "embedding")
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("sem_feed").toString
+    b1.coalesce(1).write.mode("append").parquet(feedDir)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var batches = 0
+    val q = StreamingOps.semanticIngestProbe(stream,
+        () => spark.read.parquet(corpusDir), threshold = 0.99) { (df, _) =>
+      val rows = df.collect()
+      out.synchronized { out ++= rows; batches += 1 }
+      val accepted = rows.filter(_.getBoolean(4)).map(_.getLong(0))
+      if (accepted.nonEmpty)
+        spark.read.parquet(feedDir)
+          .filter(col("vec_id").isin(accepted: _*))
+          .write.mode("append").parquet(corpusDir)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(5L) == (-1L, true), s"got: $got")
+    assert(got(10000003L) == (3L, false), s"got: $got")
+    assert(got(10000005L) == (5L, false), s"got: $got")
+  }
+
   test("windowedCounts: streaming (memory sink) equals batch on same data") {
     val batchEv = Tables.events(spark, dir)
     val batch = StreamingOps.windowedCounts(batchEv)
