@@ -1838,6 +1838,28 @@ object SparkEntry {
         targetListSize = 32, iters = 1, fitSamplePct = 60)
     }),
 
+    "dedup_semantic_probe" -> ((s, dir) => {
+      // the PROBE-ONLY form (the dedup_minhash_probe convention):
+      // forest + corpus assignments read from parquet persisted at
+      // "corpus ingest time" (first invocation builds the store — the
+      // bench's warmup pass), so the timed row measures what a daily
+      // semantic ingest actually pays: O(increment) assignment +
+      // broadcast within-list probes — no corpus fit, no corpus
+      // assignment kernel. Decision identical to
+      // dedup_semantic_incremental — same oracle.
+      val e = Tables.embeddings(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
+      val sd = storeDir(dir, "semantic")
+      if (!new java.io.File(s"$sd/forest/_SUCCESS").exists())
+        graft.simops.SemanticStore.write(
+          graft.simops.SemanticStore.build(e.filter(bucket < 70),
+            "vec_id", "embedding", targetListSize = 32, iters = 1,
+            fitSamplePct = 60), sd)
+      graft.simops.Embed.semanticDedupStored(e.filter(bucket >= 70),
+        graft.simops.SemanticStore.read(s, sd), "vec_id", "embedding",
+        threshold = 0.4)
+    }),
+
     "dedup_semantic_liststats" -> ((s, dir) =>
       // the capstats row for the semantic geometry: the autoNlist pair
       // bound is only as good as the real list-size distribution —
@@ -4286,44 +4308,12 @@ object SparkEntry {
          FROM asgh g LEFT JOIN drp d ON d.id = g.id"""
     },
 
-    "dedup_semantic_incremental" -> {
-      // the fit + corpus assignment replayed over the bucket<70 corpus
-      // only; the increment is assigned through the same forest and
-      // compared within-list — best match = highest cosine, lowest
-      // corpus id
-      val cosAB = duckCosine("i.vv", "g.vv")
-      s"""WITH ${duckHierFitCtes(
-          s"(SELECT vec_id, embedding FROM embeddings WHERE ${
-            duckMd5Pct("vec_id")} < 70)")},
-         vinc AS (SELECT vec_id AS id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
-           FROM embeddings WHERE ${duckMd5Pct("vec_id")} >= 70),
-         ia1 AS (SELECT vinc.id, vinc.vv, c.list_id AS coarse_id,
-                 row_number() OVER (PARTITION BY vinc.id
-                   ORDER BY ${duckCosine("vinc.vv", "c.cv")} DESC,
-                     c.list_id) AS rn
-                FROM vinc, c1h c),
-         iac AS (SELECT id, vv, coarse_id FROM ia1 WHERE rn = 1),
-         ia2 AS (SELECT a.id, a.vv, a.coarse_id, c2.sub_id,
-                 row_number() OVER (PARTITION BY a.id
-                   ORDER BY ${duckCosine("a.vv", "c2.cv")} DESC,
-                     c2.sub_id) AS rn
-                FROM iac a LEFT JOIN c2h c2 ON c2.coarse_id = a.coarse_id),
-         iasg AS (SELECT id, vv,
-                 coarse_id * (SELECT s FROM csh) + COALESCE(sub_id, 0)
-                   AS list_id
-                FROM ia2 WHERE rn = 1),
-         ver AS (SELECT i.id AS inc_id, g.id AS dup_id,
-                   round($cosAB, 4) AS sim
-                 FROM iasg i JOIN asgh g ON g.list_id = i.list_id
-                 WHERE i.id <> g.id AND round($cosAB, 4) >= 0.4),
-         best AS (SELECT inc_id, dup_id, sim FROM (
-             SELECT *, row_number() OVER (PARTITION BY inc_id
-               ORDER BY sim DESC, dup_id) AS rn FROM ver) WHERE rn = 1)
-         SELECT i.id AS vec_id, i.list_id, best.dup_id AS dup_of,
-           best.sim, (best.dup_id IS NULL) AS is_new
-         FROM iasg i LEFT JOIN best ON best.inc_id = i.id"""
-    },
+    "dedup_semantic_incremental" -> semanticIncrementalOracle,
+
+    // the parquet-persisted forest + assignments make the SAME decision
+    // again — the store round-trip changes the physics (what the bench
+    // row measures), never the answer
+    "dedup_semantic_probe" -> semanticIncrementalOracle,
 
     "dedup_semantic_liststats" -> {
       // the same forest replay, reduced to the integer list-size
@@ -5606,6 +5596,49 @@ object SparkEntry {
                  coarse_id * (SELECT s FROM csh) + COALESCE(sub_id, 0)
                    AS list_id
                 FROM fa2h WHERE rn = 1)"""
+  }
+
+  /** The semantic daily-ingest decision replayed in SQL — shared by
+    * `dedup_semantic_incremental` and `dedup_semantic_probe` (the
+    * parquet store round-trip changes the physics a bench row
+    * measures, never the answer): hier fit + corpus assignment over
+    * the bucket<70 corpus only, the increment assigned through the
+    * same forest, candidates compared within-list — best match =
+    * highest 4dp cosine, then lowest corpus id.
+    */
+  private lazy val semanticIncrementalOracle: String = {
+    val cosAB = duckCosine("i.vv", "g.vv")
+    s"""WITH ${duckHierFitCtes(
+        s"(SELECT vec_id, embedding FROM embeddings WHERE ${
+          duckMd5Pct("vec_id")} < 70)")},
+         vinc AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings WHERE ${duckMd5Pct("vec_id")} >= 70),
+         ia1 AS (SELECT vinc.id, vinc.vv, c.list_id AS coarse_id,
+                 row_number() OVER (PARTITION BY vinc.id
+                   ORDER BY ${duckCosine("vinc.vv", "c.cv")} DESC,
+                     c.list_id) AS rn
+                FROM vinc, c1h c),
+         iac AS (SELECT id, vv, coarse_id FROM ia1 WHERE rn = 1),
+         ia2 AS (SELECT a.id, a.vv, a.coarse_id, c2.sub_id,
+                 row_number() OVER (PARTITION BY a.id
+                   ORDER BY ${duckCosine("a.vv", "c2.cv")} DESC,
+                     c2.sub_id) AS rn
+                FROM iac a LEFT JOIN c2h c2 ON c2.coarse_id = a.coarse_id),
+         iasg AS (SELECT id, vv,
+                 coarse_id * (SELECT s FROM csh) + COALESCE(sub_id, 0)
+                   AS list_id
+                FROM ia2 WHERE rn = 1),
+         ver AS (SELECT i.id AS inc_id, g.id AS dup_id,
+                   round($cosAB, 4) AS sim
+                 FROM iasg i JOIN asgh g ON g.list_id = i.list_id
+                 WHERE i.id <> g.id AND round($cosAB, 4) >= 0.4),
+         best AS (SELECT inc_id, dup_id, sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY sim DESC, dup_id) AS rn FROM ver) WHERE rn = 1)
+         SELECT i.id AS vec_id, i.list_id, best.dup_id AS dup_of,
+           best.sim, (best.dup_id IS NULL) AS is_new
+         FROM iasg i LEFT JOIN best ON best.inc_id = i.id"""
   }
 
   /** Engine-portable squared-L2 between two DuckDB lists (explicit

@@ -529,6 +529,16 @@ object Embed {
         coalesce(!col("_drop"), lit(true)).as("kept"))
   }
 
+  /** The store-shaped assignment frame: (vec_id, list_id, vec) for
+    * [[SemanticStore]] — doubles round-trip parquet exactly, so the
+    * stored probe decides bit-identically to the in-DAG form.
+    */
+  private[simops] def assignFrame(df: DataFrame, idCol: String,
+                                  vecCol: String,
+                                  h: Ivf.HierIndex): DataFrame =
+    hierAssign(df, idCol, vecCol, h)
+      .select(col("vec_id"), col("list_id"), col("_v").as("vec"))
+
   /** Full-corpus two-level assignment: a pure codegen'd projection —
     * coarse argmax (C dots) then within-cell sub argmax (≤S dots), no
     * shuffle. Output carries the vector and its norm for downstream
@@ -604,13 +614,46 @@ object Embed {
       else corpus.select(col(idCol)).count()
     val nlist = autoNlist(n, targetListSize)
     val h = Ivf.fitHier(corpus, idCol, vecCol, nlist, iters, fitSamplePct, n)
-    val inc = hierAssign(incoming, idCol, vecCol, h)
+    probeWithinLists(hierAssign(incoming, idCol, vecCol, h),
+      hierAssign(corpus, idCol, vecCol, h), idCol, threshold)
+  }
+
+  /** [[semanticDedupIncremental]] against a PERSISTED
+    * [[SemanticStore]]: the forest is read back (bounded collect), the
+    * increment assigned through the same projection, and the corpus
+    * side is the store's `assigned/` parquet — no corpus fit, no
+    * corpus assignment kernel, just a columnar scan streaming into the
+    * broadcast probe. The daily cost drops to O(increment·√nlist·dim)
+    * assignment + O(matched) verify; decisions are bit-identical to
+    * the in-DAG form (same forest, same doubles), so the two share an
+    * oracle.
+    */
+  def semanticDedupStored(incoming: DataFrame, store: SemanticStore.Store,
+                          idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val h = SemanticStore.indexOf(store.forest)
+    val cor = store.assigned
+      .select(col("vec_id"), col("list_id"),
+        col("vec").cast("array<double>").as("_v"))
+      .withColumn("_n", Similarity.norm(col("_v")))
+    probeWithinLists(hierAssign(incoming, idCol, vecCol, h), cor,
+      idCol, threshold)
+  }
+
+  /** The shared within-list probe: increment assigned frame
+    * (checkpointed, BROADCAST — its band keys are the only thing the
+    * corpus meets) against a corpus assigned frame that streams
+    * map-side. Best match = highest 4dp cosine, then lowest corpus id.
+    */
+  private def probeWithinLists(incAssigned: DataFrame,
+                               corAssigned: DataFrame, idCol: String,
+                               threshold: Double): DataFrame = {
+    val inc = incAssigned
       .withColumnRenamed("vec_id", "inc_id")
       .withColumnRenamed("_v", "_iv")
       .withColumnRenamed("_n", "_in")
       .localCheckpoint()
-    val cor = hierAssign(corpus, idCol, vecCol, h)
-      .withColumnRenamed("vec_id", "dup_id")
+    val cor = corAssigned.withColumnRenamed("vec_id", "dup_id")
     val verified = cor.join(broadcast(inc), Seq("list_id"))
       .filter(col("inc_id") =!= col("dup_id"))
       .withColumn("sim", round(Similarity.cosinePre(

@@ -260,7 +260,7 @@ object Ivf {
     HierIndex(coarse, s, sc, si)
   }
 
-  private def subArrays(c: Int, subs: Map[(Int, Int), Seq[Double]])
+  private[simops] def subArrays(c: Int, subs: Map[(Int, Int), Seq[Double]])
       : (Array[Array[Array[Double]]], Array[Array[Int]]) = {
     val byCoarse = subs.toSeq.groupBy(_._1._1)
     val cents = Array.tabulate(c) { ci =>

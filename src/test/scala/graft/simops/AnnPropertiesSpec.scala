@@ -118,6 +118,30 @@ class AnnPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupStored decides identically to the in-DAG incremental") {
+    // the parquet round-trip (forest + assignments) must change the
+    // physics only: same forest, same doubles, same decisions
+    import org.apache.spark.sql.functions._
+    val corpus = randomVecs(120, 8, 31)
+    val inc = randomVecs(160, 8, 31).filter(col("vec_id") >= 120)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) 0.0 else r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1).toSeq
+    val direct = rows(Embed.semanticDedupIncremental(inc, corpus,
+      "vec_id", "embedding", threshold = 0.55, targetListSize = 8))
+    val sd = java.nio.file.Files.createTempDirectory("sem_store").toString
+    SemanticStore.write(SemanticStore.build(corpus, "vec_id", "embedding",
+      targetListSize = 8), sd)
+    val spark2 = corpus.sparkSession
+    val stored = rows(Embed.semanticDedupStored(inc,
+      SemanticStore.read(spark2, sd), "vec_id", "embedding",
+      threshold = 0.55))
+    assert(stored == direct)
+    assert(direct.length == 40)
+  }
+
   test("pqTopK ranks by the true reconstruction distance (self-consistency)") {
     // encode + ADC must agree: for every vector, querying WITH ITSELF
     // excluded, its own adist to any neighbor is symmetric in the codes
