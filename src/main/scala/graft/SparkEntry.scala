@@ -4320,9 +4320,10 @@ object SparkEntry {
       // distribution — no float surface
       s"""WITH ${duckHierFitCtes("embeddings")},
          szh AS (SELECT list_id, count(*) AS sz FROM asgh GROUP BY list_id)
-         SELECT sum(sz) AS n_vecs, count(*) AS n_lists,
+         SELECT CAST(sum(sz) AS BIGINT) AS n_vecs, count(*) AS n_lists,
            max(sz) AS max_list,
-           sum(CASE WHEN sz > 64 THEN 1 ELSE 0 END) AS over_2x_target
+           CAST(sum(CASE WHEN sz > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_2x_target
          FROM szh"""
     },
 
