@@ -454,6 +454,13 @@ object Embed {
     * operator self-tunes as the corpus grows instead of shipping a
     * fixed cluster count. The count is the same class of bounded
     * driver action the index fit already performs.
+    *
+    * NOTE: the FLAT assignment here is O(n·nlist·dim) — fine while
+    * nlist is small, but at the autoNlist contract nlist grows with
+    * the corpus, making flat assignment O(n²·dim/targetListSize).
+    * Past a few thousand lists use [[semanticDedupHier]] (the
+    * registered `dedup_semantic` path): same decision rule, two-level
+    * assignment at O(n·√nlist·dim).
     */
   def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, targetListSize: Int = 32,
