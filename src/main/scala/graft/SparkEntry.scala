@@ -1679,6 +1679,25 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    "dedup_bloom_probe" -> ((s, dir) => {
+      // the recrawl-scale exact ingest decision: persisted fingerprint
+      // store + Bloom membership sketch (built once at corpus-ingest
+      // time — the _probe convention); the timed row never reads the
+      // corpus, and the verify broadcast carries only bloom-POSITIVE
+      // fingerprints. Decision identical to dedup_incremental — same
+      // oracle.
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "bloom")
+      if (!new java.io.File(s"$sd/fingerprints/_SUCCESS").exists()) {
+        val (st, meta) = graft.dedup.BloomStore.build(
+          d.filter(bucket < 70), "doc_id", "text")
+        graft.dedup.BloomStore.write(st, meta, sd)
+      }
+      Dedup.exactIncrementalBloom(d.filter(bucket >= 70),
+        graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
+    }),
+
     "dedup_minhash_incremental" -> ((s, dir) => {
       // the near-dup daily-ingest decision: same md5-bucket split as
       // dedup_incremental (>= 70 plays the crawl increment); the
@@ -4195,24 +4214,12 @@ object SparkEntry {
            FROM scored) WHERE rank <= 5"""
     },
 
-    "dedup_incremental" ->
-      // same md5-bucket split (>= 70 incoming), normalized-content
-      // fingerprints, batch-survivor min-id rule, corpus-absence check
-      """WITH b AS (SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
-           list_sum(list_transform(generate_series(1, 15),
-             p -> ((strpos('0123456789abcdef',
-                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
-                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
-           FROM documents),
-         inc AS (SELECT doc_id, fingerprint FROM b WHERE bucket >= 70),
-         corp AS (SELECT fingerprint FROM b WHERE bucket < 70),
-         keepb AS (SELECT fingerprint, min(doc_id) AS keep_id FROM inc GROUP BY 1),
-         hit AS (SELECT DISTINCT c.fingerprint FROM corp c JOIN keepb USING (fingerprint))
-         SELECT i.doc_id, i.fingerprint,
-           (i.doc_id = k.keep_id AND h.fingerprint IS NULL) AS is_new
-         FROM inc i JOIN keepb k USING (fingerprint)
-         LEFT JOIN hit h ON h.fingerprint = i.fingerprint""",
+    "dedup_incremental" -> exactIncrementalOracle,
+
+    // the Bloom prefilter + persisted fingerprint store make the SAME
+    // decision (no false negatives; false positives die in the verify
+    // join) — the store/sketch round-trip changes the physics only
+    "dedup_bloom_probe" -> exactIncrementalOracle,
 
     "dedup_minhash_incremental" -> minhashIncrementalOracle,
 
@@ -5598,6 +5605,28 @@ object SparkEntry {
                    AS list_id
                 FROM fa2h WHERE rn = 1)"""
   }
+
+  /** The EXACT daily-ingest decision replayed in SQL — shared by
+    * `dedup_incremental` and `dedup_bloom_probe`: same md5-bucket
+    * split (>= 70 incoming), normalized-content fingerprints,
+    * batch-survivor min-id rule, corpus-absence check.
+    */
+  private val exactIncrementalOracle: String =
+    """WITH b AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+           FROM documents),
+         inc AS (SELECT doc_id, fingerprint FROM b WHERE bucket >= 70),
+         corp AS (SELECT fingerprint FROM b WHERE bucket < 70),
+         keepb AS (SELECT fingerprint, min(doc_id) AS keep_id FROM inc GROUP BY 1),
+         hit AS (SELECT DISTINCT c.fingerprint FROM corp c JOIN keepb USING (fingerprint))
+         SELECT i.doc_id, i.fingerprint,
+           (i.doc_id = k.keep_id AND h.fingerprint IS NULL) AS is_new
+         FROM inc i JOIN keepb k USING (fingerprint)
+         LEFT JOIN hit h ON h.fingerprint = i.fingerprint"""
 
   /** The semantic daily-ingest decision replayed in SQL — shared by
     * `dedup_semantic_incremental` and `dedup_semantic_probe` (the

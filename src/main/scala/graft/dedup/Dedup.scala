@@ -67,6 +67,44 @@ object Dedup {
           coalesce(!col("_in_corpus"), lit(true))).as("is_new"))
   }
 
+  /** [[exactIncremental]] against a persisted [[BloomStore]] — the
+    * recrawl-scale form of the exact daily-ingest decision. Two things
+    * change physically, nothing semantically:
+    *
+    *  1. the corpus is never read at all: the verify joins the store's
+    *     persisted FINGERPRINT column (16 bytes/doc, built once at
+    *     corpus-ingest time) instead of re-fingerprinting corpus text;
+    *  2. the membership sketch prefilters the increment MAP-SIDE, so
+    *     the verify broadcast carries only bloom-POSITIVE fingerprints
+    *     — O(true dups + fpp·increment) instead of O(increment). A
+    *     Bloom filter has no false negatives, and the join removes its
+    *     false positives, so the decision is bit-identical to
+    *     [[exactIncremental]] (shared oracle; equivalence spec).
+    *
+    * Output: one row per incoming document — (doc_id, fingerprint,
+    * is_new), exactly [[exactIncremental]]'s contract.
+    */
+  def exactIncrementalBloom(incoming: DataFrame, store: BloomStore.Store,
+                            idCol: String, textCol: String): DataFrame = {
+    val inc = incoming.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val batchKeep = inc.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("_keep_id"))
+    val cand = batchKeep
+      .filter(graft.functions.BloomContainsExpr(
+        xxhash64(col("fingerprint")), store.bloom))
+      .select(col("fingerprint"))
+    val hit = store.fps
+      .join(broadcast(cand), "fingerprint")
+      .distinct()
+      .withColumn("_in_corpus", lit(true))
+    inc.join(broadcast(batchKeep), "fingerprint")
+      .join(broadcast(hit), Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"),
+        (col("doc_id") === col("_keep_id") &&
+          coalesce(!col("_in_corpus"), lit(true))).as("is_new"))
+  }
+
   /** MinHash signature from ONE md5 per shingle: the digest's two halves
     * (h1 = first 15 hex chars = 60 bits, h2 = hex chars 17-30 = 56 bits)
     * seed a Kirsch-Mitzenmacher double-hashing family

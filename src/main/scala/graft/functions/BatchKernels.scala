@@ -1455,3 +1455,44 @@ object CountBelowExpr {
       new CountBelowExpr(GraftColumnBridge.toExpression(value),
         GraftColumnBridge.toExpression(cuts)))
 }
+
+/** `bloom_contains(fp64)` against a fixed membership sketch — the
+  * ingest-time prefilter of [[graft.dedup.BloomStore]]. The sketch has
+  * NO false negatives, so filtering the broadcast side of the exact
+  * verify join to bloom-positives can never change the decision — it
+  * only shrinks the broadcast from O(increment) fingerprints to
+  * O(dups + fpp·increment). The filter rides as a codegen reference
+  * object (index constant, like the centroid forests); evaluation is
+  * a handful of hash probes per row, no allocation.
+  */
+case class BloomContainsExpr(child: Expression,
+                             bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_contains needs bigint, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bloomRef = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $bloomRef.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomContainsExpr {
+  def apply(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftColumnBridge.toColumn(
+      new BloomContainsExpr(GraftColumnBridge.toExpression(c), bloom))
+}

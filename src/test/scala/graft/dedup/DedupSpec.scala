@@ -419,6 +419,37 @@ class DedupSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("exactIncrementalBloom equals exactIncremental through a store round-trip") {
+    // the membership sketch has no false negatives and the verify join
+    // removes its false positives, so the decision must be identical —
+    // exercised on a corpus large enough that the 3% fpp path almost
+    // surely fires at least once, plus the planted dup/fresh mix
+    val rng = new scala.util.Random(9)
+    val corpus = docs((0L until 300L).map(i =>
+      i -> s"corpus document ${rng.nextInt(100000)} body $i"): _*)
+    val incoming = docs(((1000L until 1200L).map(i =>
+      i -> s"incoming fresh ${rng.nextInt(100000)} body $i") ++ Seq(
+      2000L -> "corpus document 1 copy",
+      2001L -> "Corpus  Document 1 COPY",   // batch dup of 2000
+      2002L -> s"corpus document ${0} body 0".replace("document 0", // exact corpus text
+        "document " + 0))): _*)
+      .union(corpus.limit(5).selectExpr("doc_id + 5000 AS doc_id", "text"))
+    val direct = Dedup.exactIncremental(incoming, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    val sd = java.nio.file.Files.createTempDirectory("bloom_store").toString
+    val (st, meta) = BloomStore.build(corpus, "doc_id", "text")
+    BloomStore.write(st, meta, sd)
+    val probed = Dedup.exactIncrementalBloom(incoming,
+        BloomStore.read(spark, sd)._1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq
+    assert(probed == direct)
+    // the planted corpus copies (ids 5000-5004) must all be flagged
+    assert(probed.filter(_._1 >= 5000).forall(!_._3))
+    assert(probed.count(!_._3) >= 6, probed.count(!_._3))
+  }
+
   test("spanPairs equals a driver-side recount of shared winnow fingerprints") {
     // randomized corpus with planted overlaps; recompute the definition
     // naively from the winnowing output and compare exactly
