@@ -1879,6 +1879,35 @@ object SparkEntry {
         threshold = 0.4)
     }),
 
+    "dedup_semantic_probe_updated" -> ((s, dir) => {
+      // the semantic daily-ingest LOOP closed (the _updated
+      // convention): probe increment A (bucket 70-84) against the
+      // persisted store, append A's is_new survivors IN MEMORY (the
+      // SignatureStore lazy-append convention — the persisted base
+      // never mutates mid-query), probe increment B (bucket >= 85)
+      // against the updated membership; a B vector near-duplicating an
+      // ACCEPTED A vector is caught, one duplicating a REJECTED A
+      // vector is not re-flagged against it (arrival-order-wins)
+      val e = Tables.embeddings(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
+      val sd = storeDir(dir, "semantic")
+      if (!new java.io.File(s"$sd/forest/_SUCCESS").exists())
+        graft.simops.SemanticStore.write(
+          graft.simops.SemanticStore.build(e.filter(bucket < 70),
+            "vec_id", "embedding", targetListSize = 32, iters = 1,
+            fitSamplePct = 60), sd)
+      val store = graft.simops.SemanticStore.read(s, sd)
+      val incA = e.filter(bucket >= 70 && bucket < 85)
+      val probeA = graft.simops.Embed.semanticDedupStored(incA, store,
+        "vec_id", "embedding", threshold = 0.4)
+      val acceptedA = graft.simops.SemanticStore.assign(store, incA,
+          "vec_id", "embedding")
+        .join(probeA.filter(col("is_new")).select(col("vec_id")), "vec_id")
+      graft.simops.Embed.semanticDedupStored(e.filter(bucket >= 85),
+        graft.simops.SemanticStore.append(store, acceptedA),
+        "vec_id", "embedding", threshold = 0.4)
+    }),
+
     "dedup_semantic_liststats" -> ((s, dir) =>
       // the capstats row for the semantic geometry: the autoNlist pair
       // bound is only as good as the real list-size distribution —
@@ -4322,6 +4351,8 @@ object SparkEntry {
     // row measures), never the answer
     "dedup_semantic_probe" -> semanticIncrementalOracle,
 
+    "dedup_semantic_probe_updated" -> semanticUpdatedOracle,
+
     "dedup_semantic_liststats" -> {
       // the same forest replay, reduced to the integer list-size
       // distribution — no float surface
@@ -5636,40 +5667,84 @@ object SparkEntry {
     * same forest, candidates compared within-list — best match =
     * highest 4dp cosine, then lowest corpus id.
     */
-  private lazy val semanticIncrementalOracle: String = {
+  /** Assignment of a side relation `src` (id, vv) through the fitted
+    * forest (c1h/c2h/csh in scope) — the coarse-then-sub argmax chain,
+    * CTE names prefixed `p`, ending at `${p}asg` (id, vv, list_id).
+    */
+  private def duckHierAssignCtes(src: String, p: String): String =
+    s"""${p}a1 AS (SELECT $src.id, $src.vv, c.list_id AS coarse_id,
+                 row_number() OVER (PARTITION BY $src.id
+                   ORDER BY ${duckCosine(s"$src.vv", "c.cv")} DESC,
+                     c.list_id) AS rn
+                FROM $src, c1h c),
+         ${p}ac AS (SELECT id, vv, coarse_id FROM ${p}a1 WHERE rn = 1),
+         ${p}a2 AS (SELECT a.id, a.vv, a.coarse_id, c2.sub_id,
+                 row_number() OVER (PARTITION BY a.id
+                   ORDER BY ${duckCosine("a.vv", "c2.cv")} DESC,
+                     c2.sub_id) AS rn
+                FROM ${p}ac a LEFT JOIN c2h c2 ON c2.coarse_id = a.coarse_id),
+         ${p}asg AS (SELECT id, vv,
+                 coarse_id * (SELECT s FROM csh) + COALESCE(sub_id, 0)
+                   AS list_id
+                FROM ${p}a2 WHERE rn = 1)"""
+
+  /** The within-list best-match decision of `incRel` against `corRel`
+    * (both (id, vv, list_id)): ver/best CTEs prefixed `p`, then the
+    * final (vec_id, list_id, dup_of, sim, is_new) select.
+    */
+  private def duckSemanticDecide(incRel: String, corRel: String,
+                                 p: String): String = {
     val cosAB = duckCosine("i.vv", "g.vv")
+    s"""${p}ver AS (SELECT i.id AS inc_id, g.id AS dup_id,
+                   round($cosAB, 4) AS sim
+                 FROM $incRel i JOIN $corRel g ON g.list_id = i.list_id
+                 WHERE i.id <> g.id AND round($cosAB, 4) >= 0.4),
+         ${p}best AS (SELECT inc_id, dup_id, sim FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY sim DESC, dup_id) AS rn FROM ${p}ver) WHERE rn = 1)
+         SELECT i.id AS vec_id, i.list_id, ${p}best.dup_id AS dup_of,
+           ${p}best.sim, (${p}best.dup_id IS NULL) AS is_new
+         FROM $incRel i LEFT JOIN ${p}best ON ${p}best.inc_id = i.id"""
+  }
+
+  private lazy val semanticIncrementalOracle: String =
     s"""WITH ${duckHierFitCtes(
         s"(SELECT vec_id, embedding FROM embeddings WHERE ${
           duckMd5Pct("vec_id")} < 70)")},
          vinc AS (SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
            FROM embeddings WHERE ${duckMd5Pct("vec_id")} >= 70),
-         ia1 AS (SELECT vinc.id, vinc.vv, c.list_id AS coarse_id,
-                 row_number() OVER (PARTITION BY vinc.id
-                   ORDER BY ${duckCosine("vinc.vv", "c.cv")} DESC,
-                     c.list_id) AS rn
-                FROM vinc, c1h c),
-         iac AS (SELECT id, vv, coarse_id FROM ia1 WHERE rn = 1),
-         ia2 AS (SELECT a.id, a.vv, a.coarse_id, c2.sub_id,
-                 row_number() OVER (PARTITION BY a.id
-                   ORDER BY ${duckCosine("a.vv", "c2.cv")} DESC,
-                     c2.sub_id) AS rn
-                FROM iac a LEFT JOIN c2h c2 ON c2.coarse_id = a.coarse_id),
-         iasg AS (SELECT id, vv,
-                 coarse_id * (SELECT s FROM csh) + COALESCE(sub_id, 0)
-                   AS list_id
-                FROM ia2 WHERE rn = 1),
-         ver AS (SELECT i.id AS inc_id, g.id AS dup_id,
-                   round($cosAB, 4) AS sim
-                 FROM iasg i JOIN asgh g ON g.list_id = i.list_id
-                 WHERE i.id <> g.id AND round($cosAB, 4) >= 0.4),
-         best AS (SELECT inc_id, dup_id, sim FROM (
-             SELECT *, row_number() OVER (PARTITION BY inc_id
-               ORDER BY sim DESC, dup_id) AS rn FROM ver) WHERE rn = 1)
-         SELECT i.id AS vec_id, i.list_id, best.dup_id AS dup_of,
-           best.sim, (best.dup_id IS NULL) AS is_new
-         FROM iasg i LEFT JOIN best ON best.inc_id = i.id"""
-  }
+         ${duckHierAssignCtes("vinc", "i")},
+         ${duckSemanticDecide("iasg", "asgh", "")}"""
+
+  /** The semantic A/B ingest LOOP replayed in SQL: increment A (bucket
+    * 70-84) decided against the store, its is_new survivors appended
+    * (with their forest assignments), increment B (bucket >= 85)
+    * decided against the UPDATED membership — the cross-increment
+    * catch the `_updated` convention exists to verify.
+    */
+  private lazy val semanticUpdatedOracle: String =
+    s"""WITH ${duckHierFitCtes(
+        s"(SELECT vec_id, embedding FROM embeddings WHERE ${
+          duckMd5Pct("vec_id")} < 70)")},
+         vinca AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings WHERE ${duckMd5Pct("vec_id")} >= 70
+             AND ${duckMd5Pct("vec_id")} < 85),
+         vincb AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings WHERE ${duckMd5Pct("vec_id")} >= 85),
+         ${duckHierAssignCtes("vinca", "x")},
+         ${duckHierAssignCtes("vincb", "y")},
+         dupa AS (SELECT DISTINCT i.id FROM xasg i JOIN asgh g
+                 ON g.list_id = i.list_id
+                 WHERE i.id <> g.id
+                   AND round(${duckCosine("i.vv", "g.vv")}, 4) >= 0.4),
+         uasg AS (SELECT id, vv, list_id FROM asgh
+                  UNION ALL
+                  SELECT id, vv, list_id FROM xasg
+                  WHERE id NOT IN (SELECT id FROM dupa)),
+         ${duckSemanticDecide("yasg", "uasg", "b")}"""
 
   /** Engine-portable squared-L2 between two DuckDB lists (explicit
     * multiply, left-to-right `list_sum` — the same fold as the PQ

@@ -61,6 +61,25 @@ object SemanticStore {
   def appendWrite(acceptedAssigned: DataFrame, dir: String): Unit =
     acceptedAssigned.write.mode("append").parquet(s"$dir/assigned")
 
+  /** Assign a frame through the store's FROZEN forest — the
+    * (vec_id, list_id, vec) shape [[appendWrite]] expects, and the
+    * in-memory half of the daily loop: `append` unions it onto the
+    * store lazily (the [[graft.dedup.SignatureStore]] `append`
+    * convention — the persisted base never mutates mid-query).
+    */
+  def assign(store: Store, df: DataFrame, idCol: String,
+             vecCol: String): DataFrame =
+    Embed.assignFrame(df, idCol, vecCol, indexOf(store.forest))
+
+  /** The lazy in-memory append: tomorrow's probe sees today's accepted
+    * vectors without touching the persisted files.
+    */
+  def append(store: Store, acceptedAssigned: DataFrame): Store =
+    store.copy(assigned = store.assigned
+      .select(col("vec_id"), col("list_id"), col("vec"))
+      .union(acceptedAssigned
+        .select(col("vec_id"), col("list_id"), col("vec"))))
+
   private val forestSchema = StructType(Seq(
     StructField("kind", StringType, nullable = false),
     StructField("coarse_id", IntegerType, nullable = false),

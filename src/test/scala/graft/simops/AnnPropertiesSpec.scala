@@ -142,6 +142,43 @@ class AnnPropertiesSpec extends AnyFunSuite {
     assert(direct.length == 40)
   }
 
+  test("semantic A/B loop: a B copy of an ACCEPTED A vector is caught cross-increment") {
+    // corpus = ids 0..99; A = one fresh vector (id 500) + one corpus
+    // copy (id 501 = copy of 7, rejected); B = a copy of the ACCEPTED
+    // A vector (id 900 -> must be flagged dup_of=500 through the
+    // appended membership), a copy of corpus vector 3 (id 901), and a
+    // fresh vector (id 902)
+    import org.apache.spark.sql.functions._
+    val corpus = randomVecs(100, 8, 41)
+    val a500 = randomVecs(1, 8, 77).select((col("vec_id") + 500).as("vec_id"),
+      col("embedding"))
+    val a501 = corpus.filter(col("vec_id") === 7)
+      .select(lit(501L).as("vec_id"), col("embedding"))
+    val incA = a500.union(a501)
+    val b900 = a500.select(lit(900L).as("vec_id"), col("embedding"))
+    val b901 = corpus.filter(col("vec_id") === 3)
+      .select(lit(901L).as("vec_id"), col("embedding"))
+    val b902 = randomVecs(1, 8, 88).select((col("vec_id") + 902).as("vec_id"),
+      col("embedding"))
+    val incB = b900.union(b901).union(b902)
+    val sd = java.nio.file.Files.createTempDirectory("sem_ab").toString
+    SemanticStore.write(SemanticStore.build(corpus, "vec_id", "embedding",
+      targetListSize = 8), sd)
+    val store = SemanticStore.read(corpus.sparkSession, sd)
+    val probeA = Embed.semanticDedupStored(incA, store, "vec_id",
+      "embedding", threshold = 0.99)
+    val acceptedA = SemanticStore.assign(store, incA, "vec_id", "embedding")
+      .join(probeA.filter(col("is_new")).select(col("vec_id")), "vec_id")
+    val got = Embed.semanticDedupStored(incB,
+        SemanticStore.append(store, acceptedA), "vec_id", "embedding",
+        threshold = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(900L) == (500L, false), s"cross-increment catch: $got")
+    assert(got(901L) == (3L, false), s"corpus catch: $got")
+    assert(got(902L) == (-1L, true), s"fresh: $got")
+  }
+
   test("pqTopK ranks by the true reconstruction distance (self-consistency)") {
     // encode + ADC must agree: for every vector, querying WITH ITSELF
     // excluded, its own adist to any neighbor is symmetric in the codes
