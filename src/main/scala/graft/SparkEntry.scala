@@ -88,6 +88,36 @@ object SparkEntry {
                THEN [ls0[1]] ELSE []::VARCHAR[] END) AS ls
            FROM mlb)"""
 
+  /** The line-granularity daily-ingest decision replayed in SQL —
+    * shared by `dedup_lines_incremental` and `dedup_lines_bloom_probe`
+    * (the persisted sketch changes the physics a bench row measures,
+    * never the decision): the increment (doc_id % 10 >= 7) keeps a
+    * line iff it appears NOWHERE in the corpus slice and is the global
+    * first occurrence within the increment itself.
+    */
+  private lazy val linesIncrementalOracle: String =
+    s"""WITH $lineFixtureCtes,
+         l AS (SELECT doc_id, ls, i, ls[i] AS line
+               FROM ml, unnest(generate_series(1, len(ls))) AS t(i)),
+         inc AS (SELECT * FROM l WHERE doc_id % 10 >= 7),
+         cor AS (SELECT DISTINCT line FROM l WHERE doc_id % 10 < 7),
+         new AS (SELECT inc.* FROM inc LEFT JOIN cor
+               ON inc.line = cor.line WHERE cor.line IS NULL),
+         f1 AS (SELECT line, min(doc_id) AS d0 FROM new GROUP BY line),
+         f2 AS (SELECT n.line, n.doc_id, min(n.i) AS i0 FROM new n
+               JOIN f1 ON n.line = f1.line AND n.doc_id = f1.d0
+               GROUP BY n.line, n.doc_id),
+         k AS (SELECT n.doc_id, n.i, n.line FROM new n
+               JOIN f2 ON n.line = f2.line AND n.doc_id = f2.doc_id
+                 AND n.i = f2.i0)
+         SELECT ml.doc_id, len(ml.ls)::BIGINT AS n_lines,
+           COALESCE(c.n_kept, 0)::BIGINT AS n_kept,
+           COALESCE(c.text_clean, '') AS text_clean
+         FROM ml LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(line, chr(10) ORDER BY i) AS text_clean
+           FROM k GROUP BY doc_id) c USING (doc_id)
+         WHERE ml.doc_id % 10 >= 7"""
+
   /** [[minhashBandedCtes]] + the batch pair pipeline mirroring
     * [[graft.dedup.Dedup.minhashLsh]] (bucket cap → candidate pairs →
     * exact-Jaccard verify), ending in `mpairs(doc_a, doc_b, jaccard)`.
@@ -277,6 +307,76 @@ object SparkEntry {
     */
   private def storeDir(dir: String, family: String): String =
     s"benchdata/stores/${new java.io.File(dir).getName}/$family"
+
+  /** Store-staleness fence: a `_SUCCESS` marker alone cannot tell a
+    * store built with TODAY's parameters from one an earlier code
+    * revision left behind — the probe would then run against a stale
+    * store while the oracle replays the new fit, a confusing hash
+    * mismatch. Every store family records its geometry/fit constants
+    * (and a layout version) in a `store.params` file; any mismatch
+    * wipes the family dir and rebuilds. The params string is the
+    * single source of truth a row's registered entry passes — change
+    * an entry's constants and the store self-heals on next touch.
+    */
+  private def ensureStore(sd: String, marker: String, params: String)
+                         (build: => Unit): Unit = {
+    val pf = new java.io.File(sd, "store.params")
+    val fresh = new java.io.File(sd, marker).exists() && pf.exists() && {
+      val src = scala.io.Source.fromFile(pf, "UTF-8")
+      try src.mkString == params finally src.close()
+    }
+    if (!fresh) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      val sdf = new java.io.File(sd)
+      if (sdf.exists()) rm(sdf)
+      build
+      sdf.mkdirs()
+      val w = new java.io.FileWriter(pf)
+      try w.write(params) finally w.close()
+    }
+  }
+
+  /** One params string per store family (shared by every row that
+    * touches the family, so the fence can never disagree with itself):
+    * every constant baked into the store's layout or the decisions
+    * derived from it, plus a layout version.
+    */
+  private val MinhashStoreParams =
+    "v1 corpus=bkt<70 shingle=3 bands=8 rpb=2"
+  private val SpansStoreParams =
+    "v1 corpus=bkt<70 k=8 w=4 deltas=incA-bkt70-84 minShared=5 maxDf=16"
+  private val SemanticStoreParams =
+    "v1 corpus=bkt<70 tls=32 iters=1 pct=60"
+
+  /** The semantic family's registered constants — the SAME values are
+    * passed to the Scala entries below and default the oracle CTE
+    * builder (`duckHierFitCtes`), so engine and oracle cannot
+    * silently desynchronize when a parameter changes (r12 ADVICE).
+    */
+  private val SemanticDim = 64
+  private val SemanticTargetListSize = 32
+  private val SemanticFitPct = 60
+
+  /** The image modality's 8-byte fingerprint frame: decode + dHash
+    * once in the partition-scoped codec contract, keep decodable rows
+    * — shared by the in-DAG media rows, the store builds, and the
+    * probe increments so the kernel definition can never drift.
+    */
+  private def imageSig(imgs: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.dhashFeatures(imgs)
+      .filter(col("decodable"))
+      .select(col("media_id"), col("dhash"))
+
+  /** The video modality's clip fingerprint frame (demux, sample
+    * frames 0,2,4,6, per-frame dHash, majority vote).
+    */
+  private def videoSig(clips: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.videoDhashFeatures(clips, step = 2)
+      .filter(col("decodable"))
+      .select(col("media_id"), col("clip_dhash"))
 
   /** `embeddings` UNION a deterministic near-copy of the md5-chosen
     * ~5% of vectors: id offset +10⁷ (disjoint from any corpus id),
@@ -1654,10 +1754,11 @@ object SparkEntry {
       val incA = d.filter(bucket >= 70 && bucket < 85)
       val incB = d.filter(bucket >= 85)
       val sd = storeDir(dir, "spans")
-      if (!new java.io.File(s"$sd/span_fps/_SUCCESS").exists())
+      ensureStore(sd, "span_fps/_SUCCESS", SpansStoreParams) {
         graft.dedup.SignatureStore.writeSpans(
           graft.dedup.SignatureStore.buildSpans(d.filter(bucket < 70),
             "doc_id", "text", k = 8, w = 4), sd)
+      }
       val store0 = graft.dedup.SignatureStore.readSpans(s, sd)
       val probeA = Dedup.spanIncrementalStored(incA, store0,
         "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
@@ -1689,12 +1790,70 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "bloom")
-      if (!new java.io.File(s"$sd/fingerprints/_SUCCESS").exists()) {
+      ensureStore(sd, "fingerprints/_SUCCESS", "v1 corpus=bkt<70 fpp=0.03") {
         val (st, meta) = graft.dedup.BloomStore.build(
           d.filter(bucket < 70), "doc_id", "text")
         graft.dedup.BloomStore.write(st, meta, sd)
       }
       Dedup.exactIncrementalBloom(d.filter(bucket >= 70),
+        graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
+    }),
+
+    "dedup_bloom_probe_updated" -> ((s, dir) => {
+      // the exact-ingest A/B loop CLOSED through the PERSISTED sketch
+      // (the _updated convention, completing the set beside
+      // minhash/spans/semantic): at store-setup time (bench warmup,
+      // like every _probe build) increment A (bucket 70-84) was probed
+      // and its accepted fingerprints appended with
+      // BloomStore.appendWrite — parquet append + same-geometry sketch
+      // merge, O(increment), no rebuild; the timed plan probes
+      // increment B (bucket >= 85) against the GROWN store, so a B doc
+      // duplicating an ACCEPTED A doc is caught by the bloom path and
+      // one duplicating a REJECTED A doc is not re-flagged
+      // (arrival-order-wins). Own store family ("bloom_ab") so the
+      // single-probe dedup_bloom_probe row's corpus-only store stays
+      // untouched.
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "bloom_ab")
+      ensureStore(sd, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 incA=bkt70-84 fpp=0.03 appended") {
+        val (st, meta) = graft.dedup.BloomStore.build(
+          d.filter(bucket < 70), "doc_id", "text")
+        graft.dedup.BloomStore.write(st, meta, sd)
+        val probeA = Dedup.exactIncrementalBloom(
+          d.filter(bucket >= 70 && bucket < 85), st, "doc_id", "text")
+        graft.dedup.BloomStore.appendWrite(
+          probeA.filter(col("is_new")).select(col("fingerprint")),
+          st, meta, sd)
+      }
+      Dedup.exactIncrementalBloom(d.filter(bucket >= 85),
+        graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
+    }),
+
+    "dedup_lines_bloom_probe" -> ((s, dir) => {
+      // the Bloom prefilter at LINE granularity — the regime the
+      // sketch was built for (lines ≫ docs at recrawl scale): the
+      // persisted store holds the corpus's DISTINCT line hashes
+      // (8 bytes each, built once at corpus-ingest time) plus the
+      // membership sketch; the timed plan explodes only the INCREMENT
+      // (doc_id % 10 >= 7, the dedup_lines_incremental split), bloom-
+      // prefilters its line owners map-side, and verifies the
+      // positives against the stored hash column — the corpus text is
+      // never read. Decision bit-identical to dedup_lines_incremental
+      // (no false negatives; verify kills false positives) — same
+      // oracle.
+      val d = graft.textops.LineDedup.multilineFixture(
+        Tables.documents(s, dir), "doc_id", "text")
+      val isInc = pmod(col("doc_id"), lit(10)) >= 7
+      val sd = storeDir(dir, "bloom_lines")
+      ensureStore(sd, "fingerprints/_SUCCESS",
+        "v1 corpus=doc_id%10<7 keys=distinct-line-xxhash64 fpp=0.03") {
+        val (st, meta) = graft.dedup.BloomStore.buildLines(
+          d.filter(!isInc), "text")
+        graft.dedup.BloomStore.write(st, meta, sd)
+      }
+      graft.textops.LineDedup.dedupLinesIncrementalBloom(d.filter(isInc),
         graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
     }),
 
@@ -1735,10 +1894,11 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "minhash")
-      if (!new java.io.File(s"$sd/signatures/_SUCCESS").exists())
+      ensureStore(sd, "signatures/_SUCCESS", MinhashStoreParams) {
         graft.dedup.SignatureStore.write(
           graft.dedup.SignatureStore.build(d.filter(bucket < 70),
             "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2), sd)
+      }
       Dedup.minhashIncrementalStored(d.filter(bucket >= 70),
         graft.dedup.SignatureStore.read(s, sd),
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
@@ -1764,10 +1924,11 @@ object SparkEntry {
       val incA = d.filter(bucket >= 70 && bucket < 85)
       val incB = d.filter(bucket >= 85)
       val sd = storeDir(dir, "minhash")
-      if (!new java.io.File(s"$sd/signatures/_SUCCESS").exists())
+      ensureStore(sd, "signatures/_SUCCESS", MinhashStoreParams) {
         graft.dedup.SignatureStore.write(
           graft.dedup.SignatureStore.build(d.filter(bucket < 70),
             "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2), sd)
+      }
       val store0 = graft.dedup.SignatureStore.read(s, sd)
       val probeA = Dedup.minhashIncrementalStored(incA, store0,
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
@@ -1789,10 +1950,11 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "spans")
-      if (!new java.io.File(s"$sd/span_fps/_SUCCESS").exists())
+      ensureStore(sd, "span_fps/_SUCCESS", SpansStoreParams) {
         graft.dedup.SignatureStore.writeSpans(
           graft.dedup.SignatureStore.buildSpans(d.filter(bucket < 70),
             "doc_id", "text", k = 8, w = 4), sd)
+      }
       Dedup.spanIncrementalStored(d.filter(bucket >= 70),
         graft.dedup.SignatureStore.readSpans(s, sd),
         "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
@@ -1814,10 +1976,11 @@ object SparkEntry {
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val incB = d.filter(bucket >= 85)
       val sd = storeDir(dir, "spans")
-      if (!new java.io.File(s"$sd/span_fps/_SUCCESS").exists())
+      ensureStore(sd, "span_fps/_SUCCESS", SpansStoreParams) {
         graft.dedup.SignatureStore.writeSpans(
           graft.dedup.SignatureStore.buildSpans(d.filter(bucket < 70),
             "doc_id", "text", k = 8, w = 4), sd)
+      }
       if (!new java.io.File(s"$sd/span_deltas/_SUCCESS").exists()) {
         val incA = d.filter(bucket >= 70 && bucket < 85)
         val probeA = Dedup.spanIncrementalStored(incA,
@@ -1841,8 +2004,9 @@ object SparkEntry {
       // the within-list pair fan-out stays O(n*targetListSize) instead
       // of n^2/nlist with nlist frozen at 16
       graft.simops.Embed.semanticDedupHier(Tables.embeddings(s, dir),
-        "vec_id", "embedding", threshold = 0.4, targetListSize = 32,
-        iters = 1, fitSamplePct = 60)),
+        "vec_id", "embedding", threshold = 0.4,
+        targetListSize = SemanticTargetListSize, iters = 1,
+        fitSamplePct = SemanticFitPct)),
 
     "dedup_semantic_incremental" -> ((s, dir) => {
       // the semantic-dedup DAILY-INGEST decision: index fitted on the
@@ -1854,7 +2018,8 @@ object SparkEntry {
       val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
       graft.simops.Embed.semanticDedupIncremental(e.filter(bucket >= 70),
         e.filter(bucket < 70), "vec_id", "embedding", threshold = 0.4,
-        targetListSize = 32, iters = 1, fitSamplePct = 60)
+        targetListSize = SemanticTargetListSize, iters = 1,
+        fitSamplePct = SemanticFitPct)
     }),
 
     "dedup_semantic_probe" -> ((s, dir) => {
@@ -1869,11 +2034,12 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
       val sd = storeDir(dir, "semantic")
-      if (!new java.io.File(s"$sd/forest/_SUCCESS").exists())
+      ensureStore(sd, "forest/_SUCCESS", SemanticStoreParams) {
         graft.simops.SemanticStore.write(
           graft.simops.SemanticStore.build(e.filter(bucket < 70),
-            "vec_id", "embedding", targetListSize = 32, iters = 1,
-            fitSamplePct = 60), sd)
+            "vec_id", "embedding", targetListSize = SemanticTargetListSize,
+            iters = 1, fitSamplePct = SemanticFitPct), sd)
+      }
       graft.simops.Embed.semanticDedupStored(e.filter(bucket >= 70),
         graft.simops.SemanticStore.read(s, sd), "vec_id", "embedding",
         threshold = 0.4)
@@ -1891,11 +2057,12 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
       val sd = storeDir(dir, "semantic")
-      if (!new java.io.File(s"$sd/forest/_SUCCESS").exists())
+      ensureStore(sd, "forest/_SUCCESS", SemanticStoreParams) {
         graft.simops.SemanticStore.write(
           graft.simops.SemanticStore.build(e.filter(bucket < 70),
-            "vec_id", "embedding", targetListSize = 32, iters = 1,
-            fitSamplePct = 60), sd)
+            "vec_id", "embedding", targetListSize = SemanticTargetListSize,
+            iters = 1, fitSamplePct = SemanticFitPct), sd)
+      }
       val store = graft.simops.SemanticStore.read(s, sd)
       val incA = e.filter(bucket >= 70 && bucket < 85)
       val probeA = graft.simops.Embed.semanticDedupStored(incA, store,
@@ -1913,8 +2080,8 @@ object SparkEntry {
       // bound is only as good as the real list-size distribution —
       // integer-only aggregate over the same fitted forest
       graft.simops.Embed.semanticListStats(Tables.embeddings(s, dir),
-        "vec_id", "embedding", targetListSize = 32, iters = 1,
-        fitSamplePct = 60)),
+        "vec_id", "embedding", targetListSize = SemanticTargetListSize,
+        iters = 1, fitSamplePct = SemanticFitPct)),
 
     "embedding_pq" -> ((s, dir) =>
       // product quantization: 8 subspaces x 16 codes = 32x compression
@@ -2797,18 +2964,83 @@ object SparkEntry {
       // stream never shuffles, Hamming verify on the probe row.
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      def sigOf(clips: DataFrame) =
-        Multimodal.videoDhashFeatures(clips, step = 2)
-          .filter(col("decodable"))
-          .select(col("media_id"), col("clip_dhash"))
-      val corpus = sigOf(Multimodal.syntheticAvisNearDup(
+      val corpus = videoSig(Multimodal.syntheticAvisNearDup(
         ids.filter(bucket < 70), "doc_id", twins = false))
-      val inc = sigOf(Multimodal.syntheticAvisNearDup(
+      val inc = videoSig(Multimodal.syntheticAvisNearDup(
           ids.filter(bucket >= 70), "doc_id", twins = false)
         .unionByName(Multimodal.syntheticAvisNearDup(
           ids, "doc_id", base = false)))
       Dedup.hammingIncremental(inc, corpus, "media_id", "clip_dhash",
         maxHamming = 3, maxBucket = 64)
+    }),
+
+    "video_neardup_probe" -> ((s, dir) => {
+      // the PROBE-ONLY form for the video modality (the
+      // dedup_minhash_probe convention, closing the last modality
+      // without a persisted ingest store): the corpus's clip
+      // fingerprints were demuxed + majority-voted ONCE at "corpus
+      // ingest time" (first invocation builds the MediaStore — the
+      // bench's warmup pass), so the timed row measures what a daily
+      // video ingest actually pays: O(increment) demux + broadcast
+      // band probes against the stored 8-byte frame. The corpus
+      // payloads are NEVER read — the store scan is the only
+      // corpus-derived input (plan-fenced in PlanAuditSpec). Decision
+      // identical to video_neardup_incremental — same oracle.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "media_video")
+      ensureStore(sd, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 step=2 fp=clip_dhash") {
+        graft.dedup.MediaStore.write(videoSig(
+          Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
+            "doc_id", twins = false)), sd)
+      }
+      val inc = videoSig(Multimodal.syntheticAvisNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticAvisNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.hammingIncremental(inc, graft.dedup.MediaStore.read(s, sd),
+        "media_id", "clip_dhash", maxHamming = 3, maxBucket = 64)
+    }),
+
+    "video_neardup_probe_updated" -> ((s, dir) => {
+      // the video daily-ingest LOOP closed (the _updated convention,
+      // the dedup_semantic_probe_updated in-memory-append shape — the
+      // persisted base never mutates mid-query; MediaStore.appendWrite
+      // is the between-runs compaction, exercised in MultimodalSpec
+      // and the streaming sink): increment A = the base clips of the
+      // twin-source ids (bucket < 5), probed against the store MINUS
+      // those ids (the layered-corpus view — an 8-byte-row filter on
+      // the store scan, no re-demux); A's is_new survivors append
+      // lazily; increment B = fresh base clips (bucket >= 85) + ALL
+      // perturbed twins. Every twin's base now lives ONLY in the
+      // accepted-A layer, so a twin is caught iff the cross-increment
+      // append worked — the planted A/B signal.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "media_video")
+      ensureStore(sd, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 step=2 fp=clip_dhash") {
+        graft.dedup.MediaStore.write(videoSig(
+          Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
+            "doc_id", twins = false)), sd)
+      }
+      val store = graft.dedup.MediaStore.read(s, sd)
+      val corpus0 = store.filter(
+        graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
+      val fpsA = videoSig(Multimodal.syntheticAvisNearDup(
+        ids.filter(bucket < 5), "doc_id", twins = false))
+        .localCheckpoint() // increment-sized (~5% of ids), bounded
+      val probeA = Dedup.hammingIncremental(fpsA, corpus0,
+        "media_id", "clip_dhash", maxHamming = 3, maxBucket = 64)
+      val acceptedA = fpsA.join(
+        probeA.filter(col("is_new")).select(col("media_id")), "media_id")
+      val incB = videoSig(Multimodal.syntheticAvisNearDup(
+          ids.filter(bucket >= 85), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticAvisNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.hammingIncremental(incB, corpus0.unionByName(acceptedA),
+        "media_id", "clip_dhash", maxHamming = 3, maxBucket = 64)
     }),
 
     "image_neardup_incremental" -> ((s, dir) => {
@@ -2825,16 +3057,79 @@ object SparkEntry {
       // itself (no payload fetch)
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      def sigOf(imgs: DataFrame) = Multimodal.dhashFeatures(imgs)
-        .filter(col("decodable")).select(col("media_id"), col("dhash"))
-      val corpus = sigOf(Multimodal.syntheticImagesNearDup(
+      val corpus = imageSig(Multimodal.syntheticImagesNearDup(
         ids.filter(bucket < 70), "doc_id", twins = false))
-      val inc = sigOf(Multimodal.syntheticImagesNearDup(
+      val inc = imageSig(Multimodal.syntheticImagesNearDup(
           ids.filter(bucket >= 70), "doc_id", twins = false)
         .unionByName(Multimodal.syntheticImagesNearDup(
           ids, "doc_id", base = false)))
       Dedup.hammingIncremental(inc, corpus, "media_id", "dhash",
         maxHamming = 3, maxBucket = 64)
+    }),
+
+    "image_neardup_probe" -> ((s, dir) => {
+      // the PROBE-ONLY form for the image modality: the corpus's
+      // dHashes were decoded ONCE at "corpus ingest time" (first
+      // invocation builds the MediaStore — the bench's warmup pass),
+      // so the timed row measures what a daily image ingest actually
+      // pays: O(increment) decode + broadcast band probes against the
+      // stored (media_id, dhash) frame — the corpus payloads are
+      // NEVER read again (plan-fenced in PlanAuditSpec). This is the
+      // r12-verdict gap closed: image_neardup_incremental re-decodes
+      // the corpus in-DAG every probe; at deployment scale the decode
+      // is the entire job. Decision identical to
+      // image_neardup_incremental — same oracle.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "media_image")
+      ensureStore(sd, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 fp=dhash") {
+        graft.dedup.MediaStore.write(imageSig(
+          Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
+            "doc_id", twins = false)), sd)
+      }
+      val inc = imageSig(Multimodal.syntheticImagesNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticImagesNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.hammingIncremental(inc, graft.dedup.MediaStore.read(s, sd),
+        "media_id", "dhash", maxHamming = 3, maxBucket = 64)
+    }),
+
+    "image_neardup_probe_updated" -> ((s, dir) => {
+      // the image daily-ingest LOOP closed — the video_neardup_probe_updated
+      // design on the dHash modality (see that row's comment for the
+      // layered-corpus construction): probe the twin-source bases
+      // (bucket < 5) against store-minus-those-ids, append the is_new
+      // survivors in memory, then probe fresh bases (bucket >= 85) +
+      // ALL twins; every twin's base lives only in the accepted-A
+      // layer, so each caught twin certifies the cross-increment
+      // append.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "media_image")
+      ensureStore(sd, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 fp=dhash") {
+        graft.dedup.MediaStore.write(imageSig(
+          Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
+            "doc_id", twins = false)), sd)
+      }
+      val store = graft.dedup.MediaStore.read(s, sd)
+      val corpus0 = store.filter(
+        graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
+      val fpsA = imageSig(Multimodal.syntheticImagesNearDup(
+        ids.filter(bucket < 5), "doc_id", twins = false))
+        .localCheckpoint() // increment-sized (~5% of ids), bounded
+      val probeA = Dedup.hammingIncremental(fpsA, corpus0,
+        "media_id", "dhash", maxHamming = 3, maxBucket = 64)
+      val acceptedA = fpsA.join(
+        probeA.filter(col("is_new")).select(col("media_id")), "media_id")
+      val incB = imageSig(Multimodal.syntheticImagesNearDup(
+          ids.filter(bucket >= 85), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticImagesNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.hammingIncremental(incB, corpus0.unionByName(acceptedA),
+        "media_id", "dhash", maxHamming = 3, maxBucket = 64)
     })
   )
 
@@ -3564,31 +3859,12 @@ object SparkEntry {
              string_agg(line, chr(10) ORDER BY i) AS text_clean
            FROM k GROUP BY doc_id) c USING (doc_id)""",
 
-    "dedup_lines_incremental" ->
-      // same fixture; the increment (doc_id % 10 >= 7) keeps a line
-      // iff it appears NOWHERE in the corpus slice and is the global
-      // first occurrence within the increment itself
-      s"""WITH $lineFixtureCtes,
-         l AS (SELECT doc_id, ls, i, ls[i] AS line
-               FROM ml, unnest(generate_series(1, len(ls))) AS t(i)),
-         inc AS (SELECT * FROM l WHERE doc_id % 10 >= 7),
-         cor AS (SELECT DISTINCT line FROM l WHERE doc_id % 10 < 7),
-         new AS (SELECT inc.* FROM inc LEFT JOIN cor
-               ON inc.line = cor.line WHERE cor.line IS NULL),
-         f1 AS (SELECT line, min(doc_id) AS d0 FROM new GROUP BY line),
-         f2 AS (SELECT n.line, n.doc_id, min(n.i) AS i0 FROM new n
-               JOIN f1 ON n.line = f1.line AND n.doc_id = f1.d0
-               GROUP BY n.line, n.doc_id),
-         k AS (SELECT n.doc_id, n.i, n.line FROM new n
-               JOIN f2 ON n.line = f2.line AND n.doc_id = f2.doc_id
-                 AND n.i = f2.i0)
-         SELECT ml.doc_id, len(ml.ls)::BIGINT AS n_lines,
-           COALESCE(c.n_kept, 0)::BIGINT AS n_kept,
-           COALESCE(c.text_clean, '') AS text_clean
-         FROM ml LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n_kept,
-             string_agg(line, chr(10) ORDER BY i) AS text_clean
-           FROM k GROUP BY doc_id) c USING (doc_id)
-         WHERE ml.doc_id % 10 >= 7""",
+    "dedup_lines_incremental" -> linesIncrementalOracle,
+
+    // the Bloom-prefiltered line probe is decision-bit-identical to
+    // the direct incremental (no false negatives; the verify join
+    // kills the sketch's false positives) — same oracle
+    "dedup_lines_bloom_probe" -> linesIncrementalOracle,
 
     "sql_quality_score" -> duckQualityScoreOracle,
 
@@ -4250,6 +4526,8 @@ object SparkEntry {
     // join) — the store/sketch round-trip changes the physics only
     "dedup_bloom_probe" -> exactIncrementalOracle,
 
+    "dedup_bloom_probe_updated" -> bloomUpdatedOracle,
+
     "dedup_minhash_incremental" -> minhashIncrementalOracle,
 
     "ingest_clean" ->
@@ -4560,38 +4838,14 @@ object SparkEntry {
       s"""WITH vbase AS ($htmlExtractMainOracle)
          SELECT doc_id, main_len, main_fp FROM vbase""",
 
-    "video_neardup_incremental" ->
-      // mirrors Dedup.hammingIncremental over the clip split: corpus =
-      // base clips of bucket<70 ids; increment = fresh base clips
-      // (bucket>=70) + ALL perturbed twins; each twin must come back
-      // flagged against its original through the banded probe
-      s"""WITH $duckVideoDhashCtes,
-         vband AS (SELECT media_id, clip_dhash, b,
-             (clip_dhash >> (b * 16)) & 65535 AS key
-           FROM vdh, (SELECT unnest(generate_series(0, 3)) AS b)),
-         vincb AS (SELECT i.media_id AS inc_id, i.clip_dhash AS ih, b, key
-                  FROM vband i LEFT JOIN vmb ON vmb.doc_id = i.media_id
-                  WHERE i.media_id >= 10000000 OR vmb.bkt >= 70),
-         vcorb AS (SELECT i.media_id AS dup_id, i.clip_dhash AS ch2, b, key
-                  FROM vband i JOIN vmb ON vmb.doc_id = i.media_id
-                  WHERE i.media_id < 10000000 AND vmb.bkt < 70),
-         vikeys AS (SELECT DISTINCT b, key FROM vincb),
-         vimat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM vcorb c
-                  JOIN vikeys USING (b, key)),
-         vicap AS (SELECT dup_id, ch2, b, key FROM vimat
-                  QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
-         viver AS (SELECT DISTINCT i.inc_id, m.dup_id,
-               bit_count(xor(i.ih, m.ch2)) AS hamming
-               FROM vincb i JOIN vicap m USING (b, key)
-               WHERE i.inc_id <> m.dup_id),
-         vibest AS (SELECT inc_id, dup_id, hamming FROM (
-             SELECT *, row_number() OVER (PARTITION BY inc_id
-               ORDER BY hamming ASC, dup_id) AS rn
-             FROM viver WHERE hamming <= 3) WHERE rn = 1)
-         SELECT i.inc_id AS media_id, vibest.dup_id AS dup_of,
-           vibest.hamming, (vibest.dup_id IS NULL) AS is_new
-         FROM (SELECT DISTINCT inc_id FROM vincb) i
-         LEFT JOIN vibest USING (inc_id)""",
+    "video_neardup_incremental" -> videoNeardupIncrementalOracle,
+
+    // the probe-only store row is decision-identical to the in-DAG
+    // incremental (the parquet fingerprint round-trip changes the
+    // physics a bench row measures, never the answer) — same oracle
+    "video_neardup_probe" -> videoNeardupIncrementalOracle,
+
+    "video_neardup_probe_updated" -> videoNeardupUpdatedOracle,
 
     "seq_pack" ->
       // the distributed two-pass prefix sum equals this single global
@@ -5164,38 +5418,12 @@ object SparkEntry {
                WHERE x.media_id < y.media_id)
          SELECT doc_a, doc_b, hamming FROM vp WHERE hamming <= 3""",
 
-    "image_neardup_incremental" ->
-      // mirrors Dedup.hammingIncremental over the image split: corpus
-      // = base images of bucket<70 ids; increment = fresh base images
-      // (bucket>=70) + the perturbed twins; the twins must come back
-      // flagged against their originals
-      s"""WITH $duckDhashCtes,
-         iband AS (SELECT media_id, dhash, b,
-             (dhash >> (b * 16)) & 65535 AS key
-           FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
-         incb AS (SELECT i.media_id AS inc_id, i.dhash AS ih, b, key
-                  FROM iband i LEFT JOIN mb ON mb.doc_id = i.media_id
-                  WHERE i.media_id >= 10000000 OR mb.bkt >= 70),
-         corb AS (SELECT i.media_id AS dup_id, i.dhash AS ch2, b, key
-                  FROM iband i JOIN mb ON mb.doc_id = i.media_id
-                  WHERE i.media_id < 10000000 AND mb.bkt < 70),
-         ikeys AS (SELECT DISTINCT b, key FROM incb),
-         imat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM corb c
-                  JOIN ikeys USING (b, key)),
-         icap AS (SELECT dup_id, ch2, b, key FROM imat
-                  QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
-         iver AS (SELECT DISTINCT i.inc_id, m.dup_id,
-               bit_count(xor(i.ih, m.ch2)) AS hamming
-               FROM incb i JOIN icap m USING (b, key)
-               WHERE i.inc_id <> m.dup_id),
-         ibest AS (SELECT inc_id, dup_id, hamming FROM (
-             SELECT *, row_number() OVER (PARTITION BY inc_id
-               ORDER BY hamming ASC, dup_id) AS rn
-             FROM iver WHERE hamming <= 3) WHERE rn = 1)
-         SELECT i.inc_id AS media_id, ibest.dup_id AS dup_of,
-           ibest.hamming, (ibest.dup_id IS NULL) AS is_new
-         FROM (SELECT DISTINCT inc_id FROM incb) i
-         LEFT JOIN ibest USING (inc_id)"""
+    "image_neardup_incremental" -> imageNeardupIncrementalOracle,
+
+    // same shared-oracle contract as the video probe row
+    "image_neardup_probe" -> imageNeardupIncrementalOracle,
+
+    "image_neardup_probe_updated" -> imageNeardupUpdatedOracle
   )
 
   /** Replays the HTML cleaning contract literally, same step order:
@@ -5417,6 +5645,114 @@ object SparkEntry {
            WHERE a.x < 8 GROUP BY 1)"""
   }
 
+  /** [[graft.dedup.Dedup.hammingIncremental]] replayed over a media
+    * fixture's closed-form fingerprints: corpus = base media of
+    * bucket<70 ids; increment = fresh base media (bucket>=70) + ALL
+    * perturbed twins; banded keys, matched-slice bucket cap, exact
+    * `bit_count(xor)` verify, best = lowest Hamming then lowest corpus
+    * id. One builder for both modalities (`src`/`hcol` name the
+    * fixture's fingerprint CTE and column, `mb` its md5-bucket CTE) —
+    * and for both the in-DAG incremental rows and their `_probe` store
+    * twins, which are decision-identical by construction.
+    */
+  private def mediaIncrementalOracleFrom(fixture: String, src: String,
+                                         hcol: String, mb: String): String =
+    s"""WITH $fixture,
+         xband AS (SELECT media_id, $hcol, b,
+             ($hcol >> (b * 16)) & 65535 AS key
+           FROM $src, (SELECT unnest(generate_series(0, 3)) AS b)),
+         xinc AS (SELECT i.media_id AS inc_id, i.$hcol AS ih, b, key
+                  FROM xband i LEFT JOIN $mb ON $mb.doc_id = i.media_id
+                  WHERE i.media_id >= 10000000 OR $mb.bkt >= 70),
+         xcor AS (SELECT i.media_id AS dup_id, i.$hcol AS ch2, b, key
+                  FROM xband i JOIN $mb ON $mb.doc_id = i.media_id
+                  WHERE i.media_id < 10000000 AND $mb.bkt < 70),
+         xkeys AS (SELECT DISTINCT b, key FROM xinc),
+         xmat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM xcor c
+                  JOIN xkeys USING (b, key)),
+         xcap AS (SELECT dup_id, ch2, b, key FROM xmat
+                  QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         xver AS (SELECT DISTINCT i.inc_id, m.dup_id,
+               bit_count(xor(i.ih, m.ch2)) AS hamming
+               FROM xinc i JOIN xcap m USING (b, key)
+               WHERE i.inc_id <> m.dup_id),
+         xbest AS (SELECT inc_id, dup_id, hamming FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY hamming ASC, dup_id) AS rn
+             FROM xver WHERE hamming <= 3) WHERE rn = 1)
+         SELECT i.inc_id AS media_id, xbest.dup_id AS dup_of,
+           xbest.hamming, (xbest.dup_id IS NULL) AS is_new
+         FROM (SELECT DISTINCT inc_id FROM xinc) i
+         LEFT JOIN xbest USING (inc_id)"""
+
+  /** The media A/B ingest loop replayed in SQL
+    * (`image/video_neardup_probe_updated`): the persisted store minus
+    * the twin-source ids (bucket >= 5, < 70) is the layer-0 corpus;
+    * increment A = the twin-source BASE media (bucket < 5), probed and
+    * accepted (everything without a Hamming≤3 match); increment B =
+    * fresh bases (bucket >= 85) + ALL perturbed twins, probed against
+    * layer-0 ∪ accepted-A. Every twin's original lives only in the
+    * accepted-A layer, so each caught twin certifies the
+    * cross-increment append.
+    */
+  private def mediaUpdatedOracleFrom(fixture: String, src: String,
+                                     hcol: String, mb: String): String =
+    s"""WITH $fixture,
+         uband AS (SELECT media_id, $hcol, b,
+             ($hcol >> (b * 16)) & 65535 AS key
+           FROM $src, (SELECT unnest(generate_series(0, 3)) AS b)),
+         ucor0 AS (SELECT i.media_id AS dup_id, i.$hcol AS ch2, b, key
+                  FROM uband i JOIN $mb ON $mb.doc_id = i.media_id
+                  WHERE i.media_id < 10000000
+                    AND $mb.bkt >= 5 AND $mb.bkt < 70),
+         uinca AS (SELECT i.media_id AS inc_id, i.$hcol AS ih, b, key
+                  FROM uband i JOIN $mb ON $mb.doc_id = i.media_id
+                  WHERE i.media_id < 10000000 AND $mb.bkt < 5),
+         uakeys AS (SELECT DISTINCT b, key FROM uinca),
+         uamat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM ucor0 c
+                  JOIN uakeys USING (b, key)),
+         uacap AS (SELECT dup_id, ch2, b, key FROM uamat
+                  QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         uadup AS (SELECT DISTINCT i.inc_id
+                  FROM uinca i JOIN uacap m USING (b, key)
+                  WHERE i.inc_id <> m.dup_id
+                    AND bit_count(xor(i.ih, m.ch2)) <= 3),
+         uacc AS (SELECT inc_id AS dup_id, ih AS ch2, b, key FROM uinca
+                  WHERE inc_id NOT IN (SELECT inc_id FROM uadup)),
+         ucor1 AS (SELECT * FROM ucor0 UNION ALL SELECT * FROM uacc),
+         uincb AS (SELECT i.media_id AS inc_id, i.$hcol AS ih, b, key
+                  FROM uband i LEFT JOIN $mb ON $mb.doc_id = i.media_id
+                  WHERE i.media_id >= 10000000 OR $mb.bkt >= 85),
+         ubkeys AS (SELECT DISTINCT b, key FROM uincb),
+         ubmat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM ucor1 c
+                  JOIN ubkeys USING (b, key)),
+         ubcap AS (SELECT dup_id, ch2, b, key FROM ubmat
+                  QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         ubver AS (SELECT DISTINCT i.inc_id, m.dup_id,
+               bit_count(xor(i.ih, m.ch2)) AS hamming
+               FROM uincb i JOIN ubcap m USING (b, key)
+               WHERE i.inc_id <> m.dup_id),
+         ubbest AS (SELECT inc_id, dup_id, hamming FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY hamming ASC, dup_id) AS rn
+             FROM ubver WHERE hamming <= 3) WHERE rn = 1)
+         SELECT i.inc_id AS media_id, ubbest.dup_id AS dup_of,
+           ubbest.hamming, (ubbest.dup_id IS NULL) AS is_new
+         FROM (SELECT DISTINCT inc_id FROM uincb) i
+         LEFT JOIN ubbest USING (inc_id)"""
+
+  private lazy val imageNeardupIncrementalOracle: String =
+    mediaIncrementalOracleFrom(duckDhashCtes, "dh", "dhash", "mb")
+
+  private lazy val videoNeardupIncrementalOracle: String =
+    mediaIncrementalOracleFrom(duckVideoDhashCtes, "vdh", "clip_dhash", "vmb")
+
+  private lazy val imageNeardupUpdatedOracle: String =
+    mediaUpdatedOracleFrom(duckDhashCtes, "dh", "dhash", "mb")
+
+  private lazy val videoNeardupUpdatedOracle: String =
+    mediaUpdatedOracleFrom(duckVideoDhashCtes, "vdh", "clip_dhash", "vmb")
+
   /** CTE chain mirroring [[graft.simops.Similarity.nearDupPairsBanded]]
     * (numPlanes=64, bands=8, dim=64 — the plane matrix embedded
     * literally so DuckDB derives the same band keys, candidates, and
@@ -5575,18 +5911,22 @@ object SparkEntry {
     *    subless by Lloyd reassignment falls back to sub 0 on both
     *    engines (the kernel's empty-cell guard / COALESCE here).
     */
-  private def duckHierFitCtes(src: String): String = {
+  private def duckHierFitCtes(src: String,
+                              dim: Int = SemanticDim,
+                              targetListSize: Int = SemanticTargetListSize,
+                              fitSamplePct: Int = SemanticFitPct): String = {
     val t100 = graft.util.Sampling.FitSampleTarget * 100
     def cos(a: String, b: String) = duckCosine(a, b)
     s"""vh AS (SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
            FROM $src),
          geoh AS (SELECT GREATEST(4, LEAST(1048576,
-             (count(*) + 31) // 32)) AS nlist FROM vh),
+             (count(*) + ${targetListSize - 1}) // $targetListSize))
+             AS nlist FROM vh),
          csh AS (SELECT CAST(ceil(sqrt(nlist)) AS BIGINT) AS c,
              (nlist + CAST(ceil(sqrt(nlist)) AS BIGINT) - 1)
                // CAST(ceil(sqrt(nlist)) AS BIGINT) AS s FROM geoh),
-         fph AS (SELECT GREATEST(1, LEAST(60,
+         fph AS (SELECT GREATEST(1, LEAST($fitSamplePct,
              ($t100 + count(*) - 1) // count(*))) AS pct FROM vh),
          svh AS (SELECT id, vv FROM vh
                  WHERE ${duckMd5Pct("id")} < (SELECT pct FROM fph)),
@@ -5599,7 +5939,7 @@ object SparkEntry {
                 FROM svh, inith i),
          asg1h AS (SELECT id, vv, list_id FROM a1h WHERE rn = 1),
          cd1h AS (SELECT list_id, d, round(avg(vv[d]), 6) AS m
-                  FROM asg1h, (SELECT unnest(generate_series(1, 64)) AS d)
+                  FROM asg1h, (SELECT unnest(generate_series(1, $dim)) AS d)
                   GROUP BY list_id, d),
          c1h AS (SELECT list_id, list(m ORDER BY d) AS cv
                  FROM cd1h GROUP BY list_id),
@@ -5618,7 +5958,7 @@ object SparkEntry {
                 FROM sasgh sa JOIN seedh sd ON sd.coarse_id = sa.coarse_id),
          g2h AS (SELECT id, vv, coarse_id, sub_id FROM a2sh WHERE rn = 1),
          cd2h AS (SELECT coarse_id, sub_id, d, round(avg(vv[d]), 6) AS m
-                  FROM g2h, (SELECT unnest(generate_series(1, 64)) AS d)
+                  FROM g2h, (SELECT unnest(generate_series(1, $dim)) AS d)
                   GROUP BY coarse_id, sub_id, d),
          c2h AS (SELECT coarse_id, sub_id, list(m ORDER BY d) AS cv
                  FROM cd2h GROUP BY coarse_id, sub_id),
@@ -5658,6 +5998,45 @@ object SparkEntry {
            (i.doc_id = k.keep_id AND h.fingerprint IS NULL) AS is_new
          FROM inc i JOIN keepb k USING (fingerprint)
          LEFT JOIN hit h ON h.fingerprint = i.fingerprint"""
+
+  /** The exact-ingest A/B loop replayed in SQL (`dedup_bloom_probe_updated`):
+    * probe increment A (bucket 70-84) against the bucket<70 corpus,
+    * append the accepted (batch-survivor, corpus-absent) fingerprints,
+    * probe increment B (bucket >= 85) against the grown set — a B doc
+    * duplicating an ACCEPTED A doc is caught, one duplicating a
+    * REJECTED A doc is not re-flagged (the rejected fp was already in
+    * the corpus, so the flag is unchanged either way —
+    * arrival-order-wins).
+    */
+  private val bloomUpdatedOracle: String =
+    """WITH b AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bucket
+           FROM documents),
+         corp AS (SELECT fingerprint FROM b WHERE bucket < 70),
+         inca AS (SELECT doc_id, fingerprint FROM b
+                  WHERE bucket >= 70 AND bucket < 85),
+         keepa AS (SELECT fingerprint, min(doc_id) AS keep_id
+                   FROM inca GROUP BY 1),
+         hita AS (SELECT DISTINCT c.fingerprint FROM corp c
+                  JOIN keepa USING (fingerprint)),
+         acc AS (SELECT k.fingerprint FROM keepa k
+                 LEFT JOIN hita h USING (fingerprint)
+                 WHERE h.fingerprint IS NULL),
+         corp1 AS (SELECT fingerprint FROM corp
+                   UNION ALL SELECT fingerprint FROM acc),
+         incb AS (SELECT doc_id, fingerprint FROM b WHERE bucket >= 85),
+         keepb AS (SELECT fingerprint, min(doc_id) AS keep_id
+                   FROM incb GROUP BY 1),
+         hitb AS (SELECT DISTINCT c.fingerprint FROM corp1 c
+                  JOIN keepb USING (fingerprint))
+         SELECT i.doc_id, i.fingerprint,
+           (i.doc_id = k.keep_id AND h.fingerprint IS NULL) AS is_new
+         FROM incb i JOIN keepb k USING (fingerprint)
+         LEFT JOIN hitb h ON h.fingerprint = i.fingerprint"""
 
   /** The semantic daily-ingest decision replayed in SQL — shared by
     * `dedup_semantic_incremental` and `dedup_semantic_probe` (the

@@ -23,6 +23,10 @@ import graft.textops.TextOps
   * the fingerprint store removes its false positives. The corpus
   * itself is never read at probe time at all: the store's fingerprint
   * column (16 bytes/doc) is the only corpus-derived input.
+  *
+  * The same machinery serves ANY key granularity via [[buildKeys]]:
+  * `dedup_lines_bloom_probe` runs it over distinct LINE hashes (at
+  * recrawl scale lines ≫ docs, the exact regime the sketch targets).
   */
 object BloomStore {
 
@@ -34,17 +38,46 @@ object BloomStore {
     */
   val DefaultFpp = 0.03
 
-  final case class Meta(expectedN: Long, fpp: Double)
+  /** `expectedN` is the key count the sketch's bit geometry was sized
+    * for (fixed at build/compact time); `actualN` tracks the keys
+    * actually inserted, bumped by every [[appendWrite]]. The
+    * actual/expected ratio is the caller's refit signal: past ~1 the
+    * realized fpp degrades beyond the target and [[compact]] should
+    * refit at the grown count.
+    */
+  final case class Meta(expectedN: Long, actualN: Long, fpp: Double) {
+    def overfull: Boolean = actualN > expectedN
+  }
 
-  def build(corpus: DataFrame, idCol: String, textCol: String,
-            fpp: Double = DefaultFpp): (Store, Meta) = {
-    val fps = graft.util.Par.spread(corpus)
-      .select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
+  /** Build over a precomputed single-column key frame (`fingerprint`
+    * of any orderable type — md5 strings for documents, xxhash64
+    * longs for lines). The sketch hashes `xxhash64(fingerprint)`, so
+    * membership tests replay identically at probe time regardless of
+    * the key type.
+    */
+  def buildKeys(fps: DataFrame, fpp: Double = DefaultFpp): (Store, Meta) = {
     val n = math.max(fps.count(), 1L)
     val bloom = fps.select(xxhash64(col("fingerprint")).as("fp64"))
       .stat.bloomFilter("fp64", n, fpp)
-    (Store(fps, bloom), Meta(n, fpp))
+    (Store(fps, bloom), Meta(n, n, fpp))
   }
+
+  def build(corpus: DataFrame, idCol: String, textCol: String,
+            fpp: Double = DefaultFpp): (Store, Meta) =
+    buildKeys(graft.util.Par.spread(corpus)
+      .select(TextOps.fingerprint(col(textCol)).as("fingerprint")), fpp)
+
+  /** Distinct corpus LINE hashes as the key frame — the line-granularity
+    * store build ([[graft.textops.LineDedup.dedupLinesIncrementalBloom]]
+    * is the probe). Boilerplate lines repeat across most of a crawl, so
+    * the distinct store is far smaller than the line count.
+    */
+  def buildLines(corpus: DataFrame, textCol: String,
+                 fpp: Double = DefaultFpp): (Store, Meta) =
+    buildKeys(graft.util.Par.spread(corpus)
+      .select(explode(split(col(textCol), "\n")).as("_ln"))
+      .select(xxhash64(col("_ln")).as("fingerprint"))
+      .distinct(), fpp)
 
   private def conf = new org.apache.hadoop.conf.Configuration()
 
@@ -55,13 +88,18 @@ object BloomStore {
     try bloom.writeTo(out) finally out.close()
   }
 
+  private def writeMeta(meta: Meta, dir: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/bloom.meta")
+    val out = mp.getFileSystem(conf).create(mp, true)
+    try out.write(s"${meta.expectedN} ${meta.fpp} ${meta.actualN}"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
   def write(store: Store, meta: Meta, dir: String): Unit = {
     store.fps.write.mode("overwrite").parquet(s"$dir/fingerprints")
     writeBloom(store.bloom, dir)
-    val mp = new org.apache.hadoop.fs.Path(s"$dir/bloom.meta")
-    val out = mp.getFileSystem(conf).create(mp, true)
-    try out.write(s"${meta.expectedN} ${meta.fpp}".getBytes("UTF-8"))
-    finally out.close()
+    writeMeta(meta, dir)
   }
 
   def read(spark: SparkSession, dir: String): (Store, Meta) = {
@@ -74,23 +112,65 @@ object BloomStore {
     val ms = try new java.io.BufferedReader(
         new java.io.InputStreamReader(mIn, "UTF-8")).readLine().trim.split(" ")
       finally mIn.close()
+    // metas written before the actualN field carry two tokens — the
+    // sketch then holds exactly its build-time keys, so actual = expected
+    val expectedN = ms(0).toLong
+    val actualN = if (ms.length >= 3) ms(2).toLong else expectedN
     (Store(spark.read.parquet(s"$dir/fingerprints"), bloom),
-      Meta(ms(0).toLong, ms(1).toDouble))
+      Meta(expectedN, actualN, ms(1).toDouble))
   }
 
   /** Close the daily loop O(increment): the accepted increment's
     * fingerprints append to the store files, and a sketch built over
     * them WITH THE ORIGINAL GEOMETRY (same expectedN/fpp → same bit
     * size and hash count) merges into the persisted one — Bloom
-    * insertion is monotone, no rebuild, no rewrite; fpp drifts up
-    * slowly until a compaction refits at the grown count.
+    * insertion is monotone, no rebuild, no rewrite. fpp drifts up as
+    * `actualN` outgrows `expectedN`; the returned (and persisted)
+    * meta carries the grown count so callers see `overfull` and run
+    * [[compact]] on their compaction cadence.
+    *
+    * MUTATES `store.bloom` in place (mergeInPlace): after this call
+    * the in-memory store reflects the appended keys, matching the
+    * on-disk state — re-read the store only to pick up OTHER writers'
+    * appends.
     */
   def appendWrite(acceptedFps: DataFrame, store: Store, meta: Meta,
-                  dir: String): Unit = {
-    acceptedFps.write.mode("append").parquet(s"$dir/fingerprints")
-    val inc = acceptedFps.select(xxhash64(col("fingerprint")).as("fp64"))
+                  dir: String): Meta = {
+    val fps = acceptedFps.localCheckpoint() // increment-sized, bounded
+    fps.write.mode("append").parquet(s"$dir/fingerprints")
+    val inc = fps.select(xxhash64(col("fingerprint")).as("fp64"))
       .stat.bloomFilter("fp64", meta.expectedN, meta.fpp)
     store.bloom.mergeInPlace(inc)
     writeBloom(store.bloom, dir)
+    val grown = meta.copy(actualN = meta.actualN + fps.count())
+    writeMeta(grown, dir)
+    grown
+  }
+
+  /** The promised refit: rewrite the fingerprint files deduplicated
+    * (healing double-appended retries — duplicates never changed probe
+    * decisions, only bytes) through [[SignatureStore.compactOne]]'s
+    * crash-safe rename-aside protocol, then rebuild the sketch at the
+    * ACTUAL distinct key count so the realized fpp returns to `fpp`.
+    * Order matters for crash-safety: fingerprints first — a crash
+    * before the sketch rewrite leaves the OLD sketch, whose key set is
+    * a superset of the compacted store (extra positives are killed by
+    * the verify join; no false negatives can appear), so every
+    * intermediate state still probes correctly. Cost is one scan of
+    * the key-sized store, never the corpus — run on the compaction
+    * cadence, not per ingest.
+    */
+  def compact(spark: SparkSession, dir: String,
+              fpp: Double = DefaultFpp): Meta = {
+    SignatureStore.compactOne(spark, s"$dir/fingerprints",
+      Seq("fingerprint"))
+    val fps = spark.read.parquet(s"$dir/fingerprints")
+    val n = math.max(fps.count(), 1L)
+    val bloom = fps.select(xxhash64(col("fingerprint")).as("fp64"))
+      .stat.bloomFilter("fp64", n, fpp)
+    writeBloom(bloom, dir)
+    val meta = Meta(n, n, fpp)
+    writeMeta(meta, dir)
+    meta
   }
 }

@@ -111,8 +111,8 @@ object SignatureStore {
     compactOne(spark, s"$dir/shingle_hashes", Seq("doc_id"))
   }
 
-  private def compactOne(spark: SparkSession, path: String,
-                         keys: Seq[String]): Unit = {
+  private[dedup] def compactOne(spark: SparkSession, path: String,
+                                keys: Seq[String]): Unit = {
     val tmp = path + ".compact"
     spark.read.parquet(path).dropDuplicates(keys)
       .write.mode("overwrite").parquet(tmp)
@@ -129,6 +129,10 @@ object SignatureStore {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
       s"compact: rename $tmp -> $path failed (recover: rename $old back)")
     fs.delete(old, true)
+    // the swap invalidates any session-cached file listing for the
+    // path (same session re-reads would otherwise chase the renamed
+    // part files — FAILED_READ_FILE on the very next scan)
+    spark.catalog.refreshByPath(path)
   }
 
   /** The winnow-fingerprint store — the persisted form of the

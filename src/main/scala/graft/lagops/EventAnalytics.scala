@@ -166,10 +166,18 @@ object EventAnalytics {
       lit(i.toDouble / buckets)): _*)
     val cuts = df.groupBy(col(groupCol))
       .agg(percentile_approx(col(valueCol), pcts, lit(10000)).as("_cuts"))
+    // NULL values route to sentinel bucket -1 (sorts before every real
+    // bucket; the within-bucket order below is asc_nulls_first), so
+    // they take the LOWEST ranks — exactly where the direct
+    // ntile/percent_rank window's default nulls-first ordering puts
+    // them. Without the sentinel a NULL _b would silently drop the row
+    // at the inner join — a contract divergence from the single-window
+    // form.
     val bucketed = df
       .join(broadcast(cuts), Seq(groupCol))
-      .withColumn("_b", graft.functions.CountBelowExpr(
-        col(valueCol).cast("double"), col("_cuts")))
+      .withColumn("_b", when(col(valueCol).isNull, lit(-1))
+        .otherwise(graft.functions.CountBelowExpr(
+          col(valueCol).cast("double"), col("_cuts"))))
       .drop("_cuts")
     val counts = bucketed.groupBy(col(groupCol), col("_b"))
       .agg(count(lit(1)).as("_cnt"))

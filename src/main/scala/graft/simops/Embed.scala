@@ -520,8 +520,8 @@ object Embed {
     val n = if (knownCount >= 0) knownCount
       else df.select(col(idCol)).count()
     val nlist = autoNlist(n, targetListSize)
-    val h = Ivf.fitHier(df, idCol, vecCol, nlist, iters, fitSamplePct, n)
-    val assigned = hierAssign(df, idCol, vecCol, h)
+    val assigned = hierAssigner(df, idCol, vecCol, nlist, iters,
+      fitSamplePct, n)(df)
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.list_id") === col("b.list_id")
           && col("a.vec_id") > col("b.vec_id"))
@@ -562,6 +562,34 @@ object Embed {
       .withColumn("list_id", h.listIdCol(col("_v"), col("_c")))
       .drop("_c")
 
+  /** Fit once, assign many — dispatching on forest size: at or below
+    * [[Ivf.ForestLiteralMaxLists]] the forest rides as codegen plan
+    * literals (zero-shuffle assignment — every registered geometry);
+    * past it ([[Embed.autoNlist]]'s clamp region) the forest becomes a
+    * broadcast relation ([[Ivf.fitHierR]]/[[Ivf.assignHierR]]): refit
+    * stays distributed, driver state stays O(√nlist·dim), and
+    * assignment pays one broadcast-join + map-side-combined argmax
+    * instead of shipping ~0.5 GB of literals in every task closure.
+    * Same float kernels and tiebreaks — assignments are bit-identical
+    * (pinned in IvfSpec), so the dispatch threshold is a pure physics
+    * knob, invisible to results.
+    */
+  private def hierAssigner(fitOn: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int, iters: Int, fitSamplePct: Int,
+                           knownCount: Long): DataFrame => DataFrame =
+    if (nlist <= Ivf.ForestLiteralMaxLists) {
+      val h = Ivf.fitHier(fitOn, idCol, vecCol, nlist, iters,
+        fitSamplePct, knownCount)
+      df => hierAssign(df, idCol, vecCol, h)
+    } else {
+      val h = Ivf.fitHierR(fitOn, idCol, vecCol, nlist, iters,
+        fitSamplePct, knownCount)
+      df => Ivf.assignHierR(df, idCol, vecCol, h)
+        .withColumn("_n", Similarity.norm(col("_v")))
+        .select(col("_id").as("vec_id"), col("_v"), col("_n"),
+          col("list_id"))
+    }
+
   /** Observability for the semantic-dedup geometry — the capstats
     * convention ([[graft.dedup.Dedup]]'s `dedup_minhash_capstats` /
     * `ngram_df_capstats`): the O(n·targetListSize) within-list pair
@@ -581,8 +609,7 @@ object Embed {
     val n = if (knownCount >= 0) knownCount
       else df.select(col(idCol)).count()
     val nlist = autoNlist(n, targetListSize)
-    val h = Ivf.fitHier(df, idCol, vecCol, nlist, iters, fitSamplePct, n)
-    hierAssign(df, idCol, vecCol, h)
+    hierAssigner(df, idCol, vecCol, nlist, iters, fitSamplePct, n)(df)
       .groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
       .agg(sum(col("sz")).as("n_vecs"),
         count(lit(1)).as("n_lists"),
@@ -620,9 +647,9 @@ object Embed {
     val n = if (knownCorpusCount >= 0) knownCorpusCount
       else corpus.select(col(idCol)).count()
     val nlist = autoNlist(n, targetListSize)
-    val h = Ivf.fitHier(corpus, idCol, vecCol, nlist, iters, fitSamplePct, n)
-    probeWithinLists(hierAssign(incoming, idCol, vecCol, h),
-      hierAssign(corpus, idCol, vecCol, h), idCol, threshold)
+    val assign = hierAssigner(corpus, idCol, vecCol, nlist, iters,
+      fitSamplePct, n)
+    probeWithinLists(assign(incoming), assign(corpus), idCol, threshold)
   }
 
   /** [[semanticDedupIncremental]] against a PERSISTED

@@ -260,6 +260,166 @@ object Ivf {
     HierIndex(coarse, s, sc, si)
   }
 
+  /** Lists threshold above which the fitted sub-centroid forest is
+    * kept as a BROADCAST RELATION instead of codegen plan literals.
+    * The literal path serializes the whole forest into every task
+    * closure and collects O(nlist·dim) refit means to the driver per
+    * Lloyd pass — at [[Embed.autoNlist]]'s 2²⁰ clamp that is ~0.5 GB
+    * of driver state and per-task bytes. Past this threshold
+    * ([[fitHierR]]/[[assignHierR]]) the forest lives as a DataFrame:
+    * refit stays fully distributed (the only collect anywhere is the
+    * O(C·dim) coarse level, C = ⌈√nlist⌉ ≤ 1024 at the clamp), and
+    * assignment is a broadcast hash join on `coarse_id` + one
+    * map-side-combined argmax — same float kernels, same tiebreaks,
+    * bit-identical assignments (pinned in IvfSpec). 65536 lists at
+    * dim 64 ≈ 32 MB of literals — comfortably past every registered
+    * row's geometry (zsf10's autoNlist is 15 625), so existing rows
+    * keep the zero-shuffle literal plan unchanged.
+    */
+  val ForestLiteralMaxLists: Int = 65536
+
+  /** Relational two-level index: literal coarse level (bounded
+    * O(√nlist·dim)) + the sub forest as a `(coarse_id, sub_id, cent,
+    * cn)` DataFrame — norms precomputed once so the per-pair cosine
+    * in [[assignHierR]] replays [[graft.functions.SubNearestUtil]]'s
+    * exact float sequence.
+    */
+  case class HierIndexR(coarse: Seq[(Int, Seq[Double])], s: Int,
+                        subs: DataFrame)
+
+  /** [[fitHier]] with the sub level kept distributed end to end: the
+    * seeds window, every Lloyd refit aggregate, and the forest itself
+    * stay DataFrames. Per pass the sample is assigned through
+    * [[assignHierR]]'s broadcast-join argmax and the per-cell means
+    * are one hash aggregate; the pass result is localCheckpointed — a
+    * BOUNDED frame (≤ min(sample, nlist) rows of dim doubles, ≤ ~10 MB
+    * at the 20k fit-sample cap) — to cut the iterative lineage.
+    * Identical math to [[fitHier]] (same 6dp-rounded means, survivor
+    * semantics, NULL-dim zeros, tiebreaks) — equivalence pinned in
+    * IvfSpec at a shared geometry.
+    */
+  def fitHierR(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, iters: Int, fitSamplePct: Int,
+               knownCount: Long = -1L): HierIndexR = {
+    val c = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val s = (nlist + c - 1) / c
+    val coarse = fitSeq(df, idCol, vecCol, c, iters, fitSamplePct, knownCount)
+    val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+    val effPct =
+      if (fitSamplePct >= 100) 100
+      else graft.util.Sampling.cappedPct(
+        if (knownCount >= 0) knownCount else df.count(), fitSamplePct)
+    val vecs =
+      if (effPct >= 100) all
+      else all.filter(
+        graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
+    val sasg = vecs
+      .withColumn("_sims", simsCol(coarse, col("_v")))
+      .withColumn("coarse_id", nearestList(coarse, col("_sims")))
+      .drop("_sims")
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("coarse_id")).orderBy(col("_id"))
+    var subs = withSubNorm(sasg
+      .withColumn("_rn", row_number().over(wSeed))
+      .filter(col("_rn") <= s)
+      .select(col("coarse_id"), (col("_rn") - 1).cast("int").as("sub_id"),
+        col("_v").as("cent")))
+      .localCheckpoint() // bounded: ≤ min(sample, nlist) index rows
+    require(subs.head(1).nonEmpty,
+      "Ivf.fitHierR: cannot fit an index on an empty candidate frame")
+    val dim = coarse.iterator.map(_._2.length).max
+    for (_ <- 0 until iters) {
+      val avgs = (0 until dim).map(i =>
+        round(avg(col("_v")(i)), 6).as(s"_m$i"))
+      val refit = assignSubR(sasg, subs)
+        .groupBy(col("coarse_id"), col("sub_id"))
+        .agg(avgs.head, avgs.tail: _*)
+        .select(col("coarse_id"), col("sub_id"),
+          array((0 until dim).map(i =>
+            coalesce(col(s"_m$i"), lit(0.0))): _*).as("cent"))
+      val old = subs
+      subs = withSubNorm(refit).localCheckpoint()
+      old.unpersist()
+    }
+    HierIndexR(coarse, s, subs)
+  }
+
+  private def withSubNorm(subs: DataFrame): DataFrame =
+    subs.withColumn("cn", Similarity.norm(col("cent")))
+
+  /** The sub-level argmax as a broadcast join + one map-side-combined
+    * aggregate: each `(.., _v, coarse_id)` row meets ONLY its coarse
+    * cell's sub-centroids (broadcast hash join on `coarse_id` — the
+    * forest is index metadata, never row-scale), the per-pair cosine
+    * replays the literal kernel's float sequence exactly
+    * (sequential-dot, zero-norm guard), and `max_by` over the
+    * (sim, -sub_id) struct replays its first-max/lowest-sub tiebreak.
+    * The shuffle carries ONE row per input id (partial aggregation
+    * collapses the ≤S candidates map-side). A cell with no survivors
+    * keeps sub 0 — the literal kernel's empty-cell convention, via
+    * the left join's NULL → coalesce 0.
+    */
+  private def assignSubR(vecs: DataFrame, subs: DataFrame): DataFrame = {
+    val sim = Similarity.cosinePre(
+      graft.functions.VectorOps.dot(col("_v"), col("cent")),
+      Similarity.norm(col("_v")), col("cn"))
+    vecs.join(broadcast(subs), Seq("coarse_id"), "left")
+      .withColumn("_ssim", sim)
+      // NULL ordering key for unmatched (empty-cell) rows — max_by
+      // ignores them, the coalesce then lands the kernel's sub-0
+      .withColumn("_ord",
+        when(col("sub_id").isNotNull,
+          struct(col("_ssim"), (-col("sub_id")).as("_neg"))))
+      .groupBy(col("_id"))
+      .agg(first(col("coarse_id")).as("coarse_id"),
+        first(col("_v")).as("_v"),
+        coalesce(max_by(col("sub_id"), col("_ord")), lit(0)).as("sub_id"))
+  }
+
+  /** Literal-path fit + two-level assignment as one public call — the
+    * comparison surface IvfSpec and HierForestProbe pin
+    * [[assignHierR]] against (same output shape: `_id`, `_v`,
+    * coarse_id, list_id).
+    */
+  def assignHierLiteral(df: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int, fitSamplePct: Int,
+                        knownCount: Long = -1L): DataFrame = {
+    val h = fitHier(df, idCol, vecCol, nlist, iters, fitSamplePct,
+      knownCount)
+    graft.util.Par.spread(df).select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_sims", simsCol(h.coarse, col("_v")))
+      .withColumn("coarse_id", nearestList(h.coarse, col("_sims")))
+      .drop("_sims")
+      .withColumn("list_id", h.listIdCol(col("_v"), col("coarse_id")))
+  }
+
+  /** [[fitHierR]] + [[assignHierR]] as one call — the relational twin
+    * of [[assignHierLiteral]].
+    */
+  def assignHierRelational(df: DataFrame, idCol: String, vecCol: String,
+                           nlist: Int, iters: Int, fitSamplePct: Int,
+                           knownCount: Long = -1L): DataFrame =
+    assignHierR(df, idCol, vecCol,
+      fitHierR(df, idCol, vecCol, nlist, iters, fitSamplePct, knownCount))
+
+  /** Full two-level relational assignment: literal coarse argmax
+    * (pure projection) then [[assignSubR]]; output mirrors the
+    * literal path's assigned frame — (`_id`, `_v`, coarse_id, sub_id,
+    * list_id = coarse_id·S + sub_id).
+    */
+  def assignHierR(df: DataFrame, idCol: String, vecCol: String,
+                  h: HierIndexR): DataFrame = {
+    val vecs = graft.util.Par.spread(df).select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_sims", simsCol(h.coarse, col("_v")))
+      .withColumn("coarse_id", nearestList(h.coarse, col("_sims")))
+      .drop("_sims")
+    assignSubR(vecs, h.subs)
+      .withColumn("list_id", col("coarse_id") * lit(h.s) + col("sub_id"))
+  }
+
   private[simops] def subArrays(c: Int, subs: Map[(Int, Int), Seq[Double]])
       : (Array[Array[Array[Double]]], Array[Array[Int]]) = {
     val byCoarse = subs.toSeq.groupBy(_._1._1)

@@ -335,6 +335,42 @@ object StreamingOps {
         idCol, textCol), batchId)
     }
 
+  /** The ingest probe for the EXACT modality against the PERSISTED
+    * Bloom store — the streaming twin of `dedup_bloom_probe`,
+    * completing the batch≡stream pair for the last store family
+    * (spans, lines, image, video, embedding, semantic each have
+    * theirs): each micro-batch runs
+    * [[graft.dedup.Dedup.exactIncrementalBloom]] — fingerprints
+    * bloom-prefiltered MAP-SIDE, verify join against the store's
+    * fingerprint column, corpus text never read — and the sink
+    * receives the (doc_id, fingerprint, is_new) decision rows.
+    *
+    * `store` is a THUNK re-evaluated per trigger: the intended sink
+    * appends each batch's accepted fingerprints with
+    * [[graft.dedup.BloomStore.appendWrite]] (parquet append +
+    * same-geometry sketch merge, O(micro-batch)), so the next trigger
+    * probes corpus ∪ previously-accepted — arrival-order-wins across
+    * micro-batches, a duplicate arriving AFTER its original was
+    * accepted in an earlier batch is caught (the cross-batch case
+    * pinned in StreamingSpec). The query itself keeps NO state; the
+    * store is the state, and it is all the state there is — 16 bytes
+    * plus ~7 sketch bits per corpus document.
+    *
+    * Scale shape per trigger is the batch plan's: O(micro-batch)
+    * fingerprinting, a broadcast of only the bloom-POSITIVE
+    * fingerprints, the store streaming map-side through the verify
+    * join — once per trigger, on a corpus that never shuffles.
+    */
+  def bloomIngestProbe(docs: DataFrame,
+                       store: () => graft.dedup.BloomStore.Store,
+                       idCol: String = "doc_id", textCol: String = "text")
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.dedup.Dedup.exactIncrementalBloom(batch, store(),
+        idCol, textCol), batchId)
+    }
+
   /** Quality-gate filter (stateless): identical plan batch or stream —
     * the shape of an inline corpus filter in a streaming ingest path.
     */

@@ -247,6 +247,70 @@ object LineDedup {
           i => element_at(col("_lines"), i + 1)), "\n").as("text_clean"))
   }
 
+  /** [[dedupLinesIncremental]] against a persisted
+    * [[graft.dedup.BloomStore]] of distinct corpus LINE hashes — the
+    * recrawl-scale form of the line-granularity ingest decision, and
+    * the exact regime the sketch was built for: lines ≫ docs, so the
+    * increment's distinct-line-hash broadcast is the first thing that
+    * stops being trivial as crawls grow. Two things change physically,
+    * nothing semantically:
+    *
+    *  1. the corpus text is never read at all: the verify joins the
+    *     store's persisted line-hash column (8 bytes/distinct line,
+    *     built once at corpus-ingest time) instead of re-exploding and
+    *     re-hashing every corpus document;
+    *  2. the membership sketch prefilters the increment's line owners
+    *     MAP-SIDE ([[graft.functions.BloomContainsExpr]]), so the
+    *     verify broadcast carries only bloom-POSITIVE line hashes —
+    *     O(true boilerplate + fpp·increment lines). No false negatives
+    *     (every corpus line is in the sketch), and the verify join
+    *     removes false positives, so a line is dropped iff
+    *     [[dedupLinesIncremental]] drops it — bit-identical output,
+    *     shared oracle.
+    */
+  def dedupLinesIncrementalBloom(incoming: DataFrame,
+                                 store: graft.dedup.BloomStore.Store,
+                                 idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val L = 1L << 21
+    val guard = assert_true(
+      col("doc_id").isNull ||
+        (col("_i") < lit(L) && col("doc_id").between(0L, (1L << 42) - 1)),
+      lit("dedupLinesIncrementalBloom: position >= 2^21 or doc id " +
+        "outside [0, 2^42) — the packed owner key would overflow"))
+    val incEx = incoming
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(lines).as(Seq("_i", "_ln")))
+      .select(xxhash64(col("_ln")).as("_h"),
+        when(guard.isNull, col("doc_id") * L + col("_i")).as("_p"))
+    val owner = incEx.where(col("_p").isNotNull)
+      .groupBy(col("_h")).agg(min(col("_p")).as("_p"))
+    // the sketch keys are xxhash64(fingerprint) where fingerprint IS
+    // the 64-bit line hash (buildLines) — replay the same double hash
+    val cand = owner
+      .filter(graft.functions.BloomContainsExpr(
+        xxhash64(col("_h")), store.bloom))
+      .select(col("_h"))
+    val hit = store.fps.select(col("fingerprint").as("_h"))
+      .join(broadcast(cand), "_h")
+      .distinct()
+      .withColumn("_in_corpus", lit(true))
+    val keptPos = owner.join(broadcast(hit), Seq("_h"), "left")
+      .filter(coalesce(!col("_in_corpus"), lit(true)))
+      .select(expr(s"_p div ${L}L").as("doc_id"),
+        (col("_p") % L).cast("int").as("_i"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("_i"))).as("_kp"))
+    val keptArr = coalesce(col("_kp"), array().cast("array<int>"))
+    incoming.select(col(idCol).cast("long").as("doc_id"), lines.as("_lines"))
+      .join(keptPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("_lines")).cast("long").as("n_lines"),
+        coalesce(size(col("_kp")), lit(0)).cast("long").as("n_kept"),
+        array_join(transform(keptArr,
+          i => element_at(col("_lines"), i + 1)), "\n").as("text_clean"))
+  }
+
   /** The original O(lines·kept) membership-scan rebuild — kept ONLY as
     * the equivalence-test twin for [[dedupLinesCorpus]]'s indexing
     * rebuild: given the line array and the kept-position array, both

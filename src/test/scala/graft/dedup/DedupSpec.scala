@@ -425,14 +425,14 @@ class DedupSpec extends AnyFunSuite {
     // exercised on a corpus large enough that the 3% fpp path almost
     // surely fires at least once, plus the planted dup/fresh mix
     val rng = new scala.util.Random(9)
-    val corpus = docs((0L until 300L).map(i =>
-      i -> s"corpus document ${rng.nextInt(100000)} body $i"): _*)
+    val corpusTexts = (0L until 300L).map(i =>
+      i -> s"corpus document ${rng.nextInt(100000)} body $i")
+    val corpus = docs(corpusTexts: _*)
     val incoming = docs(((1000L until 1200L).map(i =>
       i -> s"incoming fresh ${rng.nextInt(100000)} body $i") ++ Seq(
       2000L -> "corpus document 1 copy",
       2001L -> "Corpus  Document 1 COPY",   // batch dup of 2000
-      2002L -> s"corpus document ${0} body 0".replace("document 0", // exact corpus text
-        "document " + 0))): _*)
+      2002L -> corpusTexts.head._2)): _*)   // exact corpus-doc-0 text
       .union(corpus.limit(5).selectExpr("doc_id + 5000 AS doc_id", "text"))
     val direct = Dedup.exactIncremental(incoming, corpus, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
@@ -447,7 +447,104 @@ class DedupSpec extends AnyFunSuite {
     assert(probed == direct)
     // the planted corpus copies (ids 5000-5004) must all be flagged
     assert(probed.filter(_._1 >= 5000).forall(!_._3))
-    assert(probed.count(!_._3) >= 6, probed.count(!_._3))
+    // flagged: 2001 (batch dup), 2002 (exact corpus-0 copy), 5000-5004
+    assert(probed.count(!_._3) >= 7, probed.count(!_._3))
+    assert(!probed.find(_._1 == 2002L).get._3)
+  }
+
+  test("BloomStore appendWrite grows actualN; compact restores geometry " +
+      "and keeps decisions") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs((0L until 200L).map(i => i -> s"base doc $i"): _*)
+    val sd = java.nio.file.Files.createTempDirectory("bloom_compact").toString
+    val (st, meta0) = BloomStore.build(corpus, "doc_id", "text")
+    BloomStore.write(st, meta0, sd)
+    assert(meta0.expectedN == 200L && meta0.actualN == 200L && !meta0.overfull)
+    // append 100 accepted fingerprints (simulating three retried
+    // ingests of the same increment — duplicates in the fp files)
+    val incFps = docs((1000L until 1100L).map(i =>
+      i -> s"accepted doc $i"): _*)
+      .select(graft.textops.TextOps.fingerprint(col("text")).as("fingerprint"))
+    val (stored, metaR) = BloomStore.read(spark, sd)
+    val meta1 = BloomStore.appendWrite(incFps, stored, metaR, sd)
+    val meta2 = BloomStore.appendWrite(incFps, stored, meta1, sd)
+    assert(meta2.actualN == 400L && meta2.expectedN == 200L && meta2.overfull)
+    // re-read: persisted meta carries the grown count (r12 ADVICE)
+    assert(BloomStore.read(spark, sd)._2.actualN == 400L)
+    val incoming = docs(
+      9000L -> "base doc 7",      // dup of corpus
+      9001L -> "accepted doc 1005", // dup of an appended fp
+      9002L -> "genuinely fresh")
+    def decide() = Dedup.exactIncrementalBloom(incoming,
+        BloomStore.read(spark, sd)._1, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val before = decide()
+    val metaC = BloomStore.compact(spark, sd)
+    val after = decide()
+    assert(before == after)
+    assert(after == Map(9000L -> false, 9001L -> false, 9002L -> true))
+    // compaction healed the double append (300 distinct keys) and
+    // refit the sketch at the true count — fpp back at target
+    assert(metaC.expectedN == 300L && metaC.actualN == 300L && !metaC.overfull)
+    assert(BloomStore.read(spark, sd)._1.fps.count() == 300L)
+  }
+
+  test("bloom A/B loop: a B dup of an ACCEPTED A doc is caught through " +
+      "the persisted sketch; a dup of a REJECTED A doc stays flagged " +
+      "against the corpus") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs((0L until 100L).map(i => i -> s"corpus doc $i"): _*)
+    val sd = java.nio.file.Files.createTempDirectory("bloom_ab").toString
+    val (st, meta) = BloomStore.build(corpus, "doc_id", "text")
+    BloomStore.write(st, meta, sd)
+    val incA = docs(
+      1000L -> "novel A content",  // accepted
+      1001L -> "corpus doc 42")    // rejected (corpus dup)
+    val probeA = Dedup.exactIncrementalBloom(incA, st, "doc_id", "text")
+    BloomStore.appendWrite(
+      probeA.filter(col("is_new")).select(col("fingerprint")),
+      st, meta, sd)
+    val incB = docs(
+      2000L -> "Novel  A CONTENT",  // dup of ACCEPTED A — the append catch
+      2001L -> "corpus doc 42",     // dup of rejected A = corpus dup
+      2002L -> "fresh B content")
+    val out = Dedup.exactIncrementalBloom(incB,
+        BloomStore.read(spark, sd)._1, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(2000L -> false, 2001L -> false, 2002L -> true))
+  }
+
+  test("dedupLinesIncrementalBloom equals dedupLinesIncremental through " +
+      "a store round-trip") {
+    val corpus = docs(
+      1L -> "shared boilerplate\nunique one\nshared boilerplate",
+      2L -> "unique two\nshared boilerplate",
+      3L -> "only in corpus")
+    val incoming = docs(
+      10L -> "shared boilerplate\nfresh line a\nfresh line a",
+      11L -> "fresh line a\nonly in corpus\nfresh line b",
+      12L -> "entirely new doc")
+    val direct = graft.textops.LineDedup.dedupLinesIncremental(
+        incoming, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    val sd = java.nio.file.Files.createTempDirectory("bloom_lines").toString
+    val (st, meta) = BloomStore.buildLines(corpus, "text")
+    BloomStore.write(st, meta, sd)
+    val probed = graft.textops.LineDedup.dedupLinesIncrementalBloom(
+        incoming, BloomStore.read(spark, sd)._1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(probed == direct)
+    // the cross-set drop and the within-increment first-occurrence
+    // rule both fired: doc 10 keeps ONE "fresh line a", doc 11 keeps
+    // only "fresh line b" (line a taken by doc 10, corpus line dropped)
+    val byId = probed.map(r => r._1 -> r._4).toMap
+    assert(byId(10L) == "fresh line a")
+    assert(byId(11L) == "fresh line b")
+    assert(byId(12L) == "entirely new doc")
+    // the store holds DISTINCT line hashes only
+    assert(BloomStore.read(spark, sd)._1.fps.count() == 4L)
   }
 
   test("spanPairs equals a driver-side recount of shared winnow fingerprints") {

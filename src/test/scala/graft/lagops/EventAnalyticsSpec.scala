@@ -167,6 +167,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(rekeyed == direct)
   }
 
+  test("distributionStats ranks NULL values first — the direct window's " +
+      "nulls-first semantics (sentinel bucket, not a silent drop)") {
+    import spark.implicits._
+    // NULL values route to sentinel bucket -1; without it the inner
+    // join on (group, _b) would silently drop them — a contract
+    // divergence from the single-window form (r12 ADVICE). Includes an
+    // all-null group (percentile cuts are NULL there).
+    val rows: Seq[(Long, String, Option[Double])] = Seq(
+      (1L, "a", None), (2L, "a", Some(5.0)), (3L, "a", Some(1.0)),
+      (4L, "a", None), (5L, "a", Some(3.0)), (6L, "a", Some(2.0)),
+      (7L, "allnull", None), (8L, "allnull", None))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        r.getInt(3), r.getDouble(4), r.getDouble(5))
+    val direct = df.select(col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .collect().map(key).sortBy(_._1).toSeq
+    val rekeyed = EventAnalytics.distributionStats(df, "event_type",
+        "value", "event_id", tiles = 4, buckets = 4)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(rekeyed == direct)
+    assert(rekeyed.size == 8) // every row survives, none dropped
+  }
+
   test("interpolate: duplicate-timestamp bracket fills (no 0/0 null)") {
     import spark.implicits._
     // the null row's previous and next observations share t=10: the

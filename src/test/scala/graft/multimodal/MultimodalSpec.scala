@@ -402,4 +402,66 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().head
     assert(!odd.getBoolean(1) && odd.isNullAt(6) && odd.getInt(2) == 9)
   }
+
+  test("MediaStore: stored probe equals the in-DAG incremental; " +
+      "appendWrite closes the daily loop; compact heals retries") {
+    import graft.dedup.{Dedup, MediaStore}
+    val ids = spark.range(40).select(col("id").as("doc_id"))
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.dhashFeatures(df).filter(col("decodable"))
+        .select(col("media_id"), col("dhash"))
+    val corpus = sig(Multimodal.syntheticImagesNearDup(
+      ids.filter(col("doc_id") < 30), "doc_id", twins = false))
+    val inc = sig(Multimodal.syntheticImagesNearDup(
+        ids.filter(col("doc_id") >= 30), "doc_id", twins = false)
+      .unionByName(
+        Multimodal.syntheticImagesNearDup(ids, "doc_id", base = false)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val direct = rows(Dedup.hammingIncremental(inc, corpus,
+      "media_id", "dhash", maxHamming = 3, maxBucket = 64))
+    val sd = java.nio.file.Files.createTempDirectory("media_store").toString
+    MediaStore.write(corpus, sd)
+    val stored = rows(Dedup.hammingIncremental(inc,
+      MediaStore.read(spark, sd), "media_id", "dhash",
+      maxHamming = 3, maxBucket = 64))
+    // the 8-byte fingerprints round-trip parquet exactly, so the
+    // stored probe decides bit-identically — the shared-oracle claim
+    assert(stored == direct)
+    // daily loop: append ALL of today's accepted (is_new) fingerprints,
+    // then tomorrow's re-serve of the same payloads (new ids) must come
+    // back caught at Hamming 0 against the appended fingerprints
+    val probe = Dedup.hammingIncremental(inc, MediaStore.read(spark, sd),
+      "media_id", "dhash", maxHamming = 3, maxBucket = 64)
+    // checkpointed: the lineage embeds the PRE-compact store read,
+    // whose part files the compaction below renames away
+    val accepted = inc.join(
+      probe.filter(col("is_new")).select(col("media_id")), "media_id")
+      .localCheckpoint()
+    val nAccepted = accepted.count()
+    assert(nAccepted > 0)
+    MediaStore.appendWrite(accepted, sd)
+    val reServed = accepted.select((col("media_id") + 500L).as("media_id"),
+      col("dhash"))
+    val caught = Dedup.hammingIncremental(reServed,
+      MediaStore.read(spark, sd), "media_id", "dhash",
+      maxHamming = 3, maxBucket = 64).collect()
+    assert(caught.forall(!_.getBoolean(3)))
+    // every re-serve matches its appended fingerprint exactly (dup_of
+    // may name the base of a hamming-0 twin pair — lowest id wins —
+    // so pin the hamming, not the id)
+    assert(caught.forall(r => r.getAs[Number]("hamming").intValue == 0))
+    // a retried ingest double-appends; compact heals the files and
+    // changes no decision
+    MediaStore.appendWrite(accepted, sd)
+    val before = MediaStore.read(spark, sd).count()
+    assert(before == 30L + 2 * nAccepted)
+    MediaStore.compact(spark, sd)
+    assert(MediaStore.read(spark, sd).count() == 30L + nAccepted)
+    val caughtAfter = Dedup.hammingIncremental(reServed,
+      MediaStore.read(spark, sd), "media_id", "dhash",
+      maxHamming = 3, maxBucket = 64).collect()
+    assert(caughtAfter.forall(!_.getBoolean(3)))
+  }
 }

@@ -540,6 +540,63 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("media probe rows: timed pass reads the fingerprint store, " +
+      "never decodes corpus payloads") {
+    // the MediaStore rows' claim is the strongest of the store family:
+    // at deployment scale the corpus DECODE dominates everything, so
+    // the timed plan must contain the store's parquet scan and ZERO
+    // decode kernels — the increment's decode runs once inside its
+    // checkpoint's eager job and enters the plan as an ExistingRDD
+    // leaf. Any MapPartitions (the codec contract's physical node)
+    // or documents scan here means the corpus is being re-decoded.
+    for ((name, fam) <- Seq(
+        "image_neardup_probe" -> "media_image",
+        "video_neardup_probe" -> "media_video",
+        "image_neardup_probe_updated" -> "media_image",
+        "video_neardup_probe_updated" -> "media_video")) {
+      val p = plan(name) // first call builds the store (bench warmup)
+      assert(p.contains(s"stores/sf0.001/$fam"),
+        s"$name: expected the $fam store parquet scan:\n$p")
+      assert(!p.contains("MapPartitions"),
+        s"$name: media decode kernel in the timed plan:\n$p")
+      assert(!p.contains("documents.parquet"),
+        s"$name: corpus/document scan in the timed probe plan:\n$p")
+    }
+  }
+
+  test("dedup_bloom_probe rows: sketch prefilter on the increment side, " +
+      "store scan instead of corpus text") {
+    for (name <- Seq("dedup_bloom_probe", "dedup_bloom_probe_updated")) {
+      val p = plan(name)
+      assert(p.toLowerCase.contains("bloomcontains"),
+        s"$name: no map-side sketch prefilter in the plan:\n$p")
+      assert(p.contains("stores/sf0.001/bloom"),
+        s"$name: expected the fingerprint store parquet scan:\n$p")
+      // the increment fans out to three scans (batch-keep feeds the
+      // sketch candidate AND the attach join, plus the output frame);
+      // a FOURTH documents scan means the corpus text is being read —
+      // the direct dedup_incremental plan has exactly that extra scan
+      assert(p.linesIterator.count(l => l.contains("documents.parquet")
+          && l.contains("ReadSchema")) <= 3,
+        s"$name: corpus text scan in the probe plan:\n$p")
+    }
+  }
+
+  test("dedup_lines_bloom_probe: line-hash store scan, sketch on the " +
+      "increment owners, no corpus re-explode") {
+    val p = plan("dedup_lines_bloom_probe")
+    assert(p.toLowerCase.contains("bloomcontains"),
+      s"no map-side sketch prefilter in the plan:\n$p")
+    assert(p.contains("stores/sf0.001/bloom_lines"),
+      s"expected the line-hash store parquet scan:\n$p")
+    // the increment fans out to three scans (the packed-owner agg
+    // feeds both the store probe and the kept-position join, plus the
+    // rebuild frame); a FOURTH means the corpus is being re-exploded
+    assert(p.linesIterator.count(l => l.contains("documents.parquet")
+        && l.contains("ReadSchema")) <= 3,
+      s"corpus text scan (re-explode) in the probe plan:\n$p")
+  }
+
   test("sql_q17_small_qty: correlated subquery decorrelates to aggregate + join") {
     // Catalyst must rewrite the per-part scalar subquery into one
     // threshold aggregate joined back — never a per-row re-execution

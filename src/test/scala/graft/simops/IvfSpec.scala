@@ -94,4 +94,43 @@ class IvfSpec extends AnyFunSuite {
     assert(rIvf >= 0.3, s"IVF recall $rIvf")
     assert(rLsh >= 0.3, s"LSH recall $rLsh")
   }
+
+  test("relational forest path: assignments bit-identical to the " +
+      "literal plan at a shared geometry, full and sampled fits") {
+    // the broadcast-relation path (the large-nlist regime past
+    // ForestLiteralMaxLists) must be a pure physics change: same 6dp
+    // Lloyd means, same cosine float sequence, same first-max /
+    // lowest-sub tiebreaks — so at ANY geometry the two paths assign
+    // every vector to the same list
+    val df = corpus(800, 16, 11)
+    for (pct <- Seq(100, 60)) {
+      val lit0 = Ivf.assignHierLiteral(df, "vec_id", "embedding",
+          nlist = 36, iters = 2, fitSamplePct = pct)
+        .select("_id", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val rel = Ivf.assignHierRelational(df, "vec_id", "embedding",
+          nlist = 36, iters = 2, fitSamplePct = pct)
+        .select("_id", "list_id").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(rel.size == 800 && lit0.size == 800)
+      val diff = rel.filter { case (id, l) => lit0(id) != l }
+      assert(diff.isEmpty, s"pct=$pct: ${diff.take(5)}")
+    }
+  }
+
+  test("relational refit is fully distributed: no O(nlist) driver " +
+      "collect in the sub level") {
+    // fitHierR's contract is structural: the only collect is the
+    // O(sqrt(nlist)·dim) coarse level. Pin the forest's DataFrame-ness
+    // and that a large-ish geometry round-trips through it.
+    val df = corpus(600, 8, 7)
+    val h = Ivf.fitHierR(df, "vec_id", "embedding", nlist = 100,
+      iters = 1, fitSamplePct = 100)
+    assert(h.coarse.size <= 10) // C = ceil(sqrt(100))
+    val subCount = h.subs.count()
+    assert(subCount > 10 && subCount <= 100, subCount)
+    val assigned = Ivf.assignHierR(df, "vec_id", "embedding", h)
+    assert(assigned.select("list_id").distinct().count() <= 100)
+    assert(assigned.count() == 600)
+  }
 }

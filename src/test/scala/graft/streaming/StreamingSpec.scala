@@ -183,6 +183,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchB1(10L) == got(10L))
   }
 
+  test("bloomIngestProbe: cross-batch exact duplicate requires the " +
+      "appendWrite compaction; batch parity") {
+    import spark.implicits._
+    import graft.dedup.{BloomStore, Dedup}
+    val sd = java.nio.file.Files.createTempDirectory("bloom_stream").toString
+    val corpus = Seq((1L, "corpus one"), (2L, "corpus two"))
+      .toDF("doc_id", "text")
+    val (st0, meta0) = BloomStore.build(corpus, "doc_id", "text")
+    BloomStore.write(st0, meta0, sd)
+    // b1: doc 10 fresh (accepted), doc 11 = corpus dup (rejected).
+    // b2: doc 20 duplicates ACCEPTED doc 10 — caught only through the
+    // between-trigger appendWrite (the cross-micro-batch case); doc 21
+    // fresh.
+    val b1 = Seq((10L, "fresh alpha"), (11L, "Corpus  ONE"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((20L, "Fresh  ALPHA"), (21L, "fresh beta"))
+      .toDF("doc_id", "text")
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("bloom_feed").toString
+    b1.coalesce(1).write.mode("append").parquet(feedDir)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var batches = 0
+    val q = StreamingOps.bloomIngestProbe(stream,
+        () => BloomStore.read(spark, sd)._1) { (df, _) =>
+      val rows = df.collect()
+      out.synchronized { out ++= rows; batches += 1 }
+      // compaction: accepted fingerprints append to the persisted
+      // store (parquet append + sketch merge) before the next trigger
+      val accepted = rows.filter(_.getBoolean(2)).map(_.getString(1))
+      if (accepted.nonEmpty) {
+        val (st, m) = BloomStore.read(spark, sd)
+        BloomStore.appendWrite(
+          accepted.toSeq.toDF("fingerprint"), st, m, sd)
+      }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(10L -> true, 11L -> false,
+      20L -> false, 21L -> true), s"got: $got")
+    // batch parity on the no-cross-batch prefix: b1's stream decision
+    // equals the batch bloom probe against the original store — which
+    // equals the direct in-memory incremental
+    val batchB1 = Dedup.exactIncremental(b1, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(batchB1 == Map(10L -> true, 11L -> false))
+  }
+
   test("imageIngestProbe: compacting stream catches a cross-batch planted twin; batch parity") {
     import spark.implicits._
     val M = graft.multimodal.Multimodal
