@@ -378,6 +378,14 @@ object SparkEntry {
       .filter(col("decodable"))
       .select(col("media_id"), col("clip_dhash"))
 
+  /** The audio modality's fingerprint frame (SPI decode, ch-0 window
+    * sums, multiplicative per-window mix bits).
+    */
+  private def audioSig(wavs: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.audioFingerprintFeatures(wavs)
+      .filter(col("decodable"))
+      .select(col("media_id"), col("afp"))
+
   /** `embeddings` UNION a deterministic near-copy of the md5-chosen
     * ~5% of vectors: id offset +10⁷ (disjoint from any corpus id),
     * dimension 1 HALVED — multiplication by 0.5 is exact in float, so
@@ -3130,6 +3138,103 @@ object SparkEntry {
           ids, "doc_id", base = false)))
       Dedup.hammingIncremental(incB, corpus0.unionByName(acceptedA),
         "media_id", "dhash", maxHamming = 3, maxBucket = 64)
+    }),
+
+    "audio_neardup" -> ((s, dir) => {
+      // audio-CONTENT near-dedup — the third media modality joins the
+      // Hamming machinery: real WAV assemble → real javax.sound SPI
+      // decode → ch-0 window sums → multiplicative per-window mix
+      // bits (64-bit fingerprint; the gradient-hash design collapsed
+      // under the fixture's id-translation structure — see
+      // Multimodal.audioFpOf). The fixture plants re-encoded
+      // perturbed twin clips (id+10⁷, frame-0 ch-0 sample shifted
+      // +1000 wrapped) for the md5-chosen ~5% of ids; each twin lands
+      // at Hamming 0–1 and MUST pair. Only the 8-byte fingerprint
+      // crosses the shuffle — payloads decode once, in the
+      // partition-scoped SPI contract, and never move.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val sig = audioSig(Multimodal.syntheticWavsNearDup(ids, "doc_id"))
+      Dedup.hammingPairs(sig, "media_id", "afp", maxHamming = 3,
+        maxBucket = 64)
+    }),
+
+    "audio_neardup_incremental" -> ((s, dir) => {
+      // the daily-ingest decision for the audio modality — the
+      // image_neardup_incremental shape: corpus = base clips of
+      // bucket<70 ids (decoded + fingerprinted once); increment =
+      // fresh base clips (bucket>=70) + ALL perturbed twins, each
+      // twin flagged against its original; only the increment's
+      // banded keys broadcast, the corpus fingerprint stream never
+      // shuffles.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val corpus = audioSig(Multimodal.syntheticWavsNearDup(
+        ids.filter(bucket < 70), "doc_id", twins = false))
+      val inc = audioSig(Multimodal.syntheticWavsNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticWavsNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.hammingIncremental(inc, corpus, "media_id", "afp",
+        maxHamming = 3, maxBucket = 64)
+    }),
+
+    "audio_neardup_probe" -> ((s, dir) => {
+      // the PROBE-ONLY store form for the audio modality (the
+      // image_neardup_probe convention, same MediaStore machinery):
+      // corpus fingerprints decoded ONCE at corpus-ingest time, the
+      // timed row pays O(increment) decode + broadcast band probes;
+      // corpus payloads never re-read (plan-fenced). Decision
+      // identical to audio_neardup_incremental — same oracle.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "media_audio")
+      ensureStore(sd, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 fp=afp") {
+        graft.dedup.MediaStore.write(audioSig(
+          Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
+            "doc_id", twins = false)), sd)
+      }
+      val inc = audioSig(Multimodal.syntheticWavsNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticWavsNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.hammingIncremental(inc, graft.dedup.MediaStore.read(s, sd),
+        "media_id", "afp", maxHamming = 3, maxBucket = 64)
+    }),
+
+    "audio_neardup_probe_updated" -> ((s, dir) => {
+      // the audio A/B ingest LOOP closed — the
+      // video_neardup_probe_updated layered-corpus design on the
+      // audio fingerprint: probe the twin-source bases (bucket < 5)
+      // against store-minus-those-ids, lazy-append the is_new
+      // survivors, probe fresh bases (bucket >= 85) + ALL twins;
+      // every twin's original lives only in the accepted-A layer, so
+      // each caught twin certifies the cross-increment append.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sd = storeDir(dir, "media_audio")
+      ensureStore(sd, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 fp=afp") {
+        graft.dedup.MediaStore.write(audioSig(
+          Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
+            "doc_id", twins = false)), sd)
+      }
+      val store = graft.dedup.MediaStore.read(s, sd)
+      val corpus0 = store.filter(
+        graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
+      val fpsA = audioSig(Multimodal.syntheticWavsNearDup(
+        ids.filter(bucket < 5), "doc_id", twins = false))
+        .localCheckpoint() // increment-sized (~5% of ids), bounded
+      val probeA = Dedup.hammingIncremental(fpsA, corpus0,
+        "media_id", "afp", maxHamming = 3, maxBucket = 64)
+      val acceptedA = fpsA.join(
+        probeA.filter(col("is_new")).select(col("media_id")), "media_id")
+      val incB = audioSig(Multimodal.syntheticWavsNearDup(
+          ids.filter(bucket >= 85), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticWavsNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.hammingIncremental(incB, corpus0.unionByName(acceptedA),
+        "media_id", "afp", maxHamming = 3, maxBucket = 64)
     })
   )
 
@@ -5423,7 +5528,32 @@ object SparkEntry {
     // same shared-oracle contract as the video probe row
     "image_neardup_probe" -> imageNeardupIncrementalOracle,
 
-    "image_neardup_probe_updated" -> imageNeardupUpdatedOracle
+    "image_neardup_probe_updated" -> imageNeardupUpdatedOracle,
+
+    "audio_neardup" ->
+      // the fixture samples in closed form (two-prime quadratic
+      // residues), perturbed twins included; the Spark side REALLY
+      // assembles and REALLY SPI-decodes each WAV before hashing, so a
+      // hash-green row pins the PCM16 round trip + window sums + mix
+      // bits + banding all at once
+      s"""WITH $duckAudioFpCtes,
+         aband AS (SELECT media_id, afp, b,
+             (afp >> (b * 16)) & 65535 AS key
+           FROM afh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         acapped AS (SELECT b, key, media_id, afp FROM aband
+           QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         ap AS (SELECT DISTINCT x.media_id AS doc_a, y.media_id AS doc_b,
+               bit_count(xor(x.afp, y.afp)) AS hamming
+               FROM acapped x JOIN acapped y USING (b, key)
+               WHERE x.media_id < y.media_id)
+         SELECT doc_a, doc_b, hamming FROM ap WHERE hamming <= 3""",
+
+    "audio_neardup_incremental" -> audioNeardupIncrementalOracle,
+
+    // probe-only store row, decision-identical by construction
+    "audio_neardup_probe" -> audioNeardupIncrementalOracle,
+
+    "audio_neardup_probe_updated" -> audioNeardupUpdatedOracle
   )
 
   /** Replays the HTML cleaning contract literally, same step order:
@@ -5741,6 +5871,46 @@ object SparkEntry {
          FROM (SELECT DISTINCT inc_id FROM uincb) i
          LEFT JOIN ubbest USING (inc_id)"""
 
+  /** The audio near-dup fixture's decoded fingerprints in closed form
+    * — `amb` (md5 buckets), `awv` (base + perturbed twins), frames →
+    * ch-0 window sums → multiplicative mix bits →
+    * `afh(media_id, afp)`. Mirrors
+    * [[graft.multimodal.Multimodal.audioFpOf]] exactly: every
+    * intermediate non-negative (no signed-% divergence) and < 2⁵⁵
+    * (no overflow on either engine). Shared by all four audio rows.
+    */
+  private lazy val duckAudioFpCtes: String = {
+    val c1 = "((src * 73856093 + i * 19349663) % 65521)"
+    val c2 = "((src * 2654435761 + i * 40503) % 65479)"
+    val v0 = s"(($c1 * $c1 % 65521 + $c2 * $c2 % 65479) % 65536 - 32768)"
+    s"""amb AS (SELECT doc_id,
+           list_sum(list_transform(generate_series(1, 15),
+             p -> ((strpos('0123456789abcdef',
+                    substr(md5(doc_id::VARCHAR), p, 1)) - 1)::BIGINT
+                   << (4 * (15 - p)))))::BIGINT % 100 AS bkt
+           FROM documents),
+         awv AS (SELECT doc_id AS media_id, doc_id AS src, false AS p
+                  FROM documents
+                  UNION ALL
+                  SELECT doc_id + 10000000, doc_id, true
+                  FROM amb JOIN documents USING (doc_id) WHERE bkt < 5),
+         asmp AS (SELECT media_id, i,
+             CASE WHEN p AND i = 0
+                  THEN ($v0 + 1000 + 32768) % 65536 - 32768
+                  ELSE $v0 END AS v
+           FROM awv, generate_series(0, 255) t(i)),
+         awin AS (SELECT media_id, i // 4 AS w, sum(v) AS sw
+                  FROM asmp GROUP BY 1, 2),
+         afh AS (SELECT media_id,
+             sum(CASE WHEN ((sw + 131072 * (w + 1)) * 2654435761)
+                        % 4294967296 >= 2147483648
+                 THEN CASE WHEN w = 63
+                      THEN (-9223372036854775807 - 1)
+                      ELSE (1::BIGINT << w::INT) END
+                 ELSE 0 END)::BIGINT AS afp
+           FROM awin GROUP BY 1)"""
+  }
+
   private lazy val imageNeardupIncrementalOracle: String =
     mediaIncrementalOracleFrom(duckDhashCtes, "dh", "dhash", "mb")
 
@@ -5752,6 +5922,12 @@ object SparkEntry {
 
   private lazy val videoNeardupUpdatedOracle: String =
     mediaUpdatedOracleFrom(duckVideoDhashCtes, "vdh", "clip_dhash", "vmb")
+
+  private lazy val audioNeardupIncrementalOracle: String =
+    mediaIncrementalOracleFrom(duckAudioFpCtes, "afh", "afp", "amb")
+
+  private lazy val audioNeardupUpdatedOracle: String =
+    mediaUpdatedOracleFrom(duckAudioFpCtes, "afh", "afp", "amb")
 
   /** CTE chain mirroring [[graft.simops.Similarity.nearDupPairsBanded]]
     * (numPlanes=64, bands=8, dim=64 — the plane matrix embedded

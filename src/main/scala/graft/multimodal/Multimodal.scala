@@ -693,6 +693,179 @@ object Multimodal {
         "sample_rate", "n_frames", "ch0_sum", "ch1_sum")
   }
 
+  /** Two-prime quadratic-residue audio sample — the near-dup fixture
+    * formula (the [[qrPx]] lesson applied to PCM): one prime alone
+    * makes the sample stream periodic in id, and a naive
+    * adjacent-window GRADIENT hash collapses too (the id enters the
+    * stream as a translation, which order comparisons largely
+    * survive — simulated 307k distinct fingerprints from 500k ids).
+    * The registered fingerprint therefore mixes each window sum
+    * multiplicatively ([[audioFpOf]]) — simulated 500k/500k distinct
+    * at the 100× anchor, planted twins at Hamming ≤ 1, zero hot band
+    * buckets.
+    */
+  private def qrSample(id: Long, i: Int, ch: Int): Short = {
+    require(id >= 0, s"fixture formula assumes non-negative id, got $id")
+    val c1 = (id * 73856093L + i * 19349663L + ch * 83492791L) % 65521L
+    val c2 = (id * 2654435761L + i * 40503L + ch * 30011L) % 65479L
+    (((c1 * c1 % 65521L + c2 * c2 % 65479L) % 65536L) - 32768L).toShort
+  }
+
+  /** The audio near-dup fixture frame: one 256-frame stereo PCM16 WAV
+    * per id (quadratic-residue samples) plus, for the md5-chosen ~5%
+    * of ids, a PERTURBED twin at id+10⁷ — channel 0 of frame 0
+    * shifted by +1000 (wrapped int16), a re-encoded near-duplicate
+    * whose fingerprint lands at Hamming 0–1 from its original. Same
+    * narrow mapPartitions shape as [[syntheticImagesNearDup]]; the
+    * DECODE side goes through the real `javax.sound.sampled` SPI.
+    */
+  def syntheticWavsNearDup(ids: DataFrame, idCol: String,
+                           base: Boolean = true,
+                           twins: Boolean = true): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    require(base || twins, "at least one of base/twins must be generated")
+    val baseF = ids.select(col(idCol).cast("long").as("_id"),
+      lit(false).as("_p"))
+    val twinF = ids
+      .filter(graft.util.Sampling.md5Bucket(col(idCol)) < 5)
+      .select(col(idCol).cast("long").as("_id"), lit(true).as("_p"))
+    val chosen =
+      if (base && twins) baseF.unionByName(twinF)
+      else if (base) baseF else twinF
+    chosen.as[(Long, Boolean)]
+      .mapPartitions(_.map { case (id, p) =>
+        (if (p) id + 10000000L else id, qrWav(id, p))
+      })
+      .toDF("media_id", "content")
+  }
+
+  private def qrWav(id: Long, perturb: Boolean, nFrames: Int = 256,
+                    sampleRate: Int = 8000): Array[Byte] = {
+    val ch = 2
+    val dataLen = nFrames * ch * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    buf.put("RIFF".getBytes(ascii)); buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes(ascii))
+    buf.put("fmt ".getBytes(ascii)); buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(ch.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * ch * 2)
+    buf.putShort((ch * 2).toShort)
+    buf.putShort(16)
+    buf.put("data".getBytes(ascii)); buf.putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      var c = 0
+      while (c < ch) {
+        val raw = qrSample(id, i, c).toInt
+        val v =
+          if (perturb && i == 0 && c == 0)
+            ((raw + 1000 + 32768) % 65536) - 32768
+          else raw
+        buf.putShort(v.toShort)
+        c += 1
+      }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** 64-bit audio fingerprint from decoded ch-0 PCM16 samples: 64
+    * windows × 4 frames, each window's INTEGER sample sum mixed
+    * multiplicatively (Knuth constant, window index salted in so
+    * equal sums in different windows decorrelate), bit w = the mix's
+    * 2³¹ MSB. Exactly SQL-replayable (all intermediates non-negative,
+    * < 2⁵⁵ — no overflow, no signed-% divergence), LOCAL (a one-
+    * sample perturbation can flip only its own window's bit — the
+    * planted-twin contract), and avalanche-mixed per bit (a gradient
+    * hash of adjacent windows keeps the fixture's id-translation
+    * structure and collapsed to 307k distinct values at 500k ids).
+    */
+  private[multimodal] def audioFpOf(winSums: Array[Long]): Long = {
+    var fp = 0L
+    var w = 0
+    while (w < 64) {
+      val m = ((winSums(w) + 131072L * (w + 1)) * 2654435761L) % 4294967296L
+      if (m >= 2147483648L) fp |= 1L << w
+      w += 1
+    }
+    fp
+  }
+
+  /** Batch audio fingerprint through the per-partition codec contract
+    * (the [[dhashFeatures]] shape for the audio modality): WAV → SPI
+    * decode (cached preferred reader) → ch-0 window sums over the
+    * first 256 frames → [[audioFpOf]]. Payload read once, never
+    * shuffled — only the 8-byte fingerprint continues to the Hamming
+    * machinery. Rows that do not decode to ≥256-frame 16-bit PCM
+    * surface undecodable.
+    */
+  def audioFingerprintFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        lazy val readers = {
+          val b = Seq.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+          val ld = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+          while (ld.hasNext) b += ld.next()
+          new AudioReaders(b.result())
+        }
+        it.map { case (id, bytes) =>
+          val fp = decodeAudioFpWith(readers, bytes)
+          (id, fp.isDefined, fp)
+        }
+      }
+      .toDF("media_id", "decodable", "afp")
+  }
+
+  private[multimodal] def decodeAudioFpWith(
+      rs: AudioReaders, bytes: Array[Byte]): Option[Long] = {
+    def tryOne(r: javax.sound.sampled.spi.AudioFileReader) =
+      try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    val ais = Option(rs.preferred).flatMap(tryOne).orElse {
+      rs.all.iterator.flatMap { r =>
+        val a = tryOne(r)
+        if (a.isDefined) rs.preferred = r
+        a
+      }.nextOption()
+    }
+    ais.flatMap { st =>
+      try {
+        val fmt = st.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val frameSize = fmt.getFrameSize
+          val data = st.readAllBytes()
+          val n = data.length / frameSize
+          if (n < 256) None
+          else {
+            def s16(off: Int): Long =
+              if (fmt.isBigEndian)
+                ((data(off) << 8) | (data(off + 1) & 0xFF)).toLong
+              else ((data(off + 1) << 8) | (data(off) & 0xFF)).toLong
+            val sums = new Array[Long](64)
+            var i = 0
+            while (i < 256) {
+              sums(i / 4) += s16(i * frameSize)
+              i += 1
+            }
+            Some(audioFpOf(sums))
+          }
+        }
+      } finally st.close()
+    }
+  }
+
   // ---- REAL video container parse (RIFF/AVI, uncompressed DIB frames) ----
   //
   // Compressed video needs ffmpeg (absent here) and stays an honest

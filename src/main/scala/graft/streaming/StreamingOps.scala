@@ -240,6 +240,27 @@ object StreamingOps {
         "media_id", "dhash", maxHamming, maxBucket), batchId)
     }
 
+  /** The [[imageIngestProbe]] contract for the AUDIO modality: each
+    * micro-batch's clips SPI-decode + fingerprint once
+    * ([[graft.multimodal.Multimodal.audioFingerprintFeatures]] — ch-0
+    * window sums, multiplicative mix bits), and the 8-byte
+    * fingerprints probe the persisted (media_id, afp) store. Same
+    * compacting-thunk / arrival-order-wins / no-query-state
+    * semantics; parity pinned in StreamingSpec alongside the image
+    * and video twins.
+    */
+  def audioIngestProbe(media: DataFrame, corpusFps: () => DataFrame,
+                       maxHamming: Int = 3, maxBucket: Int = 64)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val sig = graft.multimodal.Multimodal.audioFingerprintFeatures(batch)
+        .filter(col("decodable"))
+        .select(col("media_id"), col("afp"))
+      sink(graft.dedup.Dedup.hammingIncremental(sig, corpusFps(),
+        "media_id", "afp", maxHamming, maxBucket), batchId)
+    }
+
   /** The [[imageIngestProbe]] contract for the VIDEO modality: each
     * micro-batch's clips demux + majority-fingerprint once
     * ([[graft.multimodal.Multimodal.videoDhashFeatures]], frame

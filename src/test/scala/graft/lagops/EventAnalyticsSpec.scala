@@ -183,8 +183,10 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .partitionBy(col("event_type"))
       .orderBy(col("value").asc, col("event_id").asc)
     def key(r: org.apache.spark.sql.Row) =
+      // NULL -> a finite sentinel, not NaN: NaN != NaN would fail the
+      // comparison even when both sides agree
       (r.getLong(0), r.getString(1),
-        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(2)) -1e18 else r.getDouble(2),
         r.getInt(3), r.getDouble(4), r.getDouble(5))
     val direct = df.select(col("event_id"), col("event_type"), col("value"),
         ntile(4).over(w).as("quartile"),

@@ -403,6 +403,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!odd.getBoolean(1) && odd.isNullAt(6) && odd.getInt(2) == 9)
   }
 
+  test("audio fingerprint: planted perturbed twin lands within Hamming 1; " +
+      "payload never shuffles; fp matches the closed form") {
+    import spark.implicits._
+    val M = Multimodal
+    // 62 is a bucket<5 twin-source id (the image/video tests' fixture)
+    val base = M.syntheticWavsNearDup(Seq(1L, 2L, 62L).toDF("doc_id"),
+      "doc_id", twins = false)
+    val twin = M.syntheticWavsNearDup(Seq(62L).toDF("doc_id"),
+      "doc_id", base = false)
+    val sig = M.audioFingerprintFeatures(base.unionByName(twin))
+      .filter(col("decodable"))
+      .select(col("media_id"), col("afp"))
+    val fps = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.size == 4)
+    val ham = java.lang.Long.bitCount(fps(62L) ^ fps(10000062L))
+    assert(ham <= 1, s"twin hamming $ham")
+    // the decoded-fp equals the closed form computed directly from the
+    // fixture formula (PCM16 round-trips the SPI exactly)
+    def qrS(id: Long, i: Int): Long = {
+      val c1 = (id * 73856093L + i * 19349663L) % 65521L
+      val c2 = (id * 2654435761L + i * 40503L) % 65479L
+      (c1 * c1 % 65521L + c2 * c2 % 65479L) % 65536L - 32768L
+    }
+    val sums = new Array[Long](64)
+    for (i <- 0 until 256) sums(i / 4) += qrS(62L, i)
+    assert(fps(62L) == M.audioFpOf(sums))
+    // fingerprinting itself never shuffles the payload (the dHash
+    // test's fence, same codec contract)
+    val sigPlan = M.audioFingerprintFeatures(base.unionByName(twin))
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Exchange hashpartitioning"),
+      s"audio fp must not shuffle the payload:\n$sigPlan")
+    // and the pair machinery finds exactly the planted pair
+    val pairs = graft.dedup.Dedup.hammingPairs(sig, "media_id", "afp",
+      maxHamming = 3, maxBucket = 64)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((62L, 10000062L)))
+  }
+
   test("MediaStore: stored probe equals the in-DAG incremental; " +
       "appendWrite closes the daily loop; compact heals retries") {
     import graft.dedup.{Dedup, MediaStore}

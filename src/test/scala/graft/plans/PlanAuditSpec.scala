@@ -552,8 +552,10 @@ class PlanAuditSpec extends AnyFunSuite {
     for ((name, fam) <- Seq(
         "image_neardup_probe" -> "media_image",
         "video_neardup_probe" -> "media_video",
+        "audio_neardup_probe" -> "media_audio",
         "image_neardup_probe_updated" -> "media_image",
-        "video_neardup_probe_updated" -> "media_video")) {
+        "video_neardup_probe_updated" -> "media_video",
+        "audio_neardup_probe_updated" -> "media_audio")) {
       val p = plan(name) // first call builds the store (bench warmup)
       assert(p.contains(s"stores/sf0.001/$fam"),
         s"$name: expected the $fam store parquet scan:\n$p")

@@ -237,6 +237,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchB1 == Map(10L -> true, 11L -> false))
   }
 
+  test("audioIngestProbe: compacting stream catches a cross-batch planted twin; batch parity") {
+    import spark.implicits._
+    val M = graft.multimodal.Multimodal
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("aud_store").toString
+    // same planted structure as the image twin test: corpus {1,2,62},
+    // b1 = fresh clip 65 (accepted), b2 = twins of {62, 65} — twin(65)
+    // is caught only through the between-trigger store append
+    val corpusWavs = M.syntheticWavsNearDup(
+      Seq(1L, 2L, 62L).toDF("doc_id"), "doc_id", twins = false)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      M.audioFingerprintFeatures(df).filter(col("decodable"))
+        .select(col("media_id"), col("afp"))
+    sig(corpusWavs).write.mode("overwrite").parquet(storeDir)
+    val b1 = M.syntheticWavsNearDup(Seq(65L).toDF("doc_id"), "doc_id",
+      twins = false)
+    val b2 = M.syntheticWavsNearDup(Seq(62L, 65L).toDF("doc_id"),
+      "doc_id", base = false)
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("aud_feed").toString
+    b1.coalesce(1).write.mode("append").parquet(feedDir)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var batches = 0
+    val q = StreamingOps.audioIngestProbe(stream,
+        () => spark.read.parquet(storeDir)) { (df, _) =>
+      val rows = df.collect()
+      out.synchronized { out ++= rows; batches += 1 }
+      val accepted = rows.filter(_.getBoolean(3)).map(_.getLong(0))
+      if (accepted.nonEmpty)
+        sig(spark.read.parquet(feedDir)
+            .filter(col("media_id").isin(accepted: _*)))
+          .write.mode("append").parquet(storeDir)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3))).toMap
+    assert(got(65L) == (-1L, true), s"got: $got")
+    assert(got(10000062L) == (62L, false), s"got: $got")
+    assert(got(10000065L) == (65L, false), s"got: $got")
+    val batchB1 = graft.dedup.Dedup.hammingIncremental(sig(b1),
+        sig(corpusWavs), "media_id", "afp").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(3))).toMap
+    assert(batchB1(65L) == got(65L))
+  }
+
   test("imageIngestProbe: compacting stream catches a cross-batch planted twin; batch parity") {
     import spark.implicits._
     val M = graft.multimodal.Multimodal
