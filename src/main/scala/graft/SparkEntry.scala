@@ -118,6 +118,48 @@ object SparkEntry {
            FROM k GROUP BY doc_id) c USING (doc_id)
          WHERE ml.doc_id % 10 >= 7"""
 
+  /** The line-granularity A/B loop replayed in SQL
+    * (`dedup_lines_bloom_probe_updated`): probe increment A (doc_id %
+    * 10 in {7,8}) against the %10<7 corpus lines, append A's KEPT
+    * (first-occurrence, corpus-absent) lines, probe increment B
+    * (doc_id % 10 = 9) against corpus ∪ accepted-A — a B line an
+    * accepted A doc introduced drops cross-increment.
+    */
+  private lazy val linesUpdatedOracle: String =
+    s"""WITH $lineFixtureCtes,
+         l AS (SELECT doc_id, ls, i, ls[i] AS line
+               FROM ml, unnest(generate_series(1, len(ls))) AS t(i)),
+         cor AS (SELECT DISTINCT line FROM l WHERE doc_id % 10 < 7),
+         la AS (SELECT * FROM l WHERE doc_id % 10 IN (7, 8)),
+         newa AS (SELECT la.* FROM la LEFT JOIN cor
+               ON la.line = cor.line WHERE cor.line IS NULL),
+         fa1 AS (SELECT line, min(doc_id) AS d0 FROM newa GROUP BY line),
+         fa2 AS (SELECT n.line, n.doc_id, min(n.i) AS i0 FROM newa n
+               JOIN fa1 ON n.line = fa1.line AND n.doc_id = fa1.d0
+               GROUP BY n.line, n.doc_id),
+         ka AS (SELECT n.doc_id, n.i, n.line FROM newa n
+               JOIN fa2 ON n.line = fa2.line AND n.doc_id = fa2.doc_id
+                 AND n.i = fa2.i0),
+         cor1 AS (SELECT line FROM cor
+                  UNION SELECT DISTINCT line FROM ka),
+         lb AS (SELECT * FROM l WHERE doc_id % 10 = 9),
+         newb AS (SELECT lb.* FROM lb LEFT JOIN cor1
+               ON lb.line = cor1.line WHERE cor1.line IS NULL),
+         fb1 AS (SELECT line, min(doc_id) AS d0 FROM newb GROUP BY line),
+         fb2 AS (SELECT n.line, n.doc_id, min(n.i) AS i0 FROM newb n
+               JOIN fb1 ON n.line = fb1.line AND n.doc_id = fb1.d0
+               GROUP BY n.line, n.doc_id),
+         kb AS (SELECT n.doc_id, n.i, n.line FROM newb n
+               JOIN fb2 ON n.line = fb2.line AND n.doc_id = fb2.doc_id
+                 AND n.i = fb2.i0)
+         SELECT ml.doc_id, len(ml.ls)::BIGINT AS n_lines,
+           COALESCE(c.n_kept, 0)::BIGINT AS n_kept,
+           COALESCE(c.text_clean, '') AS text_clean
+         FROM ml LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(line, chr(10) ORDER BY i) AS text_clean
+           FROM kb GROUP BY doc_id) c USING (doc_id)
+         WHERE ml.doc_id % 10 = 9"""
+
   /** [[minhashBandedCtes]] + the batch pair pipeline mirroring
     * [[graft.dedup.Dedup.minhashLsh]] (bucket cap → candidate pairs →
     * exact-Jaccard verify), ending in `mpairs(doc_a, doc_b, jaccard)`.
@@ -1862,6 +1904,42 @@ object SparkEntry {
         graft.dedup.BloomStore.write(st, meta, sd)
       }
       graft.textops.LineDedup.dedupLinesIncrementalBloom(d.filter(isInc),
+        graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
+    }),
+
+    "dedup_lines_bloom_probe_updated" -> ((s, dir) => {
+      // the line-granularity A/B ingest LOOP closed — the last
+      // modality without one (minhash/spans/semantic/exact/image/
+      // video/audio each have theirs): at store-setup time increment
+      // A (doc_id % 10 in {7,8}) was probed and its KEPT lines'
+      // hashes appended with BloomStore.appendWrite (the kept lines
+      // round-trip exactly through text_clean: n_kept separators
+      // rebuild the same line set the decision kept, empty-output
+      // docs filtered on n_kept); the timed plan probes increment B
+      // (doc_id % 10 = 9) against the grown store, so a B line that
+      // an ACCEPTED A doc introduced is dropped cross-increment
+      // (ScaleGen's neighbor-copy plants land across the %10 split at
+      // the anchors; DedupSpec pins the catch on planted docs). Own
+      // store family ("bloom_lines_ab") so the single-probe row's
+      // corpus-only store stays untouched.
+      val d = graft.textops.LineDedup.multilineFixture(
+        Tables.documents(s, dir), "doc_id", "text")
+      val m10 = pmod(col("doc_id"), lit(10))
+      val sd = storeDir(dir, "bloom_lines_ab")
+      ensureStore(sd, "fingerprints/_SUCCESS",
+        "v1 corpus=%10<7 incA=%10in7,8 keys=distinct-line-xxhash64 " +
+          "fpp=0.03 appended") {
+        val (st, meta) = graft.dedup.BloomStore.buildLines(
+          d.filter(m10 < 7), "text")
+        graft.dedup.BloomStore.write(st, meta, sd)
+        val probeA = graft.textops.LineDedup.dedupLinesIncrementalBloom(
+          d.filter(m10 === 7 || m10 === 8), st, "doc_id", "text")
+        val acc = probeA.filter(col("n_kept") > 0)
+          .select(explode(split(col("text_clean"), "\n")).as("_ln"))
+          .select(xxhash64(col("_ln")).as("fingerprint")).distinct()
+        graft.dedup.BloomStore.appendWrite(acc, st, meta, sd)
+      }
+      graft.textops.LineDedup.dedupLinesIncrementalBloom(d.filter(m10 === 9),
         graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
     }),
 
@@ -3970,6 +4048,8 @@ object SparkEntry {
     // the direct incremental (no false negatives; the verify join
     // kills the sketch's false positives) — same oracle
     "dedup_lines_bloom_probe" -> linesIncrementalOracle,
+
+    "dedup_lines_bloom_probe_updated" -> linesUpdatedOracle,
 
     "sql_quality_score" -> duckQualityScoreOracle,
 

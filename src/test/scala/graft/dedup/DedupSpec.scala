@@ -514,6 +514,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(2000L -> false, 2001L -> false, 2002L -> true))
   }
 
+  test("lines A/B loop: a B line introduced by an ACCEPTED A doc drops " +
+      "cross-increment through the appended sketch") {
+    import org.apache.spark.sql.functions.{col, explode, split, xxhash64}
+    val corpus = docs(1L -> "banner line\ncorpus one",
+      2L -> "corpus two")
+    val sd = java.nio.file.Files.createTempDirectory("lines_ab").toString
+    val (st, meta) = BloomStore.buildLines(corpus, "text")
+    BloomStore.write(st, meta, sd)
+    // A: doc 10 keeps "fresh alpha" (banner drops against the corpus)
+    val incA = docs(10L -> "fresh alpha\nbanner line")
+    val probeA = graft.textops.LineDedup.dedupLinesIncrementalBloom(
+      incA, st, "doc_id", "text")
+    val acc = probeA.filter(col("n_kept") > 0)
+      .select(explode(split(col("text_clean"), "\n")).as("_ln"))
+      .select(xxhash64(col("_ln")).as("fingerprint")).distinct()
+    BloomStore.appendWrite(acc, st, meta, sd)
+    // B: "fresh alpha" must now drop (accepted-A catch), "fresh beta"
+    // survives, the corpus banner still drops
+    val incB = docs(20L -> "fresh alpha\nfresh beta\nbanner line")
+    val out = graft.textops.LineDedup.dedupLinesIncrementalBloom(
+        incB, BloomStore.read(spark, sd)._1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq((20L, 3L, 1L, "fresh beta")), out.toSeq)
+  }
+
   test("dedupLinesIncrementalBloom equals dedupLinesIncremental through " +
       "a store round-trip") {
     val corpus = docs(
