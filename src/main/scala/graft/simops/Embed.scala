@@ -514,14 +514,25 @@ object Embed {
   def semanticDedupHier(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, targetListSize: Int = 32,
                         iters: Int = 1, fitSamplePct: Int = 100,
-                        knownCount: Long = -1L): DataFrame = {
+                        knownCount: Long = -1L): DataFrame =
+    semanticDedupHierAt(Ivf.ForestLiteralMaxLists)(df, idCol, vecCol,
+      threshold, targetListSize, iters, fitSamplePct, knownCount)
+
+  /** [[semanticDedupHier]] with the dispatch threshold injectable —
+    * EmbedSpec forces the relational-forest branch at a spec-sized
+    * geometry and pins output equality with the literal plan.
+    */
+  private[simops] def semanticDedupHierAt(literalMax: Int)(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, targetListSize: Int, iters: Int,
+      fitSamplePct: Int, knownCount: Long): DataFrame = {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must be in [-1,1], got $threshold")
     val n = if (knownCount >= 0) knownCount
       else df.select(col(idCol)).count()
     val nlist = autoNlist(n, targetListSize)
-    val assigned = hierAssigner(df, idCol, vecCol, nlist, iters,
-      fitSamplePct, n)(df)
+    val assigned = hierAssignerAt(literalMax)(df, idCol, vecCol, nlist,
+      iters, fitSamplePct, n)(df)
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.list_id") === col("b.list_id")
           && col("a.vec_id") > col("b.vec_id"))
@@ -577,7 +588,20 @@ object Embed {
   private def hierAssigner(fitOn: DataFrame, idCol: String, vecCol: String,
                            nlist: Int, iters: Int, fitSamplePct: Int,
                            knownCount: Long): DataFrame => DataFrame =
-    if (nlist <= Ivf.ForestLiteralMaxLists) {
+    hierAssignerAt(Ivf.ForestLiteralMaxLists)(fitOn, idCol, vecCol,
+      nlist, iters, fitSamplePct, knownCount)
+
+  /** [[hierAssigner]] with an injectable dispatch threshold — the
+    * test seam that lets EmbedSpec drive the FULL semantic-dedup flow
+    * through the relational branch at a spec-sized geometry (the
+    * production threshold only activates past 65 536 lists, far
+    * beyond any fixture).
+    */
+  private[simops] def hierAssignerAt(literalMax: Int)(
+      fitOn: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, fitSamplePct: Int,
+      knownCount: Long): DataFrame => DataFrame =
+    if (nlist <= literalMax) {
       val h = Ivf.fitHier(fitOn, idCol, vecCol, nlist, iters,
         fitSamplePct, knownCount)
       df => hierAssign(df, idCol, vecCol, h)

@@ -244,4 +244,35 @@ class EmbedSpec extends AnyFunSuite {
       (7, 0L) -> ((2.0, 2L)), (7, 1L) -> ((1.0, 2L)),
       (9, 0L) -> ((10.0, 1L)), (9, 1L) -> ((-4.0, 1L))))
   }
+
+  test("semanticDedupHier through the relational-forest branch equals " +
+      "the literal plan end to end") {
+    // the ForestLiteralMaxLists dispatch only activates past 65 536
+    // lists in production; forcing literalMax = 0 drives the SAME
+    // keep/drop decision logic through Ivf.fitHierR/assignHierR at a
+    // spec-sized geometry — the full-flow coverage of the wiring the
+    // large-nlist probe exercises at scale
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val base = (0L until 400L).map { i =>
+      i -> Seq.fill(16)(rng.nextFloat() * 2 - 1)
+    }
+    // planted near-copies so kept=false rows genuinely exist
+    val copies = (0L until 20L).map { i =>
+      (1000L + i) -> base(i.toInt)._2.map(v => v * 0.999f)
+    }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    def run(literalMax: Int) =
+      Embed.semanticDedupHierAt(literalMax)(df, "vec_id", "embedding",
+        threshold = 0.9, targetListSize = 16, iters = 1,
+        fitSamplePct = 100, knownCount = -1L)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+        .toMap
+    val lit0 = run(Int.MaxValue) // literal branch
+    val rel = run(0)             // relational branch
+    assert(lit0.size == 420 && rel.size == 420)
+    assert(rel == lit0)
+    // the planted copies actually exercised the drop rule
+    assert(lit0.count(!_._2._2) >= 15, lit0.count(!_._2._2))
+  }
 }
