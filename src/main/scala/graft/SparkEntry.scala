@@ -3218,6 +3218,58 @@ object SparkEntry {
         "media_id", "dhash", maxHamming = 3, maxBucket = 64)
     }),
 
+    "media_band_capstats" -> ((s, dir) => {
+      // the capstats convention for the MEDIA band geometry (the
+      // dedup_minhash_capstats / ngram_df_capstats /
+      // dedup_semantic_liststats lineage): every media near-dup row
+      // caps Hamming band buckets at 64 — a hot bucket is SILENT
+      // recall loss at scale, so the bucket-size distribution ships as
+      // an oracle-checked integer-only row per modality instead of a
+      // simulated law. Reads the persisted fingerprint STORES (built
+      // here if a probe row has not run yet — same family dirs, same
+      // params), so the row costs three 8-byte-column scans, zero
+      // decodes.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val sdi = storeDir(dir, "media_image")
+      ensureStore(sdi, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 fp=dhash") {
+        graft.dedup.MediaStore.write(imageSig(
+          Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
+            "doc_id", twins = false)), sdi)
+      }
+      val sdv = storeDir(dir, "media_video")
+      ensureStore(sdv, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 step=2 fp=clip_dhash") {
+        graft.dedup.MediaStore.write(videoSig(
+          Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
+            "doc_id", twins = false)), sdv)
+      }
+      val sda = storeDir(dir, "media_audio")
+      ensureStore(sda, "fingerprints/_SUCCESS",
+        "v1 corpus=bkt<70 fp=afp") {
+        graft.dedup.MediaStore.write(audioSig(
+          Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
+            "doc_id", twins = false)), sda)
+      }
+      def statsOf(modality: String, sd: String, hcol: String) =
+        graft.dedup.MediaStore.read(s, sd)
+          .select(col(hcol).as("_h"))
+          .select(posexplode(array((0 until 4).map { b =>
+            shiftright(col("_h"), b * 16).bitwiseAND(0xFFFFL)
+          }: _*)).as(Seq("band", "key")))
+          .groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("_n"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max(col("_n")).as("max_bucket"),
+            sum(when(col("_n") > 64, 1L).otherwise(0L)).as("over_cap"))
+          .select(lit(modality).as("modality"), col("n_buckets"),
+            col("max_bucket"), col("over_cap"))
+      statsOf("image", sdi, "dhash")
+        .unionByName(statsOf("video", sdv, "clip_dhash"))
+        .unionByName(statsOf("audio", sda, "afp"))
+    }),
+
     "audio_neardup" -> ((s, dir) => {
       // audio-CONTENT near-dedup — the third media modality joins the
       // Hamming machinery: real WAV assemble → real javax.sound SPI
@@ -5609,6 +5661,43 @@ object SparkEntry {
     "image_neardup_probe" -> imageNeardupIncrementalOracle,
 
     "image_neardup_probe_updated" -> imageNeardupUpdatedOracle,
+
+    "media_band_capstats" ->
+      // the three fixture fingerprint chains replayed in closed form
+      // over the store slice (bucket<70 base media), then the band
+      // geometry: distinct (band,key) buckets, the largest, and how
+      // many exceed the 64 cap — integer-only, one row per modality
+      s"""WITH $duckDhashCtes, $duckVideoDhashCtes, $duckAudioFpCtes,
+         icor AS (SELECT dh.dhash AS h FROM dh
+                  JOIN mb ON mb.doc_id = dh.media_id
+                  WHERE dh.media_id < 10000000 AND mb.bkt < 70),
+         vcor AS (SELECT vdh.clip_dhash AS h FROM vdh
+                  JOIN vmb ON vmb.doc_id = vdh.media_id
+                  WHERE vdh.media_id < 10000000 AND vmb.bkt < 70),
+         acor AS (SELECT afh.afp AS h FROM afh
+                  JOIN amb ON amb.doc_id = afh.media_id
+                  WHERE afh.media_id < 10000000 AND amb.bkt < 70),
+         ib AS (SELECT b, (h >> (b * 16)) & 65535 AS key FROM icor,
+                (SELECT unnest(generate_series(0, 3)) AS b)),
+         ig AS (SELECT b, key, count(*) AS n FROM ib GROUP BY 1, 2),
+         vb AS (SELECT b, (h >> (b * 16)) & 65535 AS key FROM vcor,
+                (SELECT unnest(generate_series(0, 3)) AS b)),
+         vg AS (SELECT b, key, count(*) AS n FROM vb GROUP BY 1, 2),
+         ab AS (SELECT b, (h >> (b * 16)) & 65535 AS key FROM acor,
+                (SELECT unnest(generate_series(0, 3)) AS b)),
+         ag AS (SELECT b, key, count(*) AS n FROM ab GROUP BY 1, 2)
+         SELECT 'image' AS modality, count(*)::BIGINT AS n_buckets,
+           max(n)::BIGINT AS max_bucket,
+           CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_cap FROM ig
+         UNION ALL
+         SELECT 'video', count(*)::BIGINT, max(n)::BIGINT,
+           CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM vg
+         UNION ALL
+         SELECT 'audio', count(*)::BIGINT, max(n)::BIGINT,
+           CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM ag""",
 
     "audio_neardup" ->
       // the fixture samples in closed form (two-prime quadratic
