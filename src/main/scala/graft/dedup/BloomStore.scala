@@ -81,11 +81,26 @@ object BloomStore {
 
   private def conf = new org.apache.hadoop.conf.Configuration()
 
+  /** Sketch writes go through the rename-aside protocol (the
+    * [[SignatureStore.compactOne]] pattern): the new bytes land at a
+    * temp path and swap in with two renames, so a crash mid-write
+    * leaves either the previous valid sketch or (for the instant
+    * between the renames) no file at all — fail-stop on read, never a
+    * torn sketch that parses wrongly.
+    */
   private def writeBloom(bloom: BloomFilter, dir: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin.tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin.old")
     val fs = path.getFileSystem(conf)
-    val out = fs.create(path, true)
+    val out = fs.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
+    fs.delete(old, false) // stale leftover from a previous crash
+    if (fs.exists(path))
+      require(fs.rename(path, old), s"writeBloom: rename $path -> $old failed")
+    require(fs.rename(tmp, path),
+      s"writeBloom: rename $tmp -> $path failed (recover: rename $old back)")
+    fs.delete(old, false)
   }
 
   private def writeMeta(meta: Meta, dir: String): Unit = {
@@ -133,17 +148,29 @@ object BloomStore {
     * the in-memory store reflects the appended keys, matching the
     * on-disk state — re-read the store only to pick up OTHER writers'
     * appends.
+    *
+    * Crash-safe ORDER: the merged sketch (and meta) persist BEFORE the
+    * fingerprint files append, so every intermediate on-disk state has
+    * bloom ⊇ fps — the sketch's extra positives are killed by the
+    * verify join, and no false negative can ever appear. The reverse
+    * order would leave fps ⊋ bloom after a crash: duplicates of the
+    * appended keys would then sail past the prefilter as is_new on
+    * every later probe, a silent persistent violation of the module's
+    * no-false-negatives invariant. (A crash between meta and fps
+    * leaves actualN overstating the store by one increment — harmless:
+    * actualN is only the refit signal, and overstating it only runs
+    * [[compact]] earlier.)
     */
   def appendWrite(acceptedFps: DataFrame, store: Store, meta: Meta,
                   dir: String): Meta = {
     val fps = acceptedFps.localCheckpoint() // increment-sized, bounded
-    fps.write.mode("append").parquet(s"$dir/fingerprints")
     val inc = fps.select(xxhash64(col("fingerprint")).as("fp64"))
       .stat.bloomFilter("fp64", meta.expectedN, meta.fpp)
     store.bloom.mergeInPlace(inc)
     writeBloom(store.bloom, dir)
     val grown = meta.copy(actualN = meta.actualN + fps.count())
     writeMeta(grown, dir)
+    fps.write.mode("append").parquet(s"$dir/fingerprints")
     grown
   }
 

@@ -111,7 +111,7 @@ object SignatureStore {
     compactOne(spark, s"$dir/shingle_hashes", Seq("doc_id"))
   }
 
-  private[dedup] def compactOne(spark: SparkSession, path: String,
+  private[graft] def compactOne(spark: SparkSession, path: String,
                                 keys: Seq[String]): Unit = {
     val tmp = path + ".compact"
     spark.read.parquet(path).dropDuplicates(keys)

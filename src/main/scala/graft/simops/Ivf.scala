@@ -338,9 +338,13 @@ object Ivf {
         .select(col("coarse_id"), col("sub_id"),
           array((0 until dim).map(i =>
             coalesce(col(s"_m$i"), lit(0.0))): _*).as("cent"))
-      val old = subs
+      // no explicit unpersist: Dataset.unpersist goes through the
+      // cache manager and is a no-op for localCheckpoint's RDD-level
+      // blocks — those are freed by the ContextCleaner once the old
+      // frame drops out of scope. Each pass's frame is bounded
+      // (≤ ~10 MB at the 20k fit cap), so holding ≤ iters of them
+      // until GC is fine.
       subs = withSubNorm(refit).localCheckpoint()
-      old.unpersist()
     }
     HierIndexR(coarse, s, subs)
   }

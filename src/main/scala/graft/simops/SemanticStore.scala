@@ -61,6 +61,20 @@ object SemanticStore {
   def appendWrite(acceptedAssigned: DataFrame, dir: String): Unit =
     acceptedAssigned.write.mode("append").parquet(s"$dir/assigned")
 
+  /** Retry-healing compaction — the same contract every other store
+    * family carries ([[graft.dedup.SignatureStore.compact]],
+    * [[graft.dedup.BloomStore.compact]],
+    * [[graft.dedup.MediaStore.compact]]): dedup the `assigned/` rows
+    * by vec_id (a retried ingest that appended the same vector twice
+    * never changed a probe decision — the within-list verify is
+    * per-pair — only bytes) and rewrite via the crash-safe
+    * rename-aside protocol. One scan of (id, list, vec) store rows,
+    * never a corpus re-fit or re-assignment; the forest is untouched.
+    */
+  def compact(spark: SparkSession, dir: String): Unit =
+    graft.dedup.SignatureStore.compactOne(spark, s"$dir/assigned",
+      Seq("vec_id"))
+
   /** Assign a frame through the store's FROZEN forest — the
     * (vec_id, list_id, vec) shape [[appendWrite]] expects, and the
     * in-memory half of the daily loop: `append` unions it onto the

@@ -179,6 +179,46 @@ class AnnPropertiesSpec extends AnyFunSuite {
     assert(got(902L) == (-1L, true), s"fresh: $got")
   }
 
+  test("SemanticStore.compact heals double-appended retries without changing decisions") {
+    // a retried ingest appends the same accepted assignments twice;
+    // compact must dedup assigned/ back to one row per vec_id, and the
+    // probe decisions must be bit-identical before and after (the
+    // within-list verify is per-pair, so duplicates only cost bytes)
+    import org.apache.spark.sql.functions._
+    val corpus = randomVecs(120, 8, 53)
+    val incA = randomVecs(140, 8, 53).filter(col("vec_id") >= 120)
+    val incB = randomVecs(12, 8, 61)
+      .select((col("vec_id") + 3000).as("vec_id"), col("embedding"))
+    val sd = java.nio.file.Files.createTempDirectory("sem_compact").toString
+    val spark2 = corpus.sparkSession
+    SemanticStore.write(SemanticStore.build(corpus, "vec_id", "embedding",
+      targetListSize = 8), sd)
+    val store = SemanticStore.read(spark2, sd)
+    val baseN = store.assigned.count()
+    // the retried double-append: the SAME accepted frame lands twice
+    val acceptedA = SemanticStore.assign(store, incA, "vec_id", "embedding")
+      .select(col("vec_id"), col("list_id"), col("vec").as("vec"))
+      .localCheckpoint() // decision frame must not chase post-compact files
+    SemanticStore.appendWrite(acceptedA, sd)
+    SemanticStore.appendWrite(acceptedA, sd)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) 0.0 else r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1).toSeq
+    val doubled = SemanticStore.read(spark2, sd)
+    assert(doubled.assigned.count() == baseN + 2 * acceptedA.count())
+    val before = rows(Embed.semanticDedupStored(incB, doubled,
+      "vec_id", "embedding", threshold = 0.55))
+    SemanticStore.compact(spark2, sd)
+    val healed = SemanticStore.read(spark2, sd)
+    assert(healed.assigned.count() == baseN + acceptedA.count(),
+      "compact must restore one row per vec_id")
+    assert(rows(Embed.semanticDedupStored(incB, healed,
+      "vec_id", "embedding", threshold = 0.55)) == before,
+      "probe decisions must be bit-identical across compact")
+  }
+
   test("pqTopK ranks by the true reconstruction distance (self-consistency)") {
     // encode + ADC must agree: for every vector, querying WITH ITSELF
     // excluded, its own adist to any neighbor is symmetric in the codes
