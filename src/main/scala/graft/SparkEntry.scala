@@ -392,6 +392,26 @@ object SparkEntry {
     "v1 corpus=bkt<70 k=8 w=4 deltas=incA-bkt70-84 minShared=5 maxDf=16"
   private val SemanticStoreParams =
     "v1 corpus=bkt<70 tls=32 iters=1 pct=60"
+  private val BloomDocsParams =
+    "v1 corpus=bkt<70 fpp=0.03"
+  private val BloomAbParams =
+    "v1 corpus=bkt<70 incA=bkt70-84 fpp=0.03 appended"
+  private val BloomLinesParams =
+    "v1 corpus=doc_id%10<7 keys=distinct-line-xxhash64 fpp=0.03"
+  private val BloomLinesAbParams =
+    "v1 corpus=%10<7 incA=%10in7,8 keys=distinct-line-xxhash64 " +
+      "fpp=0.03 appended"
+  private val ImageStoreParams =
+    "v1 corpus=bkt<70 fp=dhash"
+  private val VideoStoreParams =
+    "v1 corpus=bkt<70 step=2 fp=clip_dhash"
+  private val AudioStoreParams =
+    "v1 corpus=bkt<70 fp=afp"
+  private val VecIndexParams =
+    "v1 corpus=all nlist=16 nprobe=4 m=8 k=16 iters=1 pct=60 dim=64 res=1"
+  private val VecIndexAbParams =
+    "v1 corpus=bkt<70 inc=bkt>=70 nlist=16 nprobe=4 m=8 k=16 iters=1 " +
+      "pct=60 dim=64 res=1 appended"
 
   /** The semantic family's registered constants — the SAME values are
     * passed to the Scala entries below and default the oracle CTE
@@ -1840,7 +1860,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "bloom")
-      ensureStore(sd, "fingerprints/_SUCCESS", "v1 corpus=bkt<70 fpp=0.03") {
+      ensureStore(sd, "fingerprints/_SUCCESS", BloomDocsParams) {
         val (st, meta) = graft.dedup.BloomStore.build(
           d.filter(bucket < 70), "doc_id", "text")
         graft.dedup.BloomStore.write(st, meta, sd)
@@ -1866,8 +1886,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "bloom_ab")
-      ensureStore(sd, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 incA=bkt70-84 fpp=0.03 appended") {
+      ensureStore(sd, "fingerprints/_SUCCESS", BloomAbParams) {
         val (st, meta) = graft.dedup.BloomStore.build(
           d.filter(bucket < 70), "doc_id", "text")
         graft.dedup.BloomStore.write(st, meta, sd)
@@ -1897,8 +1916,7 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
       val isInc = pmod(col("doc_id"), lit(10)) >= 7
       val sd = storeDir(dir, "bloom_lines")
-      ensureStore(sd, "fingerprints/_SUCCESS",
-        "v1 corpus=doc_id%10<7 keys=distinct-line-xxhash64 fpp=0.03") {
+      ensureStore(sd, "fingerprints/_SUCCESS", BloomLinesParams) {
         val (st, meta) = graft.dedup.BloomStore.buildLines(
           d.filter(!isInc), "text")
         graft.dedup.BloomStore.write(st, meta, sd)
@@ -1926,9 +1944,7 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text")
       val m10 = pmod(col("doc_id"), lit(10))
       val sd = storeDir(dir, "bloom_lines_ab")
-      ensureStore(sd, "fingerprints/_SUCCESS",
-        "v1 corpus=%10<7 incA=%10in7,8 keys=distinct-line-xxhash64 " +
-          "fpp=0.03 appended") {
+      ensureStore(sd, "fingerprints/_SUCCESS", BloomLinesAbParams) {
         val (st, meta) = graft.dedup.BloomStore.buildLines(
           d.filter(m10 < 7), "text")
         graft.dedup.BloomStore.write(st, meta, sd)
@@ -2200,6 +2216,64 @@ object SparkEntry {
       graft.simops.Embed.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", kNN = 5, nlist = 16, nprobe = 4,
         m = 8, k = 16, iters = 1, fitSamplePct = 60, dim = 64)
+    }),
+
+    "similarity_ivfpq_probe" -> ((s, dir) => {
+      // the SERVING form of similarity_ivfpq (the _probe convention —
+      // the last O(corpus)-per-query shape on the board closed):
+      // centroids, codebooks, and the corpus's packed PQ codes were
+      // fitted + encoded ONCE at "corpus ingest time" (first
+      // invocation builds the VectorIndexStore — the bench's warmup
+      // pass), so the timed row measures what an online query batch
+      // actually pays: query-side literal encode + ADC over the
+      // STORED m-int code arrays of the probed lists — no corpus fit,
+      // no corpus PQ re-encode, no corpus vector read (plan-fenced in
+      // PlanAuditSpec). Output bit-identical to similarity_ivfpq
+      // (same deterministic fits; doubles/ints round-trip parquet
+      // exactly) — same oracle.
+      val emb = Tables.embeddings(s, dir)
+      val sd = storeDir(dir, "vecindex")
+      ensureStore(sd, "codes/_SUCCESS", VecIndexParams) {
+        graft.simops.VectorIndexStore.write(
+          graft.simops.VectorIndexStore.build(emb, "vec_id", "embedding",
+            nlist = 16, m = 8, k = 16, iters = 1, fitSamplePct = 60,
+            dim = 64), sd)
+      }
+      graft.simops.VectorIndexStore.topK(emb.filter(col("vec_id") < 10),
+        graft.simops.VectorIndexStore.read(s, sd), "vec_id", "embedding",
+        kNN = 5, nprobe = 4)
+    }),
+
+    "similarity_ivfpq_probe_updated" -> ((s, dir) => {
+      // the serving index's daily-ingest LOOP closed (the _updated
+      // convention, the dedup_bloom_probe_updated shape: the append
+      // runs at store-setup time so the persisted state is
+      // deterministic): the index is fitted on the bucket<70 corpus
+      // only; increment vectors (bucket >= 70) were assigned + encoded
+      // under the FROZEN centroids/codebooks (the SemanticStore
+      // frozen-forest convention) and appended with
+      // VectorIndexStore.appendWrite — O(increment), no refit, no
+      // rewrite. The timed query batch then retrieves over the grown
+      // store: appended vectors are servable the moment the append
+      // lands (the cross-increment retrieval is pinned on a planted
+      // near-copy in EmbedStoreSpec). Oracle = the ivfpq replay with
+      // the fits restricted to the bucket<70 corpus.
+      val emb = Tables.embeddings(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
+      val sd = storeDir(dir, "vecindex_ab")
+      ensureStore(sd, "codes/_SUCCESS", VecIndexAbParams) {
+        val st = graft.simops.VectorIndexStore.build(
+          emb.filter(bucket < 70), "vec_id", "embedding",
+          nlist = 16, m = 8, k = 16, iters = 1, fitSamplePct = 60,
+          dim = 64)
+        graft.simops.VectorIndexStore.write(st, sd)
+        graft.simops.VectorIndexStore.appendWrite(
+          graft.simops.VectorIndexStore.encode(emb.filter(bucket >= 70),
+            "vec_id", "embedding", st.index), sd)
+      }
+      graft.simops.VectorIndexStore.topK(emb.filter(col("vec_id") < 10),
+        graft.simops.VectorIndexStore.read(s, sd), "vec_id", "embedding",
+        kNN = 5, nprobe = 4)
     }),
 
     "embedding_neardup" -> ((s, dir) =>
@@ -3075,8 +3149,7 @@ object SparkEntry {
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "media_video")
-      ensureStore(sd, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 step=2 fp=clip_dhash") {
+      ensureStore(sd, "fingerprints/_SUCCESS", VideoStoreParams) {
         graft.dedup.MediaStore.write(videoSig(
           Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
             "doc_id", twins = false)), sd)
@@ -3105,8 +3178,7 @@ object SparkEntry {
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "media_video")
-      ensureStore(sd, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 step=2 fp=clip_dhash") {
+      ensureStore(sd, "fingerprints/_SUCCESS", VideoStoreParams) {
         graft.dedup.MediaStore.write(videoSig(
           Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
             "doc_id", twins = false)), sd)
@@ -3168,8 +3240,7 @@ object SparkEntry {
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "media_image")
-      ensureStore(sd, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 fp=dhash") {
+      ensureStore(sd, "fingerprints/_SUCCESS", ImageStoreParams) {
         graft.dedup.MediaStore.write(imageSig(
           Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
             "doc_id", twins = false)), sd)
@@ -3194,8 +3265,7 @@ object SparkEntry {
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "media_image")
-      ensureStore(sd, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 fp=dhash") {
+      ensureStore(sd, "fingerprints/_SUCCESS", ImageStoreParams) {
         graft.dedup.MediaStore.write(imageSig(
           Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
             "doc_id", twins = false)), sd)
@@ -3232,22 +3302,19 @@ object SparkEntry {
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sdi = storeDir(dir, "media_image")
-      ensureStore(sdi, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 fp=dhash") {
+      ensureStore(sdi, "fingerprints/_SUCCESS", ImageStoreParams) {
         graft.dedup.MediaStore.write(imageSig(
           Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
             "doc_id", twins = false)), sdi)
       }
       val sdv = storeDir(dir, "media_video")
-      ensureStore(sdv, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 step=2 fp=clip_dhash") {
+      ensureStore(sdv, "fingerprints/_SUCCESS", VideoStoreParams) {
         graft.dedup.MediaStore.write(videoSig(
           Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
             "doc_id", twins = false)), sdv)
       }
       val sda = storeDir(dir, "media_audio")
-      ensureStore(sda, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 fp=afp") {
+      ensureStore(sda, "fingerprints/_SUCCESS", AudioStoreParams) {
         graft.dedup.MediaStore.write(audioSig(
           Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
             "doc_id", twins = false)), sda)
@@ -3318,8 +3385,7 @@ object SparkEntry {
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "media_audio")
-      ensureStore(sd, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 fp=afp") {
+      ensureStore(sd, "fingerprints/_SUCCESS", AudioStoreParams) {
         graft.dedup.MediaStore.write(audioSig(
           Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
             "doc_id", twins = false)), sd)
@@ -3343,8 +3409,7 @@ object SparkEntry {
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val sd = storeDir(dir, "media_audio")
-      ensureStore(sd, "fingerprints/_SUCCESS",
-        "v1 corpus=bkt<70 fp=afp") {
+      ensureStore(sd, "fingerprints/_SUCCESS", AudioStoreParams) {
         graft.dedup.MediaStore.write(audioSig(
           Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
             "doc_id", twins = false)), sd)
@@ -4953,45 +5018,20 @@ object SparkEntry {
            FROM scored) WHERE rank <= 5"""
     },
 
-    "similarity_ivfpq" -> {
-      // both shared fit replays in one query: asg2 (IVF list per
-      // vector) from duckIvfFitCtes, then the RESIDUAL frames (vector
-      // minus assigned centroid — IVFADC) feed the PQ fit/encode, so
-      // recon holds residual reconstructions; queries probe their 4
-      // nearest lists (same window/tiebreak as similarity_ivf),
-      // subtract the PROBED list's centroid, and ADC-score only the
-      // probed candidates in that list's residual space
-      val cosQC = duckCosine("q.vv", "c.c")
-      val reconJoins = (0 until pqM).map(mi =>
-        (if (mi == 0) "FROM enc_0" else s"JOIN enc_$mi ON enc_$mi.id = enc_0.id") +
-          s" JOIN cb_$mi r$mi ON r$mi.code = enc_$mi.code").mkString(" ")
-      val reconCols = (0 until pqM).map(mi => s"r$mi.c AS c$mi").mkString(", ")
-      val adcSum = (0 until pqM).map { mi =>
-        val off = mi * pqSub
-        duckL2(s"qr.qrv[${off + 1}:${off + pqSub}]", s"r.c$mi")
-      }.mkString(" + ")
-      s"""WITH $duckIvfFitCtes,
-         $duckIvfResidualCtes,
-         ${duckPqFitCtesOn("rsv", "rv")},
-         recon AS (SELECT enc_0.id, $reconCols $reconJoins),
-         qp AS (SELECT q.id AS query_id, q.vv AS qv, c.list_id,
-                 row_number() OVER (PARTITION BY q.id
-                   ORDER BY $cosQC DESC, c.list_id) AS rn
-                FROM v q, cent c WHERE q.id < 10),
-         qpf AS (SELECT query_id, qv, list_id FROM qp WHERE rn <= 4),
-         qr AS (SELECT qpf.query_id, qpf.list_id,
-                 ${duckResidual.format("qpf.qv", "c.c").replace(" AS vv", " AS qrv")}
-                FROM qpf JOIN cent c USING (list_id)),
-         scored AS (SELECT qr.query_id, a.id AS neighbor_id,
-             round($adcSum, 6) AS adist
-           FROM qr JOIN asg2 a USING (list_id)
-           JOIN recon r ON r.id = a.id
-           WHERE a.id <> qr.query_id)
-         SELECT query_id, neighbor_id, adist, rank FROM (
-           SELECT *, row_number() OVER (PARTITION BY query_id
-             ORDER BY adist ASC, neighbor_id) AS rank
-           FROM scored) WHERE rank <= 5"""
-    },
+    "similarity_ivfpq" -> duckIvfPqTopKOracle("TRUE"),
+
+    // the stored-serving twin decides bit-identically to the in-DAG
+    // form (same deterministic fits; doubles/ints round-trip parquet
+    // exactly) — same replay
+    "similarity_ivfpq_probe" -> duckIvfPqTopKOracle("TRUE"),
+
+    // the A/B twin: fits restricted to the bucket<70 corpus (the
+    // store's build input), assignment + encode over EVERYTHING (the
+    // appended increment encodes under the FROZEN index — per-row pure
+    // functions of (vector, centroids, codebooks), so the full-table
+    // replay equals build-then-append)
+    "similarity_ivfpq_probe_updated" ->
+      duckIvfPqTopKOracle(s"${duckMd5Pct("id")} < 70"),
 
     "embedding_quantize" ->
       """WITH v AS (SELECT vec_id,
@@ -6186,25 +6226,31 @@ object SparkEntry {
     * table's own count so both engines derive the identical pct at
     * every scale.
     */
-  private val duckEmbSampleCtes: String = {
+  /** The same CTEs with the FIT corpus restricted by `fitWhere` (a
+    * predicate over `id`): `v` stays the FULL table (assignment and
+    * encode cover every stored vector — including frozen-index
+    * appends), while the pct cap and the sample draw come from the
+    * fit corpus's own count — the `_updated` serving-index replay,
+    * where the index was fitted before the increment arrived.
+    */
+  private def duckEmbSampleCtesOn(fitWhere: String): String = {
     val t100 = graft.util.Sampling.FitSampleTarget * 100
     s"""v AS (SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
            FROM embeddings),
+         fv AS (SELECT id, vv FROM v WHERE $fitWhere),
          fp AS (SELECT GREATEST(1, LEAST(60,
-             ($t100 + count(*) - 1) // count(*))) AS pct FROM embeddings),
-         sv AS (SELECT id, vv FROM v WHERE
-             list_sum(list_transform(generate_series(1, 15),
-               p -> ((strpos('0123456789abcdef',
-                      substr(md5(id::VARCHAR), p, 1)) - 1)::BIGINT
-                     << (4 * (15 - p)))))::BIGINT % 100
-               < (SELECT pct FROM fp))"""
+             ($t100 + count(*) - 1) // count(*))) AS pct FROM fv),
+         sv AS (SELECT id, vv FROM fv WHERE
+             ${duckMd5Pct("id")} < (SELECT pct FROM fp))"""
   }
 
-  private lazy val duckIvfFitCtes: String = {
+  private lazy val duckEmbSampleCtes: String = duckEmbSampleCtesOn("TRUE")
+
+  private def duckIvfFitCtesOn(fitWhere: String): String = {
     val cosAI = duckCosine("sv.vv", "i.c")
     val cosAC = duckCosine("v.vv", "c.c")
-    s"""$duckEmbSampleCtes,
+    s"""${duckEmbSampleCtesOn(fitWhere)},
          init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS list_id, vv AS c
                   FROM (SELECT id, vv FROM sv ORDER BY id LIMIT 16)),
          a1 AS (SELECT sv.id, sv.vv, i.list_id,
@@ -6223,6 +6269,8 @@ object SparkEntry {
                 FROM v, cent c),
          asg2 AS (SELECT id, vv, list_id FROM a2 WHERE rn = 1)"""
   }
+
+  private lazy val duckIvfFitCtes: String = duckIvfFitCtesOn("TRUE")
 
   /** The md5 percent-bucket fold over an id expression — the SQL twin
     * of [[graft.util.Sampling.md5Bucket]], shared by every sampling
@@ -6530,6 +6578,54 @@ object SparkEntry {
              ${duckResidual.format("a.vv", "c.c")}
            FROM asg2 a JOIN cent c USING (list_id)),
          rsv AS (SELECT rv.id, rv.vv FROM rv JOIN sv ON sv.id = rv.id)"""
+
+  /** The full IVFADC top-k replay (fit → residual encode → ADC →
+    * rank), with the FITS restricted to the `fitWhere` corpus — shared
+    * verbatim by `similarity_ivfpq` / `similarity_ivfpq_probe`
+    * (fitWhere = TRUE: full-corpus index) and
+    * `similarity_ivfpq_probe_updated` (fitWhere = bucket<70: the
+    * frozen-index A/B loop, where assignment/encode still cover every
+    * stored vector). Both shared fit replays in one query: asg2 (IVF
+    * list per vector) from [[duckIvfFitCtesOn]], then the RESIDUAL
+    * frames (vector minus assigned centroid — IVFADC) feed the PQ
+    * fit/encode, so recon holds residual reconstructions; queries
+    * probe their 4 nearest lists (same window/tiebreak as
+    * similarity_ivf), subtract the PROBED list's centroid, and
+    * ADC-score only the probed candidates in that list's residual
+    * space.
+    */
+  private def duckIvfPqTopKOracle(fitWhere: String): String = {
+    val cosQC = duckCosine("q.vv", "c.c")
+    val reconJoins = (0 until pqM).map(mi =>
+      (if (mi == 0) "FROM enc_0" else s"JOIN enc_$mi ON enc_$mi.id = enc_0.id") +
+        s" JOIN cb_$mi r$mi ON r$mi.code = enc_$mi.code").mkString(" ")
+    val reconCols = (0 until pqM).map(mi => s"r$mi.c AS c$mi").mkString(", ")
+    val adcSum = (0 until pqM).map { mi =>
+      val off = mi * pqSub
+      duckL2(s"qr.qrv[${off + 1}:${off + pqSub}]", s"r.c$mi")
+    }.mkString(" + ")
+    s"""WITH ${duckIvfFitCtesOn(fitWhere)},
+       $duckIvfResidualCtes,
+       ${duckPqFitCtesOn("rsv", "rv")},
+       recon AS (SELECT enc_0.id, $reconCols $reconJoins),
+       qp AS (SELECT q.id AS query_id, q.vv AS qv, c.list_id,
+               row_number() OVER (PARTITION BY q.id
+                 ORDER BY $cosQC DESC, c.list_id) AS rn
+              FROM v q, cent c WHERE q.id < 10),
+       qpf AS (SELECT query_id, qv, list_id FROM qp WHERE rn <= 4),
+       qr AS (SELECT qpf.query_id, qpf.list_id,
+               ${duckResidual.format("qpf.qv", "c.c").replace(" AS vv", " AS qrv")}
+              FROM qpf JOIN cent c USING (list_id)),
+       scored AS (SELECT qr.query_id, a.id AS neighbor_id,
+           round($adcSum, 6) AS adist
+         FROM qr JOIN asg2 a USING (list_id)
+         JOIN recon r ON r.id = a.id
+         WHERE a.id <> qr.query_id)
+       SELECT query_id, neighbor_id, adist, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY adist ASC, neighbor_id) AS rank
+         FROM scored) WHERE rank <= 5"""
+  }
 
   /** The winnowing fingerprint rows `(doc_id, fp)` as DuckDB CTEs
     * (k = 8, w = 4 — the registered parameters), shared by the

@@ -106,7 +106,7 @@ object Embed {
     * aggregate produces every per-dimension mean — m·k·subDim result
     * rows, map-side combinable.
     */
-  private def fitBooks(df: DataFrame, idCol: String, vecCol: String,
+  private[simops] def fitBooks(df: DataFrame, idCol: String, vecCol: String,
                        m: Int, k: Int, iters: Int, fitSamplePct: Int,
                        dim: Int): (Array[Array[Int]], Array[Array[Array[Double]]]) = {
     require(m > 0 && dim % m == 0,
@@ -185,7 +185,7 @@ object Embed {
   /** Original code id → position in books(m); seed ids are dense in
     * [0, k) so a flat array suffices. Shared by the ADC scorers.
     */
-  private def codeIndex(codes: Array[Array[Int]], k: Int): Array[Array[Int]] =
+  private[simops] def codeIndex(codes: Array[Array[Int]], k: Int): Array[Array[Int]] =
     codes.map { mc =>
       val a = Array.fill(k)(0)
       mc.zipWithIndex.foreach { case (cid, i) => a(cid) = i }
@@ -325,7 +325,7 @@ object Embed {
     * map LITERAL keyed by list id (the [[Ivf]] literal-centroid
     * discipline), so the subtraction adds no join and no shuffle.
     */
-  private def residualCol(cents: Seq[(Int, Seq[Double])], v: Column,
+  private[simops] def residualCol(cents: Seq[(Int, Seq[Double])], v: Column,
                           listId: Column): Column =
     zip_with(v, element_at(typedlit(cents.toMap), listId), (x, c) => x - c)
 

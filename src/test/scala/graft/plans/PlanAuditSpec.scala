@@ -566,6 +566,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("similarity_ivfpq_probe rows: ADC over stored codes, no corpus " +
+      "re-encode, no corpus vector read") {
+    // the serving-index rows' claim (the vector-modality analogue of
+    // the media fence): the timed plan scans the persisted code frame
+    // and ADC-scores it — the PQ ENCODE kernel must not appear
+    // anywhere (queries are never PQ-encoded, only residual-projected;
+    // the corpus was encoded once at store-build time), and the only
+    // embeddings read is the pushed-filter query-batch scan
+    for ((name, fam) <- Seq(
+        "similarity_ivfpq_probe" -> "vecindex",
+        "similarity_ivfpq_probe_updated" -> "vecindex_ab")) {
+      val p = plan(name) // first call builds the store (bench warmup)
+      assert(p.contains(s"stores/sf0.001/$fam"),
+        s"$name: expected the $fam code store parquet scan:\n$p")
+      assert(p.toLowerCase.contains("pqadcexpr"),
+        s"$name: expected the ADC scorer in the plan:\n$p")
+      assert(!p.toLowerCase.contains("pqcodesexpr"),
+        s"$name: corpus PQ re-encode kernel in the timed plan:\n$p")
+      assert(p.linesIterator.count(l => l.contains("embeddings.parquet")
+          && l.contains("ReadSchema")) <= 1,
+        s"$name: corpus vector scan beyond the query batch:\n$p")
+    }
+  }
+
   test("dedup_bloom_probe rows: sketch prefilter on the increment side, " +
       "store scan instead of corpus text") {
     for (name <- Seq("dedup_bloom_probe", "dedup_bloom_probe_updated")) {
