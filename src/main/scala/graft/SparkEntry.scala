@@ -8,7 +8,7 @@ import graft.simops.{Ivf, Similarity}
 import graft.sources.Tables
 import graft.streaming.StreamingOps
 import graft.textops.TextOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -447,6 +447,203 @@ object SparkEntry {
     graft.multimodal.Multimodal.audioFingerprintFeatures(wavs)
       .filter(col("decodable"))
       .select(col("media_id"), col("afp"))
+
+  /** Family-ensure helpers: ONE definition of each persisted store
+    * family's (dir, params, build block), shared by every row that
+    * touches the family AND by the `store_capstats` health row — so
+    * two rows can never disagree on what a family's store contains
+    * (the r13 ADVICE duplication risk, closed structurally). Each
+    * returns the family dir, building at most once per sf dir.
+    */
+  private def ensureBloomStore(s: SparkSession, dir: String): String = {
+    val d = Tables.documents(s, dir)
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val sd = storeDir(dir, "bloom")
+    ensureStore(sd, "fingerprints/_SUCCESS", BloomDocsParams) {
+      val (st, meta) = graft.dedup.BloomStore.build(
+        d.filter(bucket < 70), "doc_id", "text")
+      graft.dedup.BloomStore.write(st, meta, sd)
+    }
+    sd
+  }
+
+  /** bloom_ab: corpus build PLUS the A-increment probe + appendWrite
+    * at setup time (the `_updated` warmup convention — the persisted
+    * state is deterministic, so B-probe decisions and the meta's
+    * grown actualN replay exactly).
+    */
+  private def ensureBloomAbStore(s: SparkSession, dir: String): String = {
+    val d = Tables.documents(s, dir)
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val sd = storeDir(dir, "bloom_ab")
+    ensureStore(sd, "fingerprints/_SUCCESS", BloomAbParams) {
+      val (st, meta) = graft.dedup.BloomStore.build(
+        d.filter(bucket < 70), "doc_id", "text")
+      graft.dedup.BloomStore.write(st, meta, sd)
+      val probeA = Dedup.exactIncrementalBloom(
+        d.filter(bucket >= 70 && bucket < 85), st, "doc_id", "text")
+      graft.dedup.BloomStore.appendWrite(
+        probeA.filter(col("is_new")).select(col("fingerprint")),
+        st, meta, sd)
+    }
+    sd
+  }
+
+  private def linesFixture(s: SparkSession, dir: String): DataFrame =
+    graft.textops.LineDedup.multilineFixture(
+      Tables.documents(s, dir), "doc_id", "text")
+
+  private def ensureBloomLinesStore(s: SparkSession, dir: String): String = {
+    val d = linesFixture(s, dir)
+    val sd = storeDir(dir, "bloom_lines")
+    ensureStore(sd, "fingerprints/_SUCCESS", BloomLinesParams) {
+      val (st, meta) = graft.dedup.BloomStore.buildLines(
+        d.filter(pmod(col("doc_id"), lit(10)) < 7), "text")
+      graft.dedup.BloomStore.write(st, meta, sd)
+    }
+    sd
+  }
+
+  private def ensureBloomLinesAbStore(s: SparkSession, dir: String): String = {
+    val d = linesFixture(s, dir)
+    val m10 = pmod(col("doc_id"), lit(10))
+    val sd = storeDir(dir, "bloom_lines_ab")
+    ensureStore(sd, "fingerprints/_SUCCESS", BloomLinesAbParams) {
+      val (st, meta) = graft.dedup.BloomStore.buildLines(
+        d.filter(m10 < 7), "text")
+      graft.dedup.BloomStore.write(st, meta, sd)
+      val probeA = graft.textops.LineDedup.dedupLinesIncrementalBloom(
+        d.filter(m10 === 7 || m10 === 8), st, "doc_id", "text")
+      val acc = probeA.filter(col("n_kept") > 0)
+        .select(explode(split(col("text_clean"), "\n")).as("_ln"))
+        .select(xxhash64(col("_ln")).as("fingerprint")).distinct()
+      graft.dedup.BloomStore.appendWrite(acc, st, meta, sd)
+    }
+    sd
+  }
+
+  private def ensureMinhashStore(s: SparkSession, dir: String): String = {
+    val d = Tables.documents(s, dir)
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val sd = storeDir(dir, "minhash")
+    ensureStore(sd, "signatures/_SUCCESS", MinhashStoreParams) {
+      graft.dedup.SignatureStore.write(
+        graft.dedup.SignatureStore.build(d.filter(bucket < 70),
+          "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2), sd)
+    }
+    sd
+  }
+
+  private def ensureSpansStore(s: SparkSession, dir: String): String = {
+    val d = Tables.documents(s, dir)
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val sd = storeDir(dir, "spans")
+    ensureStore(sd, "span_fps/_SUCCESS", SpansStoreParams) {
+      graft.dedup.SignatureStore.writeSpans(
+        graft.dedup.SignatureStore.buildSpans(d.filter(bucket < 70),
+          "doc_id", "text", k = 8, w = 4), sd)
+    }
+    sd
+  }
+
+  /** spans base PLUS the A-increment's accepted (doc_id, fp) delta
+    * files (`appendSpansWrite` at setup — the delta-append daily form
+    * `dedup_spans_probe_updated` times between compactions).
+    */
+  private def ensureSpansDeltas(s: SparkSession, dir: String): String = {
+    val sd = ensureSpansStore(s, dir)
+    if (!new java.io.File(s"$sd/span_deltas/_SUCCESS").exists()) {
+      val d = Tables.documents(s, dir)
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val incA = d.filter(bucket >= 70 && bucket < 85)
+      val probeA = Dedup.spanIncrementalStored(incA,
+        graft.dedup.SignatureStore.readSpans(s, sd),
+        "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
+      val accepted = incA.join(
+        probeA.filter(col("is_new")).select(col("doc_id")), "doc_id")
+      graft.dedup.SignatureStore.appendSpansWrite(accepted, sd,
+        "doc_id", "text", k = 8, w = 4)
+    }
+    sd
+  }
+
+  private def ensureSemanticStore(s: SparkSession, dir: String): String = {
+    val e = Tables.embeddings(s, dir)
+    val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
+    val sd = storeDir(dir, "semantic")
+    ensureStore(sd, "forest/_SUCCESS", SemanticStoreParams) {
+      graft.simops.SemanticStore.write(
+        graft.simops.SemanticStore.build(e.filter(bucket < 70),
+          "vec_id", "embedding", targetListSize = SemanticTargetListSize,
+          iters = 1, fitSamplePct = SemanticFitPct), sd)
+    }
+    sd
+  }
+
+  private def ensureMediaImageStore(s: SparkSession, dir: String): String = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val sd = storeDir(dir, "media_image")
+    ensureStore(sd, "fingerprints/_SUCCESS", ImageStoreParams) {
+      graft.dedup.MediaStore.write(imageSig(
+        Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
+          "doc_id", twins = false)), sd)
+    }
+    sd
+  }
+
+  private def ensureMediaVideoStore(s: SparkSession, dir: String): String = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val sd = storeDir(dir, "media_video")
+    ensureStore(sd, "fingerprints/_SUCCESS", VideoStoreParams) {
+      graft.dedup.MediaStore.write(videoSig(
+        Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
+          "doc_id", twins = false)), sd)
+    }
+    sd
+  }
+
+  private def ensureMediaAudioStore(s: SparkSession, dir: String): String = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val sd = storeDir(dir, "media_audio")
+    ensureStore(sd, "fingerprints/_SUCCESS", AudioStoreParams) {
+      graft.dedup.MediaStore.write(audioSig(
+        Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
+          "doc_id", twins = false)), sd)
+    }
+    sd
+  }
+
+  private def ensureVecIndexStore(s: SparkSession, dir: String): String = {
+    val emb = Tables.embeddings(s, dir)
+    val sd = storeDir(dir, "vecindex")
+    ensureStore(sd, "codes/_SUCCESS", VecIndexParams) {
+      graft.simops.VectorIndexStore.write(
+        graft.simops.VectorIndexStore.build(emb, "vec_id", "embedding",
+          nlist = 16, m = 8, k = 16, iters = 1, fitSamplePct = 60,
+          dim = 64), sd)
+    }
+    sd
+  }
+
+  private def ensureVecIndexAbStore(s: SparkSession, dir: String): String = {
+    val emb = Tables.embeddings(s, dir)
+    val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
+    val sd = storeDir(dir, "vecindex_ab")
+    ensureStore(sd, "codes/_SUCCESS", VecIndexAbParams) {
+      val st = graft.simops.VectorIndexStore.build(
+        emb.filter(bucket < 70), "vec_id", "embedding",
+        nlist = 16, m = 8, k = 16, iters = 1, fitSamplePct = 60,
+        dim = 64)
+      graft.simops.VectorIndexStore.write(st, sd)
+      graft.simops.VectorIndexStore.appendWrite(
+        graft.simops.VectorIndexStore.encode(emb.filter(bucket >= 70),
+          "vec_id", "embedding", st.index), sd)
+    }
+    sd
+  }
 
   /** `embeddings` UNION a deterministic near-copy of the md5-chosen
     * ~5% of vectors: id offset +10⁷ (disjoint from any corpus id),
@@ -1859,12 +2056,7 @@ object SparkEntry {
       // oracle.
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "bloom")
-      ensureStore(sd, "fingerprints/_SUCCESS", BloomDocsParams) {
-        val (st, meta) = graft.dedup.BloomStore.build(
-          d.filter(bucket < 70), "doc_id", "text")
-        graft.dedup.BloomStore.write(st, meta, sd)
-      }
+      val sd = ensureBloomStore(s, dir)
       Dedup.exactIncrementalBloom(d.filter(bucket >= 70),
         graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
     }),
@@ -1885,17 +2077,7 @@ object SparkEntry {
       // untouched.
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "bloom_ab")
-      ensureStore(sd, "fingerprints/_SUCCESS", BloomAbParams) {
-        val (st, meta) = graft.dedup.BloomStore.build(
-          d.filter(bucket < 70), "doc_id", "text")
-        graft.dedup.BloomStore.write(st, meta, sd)
-        val probeA = Dedup.exactIncrementalBloom(
-          d.filter(bucket >= 70 && bucket < 85), st, "doc_id", "text")
-        graft.dedup.BloomStore.appendWrite(
-          probeA.filter(col("is_new")).select(col("fingerprint")),
-          st, meta, sd)
-      }
+      val sd = ensureBloomAbStore(s, dir)
       Dedup.exactIncrementalBloom(d.filter(bucket >= 85),
         graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
     }),
@@ -1912,15 +2094,9 @@ object SparkEntry {
       // never read. Decision bit-identical to dedup_lines_incremental
       // (no false negatives; verify kills false positives) — same
       // oracle.
-      val d = graft.textops.LineDedup.multilineFixture(
-        Tables.documents(s, dir), "doc_id", "text")
+      val d = linesFixture(s, dir)
       val isInc = pmod(col("doc_id"), lit(10)) >= 7
-      val sd = storeDir(dir, "bloom_lines")
-      ensureStore(sd, "fingerprints/_SUCCESS", BloomLinesParams) {
-        val (st, meta) = graft.dedup.BloomStore.buildLines(
-          d.filter(!isInc), "text")
-        graft.dedup.BloomStore.write(st, meta, sd)
-      }
+      val sd = ensureBloomLinesStore(s, dir)
       graft.textops.LineDedup.dedupLinesIncrementalBloom(d.filter(isInc),
         graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
     }),
@@ -1940,21 +2116,9 @@ object SparkEntry {
       // the anchors; DedupSpec pins the catch on planted docs). Own
       // store family ("bloom_lines_ab") so the single-probe row's
       // corpus-only store stays untouched.
-      val d = graft.textops.LineDedup.multilineFixture(
-        Tables.documents(s, dir), "doc_id", "text")
+      val d = linesFixture(s, dir)
       val m10 = pmod(col("doc_id"), lit(10))
-      val sd = storeDir(dir, "bloom_lines_ab")
-      ensureStore(sd, "fingerprints/_SUCCESS", BloomLinesAbParams) {
-        val (st, meta) = graft.dedup.BloomStore.buildLines(
-          d.filter(m10 < 7), "text")
-        graft.dedup.BloomStore.write(st, meta, sd)
-        val probeA = graft.textops.LineDedup.dedupLinesIncrementalBloom(
-          d.filter(m10 === 7 || m10 === 8), st, "doc_id", "text")
-        val acc = probeA.filter(col("n_kept") > 0)
-          .select(explode(split(col("text_clean"), "\n")).as("_ln"))
-          .select(xxhash64(col("_ln")).as("fingerprint")).distinct()
-        graft.dedup.BloomStore.appendWrite(acc, st, meta, sd)
-      }
+      val sd = ensureBloomLinesAbStore(s, dir)
       graft.textops.LineDedup.dedupLinesIncrementalBloom(d.filter(m10 === 9),
         graft.dedup.BloomStore.read(s, sd)._1, "doc_id", "text")
     }),
@@ -1995,12 +2159,7 @@ object SparkEntry {
       // dedup_minhash_stored — same oracle.
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "minhash")
-      ensureStore(sd, "signatures/_SUCCESS", MinhashStoreParams) {
-        graft.dedup.SignatureStore.write(
-          graft.dedup.SignatureStore.build(d.filter(bucket < 70),
-            "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2), sd)
-      }
+      val sd = ensureMinhashStore(s, dir)
       Dedup.minhashIncrementalStored(d.filter(bucket >= 70),
         graft.dedup.SignatureStore.read(s, sd),
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
@@ -2025,12 +2184,7 @@ object SparkEntry {
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val incA = d.filter(bucket >= 70 && bucket < 85)
       val incB = d.filter(bucket >= 85)
-      val sd = storeDir(dir, "minhash")
-      ensureStore(sd, "signatures/_SUCCESS", MinhashStoreParams) {
-        graft.dedup.SignatureStore.write(
-          graft.dedup.SignatureStore.build(d.filter(bucket < 70),
-            "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2), sd)
-      }
+      val sd = ensureMinhashStore(s, dir)
       val store0 = graft.dedup.SignatureStore.read(s, sd)
       val probeA = Dedup.minhashIncrementalStored(incA, store0,
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
@@ -2051,12 +2205,7 @@ object SparkEntry {
       // predicate. Decision identical to dedup_spans_stored.
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "spans")
-      ensureStore(sd, "span_fps/_SUCCESS", SpansStoreParams) {
-        graft.dedup.SignatureStore.writeSpans(
-          graft.dedup.SignatureStore.buildSpans(d.filter(bucket < 70),
-            "doc_id", "text", k = 8, w = 4), sd)
-      }
+      val sd = ensureSpansStore(s, dir)
       Dedup.spanIncrementalStored(d.filter(bucket >= 70),
         graft.dedup.SignatureStore.readSpans(s, sd),
         "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
@@ -2077,22 +2226,7 @@ object SparkEntry {
       val d = Tables.documents(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
       val incB = d.filter(bucket >= 85)
-      val sd = storeDir(dir, "spans")
-      ensureStore(sd, "span_fps/_SUCCESS", SpansStoreParams) {
-        graft.dedup.SignatureStore.writeSpans(
-          graft.dedup.SignatureStore.buildSpans(d.filter(bucket < 70),
-            "doc_id", "text", k = 8, w = 4), sd)
-      }
-      if (!new java.io.File(s"$sd/span_deltas/_SUCCESS").exists()) {
-        val incA = d.filter(bucket >= 70 && bucket < 85)
-        val probeA = Dedup.spanIncrementalStored(incA,
-          graft.dedup.SignatureStore.readSpans(s, sd),
-          "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
-        val accepted = incA.join(
-          probeA.filter(col("is_new")).select(col("doc_id")), "doc_id")
-        graft.dedup.SignatureStore.appendSpansWrite(accepted, sd,
-          "doc_id", "text", k = 8, w = 4)
-      }
+      val sd = ensureSpansDeltas(s, dir)
       Dedup.spanIncrementalStoredDelta(incB,
         graft.dedup.SignatureStore.readSpans(s, sd),
         graft.dedup.SignatureStore.readSpanDeltas(s, sd),
@@ -2135,13 +2269,7 @@ object SparkEntry {
       // dedup_semantic_incremental — same oracle.
       val e = Tables.embeddings(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
-      val sd = storeDir(dir, "semantic")
-      ensureStore(sd, "forest/_SUCCESS", SemanticStoreParams) {
-        graft.simops.SemanticStore.write(
-          graft.simops.SemanticStore.build(e.filter(bucket < 70),
-            "vec_id", "embedding", targetListSize = SemanticTargetListSize,
-            iters = 1, fitSamplePct = SemanticFitPct), sd)
-      }
+      val sd = ensureSemanticStore(s, dir)
       graft.simops.Embed.semanticDedupStored(e.filter(bucket >= 70),
         graft.simops.SemanticStore.read(s, sd), "vec_id", "embedding",
         threshold = 0.4)
@@ -2158,13 +2286,7 @@ object SparkEntry {
       // vector is not re-flagged against it (arrival-order-wins)
       val e = Tables.embeddings(s, dir)
       val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
-      val sd = storeDir(dir, "semantic")
-      ensureStore(sd, "forest/_SUCCESS", SemanticStoreParams) {
-        graft.simops.SemanticStore.write(
-          graft.simops.SemanticStore.build(e.filter(bucket < 70),
-            "vec_id", "embedding", targetListSize = SemanticTargetListSize,
-            iters = 1, fitSamplePct = SemanticFitPct), sd)
-      }
+      val sd = ensureSemanticStore(s, dir)
       val store = graft.simops.SemanticStore.read(s, sd)
       val incA = e.filter(bucket >= 70 && bucket < 85)
       val probeA = graft.simops.Embed.semanticDedupStored(incA, store,
@@ -2232,13 +2354,7 @@ object SparkEntry {
       // (same deterministic fits; doubles/ints round-trip parquet
       // exactly) — same oracle.
       val emb = Tables.embeddings(s, dir)
-      val sd = storeDir(dir, "vecindex")
-      ensureStore(sd, "codes/_SUCCESS", VecIndexParams) {
-        graft.simops.VectorIndexStore.write(
-          graft.simops.VectorIndexStore.build(emb, "vec_id", "embedding",
-            nlist = 16, m = 8, k = 16, iters = 1, fitSamplePct = 60,
-            dim = 64), sd)
-      }
+      val sd = ensureVecIndexStore(s, dir)
       graft.simops.VectorIndexStore.topK(emb.filter(col("vec_id") < 10),
         graft.simops.VectorIndexStore.read(s, sd), "vec_id", "embedding",
         kNN = 5, nprobe = 4)
@@ -2259,18 +2375,7 @@ object SparkEntry {
       // near-copy in EmbedStoreSpec). Oracle = the ivfpq replay with
       // the fits restricted to the bucket<70 corpus.
       val emb = Tables.embeddings(s, dir)
-      val bucket = graft.util.Sampling.md5Bucket(col("vec_id"))
-      val sd = storeDir(dir, "vecindex_ab")
-      ensureStore(sd, "codes/_SUCCESS", VecIndexAbParams) {
-        val st = graft.simops.VectorIndexStore.build(
-          emb.filter(bucket < 70), "vec_id", "embedding",
-          nlist = 16, m = 8, k = 16, iters = 1, fitSamplePct = 60,
-          dim = 64)
-        graft.simops.VectorIndexStore.write(st, sd)
-        graft.simops.VectorIndexStore.appendWrite(
-          graft.simops.VectorIndexStore.encode(emb.filter(bucket >= 70),
-            "vec_id", "embedding", st.index), sd)
-      }
+      val sd = ensureVecIndexAbStore(s, dir)
       graft.simops.VectorIndexStore.topK(emb.filter(col("vec_id") < 10),
         graft.simops.VectorIndexStore.read(s, sd), "vec_id", "embedding",
         kNN = 5, nprobe = 4)
@@ -3148,12 +3253,7 @@ object SparkEntry {
       // identical to video_neardup_incremental — same oracle.
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "media_video")
-      ensureStore(sd, "fingerprints/_SUCCESS", VideoStoreParams) {
-        graft.dedup.MediaStore.write(videoSig(
-          Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
-            "doc_id", twins = false)), sd)
-      }
+      val sd = ensureMediaVideoStore(s, dir)
       val inc = videoSig(Multimodal.syntheticAvisNearDup(
           ids.filter(bucket >= 70), "doc_id", twins = false)
         .unionByName(Multimodal.syntheticAvisNearDup(
@@ -3177,12 +3277,7 @@ object SparkEntry {
       // append worked — the planted A/B signal.
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "media_video")
-      ensureStore(sd, "fingerprints/_SUCCESS", VideoStoreParams) {
-        graft.dedup.MediaStore.write(videoSig(
-          Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
-            "doc_id", twins = false)), sd)
-      }
+      val sd = ensureMediaVideoStore(s, dir)
       val store = graft.dedup.MediaStore.read(s, sd)
       val corpus0 = store.filter(
         graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
@@ -3239,12 +3334,7 @@ object SparkEntry {
       // image_neardup_incremental — same oracle.
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "media_image")
-      ensureStore(sd, "fingerprints/_SUCCESS", ImageStoreParams) {
-        graft.dedup.MediaStore.write(imageSig(
-          Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
-            "doc_id", twins = false)), sd)
-      }
+      val sd = ensureMediaImageStore(s, dir)
       val inc = imageSig(Multimodal.syntheticImagesNearDup(
           ids.filter(bucket >= 70), "doc_id", twins = false)
         .unionByName(Multimodal.syntheticImagesNearDup(
@@ -3264,12 +3354,7 @@ object SparkEntry {
       // append.
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "media_image")
-      ensureStore(sd, "fingerprints/_SUCCESS", ImageStoreParams) {
-        graft.dedup.MediaStore.write(imageSig(
-          Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
-            "doc_id", twins = false)), sd)
-      }
+      val sd = ensureMediaImageStore(s, dir)
       val store = graft.dedup.MediaStore.read(s, sd)
       val corpus0 = store.filter(
         graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
@@ -3301,24 +3386,9 @@ object SparkEntry {
       // decodes.
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sdi = storeDir(dir, "media_image")
-      ensureStore(sdi, "fingerprints/_SUCCESS", ImageStoreParams) {
-        graft.dedup.MediaStore.write(imageSig(
-          Multimodal.syntheticImagesNearDup(ids.filter(bucket < 70),
-            "doc_id", twins = false)), sdi)
-      }
-      val sdv = storeDir(dir, "media_video")
-      ensureStore(sdv, "fingerprints/_SUCCESS", VideoStoreParams) {
-        graft.dedup.MediaStore.write(videoSig(
-          Multimodal.syntheticAvisNearDup(ids.filter(bucket < 70),
-            "doc_id", twins = false)), sdv)
-      }
-      val sda = storeDir(dir, "media_audio")
-      ensureStore(sda, "fingerprints/_SUCCESS", AudioStoreParams) {
-        graft.dedup.MediaStore.write(audioSig(
-          Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
-            "doc_id", twins = false)), sda)
-      }
+      val sdi = ensureMediaImageStore(s, dir)
+      val sdv = ensureMediaVideoStore(s, dir)
+      val sda = ensureMediaAudioStore(s, dir)
       def statsOf(modality: String, sd: String, hcol: String) =
         graft.dedup.MediaStore.read(s, sd)
           .select(col(hcol).as("_h"))
@@ -3335,6 +3405,67 @@ object SparkEntry {
       statsOf("image", sdi, "dhash")
         .unionByName(statsOf("video", sdv, "clip_dhash"))
         .unionByName(statsOf("audio", sda, "afp"))
+    }),
+
+    "store_capstats" -> ((s, dir) => {
+      // the STORE-HEALTH datasheet (the capstats convention applied to
+      // the store files themselves): one row per persisted ingest
+      // family — total persisted rows, rows appended beyond the base
+      // build, and the family's own refit/fold signal (bloom sketches:
+      // meta.overfull, the sketch outgrew its bit geometry and fpp is
+      // drifting — run compact; spans: un-folded delta files awaiting
+      // compactSpans; append-final stores: 0) — so "is any store due
+      // for compaction" is a measured, oracle-checked integer row
+      // instead of an in-code assumption. The timed row reads metas
+      // and parquet footer counts only: zero corpus work, zero
+      // decodes, zero fits. The oracle replays every count from the
+      // base tables (store states after warmup are deterministic
+      // functions of them — the family-ensure helpers are the single
+      // source of truth for what each store contains).
+      import graft.dedup.{BloomStore, MediaStore, SignatureStore}
+      def metaRow(family: String, sd: String) = {
+        val m = BloomStore.readMeta(sd)
+        s.range(1).select(lit(family).as("family"),
+          lit(m.actualN).as("n_rows"),
+          lit(m.actualN - m.expectedN).as("n_appended"),
+          lit(if (m.overfull) 1L else 0L).as("due_compact"))
+      }
+      def cntRow(family: String, frame: DataFrame, appended: Column) =
+        frame.agg(count(lit(1)).as("_n"),
+            sum(when(appended, 1L).otherwise(0L)).as("_a"))
+          .select(lit(family).as("family"), col("_n").as("n_rows"),
+            coalesce(col("_a"), lit(0L)).as("n_appended"),
+            lit(0L).as("due_compact"))
+      val spansSd = ensureSpansDeltas(s, dir)
+      val spansRow = SignatureStore.readSpans(s, spansSd)
+        .agg(count(lit(1)).as("_b"))
+        .crossJoin(SignatureStore.readSpanDeltas(s, spansSd)
+          .agg(count(lit(1)).as("_d")))
+        .select(lit("spans").as("family"),
+          (col("_b") + col("_d")).as("n_rows"),
+          col("_d").as("n_appended"),
+          (col("_d") > 0).cast("long").as("due_compact"))
+      metaRow("bloom", ensureBloomStore(s, dir))
+        .unionByName(metaRow("bloom_ab", ensureBloomAbStore(s, dir)))
+        .unionByName(metaRow("bloom_lines", ensureBloomLinesStore(s, dir)))
+        .unionByName(metaRow("bloom_lines_ab",
+          ensureBloomLinesAbStore(s, dir)))
+        .unionByName(cntRow("minhash", SignatureStore.read(s,
+          ensureMinhashStore(s, dir)).banded, lit(false)))
+        .unionByName(spansRow)
+        .unionByName(cntRow("semantic", graft.simops.SemanticStore.read(s,
+          ensureSemanticStore(s, dir)).assigned, lit(false)))
+        .unionByName(cntRow("media_image",
+          MediaStore.read(s, ensureMediaImageStore(s, dir)), lit(false)))
+        .unionByName(cntRow("media_video",
+          MediaStore.read(s, ensureMediaVideoStore(s, dir)), lit(false)))
+        .unionByName(cntRow("media_audio",
+          MediaStore.read(s, ensureMediaAudioStore(s, dir)), lit(false)))
+        .unionByName(cntRow("vecindex", graft.simops.VectorIndexStore
+          .read(s, ensureVecIndexStore(s, dir)).coded, lit(false)))
+        .unionByName(cntRow("vecindex_ab", graft.simops.VectorIndexStore
+          .read(s, ensureVecIndexAbStore(s, dir)).coded,
+          graft.util.Sampling.md5Bucket(col("vec_id")) >= 70))
     }),
 
     "audio_neardup" -> ((s, dir) => {
@@ -3384,12 +3515,7 @@ object SparkEntry {
       // identical to audio_neardup_incremental — same oracle.
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "media_audio")
-      ensureStore(sd, "fingerprints/_SUCCESS", AudioStoreParams) {
-        graft.dedup.MediaStore.write(audioSig(
-          Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
-            "doc_id", twins = false)), sd)
-      }
+      val sd = ensureMediaAudioStore(s, dir)
       val inc = audioSig(Multimodal.syntheticWavsNearDup(
           ids.filter(bucket >= 70), "doc_id", twins = false)
         .unionByName(Multimodal.syntheticWavsNearDup(
@@ -3408,12 +3534,7 @@ object SparkEntry {
       // each caught twin certifies the cross-increment append.
       val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = storeDir(dir, "media_audio")
-      ensureStore(sd, "fingerprints/_SUCCESS", AudioStoreParams) {
-        graft.dedup.MediaStore.write(audioSig(
-          Multimodal.syntheticWavsNearDup(ids.filter(bucket < 70),
-            "doc_id", twins = false)), sd)
-      }
+      val sd = ensureMediaAudioStore(s, dir)
       val store = graft.dedup.MediaStore.read(s, sd)
       val corpus0 = store.filter(
         graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
@@ -4022,14 +4143,21 @@ object SparkEntry {
          b AS (SELECT doc_id, domain, $duckQualityParts FROM pl),
          s AS (SELECT doc_id, domain,
            $duckQualityFromParts AS quality FROM b),
-         prof AS (SELECT domain, count(*) AS domain_n_docs,
-           round(avg(quality), 6) AS domain_mean_quality
-           FROM s GROUP BY domain)
-         SELECT s.doc_id, s.domain, prof.domain_n_docs,
+         sm AS (SELECT doc_id, domain,
+           CAST(round(quality * 1000000) AS BIGINT) AS qm FROM s),
+         pr0 AS (SELECT domain, count(*)::BIGINT AS domain_n_docs,
+           2 * (sum(qm) + 1000000000 * count(*)) + count(*) AS biga,
+           2 * count(*) AS bigb
+           FROM sm GROUP BY domain),
+         prof AS (SELECT domain, domain_n_docs,
+           (((biga - (biga % bigb)) // bigb) - 1000000000)::DOUBLE
+             / 1000000.0 AS domain_mean_quality
+           FROM pr0)
+         SELECT sm.doc_id, sm.domain, prof.domain_n_docs,
            prof.domain_mean_quality,
            COALESCE(prof.domain_mean_quality >= 0.3
                     AND prof.domain_n_docs >= 2, FALSE) AS keep
-         FROM s LEFT JOIN prof USING (domain)""",
+         FROM sm LEFT JOIN prof USING (domain)""",
 
     "url_canonicalize" ->
       // replays the messy-URL fixture (md5 bucket draw) and every
@@ -5738,6 +5866,80 @@ object SparkEntry {
          SELECT 'audio', count(*)::BIGINT, max(n)::BIGINT,
            CAST(sum(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT)
            FROM ag""",
+
+    "store_capstats" -> {
+      // every persisted-store count replayed from the base tables:
+      // store states after warmup are deterministic functions of them
+      // — bloom metas (actualN = base + accepted-A appends, overfull
+      // when grown), the lines fixture's distinct corpus/kept-A lines,
+      // banded minhash rows (8 per corpus doc), winnow base + accepted
+      // delta rows, assignment/codes counts for the vector stores
+      val pct = duckMd5Pct("doc_id")
+      s"""WITH $lineFixtureCtes,
+         l AS (SELECT doc_id, ls, i, ls[i] AS line
+               FROM ml, unnest(generate_series(1, len(ls))) AS t(i)),
+         cor AS (SELECT DISTINCT line FROM l WHERE doc_id % 10 < 7),
+         la AS (SELECT * FROM l WHERE doc_id % 10 IN (7, 8)),
+         newa AS (SELECT la.* FROM la LEFT JOIN cor
+               ON la.line = cor.line WHERE cor.line IS NULL),
+         fa1 AS (SELECT line, min(doc_id) AS d0 FROM newa GROUP BY line),
+         fa2 AS (SELECT n.line, n.doc_id, min(n.i) AS i0 FROM newa n
+               JOIN fa1 ON n.line = fa1.line AND n.doc_id = fa1.d0
+               GROUP BY n.line, n.doc_id),
+         ka AS (SELECT n.doc_id, n.i, n.line FROM newa n
+               JOIN fa2 ON n.line = fa2.line AND n.doc_id = fa2.doc_id
+                 AND n.i = fa2.i0),
+         b AS (SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           $pct AS bucket
+           FROM documents),
+         corp AS (SELECT fingerprint FROM b WHERE bucket < 70),
+         inca AS (SELECT doc_id, fingerprint FROM b
+                  WHERE bucket >= 70 AND bucket < 85),
+         keepa AS (SELECT fingerprint, min(doc_id) AS keep_id
+                   FROM inca GROUP BY 1),
+         hita AS (SELECT DISTINCT c.fingerprint FROM corp c
+                  JOIN keepa USING (fingerprint)),
+         acc AS (SELECT k.fingerprint FROM keepa k
+                 LEFT JOIN hita h USING (fingerprint)
+                 WHERE h.fingerprint IS NULL),
+         $duckWinnowFpCtes,
+         wsb AS (SELECT doc_id, $pct AS sbucket FROM documents),
+         ${spanProbeCtes("1",
+             "wsb.sbucket >= 70 AND wsb.sbucket < 85", "wsb.sbucket < 70")},
+         sacc AS (SELECT doc_id FROM wsb WHERE sbucket >= 70 AND sbucket < 85
+                  AND doc_id NOT IN (SELECT inc_id FROM wsh1)),
+         nd AS (SELECT count(*)::BIGINT AS n FROM documents WHERE $pct < 70),
+         ne AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+         nec AS (SELECT count(*)::BIGINT AS n FROM embeddings
+                 WHERE ${duckMd5Pct("vec_id")} < 70),
+         nacc AS (SELECT count(*)::BIGINT AS n FROM acc),
+         nlines AS (SELECT count(DISTINCT line)::BIGINT AS n FROM l
+                    WHERE doc_id % 10 < 7),
+         nka AS (SELECT count(DISTINCT line)::BIGINT AS n FROM ka),
+         nspan AS (SELECT count(*)::BIGINT AS n FROM f
+                   JOIN wsb USING (doc_id) WHERE wsb.sbucket < 70),
+         nsdelta AS (SELECT count(*)::BIGINT AS n FROM f
+                     WHERE f.doc_id IN (SELECT doc_id FROM sacc))
+         SELECT 'bloom' AS family, nd.n AS n_rows, 0::BIGINT AS n_appended,
+           0::BIGINT AS due_compact FROM nd
+         UNION ALL SELECT 'bloom_ab', nd.n + nacc.n, nacc.n,
+           (nacc.n > 0)::BIGINT FROM nd, nacc
+         UNION ALL SELECT 'bloom_lines', nlines.n, 0::BIGINT, 0::BIGINT
+           FROM nlines
+         UNION ALL SELECT 'bloom_lines_ab', nlines.n + nka.n, nka.n,
+           (nka.n > 0)::BIGINT FROM nlines, nka
+         UNION ALL SELECT 'minhash', 8 * nd.n, 0::BIGINT, 0::BIGINT FROM nd
+         UNION ALL SELECT 'spans', nspan.n + nsdelta.n, nsdelta.n,
+           (nsdelta.n > 0)::BIGINT FROM nspan, nsdelta
+         UNION ALL SELECT 'semantic', nec.n, 0::BIGINT, 0::BIGINT FROM nec
+         UNION ALL SELECT 'media_image', nd.n, 0::BIGINT, 0::BIGINT FROM nd
+         UNION ALL SELECT 'media_video', nd.n, 0::BIGINT, 0::BIGINT FROM nd
+         UNION ALL SELECT 'media_audio', nd.n, 0::BIGINT, 0::BIGINT FROM nd
+         UNION ALL SELECT 'vecindex', ne.n, 0::BIGINT, 0::BIGINT FROM ne
+         UNION ALL SELECT 'vecindex_ab', ne.n, ne.n - nec.n, 0::BIGINT
+           FROM ne, nec"""
+    },
 
     "audio_neardup" ->
       // the fixture samples in closed form (two-prime quadratic

@@ -117,11 +117,10 @@ object BloomStore {
     writeMeta(meta, dir)
   }
 
-  def read(spark: SparkSession, dir: String): (Store, Meta) = {
-    val path = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
-    val fs = path.getFileSystem(conf)
-    val in = fs.open(path)
-    val bloom = try BloomFilter.readFrom(in) finally in.close()
+  /** The meta alone — the store-health probe (`store_capstats`) needs
+    * the counters without paying the sketch-bytes load.
+    */
+  def readMeta(dir: String): Meta = {
     val mp = new org.apache.hadoop.fs.Path(s"$dir/bloom.meta")
     val mIn = mp.getFileSystem(conf).open(mp)
     val ms = try new java.io.BufferedReader(
@@ -131,8 +130,16 @@ object BloomStore {
     // sketch then holds exactly its build-time keys, so actual = expected
     val expectedN = ms(0).toLong
     val actualN = if (ms.length >= 3) ms(2).toLong else expectedN
+    Meta(expectedN, actualN, ms(1).toDouble)
+  }
+
+  def read(spark: SparkSession, dir: String): (Store, Meta) = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    val bloom = try BloomFilter.readFrom(in) finally in.close()
     (Store(spark.read.parquet(s"$dir/fingerprints"), bloom),
-      Meta(expectedN, actualN, ms(1).toDouble))
+      readMeta(dir))
   }
 
   /** Close the daily loop O(increment): the accepted increment's

@@ -185,7 +185,7 @@ object SeriesStats {
     * must stay under 2^53 so the exact-multiple division is exact in
     * doubles — b up to ~4·10^6 rows per group at micro-unit scale.
     */
-  private def divHalfUp(a: Column, b: Column): Column = {
+  private[graft] def divHalfUp(a: Column, b: Column): Column = {
     val off = lit(1000000000L)
     val bigA = (a + off * b) * 2 + b
     val bigB = b * 2

@@ -114,11 +114,25 @@ object Vocab {
   def domainFilter(df: DataFrame, domainCol: String, textCol: String,
                    minMeanQuality: Double = 0.3,
                    minDocs: Long = 2): DataFrame = {
+    // the per-doc quality is a 6dp FIXED-POINT value, so a plain
+    // round(avg(q), 6) lands exactly on decimal rounding boundaries
+    // for some group sizes, where Spark (shortest-repr BigDecimal,
+    // half-up) and binary-double engines systematically disagree (the
+    // stl_seasonal finding — this flipped one domain's 6dp mean at one
+    // test scale). Exact integer micro-units instead: sum the 6dp
+    // scores as longs, round-half-up divide ([[SeriesStats.divHalfUp]],
+    // the shared engine-portable formula), and the final /1e6 is the
+    // identical IEEE op on both engines.
     val prof = graft.util.Par.spread(df)
-      .select(col(domainCol), TextOps.qualityScore(col(textCol)).as("_q"))
+      .select(col(domainCol),
+        round(TextOps.qualityScore(col(textCol)) * 1e6)
+          .cast("long").as("_qm"))
       .groupBy(col(domainCol))
-      .agg(count(lit(1)).as("domain_n_docs"),
-        round(avg(col("_q")), 6).as("domain_mean_quality"))
+      .agg(count(lit(1)).as("domain_n_docs"), sum(col("_qm")).as("_s"))
+      .withColumn("domain_mean_quality",
+        graft.lagops.SeriesStats.divHalfUp(col("_s"),
+          col("domain_n_docs")).cast("double") / lit(1e6))
+      .drop("_s")
     df.join(prof, Seq(domainCol), "left")
       .withColumn("keep",
         coalesce(col("domain_mean_quality") >= minMeanQuality &&
