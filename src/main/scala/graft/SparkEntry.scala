@@ -3373,6 +3373,41 @@ object SparkEntry {
         "media_id", "dhash", maxHamming = 3, maxBucket = 64)
     }),
 
+    "pair_neardup" -> ((s, dir) => {
+      // cross-modal PAIRED dedup — the LAION-class image-text-pair
+      // ingest decision (Dedup.pairNearDupIncremental): an incoming
+      // pair drops iff BOTH its caption is a MinHash near-dup AND its
+      // image is a Hamming near-dup of the SAME prior pair; text-only
+      // and image-only matches survive (either side alone is fresh
+      // training signal). Pairs ride the shared fixtures: pair id =
+      // doc_id, text = the document, image = its synthetic image; the
+      // planted twin pairs (md5 bucket < 5, id +10⁷) re-encode the
+      // image perturbed AND re-post the caption with a trailing token
+      // — each twin must come back flagged against its source pair,
+      // while a fresh text near-dup alone cannot drop a pair. Both
+      // corpus sides stream map-side (increment keys broadcast); the
+      // verdict join is candidate-bounded.
+      val d = Tables.documents(s, dir)
+      val ids = d.select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val twinTexts = d.filter(bucket < 5)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" repost")).as("text"))
+      val incTexts = d.filter(bucket >= 70)
+        .select(col("doc_id"), col("text")).unionByName(twinTexts)
+      val corTexts = d.filter(bucket < 70).select(col("doc_id"), col("text"))
+      val incImgs = imageSig(Multimodal.syntheticImagesNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticImagesNearDup(
+          ids, "doc_id", base = false)))
+      val corImgs = imageSig(Multimodal.syntheticImagesNearDup(
+        ids.filter(bucket < 70), "doc_id", twins = false))
+      Dedup.pairNearDupIncremental(incTexts, corTexts, incImgs, corImgs,
+        "doc_id", "text", "media_id", "dhash",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        maxHamming = 3, maxBucket = 64)
+    }),
+
     "media_band_capstats" -> ((s, dir) => {
       // the capstats convention for the MEDIA band geometry (the
       // dedup_minhash_capstats / ngram_df_capstats /
@@ -5825,6 +5860,8 @@ object SparkEntry {
 
     "image_neardup_incremental" -> imageNeardupIncrementalOracle,
 
+    "pair_neardup" -> pairNeardupOracle,
+
     // same shared-oracle contract as the video probe row
     "image_neardup_probe" -> imageNeardupIncrementalOracle,
 
@@ -6196,10 +6233,15 @@ object SparkEntry {
     * and for both the in-DAG incremental rows and their `_probe` store
     * twins, which are decision-identical by construction.
     */
-  private def mediaIncrementalOracleFrom(fixture: String, src: String,
-                                         hcol: String, mb: String): String =
-    s"""WITH $fixture,
-         xband AS (SELECT media_id, $hcol, b,
+  /** The verified-candidate half of the media incremental replay
+    * (`xband` … `xver(inc_id, dup_id, hamming)`) — shared by the
+    * per-modality incremental oracles and the `pair_neardup`
+    * composition (which joins `xver` against the text side's `ver1`).
+    * No leading WITH.
+    */
+  private def mediaVerifiedCtes(src: String, hcol: String,
+                                mb: String): String =
+    s"""xband AS (SELECT media_id, $hcol, b,
              ($hcol >> (b * 16)) & 65535 AS key
            FROM $src, (SELECT unnest(generate_series(0, 3)) AS b)),
          xinc AS (SELECT i.media_id AS inc_id, i.$hcol AS ih, b, key
@@ -6216,7 +6258,12 @@ object SparkEntry {
          xver AS (SELECT DISTINCT i.inc_id, m.dup_id,
                bit_count(xor(i.ih, m.ch2)) AS hamming
                FROM xinc i JOIN xcap m USING (b, key)
-               WHERE i.inc_id <> m.dup_id),
+               WHERE i.inc_id <> m.dup_id)"""
+
+  private def mediaIncrementalOracleFrom(fixture: String, src: String,
+                                         hcol: String, mb: String): String =
+    s"""WITH $fixture,
+         ${mediaVerifiedCtes(src, hcol, mb)},
          xbest AS (SELECT inc_id, dup_id, hamming FROM (
              SELECT *, row_number() OVER (PARTITION BY inc_id
                ORDER BY hamming ASC, dup_id) AS rn
@@ -6225,6 +6272,41 @@ object SparkEntry {
            xbest.hamming, (xbest.dup_id IS NULL) AS is_new
          FROM (SELECT DISTINCT inc_id FROM xinc) i
          LEFT JOIN xbest USING (inc_id)"""
+
+  /** `pair_neardup` replayed in SQL: the paired-text relation (`ptx` —
+    * every document plus the bucket<5 twin pairs' re-posted captions),
+    * the shared MinHash probe chain over it (`ver1` — verified text
+    * candidates), the image fixture's verified Hamming candidates
+    * (`xver`), and the pair rule: drop iff both sides flag the SAME
+    * prior pair; best = highest jaccard, lowest Hamming, lowest prior
+    * id.
+    */
+  private lazy val pairNeardupOracle: String =
+    s"""WITH ptx AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text || ' repost' FROM documents
+           WHERE ${duckMd5Pct("doc_id")} < 5),
+         ${minhashBandedCtesFrom("ptx")},
+         sb AS (SELECT doc_id, ${duckMd5Pct("doc_id")} AS sbucket FROM ptx),
+         isz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         ${minhashProbeCtes("1",
+             "(sb.sbucket >= 70 AND b.doc_id < 10000000) OR b.doc_id >= 10000000",
+             "sb.sbucket < 70 AND b.doc_id < 10000000")},
+         $duckDhashCtes,
+         ${mediaVerifiedCtes("dh", "dhash", "mb")},
+         pboth AS (SELECT v.inc_id, v.dup_id, v.jaccard, x.hamming
+                   FROM ver1 v JOIN xver x
+                   ON x.inc_id = v.inc_id AND x.dup_id = v.dup_id
+                   WHERE x.hamming <= 3),
+         pbest AS (SELECT inc_id, dup_id, jaccard, hamming FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY jaccard DESC, hamming ASC, dup_id) AS rn
+             FROM pboth) WHERE rn = 1)
+         SELECT i.doc_id, pbest.dup_id AS dup_of, pbest.jaccard,
+           pbest.hamming, (pbest.dup_id IS NULL) AS is_new
+         FROM (SELECT p.doc_id FROM ptx p JOIN sb USING (doc_id)
+               WHERE sb.sbucket >= 70 OR p.doc_id >= 10000000) i
+         LEFT JOIN pbest ON pbest.inc_id = i.doc_id"""
 
   /** The media A/B ingest loop replayed in SQL
     * (`image/video_neardup_probe_updated`): the persisted store minus

@@ -416,6 +416,33 @@ object Dedup {
                          shingleSize: Int = 3, bands: Int = 8,
                          rowsPerBand: Int = 2, threshold: Double = 0.5,
                          maxBucket: Int = 64): DataFrame = {
+    val (incIds, verified) = minhashIncrementalVerified(incoming, corpus,
+      idCol, textCol, shingleSize, bands, rowsPerBand, threshold, maxBucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("jaccard").desc, col("dup_id").asc)
+    val best = verified
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("inc_id").cast("long").as("doc_id"),
+        col("dup_id").cast("long").as("dup_of"), col("jaccard"))
+    incIds.join(broadcast(best), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
+  /** The two frames behind [[minhashIncremental]]'s decision, exposed
+    * for composition ([[pairNearDupIncremental]] joins them against
+    * another modality's verdicts): the increment's id list and EVERY
+    * verified candidate pair `(inc_id, dup_id, jaccard ≥ threshold)` —
+    * not just the best match, because a pair-level rule needs the
+    * full candidate set to find the SAME prior pair on both sides.
+    */
+  private[graft] def minhashIncrementalVerified(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double,
+      maxBucket: Int): (DataFrame, DataFrame) = {
     // the increment's shingle frame forks three ways (band keys, verify
     // side, output doc list) — checkpoint once, like spanPairs' fps.
     // The banded frame forks twice (key broadcast + pairing join):
@@ -471,17 +498,8 @@ object Dedup {
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("inc_id"))
-      .orderBy(col("jaccard").desc, col("dup_id").asc)
-    val best = verified
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("inc_id").cast("long").as("doc_id"),
-        col("dup_id").cast("long").as("dup_of"), col("jaccard"))
-    incSh.select(col("doc_id").cast("long").as("doc_id"))
-      .join(broadcast(best), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of"), col("jaccard"),
-        col("dup_of").isNull.as("is_new"))
+    (incSh.select(col("doc_id").cast("long").as("doc_id")),
+      verified.select(col("inc_id"), col("dup_id"), col("jaccard")))
   }
 
   /** [[minhashIncremental]] against a PERSISTED [[SignatureStore]] —
@@ -642,6 +660,28 @@ object Dedup {
                          idCol: String, hashCol: String,
                          maxHamming: Int = 3,
                          maxBucket: Int = 64): DataFrame = {
+    val (incIds, verified) = hammingIncrementalVerified(incoming, corpus,
+      idCol, hashCol, maxHamming, maxBucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("hamming").asc, col("dup_id").asc)
+    val best = verified
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("inc_id"), col("dup_id").as("dup_of"), col("hamming"))
+    incIds.join(broadcast(best), Seq("inc_id"), "left")
+      .select(col("inc_id").as(idCol), col("dup_of"), col("hamming"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
+  /** The frames behind [[hammingIncremental]], exposed for composition
+    * (the media half of [[pairNearDupIncremental]]): the increment's
+    * distinct ids and EVERY verified candidate pair
+    * `(inc_id, dup_id, hamming ≤ maxHamming)`.
+    */
+  private[graft] def hammingIncrementalVerified(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     def banded(df0: DataFrame, id: String) =
       df0.select(col(idCol).as(id), col(hashCol).as(s"_h_$id"))
         .select(col(id), col(s"_h_$id"),
@@ -664,19 +704,66 @@ object Dedup {
           .as("hamming"))
       .dropDuplicates("inc_id", "dup_id")
       .filter(col("hamming") <= maxHamming)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("inc_id"))
-      .orderBy(col("hamming").asc, col("dup_id").asc)
-    val best = verified
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("inc_id"), col("dup_id").as("dup_of"), col("hamming"))
     // the output doc list comes from the CHECKPOINTED banded frame
     // (banding emits exactly `bands` rows per input id), not from
     // `incoming` — whose lineage may be an expensive kernel (image
     // decode) that would otherwise re-run just to list ids
-    incB.select(col("inc_id")).distinct()
-      .join(broadcast(best), Seq("inc_id"), "left")
-      .select(col("inc_id").as(idCol), col("dup_of"), col("hamming"),
+    (incB.select(col("inc_id")).distinct(), verified)
+  }
+
+  /** Cross-modal PAIRED near-dedup — the LAION-class image-text-pair
+    * ingest decision: an incoming pair is a duplicate iff BOTH its
+    * text is a verified MinHash near-dup (jaccard ≥ `threshold`) AND
+    * its media fingerprint is a Hamming near-dup (≤ `maxHamming`) OF
+    * THE SAME prior pair. Text-only matches (same caption on a fresh
+    * image) and media-only matches (same image re-captioned) SURVIVE
+    * — the conservative keep rule paired-corpus curation uses,
+    * because either side alone still carries fresh training signal.
+    *
+    * Inputs: increment/corpus TEXT frames (`idCol`: pair id,
+    * `textCol`) and increment/corpus media FINGERPRINT frames
+    * (`fpIdCol`: the same pair ids, `fpCol`: the 8-byte fingerprint —
+    * the [[MediaStore]] column shape, so the media side can come
+    * straight off a persisted store with zero decodes).
+    *
+    * Scale shape: both modalities run their standard incremental
+    * probes (corpus sides never shuffle; increment band keys
+    * broadcast), and the two verdict sets join on
+    * (incoming pair, prior pair) — candidate-bounded, never
+    * corpus-sized. The decision needs EVERY verified candidate, not
+    * each side's best match: the best text match and best image match
+    * can be different priors while some third prior matches both.
+    *
+    * Output: one row per incoming pair —
+    * (doc_id, dup_of, jaccard, hamming, is_new); best = highest
+    * jaccard, then lowest Hamming, then lowest prior-pair id.
+    */
+  def pairNearDupIncremental(incTexts: DataFrame, corTexts: DataFrame,
+                             incFps: DataFrame, corFps: DataFrame,
+                             idCol: String, textCol: String,
+                             fpIdCol: String, fpCol: String,
+                             shingleSize: Int = 3, bands: Int = 8,
+                             rowsPerBand: Int = 2, threshold: Double = 0.5,
+                             maxHamming: Int = 3,
+                             maxBucket: Int = 64): DataFrame = {
+    val (incIds, tver) = minhashIncrementalVerified(incTexts, corTexts,
+      idCol, textCol, shingleSize, bands, rowsPerBand, threshold, maxBucket)
+    val (_, mver) = hammingIncrementalVerified(incFps, corFps,
+      fpIdCol, fpCol, maxHamming, maxBucket)
+    val both = tver.select(col("inc_id").cast("long").as("inc_id"),
+        col("dup_id").cast("long").as("dup_id"), col("jaccard"))
+      .join(mver.select(col("inc_id").cast("long").as("inc_id"),
+        col("dup_id").cast("long").as("dup_id"), col("hamming")),
+        Seq("inc_id", "dup_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("jaccard").desc, col("hamming").asc, col("dup_id").asc)
+    val best = both
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("inc_id").as("doc_id"), col("dup_id").as("dup_of"),
+        col("jaccard"), col("hamming"))
+    incIds.join(broadcast(best), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"), col("hamming"),
         col("dup_of").isNull.as("is_new"))
   }
 

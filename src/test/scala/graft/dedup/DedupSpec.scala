@@ -975,6 +975,46 @@ class DedupSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("pairNearDupIncremental: drop iff BOTH sides match the SAME prior pair") {
+    import spark.implicits._
+    val t = (i: Int) => s"pair caption number $i with plenty of distinct " +
+      s"filler words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+    val rng = new scala.util.Random(7)
+    val fps = Array.fill(10)(rng.nextLong())
+    val corTexts = (0 until 10).map(i => (i.toLong, t(i)))
+      .toDF("doc_id", "text")
+    val corFps = (0 until 10).map(i => (i.toLong, fps(i)))
+      .toDF("media_id", "dhash")
+    // 100: both sides dup pair 3 -> DROPPED against 3
+    // 101: text dups pair 4, image fresh -> KEPT (text-only)
+    // 102: text fresh, image dups pair 5 (hamming 1) -> KEPT (media-only)
+    // 103: text dups pair 6, image dups pair 7 (DIFFERENT priors) -> KEPT
+    // 104: fresh both -> KEPT
+    // 100's caption is an EXACT re-post (the common LAION case) so the
+    // text-side catch is banding-guaranteed; 103 exercises jaccard<1
+    // via the id-suffix difference in t(i) itself
+    val incTexts = Seq(
+      (100L, t(3)), (101L, t(4)),
+      (102L, "totally fresh caption with nothing shared at all qq ww ee rr tt yy"),
+      (103L, t(6)), (104L, "another novel caption entirely unlike the corpus aa bb cc dd ee ff"))
+      .toDF("doc_id", "text")
+    val incFps = Seq(
+      (100L, fps(3)), (101L, rng.nextLong()),
+      (102L, fps(5) ^ 1L), (103L, fps(7)), (104L, rng.nextLong()))
+      .toDF("media_id", "dhash")
+    val out = Dedup.pairNearDupIncremental(incTexts, corTexts, incFps,
+        corFps, "doc_id", "text", "media_id", "dhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(4))).toMap
+    assert(out(100L) == (3L, false), s"both-sides twin must drop: $out")
+    assert(out(101L) == (-1L, true), s"text-only match must survive: $out")
+    assert(out(102L) == (-1L, true), s"media-only match must survive: $out")
+    assert(out(103L) == (-1L, true),
+      s"matches against DIFFERENT priors must survive: $out")
+    assert(out(104L) == (-1L, true), s"fresh pair must survive: $out")
+    assert(out.size == 5)
+  }
+
   test("minhashIncremental agrees with batch LSH over the union corpus") {
     // the incremental probe must reproduce exactly the inc-corpus pairs
     // the BATCH operator finds on incoming ∪ corpus (restricted to
