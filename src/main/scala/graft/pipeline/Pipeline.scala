@@ -456,16 +456,22 @@ object Pipeline {
                   shingleSize: Int = 3, bands: Int = 8,
                   rowsPerBand: Int = 2, threshold: Double = 0.5,
                   maxBucket: Int = 64): DataFrame = {
-    // the increment (id, text, quality) materialized ONCE: the base
-    // list, the exact leg, and the near leg all re-read it, and an
-    // unmaterialized frame would re-run the quality scoring (and the
-    // increment scan) per leg. Increment-sized by contract — the same
-    // checkpoint discipline as minhashIncremental's shingle frame.
+    // the base (id, quality) list materialized once — WITHOUT the text
+    // column: a checkpoint of the raw increment text is a
+    // corpus-class deserialized block at recrawl-scale increments
+    // (this row's 30%-bucket fixture), and those blocks have no
+    // unpersist hook — they sat in the MemoryStore driving the row's
+    // bimodal zsf10 readings (12 s warm floor vs 30-75 s spikes; the
+    // r11 novelty_score finding, re-measured r14). The legs instead
+    // re-derive the gate INSIDE their own increment scans — the
+    // quality kernel is a codegen'd projection, so each leg pays one
+    // pushed-down increment scan and nothing is ever pinned.
     val inc = graft.util.Par.spread(incoming)
-      .select(col(idCol), col(textCol),
+      .select(col(idCol),
         TextOps.qualityScore(col(textCol)).as("quality"))
       .localCheckpoint()
-    val gated = inc.filter(col("quality") >= minQuality)
+    val gated = graft.util.Par.spread(incoming)
+      .filter(TextOps.qualityScore(col(textCol)) >= minQuality)
     val ex = graft.dedup.Dedup
       .exactIncremental(gated, corpus, idCol, textCol)
       .select(col("doc_id"), col("is_new").as("is_new_exact"))
