@@ -48,9 +48,18 @@ object Dedup {
     * absent from the corpus).
     */
   def exactIncremental(incoming: DataFrame, corpus: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
-    val inc = incoming.select(col(idCol).cast("long").as("doc_id"),
-      TextOps.fingerprint(col(textCol)).as("fingerprint"))
+                       idCol: String, textCol: String): DataFrame =
+    exactIncrementalFp(incoming.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.fingerprint(col(textCol)).as("fingerprint")), corpus, textCol)
+
+  /** [[exactIncremental]] over a PRE-FINGERPRINTED increment frame
+    * `(doc_id, fingerprint)` — lets a composite caller
+    * ([[graft.pipeline.Pipeline.ingestClean]]) checkpoint the 16-byte
+    * key frame once (never the raw text) and keep every
+    * increment-side shuffle off the file scan.
+    */
+  private[graft] def exactIncrementalFp(inc: DataFrame, corpus: DataFrame,
+                                        textCol: String): DataFrame = {
     val batchKeep = inc.groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("_keep_id"))
     // corpus side: fingerprint projection only; the broadcast carries

@@ -472,8 +472,15 @@ object Pipeline {
       .localCheckpoint()
     val gated = graft.util.Par.spread(incoming)
       .filter(TextOps.qualityScore(col(textCol)) >= minQuality)
+    // the exact leg's key frame checkpointed as 16-byte fingerprints
+    // (never text): its batch-keep groupBy then shuffles an
+    // ExistingRDD, keeping the no-corpus-shuffle fence
+    val exKeys = gated
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .localCheckpoint()
     val ex = graft.dedup.Dedup
-      .exactIncremental(gated, corpus, idCol, textCol)
+      .exactIncrementalFp(exKeys, corpus, textCol)
       .select(col("doc_id"), col("is_new").as("is_new_exact"))
     val near = graft.dedup.Dedup
       .minhashIncremental(gated, corpus, idCol, textCol, shingleSize,
