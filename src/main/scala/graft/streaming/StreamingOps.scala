@@ -392,6 +392,38 @@ object StreamingOps {
         idCol, textCol), batchId)
     }
 
+  /** The ANN-SERVING ingest probe — the streaming twin of
+    * `similarity_ivfpq_probe`, completing the batch≡stream pair for
+    * the [[graft.simops.VectorIndexStore]] family (every other store
+    * family — exact, minhash, spans, lines, semantic, image, video,
+    * audio — has its twin): each micro-batch of query vectors
+    * retrieves its top-k neighbors by ADC over the STORED PQ codes
+    * ([[graft.simops.VectorIndexStore.topK]] — query-side literal
+    * encode only; the per-trigger cost never touches the corpus), and
+    * the sink receives the (query_id, neighbor_id, adist, rank) rows.
+    *
+    * `store` is a THUNK re-evaluated per trigger: the intended sink
+    * encodes each batch's accepted vectors under the FROZEN index
+    * ([[graft.simops.VectorIndexStore.encode]]) and `appendWrite`s
+    * them (O(micro-batch), no refit), so the next trigger retrieves
+    * over corpus ∪ previously-ingested — a query arriving AFTER its
+    * near vector was ingested in an earlier batch finds it (the
+    * cross-batch case pinned in StreamingSpec). The query itself
+    * keeps NO state; the store is the state, and it is all the state
+    * there is — m code ints + a list id per stored vector.
+    */
+  def vectorServeIngestProbe(vectors: DataFrame,
+                             store: () => graft.simops.VectorIndexStore.Store,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             kNN: Int = 5, nprobe: Int = 4)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.simops.VectorIndexStore.topK(batch, store(), idCol,
+        vecCol, kNN, nprobe), batchId)
+    }
+
   /** Quality-gate filter (stateless): identical plan batch or stream —
     * the shape of an inline corpus filter in a streaming ingest path.
     */

@@ -237,6 +237,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchB1 == Map(10L -> true, 11L -> false))
   }
 
+  test("vectorServeIngestProbe: a query retrieves a vector ingested in " +
+      "an earlier micro-batch; batch parity") {
+    import spark.implicits._
+    import graft.simops.VectorIndexStore
+    val rng = new scala.util.Random(19)
+    def vec() = Seq.fill(16)(rng.nextFloat() * 2 - 1)
+    val corpus = (0L until 60L).map(i => (i, vec()))
+      .toDF("vec_id", "embedding")
+    val sd = java.nio.file.Files.createTempDirectory("vec_stream").toString
+    VectorIndexStore.write(VectorIndexStore.build(corpus, "vec_id",
+      "embedding", nlist = 4, m = 4, k = 8, iters = 1,
+      fitSamplePct = 100, dim = 16), sd)
+    // b1: a fresh vector 500 (served against the corpus, then
+    // ingested under the frozen index); b2: vector 900 = EXACT COPY of
+    // 500 — its rank-1 neighbor must be 500, which exists only through
+    // the between-trigger appendWrite (the cross-micro-batch case)
+    val v500 = vec()
+    val b1 = Seq((500L, v500)).toDF("vec_id", "embedding")
+    val b2 = Seq((900L, v500)).toDF("vec_id", "embedding")
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("vec_feed").toString
+    b1.coalesce(1).write.mode("append").parquet(feedDir)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)]
+    var batches = 0
+    val q = StreamingOps.vectorServeIngestProbe(stream,
+        () => VectorIndexStore.read(spark, sd), kNN = 3, nprobe = 4) {
+      (df, _) =>
+        out.synchronized {
+          out ++= df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getInt(3)))
+          batches += 1
+        }
+        // compaction: the batch's vectors encode under the FROZEN
+        // index and append before the next trigger
+        val st = VectorIndexStore.read(spark, sd)
+        val ids = out.synchronized { out.map(_._1).toSet }
+        VectorIndexStore.appendWrite(VectorIndexStore.encode(
+          spark.read.parquet(feedDir)
+            .filter(col("vec_id").isin(ids.toSeq: _*)),
+          "vec_id", "embedding", st.index), sd)
+        VectorIndexStore.compact(spark, sd) // retries heal; idempotent
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val top900 = out.find(r => r._1 == 900L && r._3 == 1)
+    assert(top900.exists(_._2 == 500L),
+      s"cross-batch serve: 900's rank-1 must be the ingested 500: $out")
+    // batch parity on the no-cross-batch prefix: b1's stream result
+    // equals the batch topK against the original store
+    val expect = VectorIndexStore.topK(b1,
+        VectorIndexStore.Store(VectorIndexStore.read(spark, sd).index,
+          spark.read.parquet(s"$sd/codes")
+            .filter(col("vec_id") < 100)), "vec_id", "embedding",
+        kNN = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(out.filter(_._1 == 500L).toSet == expect)
+  }
+
   test("audioIngestProbe: compacting stream catches a cross-batch planted twin; batch parity") {
     import spark.implicits._
     val M = graft.multimodal.Multimodal
