@@ -3408,6 +3408,56 @@ object SparkEntry {
         maxHamming = 3, maxBucket = 64)
     }),
 
+    "pair_neardup_probe" -> ((s, dir) => {
+      // the pair rule's DEPLOYMENT shape (the _probe convention
+      // applied to the composition): the text side probes the
+      // persisted minhash SignatureStore (corpus signed once at its
+      // own ingest — corpus TEXT never read), the image side probes
+      // the persisted MediaStore fingerprints (corpus payloads never
+      // decoded); the timed row pays O(increment) signing + decode +
+      // two broadcast band probes + the candidate-bounded pair join.
+      // Same stores, same params as the per-modality probe rows (the
+      // shared ensure-helpers), decisions identical to pair_neardup —
+      // same oracle; plan-fenced in PlanAuditSpec.
+      val d = Tables.documents(s, dir)
+      val ids = d.select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val twinTexts = d.filter(bucket < 5)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" repost")).as("text"))
+      val incTexts = d.filter(bucket >= 70)
+        .select(col("doc_id"), col("text")).unionByName(twinTexts)
+      val incImgs = imageSig(Multimodal.syntheticImagesNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticImagesNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.pairNearDupStored(incTexts,
+        graft.dedup.SignatureStore.read(s, ensureMinhashStore(s, dir)),
+        incImgs, graft.dedup.MediaStore.read(s, ensureMediaImageStore(s, dir)),
+        "doc_id", "text", "media_id", "dhash",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        maxHamming = 3, maxBucket = 64)
+    }),
+
+    "vecindex_liststats" -> ((s, dir) => {
+      // the capstats row for the SERVING index's list geometry (the
+      // dedup_semantic_liststats convention): a hot IVF list is a slow
+      // probe for every query routed to it, so the stored
+      // assignment's list-size distribution ships as an oracle-checked
+      // integer-only row over the codes store — one footer-count-free
+      // scan of (vec_id, list_id), zero decodes, zero fits.
+      val sd = ensureVecIndexStore(s, dir)
+      val ls = graft.simops.VectorIndexStore.read(s, sd).coded
+        .groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+      val tot = ls.agg(sum(col("sz")).as("nv"), count(lit(1)).as("nl"))
+      ls.crossJoin(broadcast(tot)).groupBy(col("nv"), col("nl"))
+        .agg(max(col("sz")).as("max_list"),
+          sum(when(col("sz") * col("nl") > lit(2L) * col("nv"), 1L)
+            .otherwise(0L)).as("over_2x_avg"))
+        .select(col("nv").as("n_vecs"), col("nl").as("n_lists"),
+          col("max_list"), col("over_2x_avg"))
+    }),
+
     "media_band_capstats" -> ((s, dir) => {
       // the capstats convention for the MEDIA band geometry (the
       // dedup_minhash_capstats / ngram_df_capstats /
@@ -5861,6 +5911,24 @@ object SparkEntry {
     "image_neardup_incremental" -> imageNeardupIncrementalOracle,
 
     "pair_neardup" -> pairNeardupOracle,
+
+    // the stored form decides identically (each side's persisted
+    // probe is decision-identical by its family's contract) — same
+    // replay
+    "pair_neardup_probe" -> pairNeardupOracle,
+
+    "vecindex_liststats" ->
+      // the serving index's list-size distribution replayed from the
+      // shared full-corpus IVF fit (asg2 = every vector's list)
+      s"""WITH ${duckIvfFitCtesOn("TRUE")},
+         ls AS (SELECT list_id, count(*) AS sz FROM asg2 GROUP BY 1),
+         tot AS (SELECT CAST(sum(sz) AS BIGINT) AS nv,
+                 count(*)::BIGINT AS nl FROM ls)
+         SELECT tot.nv AS n_vecs, tot.nl AS n_lists,
+           CAST(max(sz) AS BIGINT) AS max_list,
+           CAST(sum(CASE WHEN sz * tot.nl > 2 * tot.nv
+                    THEN 1 ELSE 0 END) AS BIGINT) AS over_2x_avg
+         FROM ls, tot GROUP BY tot.nv, tot.nl""",
 
     // same shared-oracle contract as the video probe row
     "image_neardup_probe" -> imageNeardupIncrementalOracle,

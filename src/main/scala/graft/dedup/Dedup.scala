@@ -534,6 +534,34 @@ object Dedup {
                                rowsPerBand: Int = 2,
                                threshold: Double = 0.5,
                                maxBucket: Int = 64): DataFrame = {
+    val (incIds, verified) = minhashIncrementalStoredVerified(incoming,
+      store, idCol, textCol, shingleSize, bands, rowsPerBand, threshold,
+      maxBucket)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("inc_id"))
+      .orderBy(col("jaccard").desc, col("dup_id").asc)
+    val best = verified
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("inc_id").cast("long").as("doc_id"),
+        col("dup_id").cast("long").as("dup_of"), col("jaccard"))
+    incIds.join(broadcast(best), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNull.as("is_new"))
+  }
+
+  /** The stored probe's id list + full verified candidate set — the
+    * [[minhashIncrementalVerified]] contract against a PERSISTED
+    * [[SignatureStore]], for pair-rule composition
+    * (`pair_neardup_probe`). Jaccard here runs over the stored 8-byte
+    * hash arrays (equal to string-set Jaccard up to vanishing 64-bit
+    * collisions — the store's documented contract), so decisions are
+    * identical to the in-DAG form.
+    */
+  private[graft] def minhashIncrementalStoredVerified(
+      incoming: DataFrame, store: SignatureStore.Store,
+      idCol: String, textCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucket: Int): (DataFrame, DataFrame) = {
     // the increment's shingle frame forks three ways; checkpoint once.
     // The banded frame forks twice more (key broadcast + pairing join) —
     // checkpoint it too, so the increment is SIGNED EXACTLY ONCE: plan
@@ -576,17 +604,8 @@ object Dedup {
       .withColumn("jaccard", round(col("inter") /
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("inc_id"))
-      .orderBy(col("jaccard").desc, col("dup_id").asc)
-    val best = verified
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("inc_id").cast("long").as("doc_id"),
-        col("dup_id").cast("long").as("dup_of"), col("jaccard"))
-    incSh.select(col("doc_id").cast("long").as("doc_id"))
-      .join(broadcast(best), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of"), col("jaccard"),
-        col("dup_of").isNull.as("is_new"))
+    (incSh.select(col("doc_id").cast("long").as("doc_id")),
+      verified.select(col("inc_id"), col("dup_id"), col("jaccard")))
   }
 
   /** 64-bit SimHash per document via the scalable explode→groupBy path:
@@ -759,6 +778,42 @@ object Dedup {
       idCol, textCol, shingleSize, bands, rowsPerBand, threshold, maxBucket)
     val (_, mver) = hammingIncrementalVerified(incFps, corFps,
       fpIdCol, fpCol, maxHamming, maxBucket)
+    pairCompose(incIds, tver, mver)
+  }
+
+  /** [[pairNearDupIncremental]] against the PERSISTED stores — what a
+    * daily paired-corpus ingest actually runs: the text side probes a
+    * [[SignatureStore]] (corpus signed once at its own ingest; corpus
+    * TEXT never read), the media side probes a [[MediaStore]]
+    * fingerprint frame (corpus payloads never decoded). The increment
+    * is the only side that pays kernels; decisions are identical to
+    * the in-DAG form (each side's stored probe is decision-identical
+    * by its family's own contract), so both share an oracle.
+    */
+  def pairNearDupStored(incTexts: DataFrame,
+                        textStore: SignatureStore.Store,
+                        incFps: DataFrame, corFps: DataFrame,
+                        idCol: String, textCol: String,
+                        fpIdCol: String, fpCol: String,
+                        shingleSize: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 2, threshold: Double = 0.5,
+                        maxHamming: Int = 3,
+                        maxBucket: Int = 64): DataFrame = {
+    val (incIds, tver) = minhashIncrementalStoredVerified(incTexts,
+      textStore, idCol, textCol, shingleSize, bands, rowsPerBand,
+      threshold, maxBucket)
+    val (_, mver) = hammingIncrementalVerified(incFps, corFps,
+      fpIdCol, fpCol, maxHamming, maxBucket)
+    pairCompose(incIds, tver, mver)
+  }
+
+  /** The shared pair-rule tail: join the two modalities' verified
+    * candidates on (incoming pair, prior pair), pick the best
+    * both-sides match (highest jaccard, lowest Hamming, lowest prior
+    * id), and surface every incoming pair with its decision.
+    */
+  private def pairCompose(incIds: DataFrame, tver: DataFrame,
+                          mver: DataFrame): DataFrame = {
     val both = tver.select(col("inc_id").cast("long").as("inc_id"),
         col("dup_id").cast("long").as("dup_id"), col("jaccard"))
       .join(mver.select(col("inc_id").cast("long").as("inc_id"),

@@ -1015,6 +1015,36 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("pairNearDupStored decides identically to the in-DAG pair rule") {
+    import spark.implicits._
+    val t = (i: Int) => s"pair caption number $i with plenty of distinct " +
+      s"filler words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+    val rng = new scala.util.Random(7)
+    val fps = Array.fill(10)(rng.nextLong())
+    val corTexts = (0 until 10).map(i => (i.toLong, t(i)))
+      .toDF("doc_id", "text")
+    val corFps = (0 until 10).map(i => (i.toLong, fps(i)))
+      .toDF("media_id", "dhash")
+    val incTexts = Seq((100L, t(3)), (101L, t(4)),
+      (102L, "totally fresh caption with nothing shared at all qq ww ee"))
+      .toDF("doc_id", "text")
+    val incFps = Seq((100L, fps(3)), (101L, rng.nextLong()),
+      (102L, fps(5) ^ 1L)).toDF("media_id", "dhash")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4)))
+      .sortBy(_._1).toSeq
+    val direct = rows(Dedup.pairNearDupIncremental(incTexts, corTexts,
+      incFps, corFps, "doc_id", "text", "media_id", "dhash"))
+    val stored = rows(Dedup.pairNearDupStored(incTexts,
+      SignatureStore.build(corTexts, "doc_id", "text", 3, 8, 2),
+      incFps, corFps, "doc_id", "text", "media_id", "dhash"))
+    assert(stored == direct)
+    assert(direct.exists(r => r._1 == 100L && r._2 == 3L && !r._5),
+      s"the both-sides pair must drop in both forms: $direct")
+  }
+
   test("minhashIncremental agrees with batch LSH over the union corpus") {
     // the incremental probe must reproduce exactly the inc-corpus pairs
     // the BATCH operator finds on incoming ∪ corpus (restricted to

@@ -590,6 +590,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("pair_neardup_probe: both persisted stores scanned, no corpus " +
+      "text sign, no corpus decode") {
+    val p = plan("pair_neardup_probe")
+    assert(p.contains("stores/sf0.001/minhash"),
+      s"expected the signature store scan:\n$p")
+    assert(p.contains("stores/sf0.001/media_image"),
+      s"expected the media fingerprint store scan:\n$p")
+    // the increment's signing and image decode run once inside their
+    // checkpoints' eager jobs (ExistingRDD leaves); the timed plan must
+    // contain NO decode kernel and NO documents scan at all — both
+    // corpus sides come entirely from the stores
+    assert(!p.contains("MapPartitions"),
+      s"media decode kernel in the timed plan:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"corpus/document scan in the timed pair-probe plan:\n$p")
+  }
+
   test("dedup_bloom_probe rows: sketch prefilter on the increment side, " +
       "store scan instead of corpus text") {
     for (name <- Seq("dedup_bloom_probe", "dedup_bloom_probe_updated")) {
