@@ -1455,7 +1455,13 @@ object SparkEntry {
                s AS (SELECT source, lang, CAST(gs.n_tokens AS DOUBLE) AS n_tok, q FROM g)
                SELECT source, count(*) AS n_docs,
                       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-                      round(avg(q), 6) AS mean_quality,
+                      -- fixed-point mean in exact integer micro-units
+                      -- (the Vocab.microMean convention: round(avg)
+                      -- lands on decimal boundaries the engines
+                      -- round differently)
+                      CAST((2 * sum(CAST(round(q * 1000000) AS BIGINT))
+                            + count(*)) div (2 * count(*)) AS DOUBLE)
+                        / 1000000.0 AS mean_quality,
                       round(percentile(n_tok, 0.5D), 6) AS p50_tokens,
                       round(percentile(n_tok, 0.9D), 6) AS p90_tokens,
                       count(DISTINCT lang) AS n_langs
@@ -4202,7 +4208,7 @@ object SparkEntry {
              $duckQualityFromParts AS quality FROM b)
          SELECT domain, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           round(avg(quality), 6) AS mean_quality,
+           $duckMeanQualityMicro,
            round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
            round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
            count(DISTINCT lang) AS n_langs
@@ -4399,7 +4405,7 @@ object SparkEntry {
                $duckQualityFromParts AS quality FROM b),
          a AS (SELECT source, count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-               round(avg(quality), 6) AS mean_quality,
+               $duckMeanQualityMicro,
                count(DISTINCT lang) AS n_langs
              FROM s GROUP BY source),
          r AS (SELECT source, n_tok,
@@ -5530,7 +5536,7 @@ object SparkEntry {
              FROM pqb JOIN bcounts c USING (doc_id))
          SELECT source, count(*) AS n_docs,
            CAST(sum(bt) AS BIGINT) AS n_tokens,
-           round(avg(quality), 6) AS mean_quality,
+           $duckMeanQualityMicro,
            round(quantile_cont(bt, 0.5), 6) AS p50_tokens,
            round(quantile_cont(bt, 0.9), 6) AS p90_tokens,
            count(DISTINCT lang) AS n_langs
@@ -7066,7 +7072,7 @@ object SparkEntry {
              $duckQualityFromParts AS quality FROM b)
        SELECT source, count(*) AS n_docs,
          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         round(avg(quality), 6) AS mean_quality,
+         $duckMeanQualityMicro,
          round(quantile_cont(n_tok, 0.5), 6) AS p50_tokens,
          round(quantile_cont(n_tok, 0.9), 6) AS p90_tokens,
          count(DISTINCT lang) AS n_langs
@@ -7114,6 +7120,17 @@ object SparkEntry {
          / len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))::DOUBLE END, 6) AS stopword_ratio
        FROM documents"""
   }
+
+  /** Fixed-point group mean of the 6dp quality score in pure integer
+    * arithmetic — the SQL twin of Vocab.microMean (floor((2S+n)/2n) on
+    * non-negative operands = round-half-up of S/n; the final /1e6 is
+    * the identical IEEE op on both engines). Shared by every
+    * mean_quality oracle so the datasheet rows cannot hit the decimal
+    * rounding boundaries round(avg(q), 6) lands on.
+    */
+  private val duckMeanQualityMicro: String =
+    "((2 * sum(CAST(round(quality * 1000000) AS BIGINT)) + count(*)) " +
+      "// (2 * count(*)))::DOUBLE / 1000000.0 AS mean_quality"
 
   private val duckQualityFromParts: String =
     """round(greatest(0.0,

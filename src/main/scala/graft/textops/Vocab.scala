@@ -80,15 +80,40 @@ object Vocab {
     graft.util.Par.spread(df)
       .select(col(strataCol), col(langCol),
         counter(t).cast("double").as("_n_tok"),
-        TextOps.qualityScore(t).as("_q"))
+        qualityMicro(t))
       .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_n_tok")).cast("long").as("n_tokens"),
-        round(avg(col("_q")), 6).as("mean_quality"),
+        sum(col("_qm")).as("_s"),
         round(percentile(col("_n_tok"), lit(0.5)), 6).as("p50_tokens"),
         round(percentile(col("_n_tok"), lit(0.9)), 6).as("p90_tokens"),
         count_distinct(col(langCol)).as("n_langs"))
+      .withColumn("mean_quality", microMean)
+      .drop("_s")
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("p50_tokens"), col("p90_tokens"),
+        col("n_langs"))
   }
+
+  /** The per-doc quality score as an exact 6dp micro-unit LONG — the
+    * fixed-point-mean convention (see [[microMean]]).
+    */
+  private def qualityMicro(t: Column): Column =
+    round(TextOps.qualityScore(t) * 1e6).cast("long").as("_qm")
+
+  /** Group mean of the `_qm` micro-units as a portable double: the
+    * per-doc quality is 6dp FIXED-POINT, so `round(avg(q), 6)` lands
+    * exactly on decimal rounding boundaries for some group sizes,
+    * where Spark (shortest-repr BigDecimal half-up) and binary-double
+    * engines systematically disagree (the stl_seasonal/domain_filter
+    * finding). `floor((2S + n) / 2n)` on non-negative LONGS is
+    * round-half-up of S/n in pure integer arithmetic (`div` here, `//`
+    * in the oracle — no double division anywhere, so no 2⁵³ magnitude
+    * limit), and the final /1e6 is the identical IEEE op on both
+    * engines. Expects `_s` = sum(_qm) and `n_docs` in scope.
+    */
+  private def microMean: Column =
+    expr("(2 * _s + n_docs) div (2 * n_docs)").cast("double") / lit(1e6)
 
   /** DOMAIN-level gating — the decision operator the [[corpusProfile]]
     * datasheet exists to feed (the RefinedWeb/C4 domain-rule step):
@@ -124,14 +149,12 @@ object Vocab {
     // the shared engine-portable formula), and the final /1e6 is the
     // identical IEEE op on both engines.
     val prof = graft.util.Par.spread(df)
-      .select(col(domainCol),
-        round(TextOps.qualityScore(col(textCol)) * 1e6)
-          .cast("long").as("_qm"))
+      .select(col(domainCol), qualityMicro(col(textCol)))
       .groupBy(col(domainCol))
       .agg(count(lit(1)).as("domain_n_docs"), sum(col("_qm")).as("_s"))
       .withColumn("domain_mean_quality",
-        graft.lagops.SeriesStats.divHalfUp(col("_s"),
-          col("domain_n_docs")).cast("double") / lit(1e6))
+        expr("(2 * _s + domain_n_docs) div (2 * domain_n_docs)")
+          .cast("double") / lit(1e6))
       .drop("_s")
     df.join(prof, Seq(domainCol), "left")
       .withColumn("keep",
@@ -160,16 +183,21 @@ object Vocab {
     graft.util.Par.spread(df)
       .select(col(strataCol), col(langCol),
         TextOps.tokenCount(t).cast("double").as("_n_tok"),
-        TextOps.qualityScore(t).as("_q"))
+        qualityMicro(t))
       .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_n_tok")).cast("long").as("n_tokens"),
-        round(avg(col("_q")), 6).as("mean_quality"),
+        sum(col("_qm")).as("_s"),
         approx_percentile(col("_n_tok"), lit(0.5), lit(accuracy))
           .as("p50_tokens"),
         approx_percentile(col("_n_tok"), lit(0.9), lit(accuracy))
           .as("p90_tokens"),
         count_distinct(col(langCol)).as("n_langs"))
+      .withColumn("mean_quality", microMean)
+      .drop("_s")
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("p50_tokens"), col("p90_tokens"),
+        col("n_langs"))
   }
 
   /** Per-document n-gram novelty: the fraction of the document's
