@@ -408,10 +408,11 @@ object SparkEntry {
   private val AudioStoreParams =
     "v1 corpus=bkt<70 fp=afp"
   private val VecIndexParams =
-    "v1 corpus=all nlist=16 nprobe=4 m=8 k=16 iters=1 pct=60 dim=64 res=1"
+    "v2 corpus=all hier tls=32 nprobe=4 m=8 k=16 iters=1 pct=60 dim=64 " +
+      "res=1 part=list_id"
   private val VecIndexAbParams =
-    "v1 corpus=bkt<70 inc=bkt>=70 nlist=16 nprobe=4 m=8 k=16 iters=1 " +
-      "pct=60 dim=64 res=1 appended"
+    "v2 corpus=bkt<70 inc=bkt>=70 hier tls=32 nprobe=4 m=8 k=16 iters=1 " +
+      "pct=60 dim=64 res=1 part=list_id appended"
 
   /** The semantic family's registered constants — the SAME values are
     * passed to the Scala entries below and default the oracle CTE
@@ -622,8 +623,8 @@ object SparkEntry {
     ensureStore(sd, "codes/_SUCCESS", VecIndexParams) {
       graft.simops.VectorIndexStore.write(
         graft.simops.VectorIndexStore.build(emb, "vec_id", "embedding",
-          nlist = 16, m = 8, k = 16, iters = 1, fitSamplePct = 60,
-          dim = 64), sd)
+          targetListSize = SemanticTargetListSize, m = 8, k = 16,
+          iters = 1, fitSamplePct = 60, dim = 64), sd)
     }
     sd
   }
@@ -635,12 +636,17 @@ object SparkEntry {
     ensureStore(sd, "codes/_SUCCESS", VecIndexAbParams) {
       val st = graft.simops.VectorIndexStore.build(
         emb.filter(bucket < 70), "vec_id", "embedding",
-        nlist = 16, m = 8, k = 16, iters = 1, fitSamplePct = 60,
-        dim = 64)
+        targetListSize = SemanticTargetListSize, m = 8, k = 16,
+        iters = 1, fitSamplePct = 60, dim = 64)
       graft.simops.VectorIndexStore.write(st, sd)
+      // the append re-opens the WRITTEN store so the increment's
+      // frozen-forest assignment reads the same parquet doubles a
+      // later probe will (and the pre-write in-memory frames can be
+      // GC'd) — decisions identical either way (exact round-trip)
+      val st0 = graft.simops.VectorIndexStore.read(s, sd)
       graft.simops.VectorIndexStore.appendWrite(
         graft.simops.VectorIndexStore.encode(emb.filter(bucket >= 70),
-          "vec_id", "embedding", st.index), sd)
+          "vec_id", "embedding", st0), sd)
     }
     sd
   }
@@ -2347,18 +2353,21 @@ object SparkEntry {
     }),
 
     "similarity_ivfpq_probe" -> ((s, dir) => {
-      // the SERVING form of similarity_ivfpq (the _probe convention —
-      // the last O(corpus)-per-query shape on the board closed):
-      // centroids, codebooks, and the corpus's packed PQ codes were
-      // fitted + encoded ONCE at "corpus ingest time" (first
-      // invocation builds the VectorIndexStore — the bench's warmup
-      // pass), so the timed row measures what an online query batch
-      // actually pays: query-side literal encode + ADC over the
-      // STORED m-int code arrays of the probed lists — no corpus fit,
-      // no corpus PQ re-encode, no corpus vector read (plan-fenced in
-      // PlanAuditSpec). Output bit-identical to similarity_ivfpq
-      // (same deterministic fits; doubles/ints round-trip parquet
-      // exactly) — same oracle.
+      // the SERVING form of the IVFADC family (the _probe convention):
+      // the hier centroid forest, codebooks, and the corpus's packed
+      // PQ codes were fitted + encoded ONCE at "corpus ingest time"
+      // (first invocation builds the VectorIndexStore — the bench's
+      // warmup pass) at the SCALE-TRUE geometry — nlist =
+      // autoNlist(corpus count), the dedup_semantic contract — with
+      // `codes/` partitioned by list_id, so the timed row measures
+      // what an online query batch actually pays: query-side forest
+      // probe + residual projection + ADC over the STORED m-int code
+      // arrays of the probed lists ONLY (dynamic partition pruning
+      // over the broadcast query side — no corpus fit, no corpus PQ
+      // re-encode, no corpus vector read, no full code-store scan;
+      // plan-fenced in PlanAuditSpec). Oracle: the full hier-IVFADC
+      // replay with geometry re-derived from the corpus's own
+      // count(*) (duckVecIndexProbeOracle).
       val emb = Tables.embeddings(s, dir)
       val sd = ensureVecIndexStore(s, dir)
       graft.simops.VectorIndexStore.topK(emb.filter(col("vec_id") < 10),
@@ -2378,8 +2387,8 @@ object SparkEntry {
       // rewrite. The timed query batch then retrieves over the grown
       // store: appended vectors are servable the moment the append
       // lands (the cross-increment retrieval is pinned on a planted
-      // near-copy in EmbedStoreSpec). Oracle = the ivfpq replay with
-      // the fits restricted to the bucket<70 corpus.
+      // near-copy in EmbedStoreSpec). Oracle = the hier-IVFADC replay
+      // with geometry + fits from the bucket<70 corpus only.
       val emb = Tables.embeddings(s, dir)
       val sd = ensureVecIndexAbStore(s, dir)
       graft.simops.VectorIndexStore.topK(emb.filter(col("vec_id") < 10),
@@ -5239,18 +5248,18 @@ object SparkEntry {
 
     "similarity_ivfpq" -> duckIvfPqTopKOracle("TRUE"),
 
-    // the stored-serving twin decides bit-identically to the in-DAG
-    // form (same deterministic fits; doubles/ints round-trip parquet
-    // exactly) — same replay
-    "similarity_ivfpq_probe" -> duckIvfPqTopKOracle("TRUE"),
+    // the stored-serving form at the SCALE-TRUE geometry: the hier
+    // forest + PQ replay with nlist re-derived from the corpus's own
+    // count(*) (the autoNlist contract), parquet round-trips exact
+    "similarity_ivfpq_probe" -> duckVecIndexProbeOracle("TRUE"),
 
-    // the A/B twin: fits restricted to the bucket<70 corpus (the
+    // the A/B twin: geometry + fits from the bucket<70 corpus (the
     // store's build input), assignment + encode over EVERYTHING (the
-    // appended increment encodes under the FROZEN index — per-row pure
-    // functions of (vector, centroids, codebooks), so the full-table
-    // replay equals build-then-append)
+    // appended increment encodes under the FROZEN forest — per-row
+    // pure functions of (vector, forest, codebooks), so the
+    // full-table replay equals build-then-append)
     "similarity_ivfpq_probe_updated" ->
-      duckIvfPqTopKOracle(s"${duckMd5Pct("id")} < 70"),
+      duckVecIndexProbeOracle(s"${duckMd5Pct("id")} < 70"),
 
     "embedding_quantize" ->
       """WITH v AS (SELECT vec_id,
@@ -5925,9 +5934,10 @@ object SparkEntry {
 
     "vecindex_liststats" ->
       // the serving index's list-size distribution replayed from the
-      // shared full-corpus IVF fit (asg2 = every vector's list)
-      s"""WITH ${duckIvfFitCtesOn("TRUE")},
-         ls AS (SELECT list_id, count(*) AS sz FROM asg2 GROUP BY 1),
+      // full-corpus HIER fit at count-derived geometry (asgh = every
+      // vector's global list under the autoNlist forest)
+      s"""WITH ${duckVecIndexCtes("TRUE")},
+         ls AS (SELECT list_id, count(*) AS sz FROM asgh GROUP BY 1),
          tot AS (SELECT CAST(sum(sz) AS BIGINT) AS nv,
                  count(*)::BIGINT AS nl FROM ls)
          SELECT tot.nv AS n_vecs, tot.nl AS n_lists,
@@ -6977,6 +6987,143 @@ object SparkEntry {
        scored AS (SELECT qr.query_id, a.id AS neighbor_id,
            round($adcSum, 6) AS adist
          FROM qr JOIN asg2 a USING (list_id)
+         JOIN recon r ON r.id = a.id
+         WHERE a.id <> qr.query_id)
+       SELECT query_id, neighbor_id, adist, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY adist ASC, neighbor_id) AS rank
+         FROM scored) WHERE rank <= 5"""
+  }
+
+  /** The hier-IVF fit + full assignment CTEs for the SERVING index
+    * (`VectorIndexStore`): the [[duckHierFitCtes]] replay with the
+    * FIT corpus restricted by `fitWhere` while geometry (nlist =
+    * clamp(4, 2²⁰, ⌈n/32⌉) from the fit corpus's OWN count — the
+    * autoNlist contract), the cappedPct sample, and both Lloyd levels
+    * come from the fit corpus, and the FINAL assignment covers ALL
+    * embeddings (frozen-forest appends assign through the same
+    * forest). `asgh` ends as every vector's (id, vv, list_id, lcv =
+    * the assigned list's centroid — sub-centroid, coarse fallback for
+    * a subless cell), the IVFADC residual base.
+    */
+  private def duckVecIndexCtes(fitWhere: String): String = {
+    val t100 = graft.util.Sampling.FitSampleTarget * 100
+    def cos(a: String, b: String) = duckCosine(a, b)
+    s"""vh AS (SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+           FROM embeddings),
+         fvh AS (SELECT id, vv FROM vh WHERE $fitWhere),
+         geoh AS (SELECT GREATEST(4, LEAST(1048576,
+             (count(*) + ${SemanticTargetListSize - 1})
+               // $SemanticTargetListSize)) AS nlist FROM fvh),
+         csh AS (SELECT CAST(ceil(sqrt(nlist)) AS BIGINT) AS c,
+             (nlist + CAST(ceil(sqrt(nlist)) AS BIGINT) - 1)
+               // CAST(ceil(sqrt(nlist)) AS BIGINT) AS s FROM geoh),
+         fph AS (SELECT GREATEST(1, LEAST(60,
+             ($t100 + count(*) - 1) // count(*))) AS pct FROM fvh),
+         svh AS (SELECT id, vv FROM fvh
+                 WHERE ${duckMd5Pct("id")} < (SELECT pct FROM fph)),
+         inith AS (SELECT rn - 1 AS list_id, vv AS cv FROM
+             (SELECT vv, row_number() OVER (ORDER BY id) AS rn FROM svh)
+           WHERE rn <= (SELECT c FROM csh)),
+         a1h AS (SELECT svh.id, svh.vv, i.list_id,
+                 row_number() OVER (PARTITION BY svh.id
+                   ORDER BY ${cos("svh.vv", "i.cv")} DESC, i.list_id) AS rn
+                FROM svh, inith i),
+         asg1h AS (SELECT id, vv, list_id FROM a1h WHERE rn = 1),
+         cd1h AS (SELECT list_id, d, round(avg(vv[d]), 6) AS m
+                  FROM asg1h, (SELECT unnest(generate_series(1, 64)) AS d)
+                  GROUP BY list_id, d),
+         c1h AS (SELECT list_id, list(m ORDER BY d) AS cv
+                 FROM cd1h GROUP BY list_id),
+         sa1h AS (SELECT svh.id, svh.vv, c.list_id AS coarse_id,
+                 row_number() OVER (PARTITION BY svh.id
+                   ORDER BY ${cos("svh.vv", "c.cv")} DESC, c.list_id) AS rn
+                FROM svh, c1h c),
+         sasgh AS (SELECT id, vv, coarse_id FROM sa1h WHERE rn = 1),
+         seedh AS (SELECT coarse_id, rn - 1 AS sub_id, vv AS cv FROM
+             (SELECT coarse_id, vv, row_number() OVER
+                (PARTITION BY coarse_id ORDER BY id) AS rn FROM sasgh)
+           WHERE rn <= (SELECT s FROM csh)),
+         a2sh AS (SELECT sa.id, sa.vv, sa.coarse_id, sd.sub_id,
+                 row_number() OVER (PARTITION BY sa.id
+                   ORDER BY ${cos("sa.vv", "sd.cv")} DESC, sd.sub_id) AS rn
+                FROM sasgh sa JOIN seedh sd ON sd.coarse_id = sa.coarse_id),
+         g2h AS (SELECT id, vv, coarse_id, sub_id FROM a2sh WHERE rn = 1),
+         cd2h AS (SELECT coarse_id, sub_id, d, round(avg(vv[d]), 6) AS m
+                  FROM g2h, (SELECT unnest(generate_series(1, 64)) AS d)
+                  GROUP BY coarse_id, sub_id, d),
+         c2h AS (SELECT coarse_id, sub_id, list(m ORDER BY d) AS cv
+                 FROM cd2h GROUP BY coarse_id, sub_id),
+         fa1h AS (SELECT vh.id, vh.vv, c.list_id AS coarse_id,
+                 c.cv AS ccv,
+                 row_number() OVER (PARTITION BY vh.id
+                   ORDER BY ${cos("vh.vv", "c.cv")} DESC, c.list_id) AS rn
+                FROM vh, c1h c),
+         fach AS (SELECT id, vv, coarse_id, ccv FROM fa1h WHERE rn = 1),
+         fa2h AS (SELECT a.id, a.vv, a.coarse_id, a.ccv, c2.sub_id,
+                 c2.cv AS scv,
+                 row_number() OVER (PARTITION BY a.id
+                   ORDER BY ${cos("a.vv", "c2.cv")} DESC, c2.sub_id) AS rn
+                FROM fach a LEFT JOIN c2h c2 ON c2.coarse_id = a.coarse_id),
+         asgh AS (SELECT id, vv,
+                 CAST(coarse_id * (SELECT s FROM csh)
+                   + COALESCE(sub_id, 0) AS INTEGER) AS list_id,
+                 COALESCE(scv, ccv) AS lcv
+                FROM fa2h WHERE rn = 1)"""
+  }
+
+  /** The full serving-index top-k replay (hier fit at count-derived
+    * geometry → residual encode → PQ fit on the shared capped sample →
+    * ADC over the probed lists), shared by `similarity_ivfpq_probe`
+    * (fitWhere = TRUE: full-corpus index) and
+    * `similarity_ivfpq_probe_updated` (fitWhere = bucket<70: the
+    * frozen-index A/B loop, where assignment/encode still cover every
+    * stored vector). The query probe mirrors
+    * [[graft.simops.VectorIndexStore.topK]]: top-nprobe coarse cells
+    * (cosine desc, coarse id asc), then top-nprobe global lists among
+    * those cells' sub-centroids (cosine desc, list id asc; a subless
+    * cell contributes its fallback list with the coarse centroid),
+    * query residual against each probed list's centroid, ADC over
+    * that list's stored codes.
+    */
+  private def duckVecIndexProbeOracle(fitWhere: String): String = {
+    val reconJoins = (0 until pqM).map(mi =>
+      (if (mi == 0) "FROM enc_0" else s"JOIN enc_$mi ON enc_$mi.id = enc_0.id") +
+        s" JOIN cb_$mi r$mi ON r$mi.code = enc_$mi.code").mkString(" ")
+    val reconCols = (0 until pqM).map(mi => s"r$mi.c AS c$mi").mkString(", ")
+    val adcSum = (0 until pqM).map { mi =>
+      val off = mi * pqSub
+      duckL2(s"qr.qrv[${off + 1}:${off + pqSub}]", s"r.c$mi")
+    }.mkString(" + ")
+    val resid = "list_transform(list_zip(%s, %s), " +
+      "p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    s"""WITH ${duckVecIndexCtes(fitWhere)},
+       rvh AS (SELECT id, ${resid.format("vv", "lcv")} AS vv FROM asgh),
+       rsvh AS (SELECT rvh.id, rvh.vv FROM rvh
+                JOIN svh ON svh.id = rvh.id),
+       ${duckPqFitCtesOn("rsvh", "rvh")},
+       recon AS (SELECT enc_0.id, $reconCols $reconJoins),
+       qp0 AS (SELECT q.id AS query_id, q.vv AS qv,
+               c.list_id AS coarse_id, c.cv AS ccv,
+               row_number() OVER (PARTITION BY q.id
+                 ORDER BY ${duckCosine("q.vv", "c.cv")} DESC, c.list_id) AS rn
+              FROM vh q, c1h c WHERE q.id < 10),
+       qpc AS (SELECT query_id, qv, coarse_id, ccv FROM qp0 WHERE rn <= 4),
+       qls AS (SELECT qpc.query_id, qpc.qv,
+               CAST(qpc.coarse_id * (SELECT s FROM csh)
+                 + COALESCE(c2.sub_id, 0) AS INTEGER) AS list_id,
+               COALESCE(c2.cv, qpc.ccv) AS lcv
+              FROM qpc LEFT JOIN c2h c2 ON c2.coarse_id = qpc.coarse_id),
+       qlr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY ${duckCosine("qv", "lcv")} DESC, list_id) AS rn
+               FROM qls),
+       qr AS (SELECT query_id, list_id,
+               ${resid.format("qv", "lcv")} AS qrv
+              FROM qlr WHERE rn <= 4),
+       scored AS (SELECT qr.query_id, a.id AS neighbor_id,
+           round($adcSum, 6) AS adist
+         FROM qr JOIN asgh a USING (list_id)
          JOIN recon r ON r.id = a.id
          WHERE a.id <> qr.query_id)
        SELECT query_id, neighbor_id, adist, rank FROM (

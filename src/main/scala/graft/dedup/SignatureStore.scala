@@ -112,10 +112,16 @@ object SignatureStore {
   }
 
   private[graft] def compactOne(spark: SparkSession, path: String,
-                                keys: Seq[String]): Unit = {
+                                keys: Seq[String],
+                                partitionCols: Seq[String] = Nil): Unit = {
     val tmp = path + ".compact"
-    spark.read.parquet(path).dropDuplicates(keys)
-      .write.mode("overwrite").parquet(tmp)
+    // `partitionCols` preserves a partitioned store layout across the
+    // rewrite (the vecindex code store's list_id pruning contract)
+    val deduped = spark.read.parquet(path).dropDuplicates(keys)
+    (if (partitionCols.isEmpty) deduped.write
+     else deduped.repartition(partitionCols.map(col): _*)
+       .write.partitionBy(partitionCols: _*))
+      .mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)

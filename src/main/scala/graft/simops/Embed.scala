@@ -358,8 +358,15 @@ object Embed {
                 m: Int = 8, k: Int = 16, iters: Int = 1,
                 fitSamplePct: Int = 100, dim: Int = 64,
                 residual: Boolean = true): DataFrame = {
+    // one count action feeds BOTH sample clamps: the IVF fit's (inside
+    // fitSeq) and the PQ fit frame's below — the two fits must draw
+    // the SAME capped md5 bucket or the oracle's shared sample CTE
+    // (which always clamps) diverges past FitSampleTarget/pct rows
+    val nCand =
+      if (fitSamplePct >= 100) -1L
+      else candidates.select(col(idCol)).count()
     val cents = Ivf.fitSeq(candidates, idCol, vecCol, nlist, iters,
-      fitSamplePct)
+      fitSamplePct, nCand)
     val assigned = graft.util.Par.spread(candidates)
       .select(col(idCol).as("neighbor_id"),
         col(vecCol).cast("array<double>").as("_cv"))
@@ -379,9 +386,14 @@ object Embed {
     // fitSamplePct=100 below is NOT a semantics change: the frame is
     // already the pct-bucket sample, so the fit sees the same rows,
     // same seeds, same Lloyd input as an in-fit filter would give.
-    val fitFrame = (if (fitSamplePct >= 100) assigned
+    // The bucket bound is the SAME cappedPct clamp fitSeq applied (one
+    // shared count), keeping both fits on one sample at every scale.
+    val effPct =
+      if (fitSamplePct >= 100) 100
+      else graft.util.Sampling.cappedPct(nCand, fitSamplePct)
+    val fitFrame = (if (effPct >= 100) assigned
       else assigned.filter(
-        graft.util.Sampling.md5Bucket(col("neighbor_id")) < lit(fitSamplePct)))
+        graft.util.Sampling.md5Bucket(col("neighbor_id")) < lit(effPct)))
       .select(col("neighbor_id"), col("_ev"))
       .localCheckpoint()
     val (codes, books) = fitBooks(fitFrame, "neighbor_id", "_ev", m, k,

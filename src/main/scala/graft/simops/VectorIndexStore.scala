@@ -1,146 +1,235 @@
 package graft.simops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** The persisted ANN SERVING index — IVF centroids, PQ codebooks, and
-  * every corpus vector's (list assignment, packed PQ codes), written
-  * once at corpus-ingest time. The last store family the 100 TB
-  * contract needed: [[Embed.ivfPqTopK]] (the in-DAG form kept beside
-  * this one) re-fits both indexes AND re-encodes the ENTIRE candidate
-  * corpus to PQ codes inside the query DAG — correct, but the whole
-  * point of PQ at scale is that the compressed codes ARE the stored
-  * index. A daily/online query batch should pay query-side encode +
-  * ADC over STORED codes only: O(queries · nprobe · listSize), never
-  * O(corpus). The exact bar the media family cleared for decode
-  * ([[graft.dedup.MediaStore]]) applied to the vector modality.
+/** The persisted ANN SERVING index — hierarchical IVF centroid forest,
+  * PQ codebooks, and every corpus vector's (list assignment, packed PQ
+  * codes), written once at corpus-ingest time. The last store family
+  * the 100 TB contract needed: [[Embed.ivfPqTopK]] (the in-DAG form
+  * kept beside this one) re-fits both indexes AND re-encodes the
+  * ENTIRE candidate corpus to PQ codes inside the query DAG — correct,
+  * but the whole point of PQ at scale is that the compressed codes ARE
+  * the stored index. A daily/online query batch should pay query-side
+  * encode + ADC over STORED codes only: O(queries · nprobe ·
+  * listSize), never O(corpus). The exact bar the media family cleared
+  * for decode ([[graft.dedup.MediaStore]]) applied to the vector
+  * modality.
   *
-  * Layout (plain columnar parquet under `dir/`):
-  *  - `centroids/` — (list_id, centroid: array<double>): the fitted
-  *    IVF centroids. O(nlist·dim) index metadata, never O(rows).
-  *  - `codebooks/` — (m, code, centroid: array<double>): the fitted
-  *    per-subspace PQ codebooks (original code ids — Lloyd-emptied
-  *    cells keep the survivors' ids, the [[Embed.fitBooks]]
-  *    convention). O(m·k·subDim).
-  *  - `codes/`     — (vec_id, list_id, codes: array<int>): each corpus
-  *    vector's global list id and m-byte-scale code array — the scan
-  *    side of every probe. m ints/vector ≈ 32× smaller than the
-  *    vector at the registered m=8/k=16/dim=64. At cluster scale,
-  *    bucket by `list_id` so a probe prunes row groups to its
-  *    `nprobe` lists.
-  *  - `meta/`      — one row (m, k, residual): the code-budget
-  *    constants the ADC scorer needs back.
+  * SCALE-TRUE GEOMETRY (r15): the list count is not a constant someone
+  * forgot to retune at 100 TB — it derives from the corpus's own
+  * count through [[Embed.autoNlist]] (nlist = ⌈n/targetListSize⌉, the
+  * `dedup_semantic` contract), and the index is the TWO-LEVEL
+  * centroid forest ([[Ivf.fitHier]]: C = ⌈√nlist⌉ coarse cells × up
+  * to S = ⌈nlist/C⌉ sub-centroids), so per-row assignment stays
+  * O(√nlist·dim) while each list holds ~targetListSize vectors. Past
+  * [[Ivf.ForestLiteralMaxLists]] the build dispatches to the
+  * relational forest ([[Ivf.fitHierR]]/[[Ivf.assignHierR]]) exactly
+  * as the semantic family does — same float kernels, same tiebreaks,
+  * bit-identical stores (pinned in EmbedStoreSpec).
   *
-  * Decisions are bit-identical to the in-DAG form: the fits are the
-  * same deterministic sampled kernels (6dp-rounded Lloyd means),
-  * doubles and ints round-trip parquet exactly, and the probe replays
-  * [[Embed.ivfPqTopK]]'s query pipeline against the stored frames —
-  * so a stored probe shares the in-DAG row's oracle (pinned in
-  * EmbedStoreSpec).
+  * Layout (columnar parquet under `dir/`):
+  *  - `coarse/`    — (coarse_id, centroid): the C fitted coarse
+  *    centroids. O(√nlist·dim) index metadata — the only part of the
+  *    forest a probe collects to the driver.
+  *  - `subs/`      — (coarse_id, sub_id, centroid): the sub-centroid
+  *    forest. O(nlist·dim) — stays a relation end to end (probes join
+  *    it, never collect it), so the 2²⁰-list clamp region needs no
+  *    driver state.
+  *  - `codebooks/` — (m, code, centroid): the fitted per-subspace PQ
+  *    codebooks (original code ids — Lloyd-emptied cells keep the
+  *    survivors' ids, the [[Embed.fitBooks]] convention). O(m·k·subDim).
+  *  - `codes/`     — (vec_id, codes) PARTITIONED BY `list_id`: each
+  *    corpus vector's m-int code array, laid out so a probe's
+  *    `nprobe`-list join prunes the scan to the probed partitions
+  *    (dynamic partition pruning over the broadcast query side — the
+  *    plan-fenced scan reads O(nprobe · listSize) rows, never the
+  *    store; fenced in PlanAuditSpec).
+  *  - `meta/`      — one row (m, k, residual, s): the code-budget
+  *    constants plus the forest's sub stride (global list id =
+  *    coarse_id · s + sub_id).
   *
   * [[appendWrite]] closes the daily loop under the FROZEN index (the
   * [[SemanticStore]] frozen-forest convention): new vectors assign to
-  * the stored centroids and encode under the stored codebooks —
-  * O(increment) work, no refit, no rewrite; queries retrieve them the
-  * moment the append lands. [[compact]] heals double-appended retries.
+  * the stored forest and encode under the stored codebooks —
+  * O(increment) work, no refit, no rewrite; their code files land in
+  * the matching list partitions and queries retrieve them the moment
+  * the append lands. [[compact]] heals double-appended retries,
+  * preserving the partitioned layout.
   */
 object VectorIndexStore {
 
-  /** The driver-resident index half: O(nlist·dim + m·k·subDim) —
-    * index metadata, never O(rows).
+  /** The driver-resident index half: coarse centroids + PQ codebooks —
+    * O(√nlist·dim + m·k·subDim), index metadata, never O(rows) and
+    * never O(nlist) (the sub forest stays relational in [[Store]]).
     */
-  final case class Index(cents: Seq[(Int, Seq[Double])],
+  final case class Index(coarse: Seq[(Int, Seq[Double])], s: Int,
                          codes: Array[Array[Int]],
                          books: Array[Array[Array[Double]]],
                          m: Int, k: Int, residual: Boolean)
 
-  /** `index` plus the corpus-sized stored code frame
-    * (vec_id, list_id, codes).
+  /** `index` plus the two relational halves: the sub-centroid forest
+    * (O(nlist) rows) and the corpus-sized code frame (vec_id, list_id,
+    * codes).
     */
-  final case class Store(index: Index, coded: DataFrame)
+  final case class Store(index: Index, subs: DataFrame, coded: DataFrame)
+
+  private def coarseMapCol(ix: Seq[(Int, Seq[Double])],
+                           coarseId: Column): Column =
+    element_at(typedlit(ix.toMap), coarseId)
 
   /** Fit + assign + encode the corpus — the IDENTICAL kernels and
-    * sample draws [[Embed.ivfPqTopK]] runs in-DAG (same seeds, same
-    * Lloyd arithmetic, same residual projection), so stored probes can
-    * never drift from the in-DAG operator they replace.
+    * sample draws the semantic family runs (same seeds, same Lloyd
+    * arithmetic at both forest levels, same residual projection), so
+    * the DuckDB oracle replays the whole store from the corpus's own
+    * count. `literalMax` is the [[Ivf.ForestLiteralMaxLists]] dispatch
+    * seam (injectable so EmbedStoreSpec pins literal ≡ relational at a
+    * spec-sized geometry).
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-            nlist: Int = 16, m: Int = 8, k: Int = 16, iters: Int = 1,
-            fitSamplePct: Int = 100, dim: Int = 64,
-            residual: Boolean = true): Store = {
-    val cents = Ivf.fitSeq(corpus, idCol, vecCol, nlist, iters,
-      fitSamplePct)
-    val assigned = assignEncodeSpace(corpus, idCol, vecCol, cents, residual)
-    // PQ codebooks fit on the encoded space — the md5-bucket sample,
-    // materialized once (the ivfPqTopK fitFrame discipline: the seed
-    // collect and every Lloyd pass re-read this frame)
-    val fitFrame = (if (fitSamplePct >= 100) assigned
-      else assigned.filter(
-        graft.util.Sampling.md5Bucket(col("vec_id")) < lit(fitSamplePct)))
+            targetListSize: Int = 32, m: Int = 8, k: Int = 16,
+            iters: Int = 1, fitSamplePct: Int = 100, dim: Int = 64,
+            residual: Boolean = true, knownCount: Long = -1L,
+            literalMax: Int = Ivf.ForestLiteralMaxLists): Store = {
+    val n = if (knownCount >= 0) knownCount
+      else corpus.select(col(idCol)).count()
+    val nlist = Embed.autoNlist(n, targetListSize)
+    val base = graft.util.Par.spread(corpus)
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("_cv"))
+    // (vec_id, coarse_id, list_id, _cv, _lc = the assigned list's
+    // centroid, coarse fallback for a subless cell) — literal forest
+    // below the dispatch threshold (zero-shuffle codegen assignment),
+    // relational broadcast-join forest past it; bit-identical either
+    // way (the assignSubR contract, pinned in IvfSpec/EmbedStoreSpec)
+    val (coarse, s, subsF, assigned) =
+      if (nlist <= literalMax) {
+        val h = Ivf.fitHier(corpus, idCol, vecCol, nlist, iters,
+          fitSamplePct, n)
+        val subMap: Map[Int, Seq[Double]] =
+          (for (ci <- h.subCents.indices;
+                (sid, cent) <- h.subIds(ci).zip(h.subCents(ci)))
+            yield (ci * h.s + sid, cent.toSeq)).toMap
+        val a = base
+          .withColumn("coarse_id",
+            Ivf.nearestList(h.coarse, Ivf.simsCol(h.coarse, col("_cv"))))
+          .withColumn("list_id", h.listIdCol(col("_cv"), col("coarse_id")))
+          .withColumn("_lc", coalesce(
+            element_at(typedlit(subMap), col("list_id")),
+            coarseMapCol(h.coarse, col("coarse_id"))))
+        (h.coarse, h.s, subsFrameOf(corpus.sparkSession, h), a)
+      } else {
+        val hR = Ivf.fitHierR(corpus, idCol, vecCol, nlist, iters,
+          fitSamplePct, n)
+        val subsSel = hR.subs
+          .select(col("coarse_id"), col("sub_id"),
+            col("cent").as("centroid"))
+        val a = Ivf.assignHierR(corpus, idCol, vecCol, hR)
+          .withColumnRenamed("_id", "vec_id")
+          .withColumnRenamed("_v", "_cv")
+          .join(broadcast(subsSel.withColumnRenamed("centroid", "_sc")),
+            Seq("coarse_id", "sub_id"), "left")
+          .withColumn("_lc", coalesce(col("_sc"),
+            coarseMapCol(hR.coarse, col("coarse_id"))))
+        (hR.coarse, hR.s, subsSel, a)
+      }
+    val enc = assigned.withColumn("_ev",
+        if (residual) residualCol(col("_cv"), col("_lc")) else col("_cv"))
+      .select(col("vec_id"), col("list_id").cast("int").as("list_id"),
+        col("_ev"))
+    // PQ codebooks fit on the encoded space — the md5-bucket sample
+    // with the SAME cappedPct clamp the IVF fit (and the oracle)
+    // applies, materialized once (the ivfPqTopK fitFrame discipline:
+    // the seed collect and every Lloyd pass re-read this frame)
+    val effPct =
+      if (fitSamplePct >= 100) 100
+      else graft.util.Sampling.cappedPct(n, fitSamplePct)
+    val fitFrame = (if (effPct >= 100) enc
+      else enc.filter(
+        graft.util.Sampling.md5Bucket(col("vec_id")) < lit(effPct)))
       .select(col("vec_id"), col("_ev"))
       .localCheckpoint()
     val (codes, books) = Embed.fitBooks(fitFrame, "vec_id", "_ev", m, k,
       iters, 100, dim)
-    val idx = Index(cents, codes, books, m, k, residual)
-    Store(idx, encodeWith(assigned, idx))
+    val idx = Index(coarse, s, codes, books, m, k, residual)
+    Store(idx, subsF, encodeFrom(enc, idx))
   }
 
-  /** Assign each vector its nearest stored centroid and project the
-    * ENCODE-space vector (`v − centroid(list(v))` when residual — the
-    * IVFADC composition — else the raw vector). Pure codegen'd
-    * projection against literal centroids: no join, no shuffle.
+  /** `v − listCentroid` as a pure zip_with projection — the IVFADC
+    * encode-space subtraction, elementwise exact doubles.
     */
-  private def assignEncodeSpace(df: DataFrame, idCol: String,
-                                vecCol: String,
-                                cents: Seq[(Int, Seq[Double])],
-                                residual: Boolean): DataFrame =
-    graft.util.Par.spread(df)
-      .select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("_cv"))
-      .withColumn("_sims", Ivf.simsCol(cents, col("_cv")))
-      .withColumn("list_id", Ivf.nearestList(cents, col("_sims")))
-      .withColumn("_ev",
-        if (residual) Embed.residualCol(cents, col("_cv"), col("list_id"))
-        else col("_cv"))
-      .select(col("vec_id"), col("list_id"), col("_ev"))
+  private def residualCol(v: Column, cent: Column): Column =
+    zip_with(v, cent, (x, c) => x - c)
 
-  private def encodeWith(assigned: DataFrame, idx: Index): DataFrame =
-    assigned.select(col("vec_id"), col("list_id"),
+  private def encodeFrom(enc: DataFrame, idx: Index): DataFrame =
+    enc.select(col("vec_id"), col("list_id"),
       graft.functions.PqCodesExpr(col("_ev"), idx.codes, idx.books)
         .as("codes"))
 
   /** Encode a frame under the FROZEN stored index — the (vec_id,
-    * list_id, codes) shape [[appendWrite]] expects. O(increment) pure
-    * projection: stored centroids and codebooks ride as plan literals,
-    * no refit, no corpus read.
+    * list_id, codes) shape [[appendWrite]] expects. O(increment): the
+    * coarse argmax rides as plan literals, the sub argmax is a
+    * broadcast join against the stored forest (the
+    * [[Ivf.assignHierR]] kernel — bit-identical to the literal path),
+    * and the codebooks ride as literals. No refit, no corpus read.
     */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-             idx: Index): DataFrame =
-    encodeWith(assignEncodeSpace(df, idCol, vecCol, idx.cents,
-      idx.residual), idx)
+             store: Store): DataFrame = {
+    val ix = store.index
+    val subsSel = store.subs
+      .select(col("coarse_id"), col("sub_id"), col("centroid"))
+    val h = Ivf.HierIndexR(ix.coarse, ix.s,
+      subsSel.withColumn("cent", col("centroid")).drop("centroid")
+        .withColumn("cn", Similarity.norm(col("cent"))))
+    val enc = Ivf.assignHierR(df, idCol, vecCol, h)
+      .withColumnRenamed("_id", "vec_id")
+      .withColumnRenamed("_v", "_cv")
+      .join(broadcast(subsSel.withColumnRenamed("centroid", "_sc")),
+        Seq("coarse_id", "sub_id"), "left")
+      .withColumn("_lc", coalesce(col("_sc"),
+        coarseMapCol(ix.coarse, col("coarse_id"))))
+      .withColumn("_ev",
+        if (ix.residual) residualCol(col("_cv"), col("_lc"))
+        else col("_cv"))
+      .select(col("vec_id"), col("list_id").cast("int").as("list_id"),
+        col("_ev"))
+    encodeFrom(enc, ix)
+  }
 
   def write(store: Store, dir: String): Unit = {
     val spark = store.coded.sparkSession
-    centsFrame(spark, store.index.cents).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+    centsFrame(spark, store.index.coarse).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    // the sub forest: one file while it is index-metadata-sized,
+    // default layout in the 2^20-clamp region (~0.5 GB)
+    val subsOut =
+      if (store.index.coarse.size.toLong * store.index.s
+          <= Ivf.ForestLiteralMaxLists) store.subs.coalesce(1)
+      else store.subs
+    subsOut.write.mode("overwrite").parquet(s"$dir/subs")
     booksFrame(spark, store.index).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     metaFrame(spark, store.index).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    store.coded.write.mode("overwrite").parquet(s"$dir/codes")
+    // codes partitioned by list: a probe's nprobe-list join prunes
+    // the scan to the probed partitions; the repartition keeps it to
+    // ~one file per list instead of (tasks × lists)
+    store.coded.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/codes")
   }
 
-  /** Rebuild the driver-resident index (two bounded collects — the
-    * same class as the fits' own driver state) and reopen the stored
-    * code frame.
+  /** Rebuild the driver-resident index half (two bounded collects —
+    * O(√nlist·dim + m·k·subDim), the same class as the fits' own
+    * driver state) and reopen the relational halves.
     */
   def read(spark: SparkSession, dir: String): Store = {
-    val cents = spark.read.parquet(s"$dir/centroids").collect()
+    val coarse = spark.read.parquet(s"$dir/coarse").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val (m, k, residual) = (meta.getInt(0), meta.getInt(1),
-      meta.getBoolean(2))
+    val (m, k, residual, s) = (meta.getInt(0), meta.getInt(1),
+      meta.getBoolean(2), meta.getInt(3))
     val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     // per subspace: surviving original code ids SORTED, books aligned
@@ -150,39 +239,50 @@ object VectorIndexStore {
       byM.getOrElse(mi, Array.empty).map(_._2).sorted)
     val books = Array.tabulate(m)(mi =>
       byM.getOrElse(mi, Array.empty).sortBy(_._2).map(_._3))
-    Store(Index(cents, codes, books, m, k, residual),
-      spark.read.parquet(s"$dir/codes"))
+    Store(Index(coarse, s, codes, books, m, k, residual),
+      spark.read.parquet(s"$dir/subs"),
+      spark.read.parquet(s"$dir/codes")
+        .select(col("vec_id"), col("list_id"), col("codes")))
   }
 
   /** Close the daily loop O(increment): the increment's frozen-index
-    * code rows ([[encode]] output) land as new parquet files — no
-    * rewrite, no refit; the index serves them on the next probe. A
-    * retried ingest that appends the same vector twice is healed by
-    * [[compact]] (duplicate code rows never change WHICH neighbors
-    * exist, only duplicate result rows — compact on the retry cadence
-    * before serving).
+    * code rows ([[encode]] output) land as new parquet files inside
+    * their list partitions — no rewrite, no refit; the index serves
+    * them on the next probe. A retried ingest that appends the same
+    * vector twice is healed by [[compact]] (duplicate code rows never
+    * change WHICH neighbors exist, only duplicate result rows —
+    * compact on the retry cadence before serving).
     */
   def appendWrite(encoded: DataFrame, dir: String): Unit =
-    encoded.write.mode("append").parquet(s"$dir/codes")
+    encoded.write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/codes")
 
   /** Dedup the code rows by vec_id and rewrite via the crash-safe
     * rename-aside protocol ([[graft.dedup.SignatureStore.compactOne]])
-    * — one scan of the m-int code rows, never a corpus re-encode.
+    * — one scan of the m-int code rows, never a corpus re-encode. The
+    * rewrite keeps the list_id partitioning (the probe's pruning
+    * contract survives compaction).
     */
   def compact(spark: SparkSession, dir: String): Unit =
     graft.dedup.SignatureStore.compactOne(spark, s"$dir/codes",
-      Seq("vec_id"))
+      Seq("vec_id"), partitionCols = Seq("list_id"))
 
-  /** The serving-path top-k: [[Embed.ivfPqTopK]]'s query pipeline
-    * against the STORED index — query-side encode is a pure literal
-    * projection, candidates come from the stored code frame pruned to
-    * each query's `nprobe` lists, and the ADC scan touches only the
-    * m-int code arrays. No corpus fit, no corpus encode, no corpus
-    * vector read anywhere in the timed plan (fenced in PlanAuditSpec).
+  /** The serving-path top-k against the STORED index: the query batch
+    * ranks the C coarse centroids (plan literals), takes its `nprobe`
+    * nearest coarse cells, ranks those cells' sub-centroids from the
+    * stored forest (a broadcast-query join against `subs/` — O(nprobe
+    * · S) candidate lists per query), keeps the `nprobe` best global
+    * lists, residual-projects against each probed list's centroid,
+    * and ADC-scores ONLY the probed lists' stored code rows — the
+    * codes join prunes to the probed `list_id` partitions (dynamic
+    * partition pruning over the broadcast query side, fenced in
+    * PlanAuditSpec). No corpus fit, no corpus encode, no corpus
+    * vector read anywhere in the timed plan.
     *
-    * Output: (query_id, neighbor_id, adist, rank) — bit-identical to
-    * the in-DAG form on the same corpus (same literals, same kernels,
-    * same window tiebreaks), so both share an oracle.
+    * Output: (query_id, neighbor_id, adist, rank). A subless coarse
+    * cell probes its fallback list (coarse_id·s + 0) with the coarse
+    * centroid — the same convention assignment used, so every stored
+    * vector is reachable.
     */
   def topK(queries: DataFrame, store: Store, idCol: String,
            vecCol: String, kNN: Int, nprobe: Int = 4): DataFrame = {
@@ -190,15 +290,31 @@ object VectorIndexStore {
     val idx = Embed.codeIndex(ix.codes, ix.k)
     val cand = store.coded.select(col("vec_id").as("neighbor_id"),
       col("list_id"), col("codes").as("_codes"))
-    val qp = queries
+    val qc = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_qv"))
-      .withColumn("_sims", Ivf.simsCol(ix.cents, col("_qv")))
+      .withColumn("_sims", Ivf.simsCol(ix.coarse, col("_qv")))
+      .withColumn("coarse_id",
+        explode(Ivf.probeLists(ix.coarse, col("_sims"), nprobe)))
+      .drop("_sims")
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_lsim").desc, col("list_id").asc)
+    val qp = qc
+      .join(store.subs.select(col("coarse_id"), col("sub_id"),
+        col("centroid").as("_sc")), Seq("coarse_id"), "left")
       .withColumn("list_id",
-        explode(Ivf.probeLists(ix.cents, col("_sims"), nprobe)))
+        (col("coarse_id") * lit(ix.s) +
+          coalesce(col("sub_id"), lit(0))).cast("int"))
+      .withColumn("_lc", coalesce(col("_sc"),
+        coarseMapCol(ix.coarse, col("coarse_id"))))
+      .withColumn("_lsim", Similarity.cosinePre(
+        graft.functions.VectorOps.dot(col("_qv"), col("_lc")),
+        Similarity.norm(col("_qv")), Similarity.norm(col("_lc"))))
+      .withColumn("_rn", row_number().over(wl))
+      .filter(col("_rn") <= nprobe)
       .withColumn("_qe",
-        if (ix.residual) Embed.residualCol(ix.cents, col("_qv"),
-          col("list_id"))
+        if (ix.residual) residualCol(col("_qv"), col("_lc"))
         else col("_qv"))
       .select(col("query_id"), col("list_id"), col("_qe"))
     val w = org.apache.spark.sql.expressions.Window
@@ -215,7 +331,7 @@ object VectorIndexStore {
   }
 
   private val centsSchema = StructType(Seq(
-    StructField("list_id", IntegerType, nullable = false),
+    StructField("coarse_id", IntegerType, nullable = false),
     StructField("centroid", ArrayType(DoubleType), nullable = false)))
 
   private def centsFrame(spark: SparkSession,
@@ -223,6 +339,20 @@ object VectorIndexStore {
     val rows = new java.util.ArrayList[Row]()
     cents.foreach { case (lid, c) => rows.add(Row(lid, c)) }
     spark.createDataFrame(rows, centsSchema)
+  }
+
+  private val subsSchema = StructType(Seq(
+    StructField("coarse_id", IntegerType, nullable = false),
+    StructField("sub_id", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(DoubleType), nullable = false)))
+
+  private def subsFrameOf(spark: SparkSession,
+                          h: Ivf.HierIndex): DataFrame = {
+    val rows = new java.util.ArrayList[Row]()
+    for (ci <- h.subCents.indices;
+         (sid, cent) <- h.subIds(ci).zip(h.subCents(ci)))
+      rows.add(Row(ci, sid, cent.toSeq))
+    spark.createDataFrame(rows, subsSchema)
   }
 
   private val booksSchema = StructType(Seq(
@@ -240,11 +370,12 @@ object VectorIndexStore {
   private val metaSchema = StructType(Seq(
     StructField("m", IntegerType, nullable = false),
     StructField("k", IntegerType, nullable = false),
-    StructField("residual", BooleanType, nullable = false)))
+    StructField("residual", BooleanType, nullable = false),
+    StructField("s", IntegerType, nullable = false)))
 
   private def metaFrame(spark: SparkSession, ix: Index): DataFrame = {
     val rows = new java.util.ArrayList[Row]()
-    rows.add(Row(ix.m, ix.k, ix.residual))
+    rows.add(Row(ix.m, ix.k, ix.residual, ix.s))
     spark.createDataFrame(rows, metaSchema)
   }
 }

@@ -587,6 +587,14 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.linesIterator.count(l => l.contains("embeddings.parquet")
           && l.contains("ReadSchema")) <= 1,
         s"$name: corpus vector scan beyond the query batch:\n$p")
+      // the scale-true layout contract: the codes scan must be pruned
+      // to the probed lists at the STORAGE level — a dynamic
+      // partition-pruning filter on list_id (the probe-join key)
+      // against the list_id-partitioned codes/ layout. Without it the
+      // probe scans the whole code store per query batch — linear in
+      // corpus, the r14 verdict's scale-killer.
+      assert(p.toLowerCase.contains("dynamicpruning"),
+        s"$name: codes scan not partition-pruned to the probed lists:\n$p")
     }
   }
 

@@ -4,11 +4,14 @@ import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** The persisted ANN serving index ([[VectorIndexStore]]): stored
-  * probes must decide bit-identically to the in-DAG
-  * [[Embed.ivfPqTopK]] they replace, frozen-index appends must make
-  * increment vectors retrievable cross-increment, and compact must
-  * heal double-appended retries without changing any decision.
+/** The persisted ANN serving index ([[VectorIndexStore]]) at the
+  * scale-true geometry: the literal and relational forest builds must
+  * produce bit-identical stores (the [[Ivf.ForestLiteralMaxLists]]
+  * dispatch is a physics knob, invisible to results), frozen-index
+  * appends must make increment vectors retrievable cross-increment,
+  * compact must heal double-appended retries without changing any
+  * decision, and the stored probe's recall against exact top-k must
+  * stay well above chance at the autoNlist geometry.
   */
 class EmbedStoreSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -25,29 +28,67 @@ class EmbedStoreSpec extends AnyFunSuite {
     .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     .sortBy(r => (r._1, r._4)).toSeq
 
-  test("stored topK decides bit-identically to the in-DAG ivfPqTopK") {
-    // same corpus, same geometry: the parquet round-trip (centroids +
-    // codebooks + codes) must change the physics only — every
-    // (query, neighbor, adist, rank) row identical
+  test("literal and relational forest builds produce identical stores " +
+      "and identical probe decisions") {
+    // the ForestLiteralMaxLists dispatch (task: large-nlist builds go
+    // through fitHierR/assignHierR) pinned at store level: literalMax=1
+    // forces the relational branch at a spec-sized geometry; every
+    // (query, neighbor, adist, rank) row and every stored code row
+    // must be identical to the literal build's
     val corpus = randomVecs(300, 16, 17)
     val q = corpus.filter(col("vec_id") < 8)
-    val direct = rows(Embed.ivfPqTopK(q, corpus, "vec_id", "embedding",
-      kNN = 5, nlist = 8, nprobe = 3, m = 4, k = 8, iters = 1,
-      fitSamplePct = 60, dim = 16))
-    val sd = java.nio.file.Files.createTempDirectory("vec_store").toString
-    VectorIndexStore.write(VectorIndexStore.build(corpus, "vec_id",
-      "embedding", nlist = 8, m = 4, k = 8, iters = 1,
-      fitSamplePct = 60, dim = 16), sd)
-    val stored = rows(VectorIndexStore.topK(q,
-      VectorIndexStore.read(spark, sd), "vec_id", "embedding",
+    val lit0 = VectorIndexStore.build(corpus, "vec_id", "embedding",
+      targetListSize = 32, m = 4, k = 8, iters = 1, fitSamplePct = 60,
+      dim = 16)
+    val rel0 = VectorIndexStore.build(corpus, "vec_id", "embedding",
+      targetListSize = 32, m = 4, k = 8, iters = 1, fitSamplePct = 60,
+      dim = 16, literalMax = 1)
+    val sdL = java.nio.file.Files.createTempDirectory("vec_lit").toString
+    val sdR = java.nio.file.Files.createTempDirectory("vec_rel").toString
+    VectorIndexStore.write(lit0, sdL)
+    VectorIndexStore.write(rel0, sdR)
+    def codeRows(sd: String) = spark.read.parquet(s"$sd/codes")
+      .select(col("vec_id"), col("list_id"), col("codes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toList)).sortBy(_._1).toSeq
+    assert(codeRows(sdL) == codeRows(sdR),
+      "stored (vec_id, list_id, codes) must not depend on the dispatch")
+    val pl = rows(VectorIndexStore.topK(q,
+      VectorIndexStore.read(spark, sdL), "vec_id", "embedding",
       kNN = 5, nprobe = 3))
-    assert(stored == direct)
-    assert(direct.nonEmpty)
+    val pr = rows(VectorIndexStore.topK(q,
+      VectorIndexStore.read(spark, sdR), "vec_id", "embedding",
+      kNN = 5, nprobe = 3))
+    assert(pl == pr)
+    assert(pl.nonEmpty)
+  }
+
+  test("codes are partitioned by list_id and the probe join prunes " +
+      "to the probed partitions") {
+    val corpus = randomVecs(300, 16, 17)
+    val sd = java.nio.file.Files.createTempDirectory("vec_part").toString
+    VectorIndexStore.write(VectorIndexStore.build(corpus, "vec_id",
+      "embedding", targetListSize = 32, m = 4, k = 8, iters = 1,
+      fitSamplePct = 60, dim = 16), sd)
+    // layout: hive-style list_id=N directories
+    val dirs = new java.io.File(s"$sd/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")),
+      s"expected list_id partition dirs, got: ${dirs.toSeq}")
+    // plan: the codes scan must carry a dynamic partition-pruning
+    // filter on list_id (the join key against the broadcast query
+    // probe side) — the storage-level pruning the layout exists for
+    val q = corpus.filter(col("vec_id") < 8)
+    val plan = VectorIndexStore.topK(q, VectorIndexStore.read(spark, sd),
+      "vec_id", "embedding", kNN = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"codes scan must be DPP-pruned to the probed lists:\n$plan")
   }
 
   test("frozen-index append: a query retrieves a vector appended in a prior increment") {
     // corpus = ids 0..199 (the index's fit input); increment A = a
-    // fresh vector (id 900), appended ENCODED UNDER THE FROZEN index;
+    // fresh vector (id 900), appended ENCODED UNDER THE FROZEN forest;
     // query = an exact copy of it (id 500). The copy assigns to the
     // same list (identical kernel input -> identical argmax) and its
     // residual reconstructs to the same codes, so the appended vector
@@ -58,12 +99,12 @@ class EmbedStoreSpec extends AnyFunSuite {
       .select((col("vec_id") + 900).as("vec_id"), col("embedding"))
     val q500 = a900.select(lit(500L).as("vec_id"), col("embedding"))
     val sd = java.nio.file.Files.createTempDirectory("vec_ab").toString
-    val built = VectorIndexStore.build(corpus, "vec_id", "embedding",
-      nlist = 8, m = 4, k = 8, iters = 1, fitSamplePct = 60, dim = 16)
-    VectorIndexStore.write(built, sd)
+    VectorIndexStore.write(VectorIndexStore.build(corpus, "vec_id",
+      "embedding", targetListSize = 32, m = 4, k = 8, iters = 1,
+      fitSamplePct = 60, dim = 16), sd)
     val store0 = VectorIndexStore.read(spark, sd)
     VectorIndexStore.appendWrite(
-      VectorIndexStore.encode(a900, "vec_id", "embedding", store0.index), sd)
+      VectorIndexStore.encode(a900, "vec_id", "embedding", store0), sd)
     val got = rows(VectorIndexStore.topK(q500,
       VectorIndexStore.read(spark, sd), "vec_id", "embedding",
       kNN = 3, nprobe = 3))
@@ -78,18 +119,18 @@ class EmbedStoreSpec extends AnyFunSuite {
     val q = corpus.filter(col("vec_id") < 6)
     val sd = java.nio.file.Files.createTempDirectory("vec_compact").toString
     VectorIndexStore.write(VectorIndexStore.build(corpus, "vec_id",
-      "embedding", nlist = 8, m = 4, k = 8, iters = 1,
+      "embedding", targetListSize = 32, m = 4, k = 8, iters = 1,
       fitSamplePct = 60, dim = 16), sd)
     val store0 = VectorIndexStore.read(spark, sd)
     val baseN = store0.coded.count()
     val encoded = VectorIndexStore.encode(inc, "vec_id", "embedding",
-      store0.index).localCheckpoint() // pre-compact lineage must not
-                                      // chase renamed store files
+      store0).localCheckpoint() // pre-compact lineage must not
+                                // chase renamed store files
     // the single-append reference decision, computed BEFORE compact
     // (its lineage reads the pre-compact store files, which the
     // rename-aside swap moves)
-    val expect = rows(VectorIndexStore.topK(q, VectorIndexStore.Store(
-      store0.index, store0.coded.localCheckpoint().unionByName(encoded)),
+    val expect = rows(VectorIndexStore.topK(q, store0.copy(
+      coded = store0.coded.localCheckpoint().unionByName(encoded)),
       "vec_id", "embedding", kNN = 5, nprobe = 3))
     VectorIndexStore.appendWrite(encoded, sd)
     VectorIndexStore.appendWrite(encoded, sd) // the retry
@@ -99,8 +140,43 @@ class EmbedStoreSpec extends AnyFunSuite {
     val healed = VectorIndexStore.read(spark, sd)
     assert(healed.coded.count() == baseN + encoded.count(),
       "compact must restore one code row per vec_id")
+    // compact must also preserve the partitioned layout (the probe's
+    // pruning contract)
+    val dirs = new java.io.File(s"$sd/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")),
+      s"compact must keep list_id partitions, got: ${dirs.toSeq}")
     // post-compact probe = single-append decisions exactly
     assert(rows(VectorIndexStore.topK(q, healed, "vec_id", "embedding",
       kNN = 5, nprobe = 3)) == expect)
+  }
+
+  test("stored probe recall@5 vs exact top-k at the registered " +
+      "autoNlist geometry (real embeddings)") {
+    // the serving-geometry guard: a forest/geometry change that
+    // silently trades recall for speed fails here, not in production.
+    // Same fixture + floor conventions as EmbedSpec's in-DAG recall
+    // tests (sf0.001 embeddings, brute-force cosine reference).
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(emb("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sd = java.nio.file.Files.createTempDirectory("vec_recall").toString
+    VectorIndexStore.write(VectorIndexStore.build(emb, "vec_id",
+      "embedding", targetListSize = 32, m = 8, k = 16, iters = 1,
+      fitSamplePct = 60, dim = 64), sd)
+    val stored = VectorIndexStore.topK(q, VectorIndexStore.read(spark, sd),
+      "vec_id", "embedding", kNN = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flat = Embed.ivfPqTopK(q, emb, "vec_id", "embedding", kNN = 5,
+      nlist = 16, nprobe = 4, m = 8, k = 16, iters = 1, fitSamplePct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rStored = stored.intersect(brute).size.toDouble / brute.size
+    val rFlat = flat.intersect(brute).size.toDouble / brute.size
+    info(f"stored hier-probe recall@5 $rStored%.3f vs in-DAG flat " +
+      f"IVFPQ $rFlat%.3f (nprobe=4, autoNlist geometry)")
+    // the ivfPqTopK floor: probing nprobe of nlist lists through the
+    // two-level forest must not collapse recall to chance
+    assert(rStored >= 0.1, s"stored probe recall $rStored")
   }
 }

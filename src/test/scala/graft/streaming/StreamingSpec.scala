@@ -247,7 +247,7 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     val sd = java.nio.file.Files.createTempDirectory("vec_stream").toString
     VectorIndexStore.write(VectorIndexStore.build(corpus, "vec_id",
-      "embedding", nlist = 4, m = 4, k = 8, iters = 1,
+      "embedding", targetListSize = 16, m = 4, k = 8, iters = 1,
       fitSamplePct = 100, dim = 16), sd)
     // b1: a fresh vector 500 (served against the corpus, then
     // ingested under the frozen index); b2: vector 900 = EXACT COPY of
@@ -282,7 +282,7 @@ class StreamingSpec extends AnyFunSuite {
         VectorIndexStore.appendWrite(VectorIndexStore.encode(
           spark.read.parquet(feedDir)
             .filter(col("vec_id").isin(ids.toSeq: _*)),
-          "vec_id", "embedding", st.index), sd)
+          "vec_id", "embedding", st), sd)
         VectorIndexStore.compact(spark, sd) // retries heal; idempotent
     }.start()
     try q.processAllAvailable() finally q.stop()
@@ -292,11 +292,10 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-batch serve: 900's rank-1 must be the ingested 500: $out")
     // batch parity on the no-cross-batch prefix: b1's stream result
     // equals the batch topK against the original store
+    val full = VectorIndexStore.read(spark, sd)
     val expect = VectorIndexStore.topK(b1,
-        VectorIndexStore.Store(VectorIndexStore.read(spark, sd).index,
-          spark.read.parquet(s"$sd/codes")
-            .filter(col("vec_id") < 100)), "vec_id", "embedding",
-        kNN = 3, nprobe = 4)
+        full.copy(coded = full.coded.filter(col("vec_id") < 100)),
+        "vec_id", "embedding", kNN = 3, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(out.filter(_._1 == 500L).toSet == expect)
   }
