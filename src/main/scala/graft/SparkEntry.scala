@@ -3454,6 +3454,109 @@ object SparkEntry {
         maxHamming = 3, maxBucket = 64)
     }),
 
+    "pair_neardup_probe_updated" -> ((s, dir) => {
+      // the PAIR family's daily-ingest LOOP closed (the _updated
+      // convention, the image_neardup_probe_updated layered-corpus
+      // design applied to the composition): layer 0 = BOTH persisted
+      // stores minus the twin-source pairs (bucket < 5); increment A =
+      // those base pairs (original caption + base image), probed under
+      // the PAIR rule and accepted (is_new) pairs appended to BOTH
+      // sides — SignatureStore.append for the captions, the
+      // fingerprint union for the images (O(increment), no store
+      // rebuild); increment B = fresh pairs (bucket >= 85) + ALL twin
+      // pairs (re-posted caption + perturbed image). Every twin's base
+      // pair lives only in the accepted-A layer, so each caught twin
+      // certifies the cross-increment append ON BOTH MODALITIES — a B
+      // pair duplicating an ACCEPTED A pair on caption or image alone
+      // still survives. Oracle: the two-layer pair replay
+      // (pairNeardupUpdatedOracle, the dedup_bloom_probe_updated
+      // shape).
+      val d = Tables.documents(s, dir)
+      val ids = d.select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val tStore = graft.dedup.SignatureStore.read(s,
+        ensureMinhashStore(s, dir))
+      val tStore0 = graft.dedup.SignatureStore.Store(
+        tStore.banded.filter(
+          graft.util.Sampling.md5Bucket(col("doc_id")) >= 5),
+        tStore.shingleHashes.filter(
+          graft.util.Sampling.md5Bucket(col("doc_id")) >= 5))
+      val mStore0 = graft.dedup.MediaStore
+        .read(s, ensureMediaImageStore(s, dir))
+        .filter(graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
+      val incTextsA = d.filter(bucket < 5)
+        .select(col("doc_id"), col("text"))
+      val incImgsA = imageSig(Multimodal.syntheticImagesNearDup(
+        ids.filter(bucket < 5), "doc_id", twins = false))
+        .localCheckpoint() // increment-sized (~5% of ids), bounded
+      val probeA = Dedup.pairNearDupStored(incTextsA, tStore0,
+        incImgsA, mStore0, "doc_id", "text", "media_id", "dhash",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        maxHamming = 3, maxBucket = 64)
+      // ids only — never checkpoint raw text
+      val accIds = probeA.filter(col("is_new")).select(col("doc_id"))
+        .localCheckpoint()
+      // the accepted layer's signature frames are built ONCE and
+      // checkpointed (increment-sized 8-byte fingerprint rows — the
+      // ingest_clean fingerprint-checkpoint convention, never text):
+      // the B probe forks the layered store four ways, and without
+      // this each fork would re-sign the accepted slice from the
+      // documents scan inside the timed plan
+      val accStore = graft.dedup.SignatureStore.build(
+        incTextsA.join(broadcast(accIds), "doc_id"), "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2)
+      val tStore1 = graft.dedup.SignatureStore.Store(
+        tStore0.banded.unionByName(accStore.banded.localCheckpoint()),
+        tStore0.shingleHashes.unionByName(
+          accStore.shingleHashes.localCheckpoint()))
+      val mStore1 = mStore0.unionByName(incImgsA.join(
+        broadcast(accIds.withColumnRenamed("doc_id", "media_id")),
+        "media_id"))
+      val twinTexts = d.filter(bucket < 5)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" repost")).as("text"))
+      val incTextsB = d.filter(bucket >= 85)
+        .select(col("doc_id"), col("text")).unionByName(twinTexts)
+      val incImgsB = imageSig(Multimodal.syntheticImagesNearDup(
+          ids.filter(bucket >= 85), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticImagesNearDup(
+          ids, "doc_id", base = false)))
+      Dedup.pairNearDupStored(incTextsB, tStore1, incImgsB, mStore1,
+        "doc_id", "text", "media_id", "dhash",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        maxHamming = 3, maxBucket = 64)
+    }),
+
+    "pair_neardup_audio" -> ((s, dir) => {
+      // the pair rule is MODALITY-GENERIC: pairNearDupIncremental
+      // takes any (id, fingerprint) frame for its Hamming side, so the
+      // audio-caption composition (podcast/clip-caption corpora) is
+      // one registration — same text fixture and twin structure as
+      // pair_neardup, the media side the audio fingerprint family
+      // (SPI decode → ch-0 window sums → multiplicative mix bits).
+      // A twin pair = re-posted caption + first-sample-perturbed clip;
+      // drop iff BOTH sides flag the SAME prior pair.
+      val d = Tables.documents(s, dir)
+      val ids = d.select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val twinTexts = d.filter(bucket < 5)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" repost")).as("text"))
+      val incTexts = d.filter(bucket >= 70)
+        .select(col("doc_id"), col("text")).unionByName(twinTexts)
+      val corTexts = d.filter(bucket < 70).select(col("doc_id"), col("text"))
+      val incAuds = audioSig(Multimodal.syntheticWavsNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticWavsNearDup(
+          ids, "doc_id", base = false)))
+      val corAuds = audioSig(Multimodal.syntheticWavsNearDup(
+        ids.filter(bucket < 70), "doc_id", twins = false))
+      Dedup.pairNearDupIncremental(incTexts, corTexts, incAuds, corAuds,
+        "doc_id", "text", "media_id", "afp",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        maxHamming = 3, maxBucket = 64)
+    }),
+
     "vecindex_liststats" -> ((s, dir) => {
       // the capstats row for the SERVING index's list geometry (the
       // dedup_semantic_liststats convention): a hot IVF list is a slow
@@ -5932,6 +6035,14 @@ object SparkEntry {
     // replay
     "pair_neardup_probe" -> pairNeardupOracle,
 
+    // the pair family's closed A/B loop: two-layer replay — accepted
+    // layer-A pairs join BOTH corpora before layer B probes
+    "pair_neardup_probe_updated" -> pairNeardupUpdatedOracle,
+
+    // the pair rule on the audio modality — same composition, the
+    // Hamming side over the audio fingerprint fixture
+    "pair_neardup_audio" -> pairNeardupAudioOracle,
+
     "vecindex_liststats" ->
       // the serving index's list-size distribution replayed from the
       // full-corpus HIER fit at count-derived geometry (asgh = every
@@ -6365,7 +6476,8 @@ object SparkEntry {
     * prior pair; best = highest jaccard, lowest Hamming, lowest prior
     * id.
     */
-  private lazy val pairNeardupOracle: String =
+  private def pairNeardupOracleFrom(fixture: String, src: String,
+                                    hcol: String, mb: String): String =
     s"""WITH ptx AS (SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 10000000, text || ' repost' FROM documents
@@ -6376,8 +6488,8 @@ object SparkEntry {
          ${minhashProbeCtes("1",
              "(sb.sbucket >= 70 AND b.doc_id < 10000000) OR b.doc_id >= 10000000",
              "sb.sbucket < 70 AND b.doc_id < 10000000")},
-         $duckDhashCtes,
-         ${mediaVerifiedCtes("dh", "dhash", "mb")},
+         $fixture,
+         ${mediaVerifiedCtes(src, hcol, mb)},
          pboth AS (SELECT v.inc_id, v.dup_id, v.jaccard, x.hamming
                    FROM ver1 v JOIN xver x
                    ON x.inc_id = v.inc_id AND x.dup_id = v.dup_id
@@ -6391,6 +6503,99 @@ object SparkEntry {
          FROM (SELECT p.doc_id FROM ptx p JOIN sb USING (doc_id)
                WHERE sb.sbucket >= 70 OR p.doc_id >= 10000000) i
          LEFT JOIN pbest ON pbest.inc_id = i.doc_id"""
+
+  private lazy val pairNeardupOracle: String =
+    pairNeardupOracleFrom(duckDhashCtes, "dh", "dhash", "mb")
+
+  /** The pair rule on the AUDIO modality (`pair_neardup_audio`):
+    * identical composition, the Hamming side over the audio
+    * fingerprint fixture — the rule is modality-generic.
+    */
+  private lazy val pairNeardupAudioOracle: String =
+    pairNeardupOracleFrom(duckAudioFpCtes, "afh", "afp", "amb")
+
+  /** The PAIR A/B ingest loop replayed in SQL
+    * (`pair_neardup_probe_updated` — the dedup_bloom_probe_updated
+    * two-layer shape on the cross-modal composition): layer 0 = both
+    * corpora minus the twin-source pairs (buckets [5,70)); increment A
+    * = the twin-source base pairs (bucket < 5: original caption +
+    * base image), decided under the PAIR rule (drop iff BOTH sides
+    * flag the same prior pair) against layer 0; ACCEPTED A pairs join
+    * both layer-1 corpora; increment B = fresh pairs (bucket >= 85) +
+    * ALL twin pairs (re-posted caption + perturbed image), decided
+    * against layer 1. Text side layers through [[minhashProbeCtes]]'s
+    * predicates; media side through the banded-union CTEs below.
+    */
+  private lazy val pairNeardupUpdatedOracle: String =
+    s"""WITH ptx AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, text || ' repost' FROM documents
+           WHERE ${duckMd5Pct("doc_id")} < 5),
+         ${minhashBandedCtesFrom("ptx")},
+         sb AS (SELECT doc_id, ${duckMd5Pct("doc_id")} AS sbucket FROM ptx),
+         isz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         ${minhashProbeCtes("1",
+             "sb.sbucket < 5 AND b.doc_id < 10000000",
+             "sb.sbucket >= 5 AND sb.sbucket < 70 AND b.doc_id < 10000000")},
+         $duckDhashCtes,
+         pband AS (SELECT media_id, dhash, b,
+             (dhash >> (b * 16)) & 65535 AS key
+           FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         pcor0 AS (SELECT i.media_id AS dup_id, i.dhash AS ch2, b, key
+                  FROM pband i JOIN mb ON mb.doc_id = i.media_id
+                  WHERE i.media_id < 10000000
+                    AND mb.bkt >= 5 AND mb.bkt < 70),
+         pinca AS (SELECT i.media_id AS inc_id, i.dhash AS ih, b, key
+                  FROM pband i JOIN mb ON mb.doc_id = i.media_id
+                  WHERE i.media_id < 10000000 AND mb.bkt < 5),
+         pakeys AS (SELECT DISTINCT b, key FROM pinca),
+         pamat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM pcor0 c
+                  JOIN pakeys USING (b, key)),
+         pacap AS (SELECT dup_id, ch2, b, key FROM pamat
+                  QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         xvera AS (SELECT DISTINCT i.inc_id, m.dup_id,
+               bit_count(xor(i.ih, m.ch2)) AS hamming
+               FROM pinca i JOIN pacap m USING (b, key)
+               WHERE i.inc_id <> m.dup_id),
+         pbotha AS (SELECT DISTINCT v.inc_id FROM ver1 v JOIN xvera x
+                   ON x.inc_id = v.inc_id AND x.dup_id = v.dup_id
+                   WHERE x.hamming <= 3),
+         accp AS (SELECT doc_id FROM sb
+                  WHERE sbucket < 5 AND doc_id < 10000000
+                    AND doc_id NOT IN (SELECT inc_id FROM pbotha)),
+         ${minhashProbeCtes("2",
+             "(sb.sbucket >= 85 AND b.doc_id < 10000000) OR b.doc_id >= 10000000",
+             "(sb.sbucket >= 5 AND sb.sbucket < 70 AND b.doc_id < 10000000)" +
+               " OR b.doc_id IN (SELECT doc_id FROM accp)")},
+         pincb AS (SELECT i.media_id AS inc_id, i.dhash AS ih, b, key
+                  FROM pband i LEFT JOIN mb ON mb.doc_id = i.media_id
+                  WHERE i.media_id >= 10000000 OR mb.bkt >= 85),
+         pacc AS (SELECT inc_id AS dup_id, ih AS ch2, b, key FROM pinca
+                  WHERE inc_id IN (SELECT doc_id FROM accp)),
+         pcor1 AS (SELECT * FROM pcor0 UNION ALL SELECT * FROM pacc),
+         pbkeys AS (SELECT DISTINCT b, key FROM pincb),
+         pbmat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM pcor1 c
+                  JOIN pbkeys USING (b, key)),
+         pbcap AS (SELECT dup_id, ch2, b, key FROM pbmat
+                  QUALIFY count(*) OVER (PARTITION BY b, key) <= 64),
+         xverb AS (SELECT DISTINCT i.inc_id, m.dup_id,
+               bit_count(xor(i.ih, m.ch2)) AS hamming
+               FROM pincb i JOIN pbcap m USING (b, key)
+               WHERE i.inc_id <> m.dup_id),
+         pbothb AS (SELECT v.inc_id, v.dup_id, v.jaccard, x.hamming
+                   FROM ver2 v JOIN xverb x
+                   ON x.inc_id = v.inc_id AND x.dup_id = v.dup_id
+                   WHERE x.hamming <= 3),
+         pbestb AS (SELECT inc_id, dup_id, jaccard, hamming FROM (
+             SELECT *, row_number() OVER (PARTITION BY inc_id
+               ORDER BY jaccard DESC, hamming ASC, dup_id) AS rn
+             FROM pbothb) WHERE rn = 1)
+         SELECT i.doc_id, pbestb.dup_id AS dup_of, pbestb.jaccard,
+           pbestb.hamming, (pbestb.dup_id IS NULL) AS is_new
+         FROM (SELECT p.doc_id FROM ptx p JOIN sb USING (doc_id)
+               WHERE (sb.sbucket >= 85 AND p.doc_id < 10000000)
+                  OR p.doc_id >= 10000000) i
+         LEFT JOIN pbestb ON pbestb.inc_id = i.doc_id"""
 
   /** The media A/B ingest loop replayed in SQL
     * (`image/video_neardup_probe_updated`): the persisted store minus

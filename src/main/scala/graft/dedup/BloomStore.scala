@@ -136,7 +136,17 @@ object BloomStore {
   def read(spark: SparkSession, dir: String): (Store, Meta) = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
     val fs = path.getFileSystem(conf)
-    val in = fs.open(path)
+    // self-healing for writeBloom's two-rename window: a crash (or a
+    // concurrent reader racing an append) can observe NO bloom.bin —
+    // the previous sketch is then still complete at bloom.bin.old.
+    // Reading it is SAFE for the module's invariant: appendWrite
+    // persists the sketch BEFORE the fingerprint files, so the .old
+    // sketch is a superset of every fingerprint row on disk at that
+    // instant (extra positives die in the verify join; false
+    // negatives remain impossible).
+    val src = if (fs.exists(path)) path
+      else new org.apache.hadoop.fs.Path(s"$dir/bloom.bin.old")
+    val in = fs.open(src)
     val bloom = try BloomFilter.readFrom(in) finally in.close()
     (Store(spark.read.parquet(s"$dir/fingerprints"), bloom),
       readMeta(dir))

@@ -450,6 +450,17 @@ object Pipeline {
     * were not evaluated and cannot be accepted; the quality column
     * records why) — false-not-null keeps every output column
     * non-nullable, the portable choice for the oracle compare.
+    *
+    * DETERMINISM CONTRACT the caller must uphold: the quality gate is
+    * derived TWICE from independent scans of `incoming` — once
+    * checkpointed for the accept decision, once recomputed inside
+    * each dedup leg's own scan (the memory-motivated split below).
+    * That is only equivalent because [[TextOps.qualityScore]] is a
+    * pure function and the two scans see the same rows. A
+    * NONDETERMINISTIC incoming frame (non-deterministic UDF upstream,
+    * unstable sampling, a re-read of mutating storage) could mark a
+    * doc accepted whose dedup flags were computed against a different
+    * row set — pass such frames through a checkpoint/write first.
     */
   def ingestClean(incoming: DataFrame, corpus: DataFrame, idCol: String,
                   textCol: String, minQuality: Double,

@@ -489,6 +489,27 @@ class DedupSpec extends AnyFunSuite {
     assert(BloomStore.read(spark, sd)._1.fps.count() == 300L)
   }
 
+  test("BloomStore.read self-heals the two-rename crash window from " +
+      "bloom.bin.old") {
+    // writeBloom's swap has an instant with NO bloom.bin on disk; a
+    // crash there strands the previous sketch at bloom.bin.old —
+    // which is ⊇ every fingerprint row on disk (appendWrite persists
+    // sketch BEFORE fps), so reading it is invariant-safe. Simulate
+    // the crash state by renaming the live sketch aside.
+    val corpus = docs((0L until 100L).map(i => i -> s"crash doc $i"): _*)
+    val sd = java.nio.file.Files.createTempDirectory("bloom_crash").toString
+    val (st, meta) = BloomStore.build(corpus, "doc_id", "text")
+    BloomStore.write(st, meta, sd)
+    val live = new java.io.File(s"$sd/bloom.bin")
+    assert(live.renameTo(new java.io.File(s"$sd/bloom.bin.old")))
+    val healed = Dedup.exactIncrementalBloom(
+        docs(900L -> "crash doc 7", 901L -> "fresh crash-window doc"),
+        BloomStore.read(spark, sd)._1, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(healed == Map(900L -> false, 901L -> true),
+      s"decisions through the .old sketch must be unchanged: $healed")
+  }
+
   test("bloom A/B loop: a B dup of an ACCEPTED A doc is caught through " +
       "the persisted sketch; a dup of a REJECTED A doc stays flagged " +
       "against the corpus") {
@@ -1043,6 +1064,61 @@ class DedupSpec extends AnyFunSuite {
     assert(stored == direct)
     assert(direct.exists(r => r._1 == 100L && r._2 == 3L && !r._5),
       s"the both-sides pair must drop in both forms: $direct")
+  }
+
+  test("pair A/B loop: a B pair duplicating an ACCEPTED A pair on both " +
+      "sides drops cross-increment; one-sided B matches survive") {
+    import spark.implicits._
+    // the pair_neardup_probe_updated contract: accepted day-1 pairs
+    // append to BOTH stores; day-2 probes the grown stores. Planted
+    // text twins are EXACT copies (one added shingle can own all 16
+    // affine-minhash slots — banding-guaranteed catches need identity)
+    val t = (i: Int) => s"pair caption number $i with plenty of distinct " +
+      s"filler words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+    val rng = new scala.util.Random(11)
+    val fps = Array.fill(10)(rng.nextLong())
+    val corTexts = (0 until 10).map(i => (i.toLong, t(i)))
+      .toDF("doc_id", "text")
+    val corFps = (0 until 10).map(i => (i.toLong, fps(i)))
+      .toDF("media_id", "dhash")
+    val store0 = SignatureStore.build(corTexts, "doc_id", "text", 3, 8, 2)
+    // increment A: 200 fresh-both (ACCEPTED); 201 = both-sides copy of
+    // corpus pair 3 (REJECTED)
+    val aText = "day one brand new caption with original words uu vv ww xx yy zz"
+    val aFp = rng.nextLong()
+    val incTextsA = Seq((200L, aText), (201L, t(3)))
+      .toDF("doc_id", "text")
+    val incFpsA = Seq((200L, aFp), (201L, fps(3)))
+      .toDF("media_id", "dhash")
+    val probeA = Dedup.pairNearDupStored(incTextsA, store0, incFpsA,
+      corFps, "doc_id", "text", "media_id", "dhash")
+    val accIds = probeA.filter(org.apache.spark.sql.functions.col("is_new"))
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+    assert(accIds.collect().map(_.getLong(0)).toSet == Set(200L),
+      "layer A: 200 accepted, 201 rejected against the corpus")
+    val store1 = SignatureStore.append(store0,
+      incTextsA.join(accIds, "doc_id"), "doc_id", "text", 3, 8, 2)
+    val corFps1 = corFps.unionByName(incFpsA.join(
+      accIds.withColumnRenamed("doc_id", "media_id"), "media_id"))
+    // increment B: 300 = both-sides copy of ACCEPTED 200 -> drops
+    // against 200 (only reachable through the append); 301 = text of
+    // 200 + fresh image -> survives; 302 = image of 200 (hamming 1) +
+    // fresh text -> survives
+    val incTextsB = Seq((300L, aText), (301L, aText),
+      (302L, "entirely different day two caption kk ll mm nn oo pp"))
+      .toDF("doc_id", "text")
+    val incFpsB = Seq((300L, aFp), (301L, rng.nextLong()),
+      (302L, aFp ^ 1L)).toDF("media_id", "dhash")
+    val out = Dedup.pairNearDupStored(incTextsB, store1, incFpsB,
+        corFps1, "doc_id", "text", "media_id", "dhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(4))).toMap
+    assert(out(300L) == (200L, false),
+      s"cross-increment both-sides twin must drop against the accepted A pair: $out")
+    assert(out(301L) == (-1L, true),
+      s"text-only match of an accepted A pair must survive: $out")
+    assert(out(302L) == (-1L, true),
+      s"image-only match of an accepted A pair must survive: $out")
   }
 
   test("minhashIncremental agrees with batch LSH over the union corpus") {

@@ -584,8 +584,14 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name: expected the ADC scorer in the plan:\n$p")
       assert(!p.toLowerCase.contains("pqcodesexpr"),
         s"$name: corpus PQ re-encode kernel in the timed plan:\n$p")
+      // two embeddings scans are legitimate: the query batch feeding
+      // the probe join, plus dynamic partition pruning's subquery
+      // copy of the SAME pushed-filter batch scan (when DPP cannot
+      // reuse the broadcast exchange it replans the build side as a
+      // scalar subquery on the codes scan) — both are query-sized; a
+      // THIRD means the corpus vectors are being read
       assert(p.linesIterator.count(l => l.contains("embeddings.parquet")
-          && l.contains("ReadSchema")) <= 1,
+          && l.contains("ReadSchema")) <= 2,
         s"$name: corpus vector scan beyond the query batch:\n$p")
       // the scale-true layout contract: the codes scan must be pruned
       // to the probed lists at the STORAGE level — a dynamic
@@ -613,6 +619,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"media decode kernel in the timed plan:\n$p")
     assert(!p.contains("documents.parquet"),
       s"corpus/document scan in the timed pair-probe plan:\n$p")
+  }
+
+  test("pair_neardup_probe_updated: layered stores scanned, no corpus " +
+      "decode, accepted-layer text signing bounded") {
+    val p = plan("pair_neardup_probe_updated")
+    assert(p.contains("stores/sf0.001/minhash"),
+      s"expected the signature store scan:\n$p")
+    assert(p.contains("stores/sf0.001/media_image"),
+      s"expected the media fingerprint store scan:\n$p")
+    // every increment kernel (B signing, A+B decodes) and the
+    // accepted-A layer's signature frames ride checkpoints
+    // (ExistingRDD leaves — increment-sized fingerprint rows, never
+    // text), so the timed plan reads documents ZERO times, exactly
+    // like the base probe row
+    assert(!p.contains("MapPartitions"),
+      s"media decode kernel in the timed plan:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"corpus/document scan in the timed layered-pair plan:\n$p")
   }
 
   test("dedup_bloom_probe rows: sketch prefilter on the increment side, " +
