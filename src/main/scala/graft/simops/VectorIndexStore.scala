@@ -40,15 +40,17 @@ import org.apache.spark.sql.types._
   *  - `codebooks/` — (m, code, centroid): the fitted per-subspace PQ
   *    codebooks (original code ids — Lloyd-emptied cells keep the
   *    survivors' ids, the [[Embed.fitBooks]] convention). O(m·k·subDim).
-  *  - `codes/`     — (vec_id, codes) PARTITIONED BY `list_id`: each
-  *    corpus vector's m-int code array, laid out so a probe's
-  *    `nprobe`-list join prunes the scan to the probed partitions
-  *    (dynamic partition pruning over the broadcast query side — the
-  *    plan-fenced scan reads O(nprobe · listSize) rows, never the
-  *    store; fenced in PlanAuditSpec).
-  *  - `meta/`      — one row (m, k, residual, s): the code-budget
+  *  - `codes/`     — (vec_id, list_id, codes) PARTITIONED BY
+  *    `part_id = list_id mod min(nlist, MaxCodeParts)`: each corpus
+  *    vector's m-int code array, laid out so a probe's nprobe-list
+  *    join prunes the scan to the probed buckets (dynamic partition
+  *    pruning over the broadcast query side — the plan-fenced scan
+  *    reads ≤ nprobe/MaxCodeParts of the stored codes, never the
+  *    store; fenced in PlanAuditSpec) while the directory count stays
+  *    bounded at any corpus size (see [[MaxCodeParts]]).
+  *  - `meta/`      — one row (m, k, residual, s, p): the code-budget
   *    constants plus the forest's sub stride (global list id =
-  *    coarse_id · s + sub_id).
+  *    coarse_id · s + sub_id) and the partition cap.
   *
   * [[appendWrite]] closes the daily loop under the FROZEN index (the
   * [[SemanticStore]] frozen-forest convention): new vectors assign to
@@ -67,7 +69,23 @@ object VectorIndexStore {
   final case class Index(coarse: Seq[(Int, Seq[Double])], s: Int,
                          codes: Array[Array[Int]],
                          books: Array[Array[Array[Double]]],
-                         m: Int, k: Int, residual: Boolean)
+                         m: Int, k: Int, residual: Boolean,
+                         p: Int)
+
+  /** Partition-count cap for the `codes/` layout: the partition key is
+    * `part_id = list_id mod min(nlist, MaxCodeParts)`, so the
+    * directory count is bounded no matter how large the autoNlist
+    * geometry grows (2²⁰ one-list-per-dir directories would sink any
+    * filesystem's listing path — measured 10× probe inflation at a
+    * 6 250-dir local layout), while the probe's DPP join still prunes
+    * the scan to its `nprobe` buckets — ≤ nprobe/MaxCodeParts of the
+    * stored codes. Below the cap every list keeps its own partition
+    * (full pruning, the fixture geometries).
+    */
+  val MaxCodeParts: Int = 256
+
+  private def partIdCol(listId: Column, p: Int): Column =
+    pmod(listId, lit(p)).cast("int")
 
   /** `index` plus the two relational halves: the sub-centroid forest
     * (O(nlist) rows) and the corpus-sized code frame (vec_id, list_id,
@@ -152,7 +170,8 @@ object VectorIndexStore {
       .localCheckpoint()
     val (codes, books) = Embed.fitBooks(fitFrame, "vec_id", "_ev", m, k,
       iters, 100, dim)
-    val idx = Index(coarse, s, codes, books, m, k, residual)
+    val idx = Index(coarse, s, codes, books, m, k, residual,
+      p = math.min(nlist, MaxCodeParts))
     Store(idx, subsF, encodeFrom(enc, idx))
   }
 
@@ -164,6 +183,7 @@ object VectorIndexStore {
 
   private def encodeFrom(enc: DataFrame, idx: Index): DataFrame =
     enc.select(col("vec_id"), col("list_id"),
+      partIdCol(col("list_id"), idx.p).as("part_id"),
       graft.functions.PqCodesExpr(col("_ev"), idx.codes, idx.books)
         .as("codes"))
 
@@ -212,11 +232,13 @@ object VectorIndexStore {
       .write.mode("overwrite").parquet(s"$dir/codebooks")
     metaFrame(spark, store.index).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/meta")
-    // codes partitioned by list: a probe's nprobe-list join prunes
-    // the scan to the probed partitions; the repartition keeps it to
-    // ~one file per list instead of (tasks × lists)
-    store.coded.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
+    // codes partitioned by the capped bucket key: a probe's
+    // nprobe-list join prunes the scan to the probed part_id buckets
+    // (≤ min(nlist, MaxCodeParts) directories at ANY corpus size);
+    // the repartition keeps it to ~one file per bucket instead of
+    // (tasks × buckets)
+    store.coded.repartition(col("part_id"))
+      .write.mode("overwrite").partitionBy("part_id")
       .parquet(s"$dir/codes")
   }
 
@@ -239,10 +261,12 @@ object VectorIndexStore {
       byM.getOrElse(mi, Array.empty).map(_._2).sorted)
     val books = Array.tabulate(m)(mi =>
       byM.getOrElse(mi, Array.empty).sortBy(_._2).map(_._3))
-    Store(Index(coarse, s, codes, books, m, k, residual),
+    val p = meta.getInt(4)
+    Store(Index(coarse, s, codes, books, m, k, residual, p),
       spark.read.parquet(s"$dir/subs"),
       spark.read.parquet(s"$dir/codes")
-        .select(col("vec_id"), col("list_id"), col("codes")))
+        .select(col("vec_id"), col("list_id"), col("part_id"),
+          col("codes")))
   }
 
   /** Close the daily loop O(increment): the increment's frozen-index
@@ -254,7 +278,7 @@ object VectorIndexStore {
     * compact on the retry cadence before serving).
     */
   def appendWrite(encoded: DataFrame, dir: String): Unit =
-    encoded.write.mode("append").partitionBy("list_id")
+    encoded.write.mode("append").partitionBy("part_id")
       .parquet(s"$dir/codes")
 
   /** Dedup the code rows by vec_id and rewrite via the crash-safe
@@ -265,7 +289,7 @@ object VectorIndexStore {
     */
   def compact(spark: SparkSession, dir: String): Unit =
     graft.dedup.SignatureStore.compactOne(spark, s"$dir/codes",
-      Seq("vec_id"), partitionCols = Seq("list_id"))
+      Seq("vec_id"), partitionCols = Seq("part_id"))
 
   /** The serving-path top-k against the STORED index: the query batch
     * ranks the C coarse centroids (plan literals), takes its `nprobe`
@@ -274,9 +298,9 @@ object VectorIndexStore {
     * · S) candidate lists per query), keeps the `nprobe` best global
     * lists, residual-projects against each probed list's centroid,
     * and ADC-scores ONLY the probed lists' stored code rows — the
-    * codes join prunes to the probed `list_id` partitions (dynamic
-    * partition pruning over the broadcast query side, fenced in
-    * PlanAuditSpec). No corpus fit, no corpus encode, no corpus
+    * codes join carries the `part_id` bucket key, so dynamic
+    * partition pruning cuts the scan to the probed buckets (fenced
+    * in PlanAuditSpec). No corpus fit, no corpus encode, no corpus
     * vector read anywhere in the timed plan.
     *
     * Output: (query_id, neighbor_id, adist, rank). A subless coarse
@@ -289,7 +313,7 @@ object VectorIndexStore {
     val ix = store.index
     val idx = Embed.codeIndex(ix.codes, ix.k)
     val cand = store.coded.select(col("vec_id").as("neighbor_id"),
-      col("list_id"), col("codes").as("_codes"))
+      col("list_id"), col("part_id"), col("codes").as("_codes"))
     val qc = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_qv"))
@@ -316,11 +340,12 @@ object VectorIndexStore {
       .withColumn("_qe",
         if (ix.residual) residualCol(col("_qv"), col("_lc"))
         else col("_qv"))
-      .select(col("query_id"), col("list_id"), col("_qe"))
+      .select(col("query_id"), col("list_id"),
+        partIdCol(col("list_id"), ix.p).as("part_id"), col("_qe"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    cand.join(broadcast(qp), Seq("list_id"))
+    cand.join(broadcast(qp), Seq("part_id", "list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", round(graft.functions.PqAdcExpr(
         col("_qe"), col("_codes"), idx, ix.books), 6))
@@ -371,11 +396,12 @@ object VectorIndexStore {
     StructField("m", IntegerType, nullable = false),
     StructField("k", IntegerType, nullable = false),
     StructField("residual", BooleanType, nullable = false),
-    StructField("s", IntegerType, nullable = false)))
+    StructField("s", IntegerType, nullable = false),
+    StructField("p", IntegerType, nullable = false)))
 
   private def metaFrame(spark: SparkSession, ix: Index): DataFrame = {
     val rows = new java.util.ArrayList[Row]()
-    rows.add(Row(ix.m, ix.k, ix.residual, ix.s))
+    rows.add(Row(ix.m, ix.k, ix.residual, ix.s, ix.p))
     spark.createDataFrame(rows, metaSchema)
   }
 }

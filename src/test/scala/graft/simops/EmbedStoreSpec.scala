@@ -63,18 +63,19 @@ class EmbedStoreSpec extends AnyFunSuite {
     assert(pl.nonEmpty)
   }
 
-  test("codes are partitioned by list_id and the probe join prunes " +
-      "to the probed partitions") {
+  test("codes are partitioned by the part_id bucket key and the probe " +
+      "join prunes to the probed partitions") {
     val corpus = randomVecs(300, 16, 17)
     val sd = java.nio.file.Files.createTempDirectory("vec_part").toString
     VectorIndexStore.write(VectorIndexStore.build(corpus, "vec_id",
       "embedding", targetListSize = 32, m = 4, k = 8, iters = 1,
       fitSamplePct = 60, dim = 16), sd)
-    // layout: hive-style list_id=N directories
+    // layout: hive-style part_id=N bucket directories (one list per
+    // bucket below the MaxCodeParts cap)
     val dirs = new java.io.File(s"$sd/codes").listFiles()
       .filter(_.isDirectory).map(_.getName)
-    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")),
-      s"expected list_id partition dirs, got: ${dirs.toSeq}")
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("part_id=")),
+      s"expected part_id partition dirs, got: ${dirs.toSeq}")
     // plan: the codes scan must carry a dynamic partition-pruning
     // filter on list_id (the join key against the broadcast query
     // probe side) — the storage-level pruning the layout exists for
@@ -144,8 +145,8 @@ class EmbedStoreSpec extends AnyFunSuite {
     // pruning contract)
     val dirs = new java.io.File(s"$sd/codes").listFiles()
       .filter(_.isDirectory).map(_.getName)
-    assert(dirs.nonEmpty && dirs.forall(_.startsWith("list_id=")),
-      s"compact must keep list_id partitions, got: ${dirs.toSeq}")
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("part_id=")),
+      s"compact must keep part_id partitions, got: ${dirs.toSeq}")
     // post-compact probe = single-append decisions exactly
     assert(rows(VectorIndexStore.topK(q, healed, "vec_id", "embedding",
       kNN = 5, nprobe = 3)) == expect)
