@@ -3573,6 +3573,33 @@ object SparkEntry {
         maxHamming = 3, maxBucket = 64)
     }),
 
+    "pair_neardup_video" -> ((s, dir) => {
+      // the third pair modality (video-caption — clip/caption corpora):
+      // same composition, the Hamming side over the video clip-dHash
+      // family (AVI demux → frame-step dHash fold). With audio this
+      // completes the rule across every fingerprinted media modality
+      // the engine ships — one registration each, zero new machinery.
+      val d = Tables.documents(s, dir)
+      val ids = d.select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val twinTexts = d.filter(bucket < 5)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(col("text"), lit(" repost")).as("text"))
+      val incTexts = d.filter(bucket >= 70)
+        .select(col("doc_id"), col("text")).unionByName(twinTexts)
+      val corTexts = d.filter(bucket < 70).select(col("doc_id"), col("text"))
+      val incVids = videoSig(Multimodal.syntheticAvisNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticAvisNearDup(
+          ids, "doc_id", base = false)))
+      val corVids = videoSig(Multimodal.syntheticAvisNearDup(
+        ids.filter(bucket < 70), "doc_id", twins = false))
+      Dedup.pairNearDupIncremental(incTexts, corTexts, incVids, corVids,
+        "doc_id", "text", "media_id", "clip_dhash",
+        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+        maxHamming = 3, maxBucket = 64)
+    }),
+
     "vecindex_liststats" -> ((s, dir) => {
       // the capstats row for the SERVING index's list geometry (the
       // dedup_semantic_liststats convention): a hot IVF list is a slow
@@ -6060,6 +6087,10 @@ object SparkEntry {
     // Hamming side over the audio fingerprint fixture
     "pair_neardup_audio" -> pairNeardupAudioOracle,
 
+    // ...and on the video modality (clip-dHash fixture) — with audio
+    // this covers every fingerprinted media family
+    "pair_neardup_video" -> pairNeardupVideoOracle,
+
     "vecindex_liststats" ->
       // the serving index's list-size distribution replayed from the
       // full-corpus HIER fit at count-derived geometry (asgh = every
@@ -6530,6 +6561,12 @@ object SparkEntry {
     */
   private lazy val pairNeardupAudioOracle: String =
     pairNeardupOracleFrom(duckAudioFpCtes, "afh", "afp", "amb")
+
+  /** The pair rule on the VIDEO modality (`pair_neardup_video`): the
+    * Hamming side over the clip-dHash fixture.
+    */
+  private lazy val pairNeardupVideoOracle: String =
+    pairNeardupOracleFrom(duckVideoDhashCtes, "vdh", "clip_dhash", "vmb")
 
   /** The PAIR A/B ingest loop replayed in SQL
     * (`pair_neardup_probe_updated` — the dedup_bloom_probe_updated
