@@ -408,11 +408,11 @@ object SparkEntry {
   private val AudioStoreParams =
     "v1 corpus=bkt<70 fp=afp"
   private val VecIndexParams =
-    "v3 corpus=all hier tls=32 nprobe=4 m=8 k=16 iters=1 pct=60 dim=64 " +
-      "res=1 part=mod256"
+    "v4 corpus=all hier tls=32 nprobe=4 m=8 k=16 iters=1 pct=60 dim=64 " +
+      "res=1 part=mod256 sorted"
   private val VecIndexAbParams =
-    "v3 corpus=bkt<70 inc=bkt>=70 hier tls=32 nprobe=4 m=8 k=16 iters=1 " +
-      "pct=60 dim=64 res=1 part=mod256 appended"
+    "v4 corpus=bkt<70 inc=bkt>=70 hier tls=32 nprobe=4 m=8 k=16 iters=1 " +
+      "pct=60 dim=64 res=1 part=mod256 sorted appended compacted"
 
   /** The OPENED serving index, one per store dir per session: a
     * serving process opens its index once and holds it (driver-side
@@ -420,6 +420,15 @@ object SparkEntry {
     * re-listing the bucketed `codes/` layout on every query batch is a
     * bench-harness artifact, not a deployment cost — the timed probe
     * rows measure the probe, the warmup pass pays the open.
+    *
+    * INVALIDATION CONTRACT: a cached handle serves a point-in-time
+    * file listing, so any append/compact to the dir AFTER an open
+    * must drop the entry ([[invalidateVecIndex]]) or later probes
+    * silently miss appended files (append) or chase renamed ones
+    * (compact). Today every append/compact runs inside the
+    * family-ensure build blocks BEFORE the first open, and each
+    * build block ends by invalidating defensively — a future call
+    * site that mutates the dir mid-session must do the same.
     */
   private val vecIndexCache =
     scala.collection.concurrent.TrieMap
@@ -429,6 +438,10 @@ object SparkEntry {
                            sd: String): graft.simops.VectorIndexStore.Store =
     vecIndexCache.getOrElseUpdate(sd,
       graft.simops.VectorIndexStore.read(s, sd))
+
+  private def invalidateVecIndex(sd: String): Unit = {
+    vecIndexCache.remove(sd); ()
+  }
 
   /** The semantic family's registered constants — the SAME values are
     * passed to the Scala entries below and default the oracle CTE
@@ -641,6 +654,7 @@ object SparkEntry {
         graft.simops.VectorIndexStore.build(emb, "vec_id", "embedding",
           targetListSize = SemanticTargetListSize, m = 8, k = 16,
           iters = 1, fitSamplePct = 60, dim = 64), sd)
+      invalidateVecIndex(sd)
     }
     sd
   }
@@ -663,6 +677,13 @@ object SparkEntry {
       graft.simops.VectorIndexStore.appendWrite(
         graft.simops.VectorIndexStore.encode(emb.filter(bucket >= 70),
           "vec_id", "embedding", st0), sd)
+      // compact at append cadence (the serving contract): the A/B
+      // store serves from a compacted ~one-file-per-bucket layout, so
+      // the daily loop's file count stays bounded no matter how many
+      // appends accumulate between rebuilds. Decisions unchanged
+      // (append ≡ compacted-append pinned in EmbedStoreSpec).
+      graft.simops.VectorIndexStore.compact(s, sd)
+      invalidateVecIndex(sd)
     }
     sd
   }

@@ -144,8 +144,17 @@ object BloomStore {
     // sketch is a superset of every fingerprint row on disk at that
     // instant (extra positives die in the verify join; false
     // negatives remain impossible).
+    val old = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin.old")
+    // the swap window is two renames wide — retry the live path once
+    // before falling back, and if NEITHER file exists fail with the
+    // store state instead of an opaque FileNotFound on the .old path
     val src = if (fs.exists(path)) path
-      else new org.apache.hadoop.fs.Path(s"$dir/bloom.bin.old")
+      else if (fs.exists(old)) old
+      else if (fs.exists(path)) path // post-swap race: .old just deleted
+      else throw new java.io.FileNotFoundException(
+        s"no bloom sketch found at $dir (neither bloom.bin nor " +
+          "bloom.bin.old exists — store was never written or is " +
+          "mid-crash with no recoverable sketch)")
     val in = fs.open(src)
     val bloom = try BloomFilter.readFrom(in) finally in.close()
     (Store(spark.read.parquet(s"$dir/fingerprints"), bloom),

@@ -113,13 +113,18 @@ object SignatureStore {
 
   private[graft] def compactOne(spark: SparkSession, path: String,
                                 keys: Seq[String],
-                                partitionCols: Seq[String] = Nil): Unit = {
+                                partitionCols: Seq[String] = Nil,
+                                sortCols: Seq[String] = Nil): Unit = {
     val tmp = path + ".compact"
     // `partitionCols` preserves a partitioned store layout across the
-    // rewrite (the vecindex code store's list_id pruning contract)
+    // rewrite (the vecindex code store's list_id pruning contract);
+    // `sortCols` clusters rows inside each partition file so parquet
+    // row-group min/max statistics can prune WITHIN a bucket (the
+    // within-bucket list pruning the clamp region needs)
     val deduped = spark.read.parquet(path).dropDuplicates(keys)
     (if (partitionCols.isEmpty) deduped.write
      else deduped.repartition(partitionCols.map(col): _*)
+       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
        .write.partitionBy(partitionCols: _*))
       .mode("overwrite").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration

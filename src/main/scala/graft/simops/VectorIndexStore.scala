@@ -236,8 +236,13 @@ object VectorIndexStore {
     // nprobe-list join prunes the scan to the probed part_id buckets
     // (≤ min(nlist, MaxCodeParts) directories at ANY corpus size);
     // the repartition keeps it to ~one file per bucket instead of
-    // (tasks × buckets)
+    // (tasks × buckets), and the within-partition sort on list_id
+    // clusters each bucket's lists into distinct parquet row groups so
+    // the probe's list_id pushdown prunes INSIDE a bucket — above the
+    // MaxCodeParts clamp a bucket holds nlist/MaxCodeParts lists, and
+    // without row-group locality the scan would read all of them
     store.coded.repartition(col("part_id"))
+      .sortWithinPartitions(col("part_id"), col("list_id"))
       .write.mode("overwrite").partitionBy("part_id")
       .parquet(s"$dir/codes")
   }
@@ -249,9 +254,19 @@ object VectorIndexStore {
   def read(spark: SparkSession, dir: String): Store = {
     val coarse = spark.read.parquet(s"$dir/coarse").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-    val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val (m, k, residual, s) = (meta.getInt(0), meta.getInt(1),
-      meta.getBoolean(2), meta.getInt(3))
+    val metaDf = spark.read.parquet(s"$dir/meta")
+    // meta fields by NAME, with a versioned diagnostic: a pre-v3 store
+    // (3-field meta — no forest stride, no partition cap) must fail
+    // with "rebuild required", not a positional out-of-bounds error
+    // (library callers have no SparkEntry store.params fence)
+    val missing = Seq("s", "p").filterNot(metaDf.columns.contains)
+    require(missing.isEmpty,
+      s"stale VectorIndexStore layout at $dir: meta/ lacks " +
+        s"${missing.mkString(", ")} (pre-v3 store — rebuild required: " +
+        "delete the dir and re-run build + write)")
+    val meta = metaDf.collect().head
+    val (m, k, residual, s) = (meta.getAs[Int]("m"), meta.getAs[Int]("k"),
+      meta.getAs[Boolean]("residual"), meta.getAs[Int]("s"))
     val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     // per subspace: surviving original code ids SORTED, books aligned
@@ -261,7 +276,7 @@ object VectorIndexStore {
       byM.getOrElse(mi, Array.empty).map(_._2).sorted)
     val books = Array.tabulate(m)(mi =>
       byM.getOrElse(mi, Array.empty).sortBy(_._2).map(_._3))
-    val p = meta.getInt(4)
+    val p = meta.getAs[Int]("p")
     Store(Index(coarse, s, codes, books, m, k, residual, p),
       spark.read.parquet(s"$dir/subs"),
       spark.read.parquet(s"$dir/codes")
@@ -278,7 +293,15 @@ object VectorIndexStore {
     * compact on the retry cadence before serving).
     */
   def appendWrite(encoded: DataFrame, dir: String): Unit =
-    encoded.write.mode("append").partitionBy("part_id")
+    // the same one-file-per-touched-bucket + sorted-row-group layout
+    // contract as [[write]]: without the repartition every append
+    // lands up to (tasks × MaxCodeParts) small files — a year of
+    // daily ingests is 10⁵–10⁶ files per store before compaction,
+    // and the listing/footer tax was already measurable at the 100×
+    // anchor (2.6× probe drift on an otherwise-flat family)
+    encoded.repartition(col("part_id"))
+      .sortWithinPartitions(col("part_id"), col("list_id"))
+      .write.mode("append").partitionBy("part_id")
       .parquet(s"$dir/codes")
 
   /** Dedup the code rows by vec_id and rewrite via the crash-safe
@@ -289,7 +312,8 @@ object VectorIndexStore {
     */
   def compact(spark: SparkSession, dir: String): Unit =
     graft.dedup.SignatureStore.compactOne(spark, s"$dir/codes",
-      Seq("vec_id"), partitionCols = Seq("part_id"))
+      Seq("vec_id"), partitionCols = Seq("part_id"),
+      sortCols = Seq("list_id"))
 
   /** The serving-path top-k against the STORED index: the query batch
     * ranks the C coarse centroids (plan literals), takes its `nprobe`
