@@ -2433,6 +2433,24 @@ object SparkEntry {
         kNN = 5, nprobe = 4)
     }),
 
+    "similarity_ivfpq_probe_rerank" -> ((s, dir) => {
+      // TWO-STAGE serving retrieval (the production recall fix for
+      // ADC-only ranking): the stored-index probe keeps its top
+      // 4·k ADC candidates per query, fetches THOSE vectors from
+      // embeddings by key (a bounded O(queries·R) literal-In fetch
+      // that parquet row-group stats prune — never a corpus scan,
+      // plan-fenced), and re-ranks by exact cosine (round-4 + id
+      // tiebreak, the bruteForceTopK reproducibility convention).
+      // Same store, same probe geometry as similarity_ivfpq_probe;
+      // the oracle extends the hier-IVFADC replay with the
+      // shortlist + exact-cosine rerank CTEs.
+      val emb = Tables.embeddings(s, dir)
+      val sd = ensureVecIndexStore(s, dir)
+      graft.simops.VectorIndexStore.topKRerank(
+        emb.filter(col("vec_id") < 10), openVecIndex(s, sd),
+        "vec_id", "embedding", emb, kNN = 5, nprobe = 4)
+    }),
+
     "embedding_neardup" -> ((s, dir) =>
       // banded LSH candidates + exact cosine verify (no nested-loop pair
       // scan); params must stay in sync with the literal-plane oracle
@@ -5421,6 +5439,10 @@ object SparkEntry {
     // count(*) (the autoNlist contract), parquet round-trips exact
     "similarity_ivfpq_probe" -> duckVecIndexProbeOracle("TRUE"),
 
+    // the two-stage form: the same ADC chain shortlists top 4·k, then
+    // exact cosine re-ranks the shortlist (round-4 + id tiebreak)
+    "similarity_ivfpq_probe_rerank" -> duckVecIndexRerankOracle("TRUE"),
+
     // the A/B twin: geometry + fits from the bucket<70 corpus (the
     // store's build input), assignment + encode over EVERYTHING (the
     // appended increment encodes under the FROZEN forest — per-row
@@ -7367,7 +7389,7 @@ object SparkEntry {
     * query residual against each probed list's centroid, ADC over
     * that list's stored codes.
     */
-  private def duckVecIndexProbeOracle(fitWhere: String): String = {
+  private def duckVecIndexScoredCtes(fitWhere: String): String = {
     val reconJoins = (0 until pqM).map(mi =>
       (if (mi == 0) "FROM enc_0" else s"JOIN enc_$mi ON enc_$mi.id = enc_0.id") +
         s" JOIN cb_$mi r$mi ON r$mi.code = enc_$mi.code").mkString(" ")
@@ -7378,7 +7400,7 @@ object SparkEntry {
     }.mkString(" + ")
     val resid = "list_transform(list_zip(%s, %s), " +
       "p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
-    s"""WITH ${duckVecIndexCtes(fitWhere)},
+    s"""${duckVecIndexCtes(fitWhere)},
        rvh AS (SELECT id, ${resid.format("vv", "lcv")} AS vv FROM asgh),
        rsvh AS (SELECT rvh.id, rvh.vv FROM rvh
                 JOIN svh ON svh.id = rvh.id),
@@ -7405,12 +7427,38 @@ object SparkEntry {
            round($adcSum, 6) AS adist
          FROM qr JOIN asgh a USING (list_id)
          JOIN recon r ON r.id = a.id
-         WHERE a.id <> qr.query_id)
+         WHERE a.id <> qr.query_id)"""
+  }
+
+  private def duckVecIndexProbeOracle(fitWhere: String): String =
+    s"""WITH ${duckVecIndexScoredCtes(fitWhere)}
        SELECT query_id, neighbor_id, adist, rank FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY adist ASC, neighbor_id) AS rank
          FROM scored) WHERE rank <= 5"""
-  }
+
+  /** The TWO-STAGE retrieval replay (`similarity_ivfpq_probe_rerank`):
+    * the ADC chain above shortlists the top 4·k candidates per query
+    * (same adist/id ordering as the probe row), then the shortlist is
+    * re-scored with EXACT cosine between the original query and
+    * neighbor vectors (round-4 + id tiebreak — the bruteForceTopK
+    * convention; `+ 0.0` normalizes DuckDB's signed zero).
+    */
+  private def duckVecIndexRerankOracle(fitWhere: String): String =
+    s"""WITH ${duckVecIndexScoredCtes(fitWhere)},
+       shortl AS (SELECT query_id, neighbor_id FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY adist ASC, neighbor_id) AS arn
+           FROM scored) WHERE arn <= 20),
+       rer AS (SELECT sl.query_id, sl.neighbor_id,
+           round(${duckCosine("q.vv", "n.vv")}, 4) + 0.0 AS sim
+         FROM shortl sl
+         JOIN vh q ON q.id = sl.query_id
+         JOIN vh n ON n.id = sl.neighbor_id)
+       SELECT query_id, neighbor_id, sim, rank FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, neighbor_id) AS rank
+         FROM rer) WHERE rank <= 5"""
 
   /** The winnowing fingerprint rows `(doc_id, fp)` as DuckDB CTEs
     * (k = 8, w = 4 — the registered parameters), shared by the

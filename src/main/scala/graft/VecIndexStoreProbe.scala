@@ -29,6 +29,13 @@ object VecIndexStoreProbe {
     val tls = if (args.length > 1) args(1).toInt else 8
     val compareLit = args.length <= 2 || args(2) == "1"
     val writeStore = args.length <= 3 || args(3) == "1"
+    // rowGroupBytes (arg 5, 0 = parquet default): shrink the parquet
+    // row-group/page geometry for the WRITE so a local-scale bucket
+    // holds many row groups — the shape a 100 TB store has naturally
+    // (a clamp-region bucket is corpus/256 rows ≈ hundreds of 128 MB
+    // groups) — letting the within-bucket list_id pushdown's
+    // row-group pruning be MEASURED locally instead of asserted
+    val rowGroupBytes = if (args.length > 4) args(4).toInt else 0
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -37,6 +44,13 @@ object VecIndexStoreProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (rowGroupBytes > 0) {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.setInt("parquet.block.size", rowGroupBytes)
+      hc.setInt("parquet.page.size", math.max(rowGroupBytes / 8, 1024))
+      println(s"PROBE rowGroupBytes=$rowGroupBytes (scale-simulation " +
+        "write geometry)")
+    }
 
     val dim = 64
     val vecs = spark.range(n).select(col("id").as("vec_id"),
@@ -109,9 +123,48 @@ object VecIndexStoreProbe {
         df.queryExecution.toRdd.count()
         df
       }
-      val pruned = probe.queryExecution.executedPlan.toString
-        .toLowerCase.contains("dynamicpruning")
-      println(s"PROBE dpp_pruned=$pruned " +
+      val planStr = probe.queryExecution.executedPlan.toString
+      val pruned = planStr.contains("PartitionFilters: [part_id") &&
+        planStr.contains("PushedFilters: [In(list_id")
+      // the within-bucket amplification measurement (clamp region:
+      // each part_id bucket holds nlist/MaxCodeParts lists): rows the
+      // pruned scan actually emitted vs the two structural bounds —
+      // all rows in the probed BUCKETS (what bucket-level pruning
+      // alone reads: the pre-pushdown cost) and the rows of the
+      // probed LISTS (the ideal). The scan metric should sit at or
+      // near the list bound once row-group stats can bite (at
+      // production row-group sizes a bucket holds many groups; see
+      // rowGroupBytes below for the local simulation knob).
+      val qp = VectorIndexStore.probeFrame(q, store, "vec_id",
+        "embedding", nprobe = 4)
+      val probedPL = qp.select(col("part_id"), col("list_id"))
+        .distinct().collect().map(r => (r.getInt(0), r.getInt(1)))
+      val bucketRows = store.coded.filter(
+        col("part_id").isin(probedPL.map(_._1).distinct.toSeq: _*)).count()
+      val listRows = store.coded.filter(
+        col("list_id").isin(probedPL.map(_._2).distinct.toSeq: _*)).count()
+      // walk through AQE wrappers (AdaptiveSparkPlanExec replaces its
+      // tree at runtime; QueryStageExec wraps materialized stages) to
+      // reach the actual executed codes scan and its row metric
+      def scanRows(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+        val self = p match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.toString.contains("codes") =>
+            s.metrics("numOutputRows").value
+          case _ => 0L
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        self + kids.map(scanRows).sum
+      }
+      val scanRowsRead = scanRows(probe.queryExecution.executedPlan)
+      println(s"PROBE literal_pruned=$pruned scan_rows_read=$scanRowsRead " +
+        s"probed_bucket_rows=$bucketRows probed_list_rows=$listRows " +
         s"stored=${store.coded.count()} codes in $nlist lists")
     }
     spark.stop()

@@ -322,9 +322,10 @@ object VectorIndexStore {
     * · S) candidate lists per query), keeps the `nprobe` best global
     * lists, residual-projects against each probed list's centroid,
     * and ADC-scores ONLY the probed lists' stored code rows — the
-    * codes join carries the `part_id` bucket key, so dynamic
-    * partition pruning cuts the scan to the probed buckets (fenced
-    * in PlanAuditSpec). No corpus fit, no corpus encode, no corpus
+    * probed (part_id, list_id) set is bounded and pushed into the
+    * codes scan as LITERAL filters, so partition pruning is static
+    * and row-group stats prune within each bucket (fenced in
+    * PlanAuditSpec). No corpus fit, no corpus encode, no corpus
     * vector read anywhere in the timed plan.
     *
     * Output: (query_id, neighbor_id, adist, rank). A subless coarse
@@ -334,10 +335,33 @@ object VectorIndexStore {
     */
   def topK(queries: DataFrame, store: Store, idCol: String,
            vecCol: String, kNN: Int, nprobe: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    adcScored(probeFrame(queries, store, idCol, vecCol, nprobe), store)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        col("rank"))
+  }
+
+  /** The query batch's probed-list frame — (query_id, list_id,
+    * part_id, _qe = the query's residual in the probed list's space,
+    * _qv = the original query vector, kept for exact rerank):
+    * coarse rank against the driver-resident centroids (plan
+    * literals), sub rank from the stored forest (a broadcast-query
+    * join — O(nprobe · S) candidate lists per query), top `nprobe`
+    * global lists. LOCALCHECKPOINTED — bounded at queries × nprobe
+    * rows — so (a) the probed list set can be collected and pushed
+    * into the codes scan as LITERAL filters (static partition pruning
+    * on part_id + row-group pruning on list_id — no DPP subquery, no
+    * second query-batch scan), and (b) the timed ADC plan re-reads
+    * nothing upstream of it.
+    */
+  private[graft] def probeFrame(queries: DataFrame, store: Store,
+                                idCol: String, vecCol: String,
+                                nprobe: Int): DataFrame = {
     val ix = store.index
-    val idx = Embed.codeIndex(ix.codes, ix.k)
-    val cand = store.coded.select(col("vec_id").as("neighbor_id"),
-      col("list_id"), col("part_id"), col("codes").as("_codes"))
     val qc = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("_qv"))
@@ -348,7 +372,7 @@ object VectorIndexStore {
     val wl = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("_lsim").desc, col("list_id").asc)
-    val qp = qc
+    qc
       .join(store.subs.select(col("coarse_id"), col("sub_id"),
         col("centroid").as("_sc")), Seq("coarse_id"), "left")
       .withColumn("list_id",
@@ -365,17 +389,106 @@ object VectorIndexStore {
         if (ix.residual) residualCol(col("_qv"), col("_lc"))
         else col("_qv"))
       .select(col("query_id"), col("list_id"),
-        partIdCol(col("list_id"), ix.p).as("part_id"), col("_qe"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
-    cand.join(broadcast(qp), Seq("part_id", "list_id"))
+        partIdCol(col("list_id"), ix.p).as("part_id"), col("_qe"),
+        col("_qv"))
+      .localCheckpoint()
+  }
+
+  /** ADC-score the probed lists' stored code rows against the
+    * checkpointed probe frame. The probed (part_id, list_id) set is
+    * bounded (≤ queries × nprobe pairs) and already materialized, so
+    * it is collected and pushed into the codes scan as LITERAL
+    * filters: `part_id IN (...)` prunes partition directories
+    * STATICALLY (no DPP subquery) and `list_id IN (...)` reaches
+    * parquet as a pushed filter, where the sorted-within-bucket
+    * layout lets row-group min/max prune INSIDE a bucket — above the
+    * [[MaxCodeParts]] clamp a bucket holds nlist/MaxCodeParts lists,
+    * and without the pushdown the scan would read (then the join
+    * discard) all of them.
+    */
+  private def adcScored(qp: DataFrame, store: Store): DataFrame = {
+    val ix = store.index
+    val idx = Embed.codeIndex(ix.codes, ix.k)
+    // above the default inFilterThreshold (10) Spark converts a
+    // pushed In to a [min,max] RANGE before handing it to parquet —
+    // and a probed list set is spread across the id space, so the
+    // range covers nearly every row group and the within-bucket
+    // pruning this layout exists for silently evaporates (measured:
+    // 14 767 of 14 898 bucket rows still read at a 12 500-list
+    // geometry). The probed set is bounded (queries × nprobe ints),
+    // so raise the threshold past any realistic batch — parquet then
+    // evaluates true set membership against row-group stats.
+    qp.sparkSession.conf.set(
+      "spark.sql.parquet.pushdown.inFilterThreshold", 4096)
+    val probed = qp.select(col("part_id"), col("list_id")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val partIds = probed.map(_._1).distinct.sorted.toSeq
+    val listIds = probed.map(_._2).distinct.sorted.toSeq
+    val cand = store.coded
+      .filter(col("part_id").isin(partIds: _*) &&
+        col("list_id").isin(listIds: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("list_id"), col("part_id"), col("codes").as("_codes"))
+    cand.join(broadcast(qp.drop("_qv")), Seq("part_id", "list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", round(graft.functions.PqAdcExpr(
         col("_qe"), col("_codes"), idx, ix.books), 6))
+  }
+
+  /** Two-stage serving retrieval — ADC shortlist, exact re-rank: run
+    * the [[topK]] probe but keep the top `rerankR` (default 4·kNN)
+    * ADC candidates per query, fetch THOSE candidates' original
+    * vectors from `vectors` by key, and re-rank by exact cosine
+    * (rounded to 4 dp with id tiebreak — the
+    * [[Similarity.bruteForceTopK]] reproducibility convention).
+    *
+    * The quality gap this closes: ADC distance is computed against
+    * quantized reconstructions, so the ADC-only probe's recall is
+    * bounded by the codebook resolution; re-scoring a bounded
+    * shortlist with true cosine typically recovers most of the lost
+    * recall at O(queries · R) extra cost.
+    *
+    * Scale shape: the shortlist is bounded (queries × R rows,
+    * localCheckpointed), its id set is collected (bounded ints) and
+    * pushed into the `vectors` scan as a literal In(id) filter — a
+    * KEYED fetch that parquet row-group stats prune, never a corpus
+    * scan (fenced in PlanAuditSpec) — and both rerank joins are
+    * broadcast-small. No corpus fit, encode, or vector sweep
+    * anywhere.
+    */
+  def topKRerank(queries: DataFrame, store: Store, idCol: String,
+                 vecCol: String, vectors: DataFrame, kNN: Int,
+                 nprobe: Int = 4, rerankR: Int = -1): DataFrame = {
+    val r = if (rerankR > 0) rerankR else 4 * kNN
+    val qp = probeFrame(queries, store, idCol, vecCol, nprobe)
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    // the ADC shortlist: bounded queries × R rows, checkpointed so
+    // the rerank plan's keyed fetch never re-runs the ADC stage
+    val cands = adcScored(qp, store)
+      .withColumn("_arn", row_number().over(wA))
+      .filter(col("_arn") <= r)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val ids = cands.select(col("neighbor_id")).distinct()
+      .collect().map(_.get(0))
+    val fetched = vectors
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("_nv"))
+    val qv = qp.select(col("query_id"), col("_qv")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    fetched.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("sim", round(Similarity.cosinePre(
+        graft.functions.VectorOps.dot(col("_qv"), col("_nv")),
+        Similarity.norm(col("_qv")), Similarity.norm(col("_nv"))), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)
-      .select(col("query_id"), col("neighbor_id"), col("adist"),
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
         col("rank"))
   }
 

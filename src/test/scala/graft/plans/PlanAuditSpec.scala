@@ -584,24 +584,48 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name: expected the ADC scorer in the plan:\n$p")
       assert(!p.toLowerCase.contains("pqcodesexpr"),
         s"$name: corpus PQ re-encode kernel in the timed plan:\n$p")
-      // two embeddings scans are legitimate: the query batch feeding
-      // the probe join, plus dynamic partition pruning's subquery
-      // copy of the SAME pushed-filter batch scan (when DPP cannot
-      // reuse the broadcast exchange it replans the build side as a
-      // scalar subquery on the codes scan) — both are query-sized; a
-      // THIRD means the corpus vectors are being read
+      // the query-batch probe frame is localCheckpointed (bounded:
+      // queries × nprobe rows), so the timed ADC plan reads
+      // embeddings ZERO times — ANY embeddings scan here means
+      // corpus vectors leaked back into the serving path (this is
+      // the strict form of the old <=2 DPP-subquery allowance: with
+      // static pruning there is no subquery copy to excuse)
       assert(p.linesIterator.count(l => l.contains("embeddings.parquet")
-          && l.contains("ReadSchema")) <= 2,
-        s"$name: corpus vector scan beyond the query batch:\n$p")
-      // the scale-true layout contract: the codes scan must be pruned
-      // to the probed lists at the STORAGE level — a dynamic
-      // partition-pruning filter on list_id (the probe-join key)
-      // against the list_id-partitioned codes/ layout. Without it the
-      // probe scans the whole code store per query batch — linear in
-      // corpus, the r14 verdict's scale-killer.
-      assert(p.toLowerCase.contains("dynamicpruning"),
-        s"$name: codes scan not partition-pruned to the probed lists:\n$p")
+          && l.contains("ReadSchema")) == 0,
+        s"$name: embeddings scan in the timed serving plan:\n$p")
+      // the scale-true layout contract: the probed (part_id, list_id)
+      // set is bounded and collected before the scan, so the codes
+      // scan must carry LITERAL pruning filters — a STATIC partition
+      // filter on part_id (directory pruning without a DPP subquery)
+      // and a pushed In(list_id) parquet filter, which the
+      // sorted-within-bucket layout turns into row-group pruning
+      // INSIDE each bucket (the nlist/MaxCodeParts amplification fix
+      // for the clamp region). Without them the probe scans the whole
+      // code store per query batch — linear in corpus, the r14
+      // verdict's scale-killer.
+      assert(p.contains("PartitionFilters: [part_id"),
+        s"$name: codes scan not statically pruned to probed buckets:\n$p")
+      assert(p.contains("PushedFilters: [In(list_id"),
+        s"$name: probed list set not pushed to the codes scan:\n$p")
     }
+  }
+
+  test("similarity_ivfpq_probe_rerank: keyed vector fetch only, " +
+      "never a corpus sweep") {
+    // the two-stage row's timed plan is the rerank join over the
+    // CHECKPOINTED ADC shortlist: the only embeddings scan allowed is
+    // the candidate fetch, and it must carry the literal In(vec_id)
+    // pushdown — a bounded keyed read that parquet row-group stats
+    // prune. A second scan, or a scan without the In filter, means
+    // the rerank is sweeping corpus vectors.
+    val p = plan("similarity_ivfpq_probe_rerank")
+    assert(p.linesIterator.count(l => l.contains("embeddings.parquet")
+        && l.contains("ReadSchema")) == 1,
+      s"rerank must fetch vectors in exactly one keyed scan:\n$p")
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"candidate fetch must push the shortlist ids:\n$p")
+    assert(!p.toLowerCase.contains("pqcodesexpr"),
+      s"corpus PQ re-encode kernel in the timed plan:\n$p")
   }
 
   test("pair_neardup_probe: both persisted stores scanned, no corpus " +

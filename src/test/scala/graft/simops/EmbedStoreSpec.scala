@@ -76,15 +76,20 @@ class EmbedStoreSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("part_id=")),
       s"expected part_id partition dirs, got: ${dirs.toSeq}")
-    // plan: the codes scan must carry a dynamic partition-pruning
-    // filter on list_id (the join key against the broadcast query
-    // probe side) — the storage-level pruning the layout exists for
+    // plan: the probed (part_id, list_id) set is bounded and known
+    // before the scan, so the codes scan must carry LITERAL pruning
+    // filters — a static partition filter on part_id (directory
+    // pruning, no DPP subquery needed) and a pushed In(list_id)
+    // parquet filter (row-group pruning inside a bucket, the clamp
+    // region's scan-amplification fix)
     val q = corpus.filter(col("vec_id") < 8)
     val plan = VectorIndexStore.topK(q, VectorIndexStore.read(spark, sd),
       "vec_id", "embedding", kNN = 5, nprobe = 3)
       .queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("dynamicpruning"),
-      s"codes scan must be DPP-pruned to the probed lists:\n$plan")
+    assert(plan.contains("PartitionFilters: [part_id"),
+      s"codes scan must be statically pruned to the probed buckets:\n$plan")
+    assert(plan.contains("PushedFilters: [In(list_id"),
+      s"codes scan must push the probed list set to parquet:\n$plan")
   }
 
   test("appendWrite lands at most one new file per touched bucket " +
@@ -194,18 +199,33 @@ class EmbedStoreSpec extends AnyFunSuite {
     VectorIndexStore.write(VectorIndexStore.build(emb, "vec_id",
       "embedding", targetListSize = 32, m = 8, k = 16, iters = 1,
       fitSamplePct = 60, dim = 64), sd)
-    val stored = VectorIndexStore.topK(q, VectorIndexStore.read(spark, sd),
+    val store = VectorIndexStore.read(spark, sd)
+    val stored = VectorIndexStore.topK(q, store,
       "vec_id", "embedding", kNN = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerank = VectorIndexStore.topKRerank(q, store,
+      "vec_id", "embedding", emb, kNN = 5, nprobe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val flat = Embed.ivfPqTopK(q, emb, "vec_id", "embedding", kNN = 5,
       nlist = 16, nprobe = 4, m = 8, k = 16, iters = 1, fitSamplePct = 60)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val rStored = stored.intersect(brute).size.toDouble / brute.size
+    val rRerank = rerank.intersect(brute).size.toDouble / brute.size
     val rFlat = flat.intersect(brute).size.toDouble / brute.size
-    info(f"stored hier-probe recall@5 $rStored%.3f vs in-DAG flat " +
-      f"IVFPQ $rFlat%.3f (nprobe=4, autoNlist geometry)")
-    // the ivfPqTopK floor: probing nprobe of nlist lists through the
-    // two-level forest must not collapse recall to chance
-    assert(rStored >= 0.1, s"stored probe recall $rStored")
+    info(f"stored hier-probe recall@5 $rStored%.3f, two-stage rerank " +
+      f"$rRerank%.3f, in-DAG flat IVFPQ $rFlat%.3f (nprobe=4)")
+    // floors anchored to the OBSERVED values minus a margin (not
+    // near-chance): a geometry change that badly degrades recall
+    // fails here, not in production. Observed: stored 0.280, flat
+    // 0.320, rerank strictly above stored (exact re-scoring can only
+    // fix ADC quantization misrankings inside the shortlist).
+    assert(rStored >= 0.2, s"stored probe recall $rStored")
+    assert(rStored >= rFlat - 0.15,
+      s"stored probe recall $rStored collapsed vs in-DAG flat $rFlat")
+    // observed 0.520 vs 0.280 — the rerank stage must keep a
+    // MATERIAL margin over ADC-only, not merely match it
+    assert(rRerank >= rStored + 0.1,
+      s"two-stage rerank recall $rRerank not materially above " +
+        s"ADC-only $rStored")
   }
 }
