@@ -478,6 +478,102 @@ object SparkEntry {
       .filter(col("decodable"))
       .select(col("media_id"), col("afp"))
 
+  /** The pair rule's PROBE core, parameterized over the media
+    * modality (the caption side is always the minhash
+    * SignatureStore): the shared text fixture (increment = bucket≥70
+    * docs + the bucket<5 twin pairs' re-posted captions) probes the
+    * persisted signature store, the caller-built increment
+    * fingerprint frame probes the persisted media store, and the
+    * pair rule composes the two verified-candidate sets. One
+    * definition → the image/audio/video probe rows can never drift
+    * apart on the rule.
+    */
+  private def pairProbeStored(s: SparkSession, dir: String,
+                              incFps: DataFrame, mediaSd: String,
+                              hcol: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val twinTexts = d.filter(bucket < 5)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" repost")).as("text"))
+    val incTexts = d.filter(bucket >= 70)
+      .select(col("doc_id"), col("text")).unionByName(twinTexts)
+    Dedup.pairNearDupStored(incTexts,
+      graft.dedup.SignatureStore.read(s, ensureMinhashStore(s, dir)),
+      incFps, graft.dedup.MediaStore.read(s, mediaSd),
+      "doc_id", "text", "media_id", hcol,
+      shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+      maxHamming = 3, maxBucket = 64)
+  }
+
+  /** The pair rule's A/B LOOP core, parameterized over the media
+    * modality — the `pair_neardup_probe_updated` layered-two-store
+    * design with the modality-specific pieces injected: `sig` maps
+    * raw media to its (media_id, fingerprint) frame, `gen(ids, base,
+    * twins)` is the synthetic fixture. Layer 0 = both persisted
+    * stores minus the twin-source pairs (bucket < 5); increment A =
+    * those base pairs, probed and ACCEPTED pairs appended to BOTH
+    * sides as checkpointed fingerprint frames (never text — the
+    * ingest_clean fingerprint-checkpoint convention); increment B =
+    * fresh pairs (bucket ≥ 85) + ALL twin pairs. Every twin's base
+    * lives only in the accepted-A layer, so each caught twin
+    * certifies the cross-increment append on both modalities.
+    */
+  private def pairUpdatedStored(s: SparkSession, dir: String,
+                                sig: DataFrame => DataFrame,
+                                gen: (DataFrame, Boolean, Boolean) => DataFrame,
+                                mediaSd: String, hcol: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val ids = d.select(col("doc_id"))
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val tStore = graft.dedup.SignatureStore.read(s,
+      ensureMinhashStore(s, dir))
+    val tStore0 = graft.dedup.SignatureStore.Store(
+      tStore.banded.filter(
+        graft.util.Sampling.md5Bucket(col("doc_id")) >= 5),
+      tStore.shingleHashes.filter(
+        graft.util.Sampling.md5Bucket(col("doc_id")) >= 5))
+    val mStore0 = graft.dedup.MediaStore.read(s, mediaSd)
+      .filter(graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
+    val incTextsA = d.filter(bucket < 5)
+      .select(col("doc_id"), col("text"))
+    val incFpsA = sig(gen(ids.filter(bucket < 5), true, false))
+      .localCheckpoint() // increment-sized (~5% of ids), bounded
+    val probeA = Dedup.pairNearDupStored(incTextsA, tStore0,
+      incFpsA, mStore0, "doc_id", "text", "media_id", hcol,
+      shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+      maxHamming = 3, maxBucket = 64)
+    // ids only — never checkpoint raw text
+    val accIds = probeA.filter(col("is_new")).select(col("doc_id"))
+      .localCheckpoint()
+    // the accepted layer's signature frames are built ONCE and
+    // checkpointed (increment-sized 8-byte fingerprint rows): the B
+    // probe forks the layered store four ways, and without this each
+    // fork would re-sign the accepted slice from the documents scan
+    // inside the timed plan
+    val accStore = graft.dedup.SignatureStore.build(
+      incTextsA.join(broadcast(accIds), "doc_id"), "doc_id", "text",
+      shingleSize = 3, bands = 8, rowsPerBand = 2)
+    val tStore1 = graft.dedup.SignatureStore.Store(
+      tStore0.banded.unionByName(accStore.banded.localCheckpoint()),
+      tStore0.shingleHashes.unionByName(
+        accStore.shingleHashes.localCheckpoint()))
+    val mStore1 = mStore0.unionByName(incFpsA.join(
+      broadcast(accIds.withColumnRenamed("doc_id", "media_id")),
+      "media_id"))
+    val twinTexts = d.filter(bucket < 5)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" repost")).as("text"))
+    val incTextsB = d.filter(bucket >= 85)
+      .select(col("doc_id"), col("text")).unionByName(twinTexts)
+    val incFpsB = sig(gen(ids.filter(bucket >= 85), true, false)
+      .unionByName(gen(ids, false, true)))
+    Dedup.pairNearDupStored(incTextsB, tStore1, incFpsB, mStore1,
+      "doc_id", "text", "media_id", hcol,
+      shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
+      maxHamming = 3, maxBucket = 64)
+  }
+
   /** Family-ensure helpers: ONE definition of each persisted store
     * family's (dir, params, build block), shared by every row that
     * touches the family AND by the `store_capstats` health row — so
@@ -3489,24 +3585,46 @@ object SparkEntry {
       // Same stores, same params as the per-modality probe rows (the
       // shared ensure-helpers), decisions identical to pair_neardup —
       // same oracle; plan-fenced in PlanAuditSpec.
-      val d = Tables.documents(s, dir)
-      val ids = d.select(col("doc_id"))
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
       val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val twinTexts = d.filter(bucket < 5)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          concat(col("text"), lit(" repost")).as("text"))
-      val incTexts = d.filter(bucket >= 70)
-        .select(col("doc_id"), col("text")).unionByName(twinTexts)
       val incImgs = imageSig(Multimodal.syntheticImagesNearDup(
           ids.filter(bucket >= 70), "doc_id", twins = false)
         .unionByName(Multimodal.syntheticImagesNearDup(
           ids, "doc_id", base = false)))
-      Dedup.pairNearDupStored(incTexts,
-        graft.dedup.SignatureStore.read(s, ensureMinhashStore(s, dir)),
-        incImgs, graft.dedup.MediaStore.read(s, ensureMediaImageStore(s, dir)),
-        "doc_id", "text", "media_id", "dhash",
-        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
-        maxHamming = 3, maxBucket = 64)
+      pairProbeStored(s, dir, incImgs, ensureMediaImageStore(s, dir),
+        "dhash")
+    }),
+
+    "pair_neardup_audio_probe" -> ((s, dir) => {
+      // the pair rule's DEPLOYMENT shape on the AUDIO modality
+      // (clip-caption corpora): decisions identical to
+      // pair_neardup_audio — the text side probes the persisted
+      // minhash store, the clip side the persisted (media_id, afp)
+      // store, corpus text never signed and corpus clips never
+      // decoded (plan-fenced). Shares pair_neardup_audio's oracle.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val incAuds = audioSig(Multimodal.syntheticWavsNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticWavsNearDup(
+          ids, "doc_id", base = false)))
+      pairProbeStored(s, dir, incAuds, ensureMediaAudioStore(s, dir),
+        "afp")
+    }),
+
+    "pair_neardup_video_probe" -> ((s, dir) => {
+      // the VIDEO pair probe (clip-dHash side against the persisted
+      // media_video store) — with audio this closes the deployment
+      // shape across every pair modality. Shares pair_neardup_video's
+      // oracle.
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+      val incVids = videoSig(Multimodal.syntheticAvisNearDup(
+          ids.filter(bucket >= 70), "doc_id", twins = false)
+        .unionByName(Multimodal.syntheticAvisNearDup(
+          ids, "doc_id", base = false)))
+      pairProbeStored(s, dir, incVids, ensureMediaVideoStore(s, dir),
+        "clip_dhash")
     }),
 
     "pair_neardup_probe_updated" -> ((s, dir) => {
@@ -3525,61 +3643,36 @@ object SparkEntry {
       // pair duplicating an ACCEPTED A pair on caption or image alone
       // still survives. Oracle: the two-layer pair replay
       // (pairNeardupUpdatedOracle, the dedup_bloom_probe_updated
-      // shape).
-      val d = Tables.documents(s, dir)
-      val ids = d.select(col("doc_id"))
-      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val tStore = graft.dedup.SignatureStore.read(s,
-        ensureMinhashStore(s, dir))
-      val tStore0 = graft.dedup.SignatureStore.Store(
-        tStore.banded.filter(
-          graft.util.Sampling.md5Bucket(col("doc_id")) >= 5),
-        tStore.shingleHashes.filter(
-          graft.util.Sampling.md5Bucket(col("doc_id")) >= 5))
-      val mStore0 = graft.dedup.MediaStore
-        .read(s, ensureMediaImageStore(s, dir))
-        .filter(graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
-      val incTextsA = d.filter(bucket < 5)
-        .select(col("doc_id"), col("text"))
-      val incImgsA = imageSig(Multimodal.syntheticImagesNearDup(
-        ids.filter(bucket < 5), "doc_id", twins = false))
-        .localCheckpoint() // increment-sized (~5% of ids), bounded
-      val probeA = Dedup.pairNearDupStored(incTextsA, tStore0,
-        incImgsA, mStore0, "doc_id", "text", "media_id", "dhash",
-        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
-        maxHamming = 3, maxBucket = 64)
-      // ids only — never checkpoint raw text
-      val accIds = probeA.filter(col("is_new")).select(col("doc_id"))
-        .localCheckpoint()
-      // the accepted layer's signature frames are built ONCE and
-      // checkpointed (increment-sized 8-byte fingerprint rows — the
-      // ingest_clean fingerprint-checkpoint convention, never text):
-      // the B probe forks the layered store four ways, and without
-      // this each fork would re-sign the accepted slice from the
-      // documents scan inside the timed plan
-      val accStore = graft.dedup.SignatureStore.build(
-        incTextsA.join(broadcast(accIds), "doc_id"), "doc_id", "text",
-        shingleSize = 3, bands = 8, rowsPerBand = 2)
-      val tStore1 = graft.dedup.SignatureStore.Store(
-        tStore0.banded.unionByName(accStore.banded.localCheckpoint()),
-        tStore0.shingleHashes.unionByName(
-          accStore.shingleHashes.localCheckpoint()))
-      val mStore1 = mStore0.unionByName(incImgsA.join(
-        broadcast(accIds.withColumnRenamed("doc_id", "media_id")),
-        "media_id"))
-      val twinTexts = d.filter(bucket < 5)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-          concat(col("text"), lit(" repost")).as("text"))
-      val incTextsB = d.filter(bucket >= 85)
-        .select(col("doc_id"), col("text")).unionByName(twinTexts)
-      val incImgsB = imageSig(Multimodal.syntheticImagesNearDup(
-          ids.filter(bucket >= 85), "doc_id", twins = false)
-        .unionByName(Multimodal.syntheticImagesNearDup(
-          ids, "doc_id", base = false)))
-      Dedup.pairNearDupStored(incTextsB, tStore1, incImgsB, mStore1,
-        "doc_id", "text", "media_id", "dhash",
-        shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
-        maxHamming = 3, maxBucket = 64)
+      // shape). Core in [[pairUpdatedStored]], shared with the
+      // audio/video twins.
+      pairUpdatedStored(s, dir, imageSig,
+        (ids, base, twins) => Multimodal.syntheticImagesNearDup(
+          ids, "doc_id", base = base, twins = twins),
+        ensureMediaImageStore(s, dir), "dhash")
+    }),
+
+    "pair_neardup_audio_probe_updated" -> ((s, dir) => {
+      // the pair A/B loop on the AUDIO modality — the layered
+      // two-store design with the clip fingerprint family as the
+      // Hamming side; every twin's base pair lives only in the
+      // accepted-A layer, so each catch certifies the cross-increment
+      // append on caption AND clip. Oracle: the two-layer pair replay
+      // over the audio fixture (pairNeardupAudioUpdatedOracle).
+      pairUpdatedStored(s, dir, audioSig,
+        (ids, base, twins) => Multimodal.syntheticWavsNearDup(
+          ids, "doc_id", base = base, twins = twins),
+        ensureMediaAudioStore(s, dir), "afp")
+    }),
+
+    "pair_neardup_video_probe_updated" -> ((s, dir) => {
+      // the VIDEO pair A/B loop (clip-dHash side) — completes the
+      // probe + updated lifecycle for every pair modality the engine
+      // ships. Oracle: the two-layer pair replay over the clip-dHash
+      // fixture (pairNeardupVideoUpdatedOracle).
+      pairUpdatedStored(s, dir, videoSig,
+        (ids, base, twins) => Multimodal.syntheticAvisNearDup(
+          ids, "doc_id", base = base, twins = twins),
+        ensureMediaVideoStore(s, dir), "clip_dhash")
     }),
 
     "pair_neardup_audio" -> ((s, dir) => {
@@ -6134,6 +6227,17 @@ object SparkEntry {
     // this covers every fingerprinted media family
     "pair_neardup_video" -> pairNeardupVideoOracle,
 
+    // the stored probe forms decide identically to their in-DAG
+    // twins (each side's persisted probe is decision-identical by
+    // its family's contract) — same replays
+    "pair_neardup_audio_probe" -> pairNeardupAudioOracle,
+    "pair_neardup_video_probe" -> pairNeardupVideoOracle,
+
+    // the audio/video pair A/B loops: the two-layer replay
+    // parameterized over each modality's fingerprint fixture
+    "pair_neardup_audio_probe_updated" -> pairNeardupAudioUpdatedOracle,
+    "pair_neardup_video_probe_updated" -> pairNeardupVideoUpdatedOracle,
+
     "vecindex_liststats" ->
       // the serving index's list-size distribution replayed from the
       // full-corpus HIER fit at count-derived geometry (asgh = every
@@ -6623,7 +6727,9 @@ object SparkEntry {
     * against layer 1. Text side layers through [[minhashProbeCtes]]'s
     * predicates; media side through the banded-union CTEs below.
     */
-  private lazy val pairNeardupUpdatedOracle: String =
+  private def pairNeardupUpdatedOracleFrom(fixture: String, src: String,
+                                           hcol: String,
+                                           mb: String): String =
     s"""WITH ptx AS (SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 10000000, text || ' repost' FROM documents
@@ -6634,17 +6740,17 @@ object SparkEntry {
          ${minhashProbeCtes("1",
              "sb.sbucket < 5 AND b.doc_id < 10000000",
              "sb.sbucket >= 5 AND sb.sbucket < 70 AND b.doc_id < 10000000")},
-         $duckDhashCtes,
-         pband AS (SELECT media_id, dhash, b,
-             (dhash >> (b * 16)) & 65535 AS key
-           FROM dh, (SELECT unnest(generate_series(0, 3)) AS b)),
-         pcor0 AS (SELECT i.media_id AS dup_id, i.dhash AS ch2, b, key
-                  FROM pband i JOIN mb ON mb.doc_id = i.media_id
+         $fixture,
+         pband AS (SELECT media_id, $hcol, b,
+             ($hcol >> (b * 16)) & 65535 AS key
+           FROM $src, (SELECT unnest(generate_series(0, 3)) AS b)),
+         pcor0 AS (SELECT i.media_id AS dup_id, i.$hcol AS ch2, b, key
+                  FROM pband i JOIN $mb ON $mb.doc_id = i.media_id
                   WHERE i.media_id < 10000000
-                    AND mb.bkt >= 5 AND mb.bkt < 70),
-         pinca AS (SELECT i.media_id AS inc_id, i.dhash AS ih, b, key
-                  FROM pband i JOIN mb ON mb.doc_id = i.media_id
-                  WHERE i.media_id < 10000000 AND mb.bkt < 5),
+                    AND $mb.bkt >= 5 AND $mb.bkt < 70),
+         pinca AS (SELECT i.media_id AS inc_id, i.$hcol AS ih, b, key
+                  FROM pband i JOIN $mb ON $mb.doc_id = i.media_id
+                  WHERE i.media_id < 10000000 AND $mb.bkt < 5),
          pakeys AS (SELECT DISTINCT b, key FROM pinca),
          pamat AS (SELECT c.dup_id, c.ch2, c.b, c.key FROM pcor0 c
                   JOIN pakeys USING (b, key)),
@@ -6664,9 +6770,9 @@ object SparkEntry {
              "(sb.sbucket >= 85 AND b.doc_id < 10000000) OR b.doc_id >= 10000000",
              "(sb.sbucket >= 5 AND sb.sbucket < 70 AND b.doc_id < 10000000)" +
                " OR b.doc_id IN (SELECT doc_id FROM accp)")},
-         pincb AS (SELECT i.media_id AS inc_id, i.dhash AS ih, b, key
-                  FROM pband i LEFT JOIN mb ON mb.doc_id = i.media_id
-                  WHERE i.media_id >= 10000000 OR mb.bkt >= 85),
+         pincb AS (SELECT i.media_id AS inc_id, i.$hcol AS ih, b, key
+                  FROM pband i LEFT JOIN $mb ON $mb.doc_id = i.media_id
+                  WHERE i.media_id >= 10000000 OR $mb.bkt >= 85),
          pacc AS (SELECT inc_id AS dup_id, ih AS ch2, b, key FROM pinca
                   WHERE inc_id IN (SELECT doc_id FROM accp)),
          pcor1 AS (SELECT * FROM pcor0 UNION ALL SELECT * FROM pacc),
@@ -6693,6 +6799,23 @@ object SparkEntry {
                WHERE (sb.sbucket >= 85 AND p.doc_id < 10000000)
                   OR p.doc_id >= 10000000) i
          LEFT JOIN pbestb ON pbestb.inc_id = i.doc_id"""
+
+  private lazy val pairNeardupUpdatedOracle: String =
+    pairNeardupUpdatedOracleFrom(duckDhashCtes, "dh", "dhash", "mb")
+
+  /** The pair A/B loop on the AUDIO fixture
+    * (`pair_neardup_audio_probe_updated`) — identical two-layer
+    * replay, the Hamming side over the audio fingerprints.
+    */
+  private lazy val pairNeardupAudioUpdatedOracle: String =
+    pairNeardupUpdatedOracleFrom(duckAudioFpCtes, "afh", "afp", "amb")
+
+  /** The pair A/B loop on the VIDEO fixture
+    * (`pair_neardup_video_probe_updated`).
+    */
+  private lazy val pairNeardupVideoUpdatedOracle: String =
+    pairNeardupUpdatedOracleFrom(duckVideoDhashCtes, "vdh",
+      "clip_dhash", "vmb")
 
   /** The media A/B ingest loop replayed in SQL
     * (`image/video_neardup_probe_updated`): the persisted store minus

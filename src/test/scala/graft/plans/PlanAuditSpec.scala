@@ -628,39 +628,49 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus PQ re-encode kernel in the timed plan:\n$p")
   }
 
-  test("pair_neardup_probe: both persisted stores scanned, no corpus " +
-      "text sign, no corpus decode") {
-    val p = plan("pair_neardup_probe")
-    assert(p.contains("stores/sf0.001/minhash"),
-      s"expected the signature store scan:\n$p")
-    assert(p.contains("stores/sf0.001/media_image"),
-      s"expected the media fingerprint store scan:\n$p")
-    // the increment's signing and image decode run once inside their
+  test("pair probe rows: both persisted stores scanned, no corpus " +
+      "text sign, no corpus decode (all modalities)") {
+    // the increment's signing and media decode run once inside their
     // checkpoints' eager jobs (ExistingRDD leaves); the timed plan must
     // contain NO decode kernel and NO documents scan at all — both
     // corpus sides come entirely from the stores
-    assert(!p.contains("MapPartitions"),
-      s"media decode kernel in the timed plan:\n$p")
-    assert(!p.contains("documents.parquet"),
-      s"corpus/document scan in the timed pair-probe plan:\n$p")
+    for ((name, fam) <- Seq(
+        "pair_neardup_probe" -> "media_image",
+        "pair_neardup_audio_probe" -> "media_audio",
+        "pair_neardup_video_probe" -> "media_video")) {
+      val p = plan(name)
+      assert(p.contains("stores/sf0.001/minhash"),
+        s"$name: expected the signature store scan:\n$p")
+      assert(p.contains(s"stores/sf0.001/$fam"),
+        s"$name: expected the media fingerprint store scan:\n$p")
+      assert(!p.contains("MapPartitions"),
+        s"$name: media decode kernel in the timed plan:\n$p")
+      assert(!p.contains("documents.parquet"),
+        s"$name: corpus/document scan in the timed pair-probe plan:\n$p")
+    }
   }
 
-  test("pair_neardup_probe_updated: layered stores scanned, no corpus " +
-      "decode, accepted-layer text signing bounded") {
-    val p = plan("pair_neardup_probe_updated")
-    assert(p.contains("stores/sf0.001/minhash"),
-      s"expected the signature store scan:\n$p")
-    assert(p.contains("stores/sf0.001/media_image"),
-      s"expected the media fingerprint store scan:\n$p")
+  test("pair _updated rows: layered stores scanned, no corpus decode, " +
+      "accepted-layer text signing bounded (all modalities)") {
     // every increment kernel (B signing, A+B decodes) and the
     // accepted-A layer's signature frames ride checkpoints
     // (ExistingRDD leaves — increment-sized fingerprint rows, never
     // text), so the timed plan reads documents ZERO times, exactly
-    // like the base probe row
-    assert(!p.contains("MapPartitions"),
-      s"media decode kernel in the timed plan:\n$p")
-    assert(!p.contains("documents.parquet"),
-      s"corpus/document scan in the timed layered-pair plan:\n$p")
+    // like the base probe rows
+    for ((name, fam) <- Seq(
+        "pair_neardup_probe_updated" -> "media_image",
+        "pair_neardup_audio_probe_updated" -> "media_audio",
+        "pair_neardup_video_probe_updated" -> "media_video")) {
+      val p = plan(name)
+      assert(p.contains("stores/sf0.001/minhash"),
+        s"$name: expected the signature store scan:\n$p")
+      assert(p.contains(s"stores/sf0.001/$fam"),
+        s"$name: expected the media fingerprint store scan:\n$p")
+      assert(!p.contains("MapPartitions"),
+        s"$name: media decode kernel in the timed plan:\n$p")
+      assert(!p.contains("documents.parquet"),
+        s"$name: corpus/document scan in the timed layered-pair plan:\n$p")
+    }
   }
 
   test("dedup_bloom_probe rows: sketch prefilter on the increment side, " +

@@ -27,7 +27,7 @@ class RegistrySpec extends AnyFunSuite {
   test("surface size matches the documented count") {
     // SURVEY §2.5 / README quote this number; drift between code and
     // docs is a recurring judge finding — sync them together
-    assert(graft.SparkEntry.queries.size == 195,
+    assert(graft.SparkEntry.queries.size == 199,
       s"queries.size=${graft.SparkEntry.queries.size}: update SURVEY.md " +
         "§2.5, README.md, and this fence together")
   }
