@@ -282,6 +282,56 @@ object StreamingOps {
         "media_id", "clip_dhash", maxHamming, maxBucket), batchId)
     }
 
+  /** The streaming twin of the cross-modal PAIR ingest decision
+    * ([[graft.dedup.Dedup.pairNearDupStored]]) — the last decision
+    * family to get its batch≡stream pair: each micro-batch of
+    * (pair id, caption, media payload) rows probes BOTH persisted
+    * corpus stores — the caption side against the MinHash
+    * [[graft.dedup.SignatureStore]], the media side (fingerprinted
+    * once per batch by the caller-supplied `sig`, the partition-scoped
+    * codec contract) against the (media_id, fingerprint) store — and
+    * the sink receives one (doc_id, dup_of, jaccard, hamming, is_new)
+    * pair decision per incoming pair: drop iff BOTH sides flag the
+    * SAME prior pair.
+    *
+    * `textStore` and `corpusFps` are THUNKS, re-evaluated per
+    * trigger: the intended sink appends each batch's ACCEPTED pairs
+    * to BOTH stores (signature rows via
+    * [[graft.dedup.SignatureStore.appendWrite]], fingerprints to the
+    * media store path), so the next micro-batch probes corpus ∪
+    * previously-accepted on both modalities — arrival-order-wins,
+    * the batch A/B loop's contract per trigger. The query itself
+    * keeps NO state; the two stores are the state.
+    *
+    * Parity contract (pinned in StreamingSpec): per-pair decisions
+    * depend only on (pair, both stores), so the first trigger is
+    * bit-identical to the batch operator, and a twin PAIR arriving
+    * after its base was accepted in an earlier micro-batch is caught
+    * on BOTH modalities — the cross-batch paired-twin case.
+    *
+    * Scale shape per trigger is the batch plan's: O(micro-batch)
+    * signing + decode, increment band keys broadcast against both
+    * store scans, the candidate-bounded pair join — the corpora
+    * never shuffle.
+    */
+  def pairIngestProbe(pairs: DataFrame,
+                      textStore: () => graft.dedup.SignatureStore.Store,
+                      corpusFps: () => DataFrame,
+                      sig: DataFrame => DataFrame, fpCol: String,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      shingleSize: Int = 3, bands: Int = 8,
+                      rowsPerBand: Int = 2, threshold: Double = 0.5,
+                      maxHamming: Int = 3, maxBucket: Int = 64)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pairs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.dedup.Dedup.pairNearDupStored(
+        batch.select(col(idCol), col(textCol)), textStore(),
+        sig(batch), corpusFps(), idCol, textCol, "media_id", fpCol,
+        shingleSize, bands, rowsPerBand, threshold, maxHamming,
+        maxBucket), batchId)
+    }
+
   /** The ingest-probe contract for the EMBEDDING modality — the last
     * of the modality set (text spans/composite, image, video): each
     * micro-batch of (vec_id, embedding) rows probes the corpus with

@@ -429,6 +429,114 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchB1(65L) == got(65L))
   }
 
+  test("pairIngestProbe: compacting stream catches a cross-batch paired " +
+      "twin on BOTH modalities; one-side match survives") {
+    import spark.implicits._
+    val M = graft.multimodal.Multimodal
+    // id-unique captions: every 3-token shingle carries an id-bearing
+    // token, so distinct pairs share zero shingles; twin captions are
+    // EXACT copies (the affine-minhash convention — a suffix twin can
+    // lose all 16 signature slots to one added shingle)
+    def caption(id: Long) = s"pair caption $id with tokens " +
+      s"alpha$id bravo$id charlie$id delta$id echo$id"
+    def pairFeed(ids: Seq[Long], capOf: Long => Long,
+                 twinImgs: Boolean): org.apache.spark.sql.DataFrame = {
+      val texts = ids.map(i => (if (twinImgs) i + 10000000L else i,
+        caption(capOf(i)))).toDF("doc_id", "text")
+      val imgs = M.syntheticImagesNearDup(ids.toDF("doc_id"), "doc_id",
+        base = !twinImgs, twins = twinImgs)
+        .withColumnRenamed("media_id", "doc_id")
+      texts.join(imgs, "doc_id")
+    }
+    // corpus = pairs {1, 2, 62}: caption signatures persisted as the
+    // SignatureStore, image fingerprints as the media store
+    val corpusTexts = Seq(1L, 2L, 62L).map(i => (i, caption(i)))
+      .toDF("doc_id", "text")
+    val textSd = java.nio.file.Files
+      .createTempDirectory("pair_text_store").toString
+    graft.dedup.SignatureStore.write(graft.dedup.SignatureStore.build(
+      corpusTexts, "doc_id", "text", shingleSize = 3, bands = 8,
+      rowsPerBand = 2), textSd)
+    val mediaSd = java.nio.file.Files
+      .createTempDirectory("pair_media_store").toString
+    M.dhashFeatures(M.syntheticImagesNearDup(
+        Seq(1L, 2L, 62L).toDF("doc_id"), "doc_id", twins = false))
+      .filter(col("decodable")).select(col("media_id"), col("dhash"))
+      .write.mode("overwrite").parquet(mediaSd)
+    // b1 = fresh pair 65 (must be accepted and compacted into BOTH
+    // stores); b2 = twin pairs of {62, 65} (copied caption + perturbed
+    // image) plus pair 66: caption copied from 62 but a FRESH image —
+    // the one-side-match case that must SURVIVE under the pair rule
+    val b1 = pairFeed(Seq(65L), identity, twinImgs = false)
+    val b2 = pairFeed(Seq(62L, 65L), identity, twinImgs = true)
+      .unionByName(pairFeed(Seq(66L), _ => 62L, twinImgs = false))
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("pair_feed").toString
+    b1.coalesce(1).write.mode("append").parquet(feedDir)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(feedDir)
+    val schema = spark.read.parquet(feedDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    def sig(batch: org.apache.spark.sql.DataFrame) =
+      M.dhashFeatures(batch.select(col("doc_id").as("media_id"),
+          col("content")))
+        .filter(col("decodable")).select(col("media_id"), col("dhash"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    var batches = 0
+    val q = StreamingOps.pairIngestProbe(stream,
+        () => graft.dedup.SignatureStore.read(spark, textSd),
+        () => spark.read.parquet(mediaSd), sig, "dhash") { (df, _) =>
+      val rows = df.collect()
+      out.synchronized { out ++= rows; batches += 1 }
+      // compaction: ACCEPTED pairs join BOTH stores before the next
+      // trigger — arrival-order-wins on both modalities
+      val accepted = rows.filter(_.getBoolean(4)).map(_.getLong(0))
+      if (accepted.nonEmpty) {
+        val accFeed = spark.read.parquet(feedDir)
+          .filter(col("doc_id").isin(accepted: _*))
+        graft.dedup.SignatureStore.appendWrite(
+          graft.dedup.SignatureStore.build(
+            accFeed.select(col("doc_id"), col("text")), "doc_id",
+            "text", shingleSize = 3, bands = 8, rowsPerBand = 2),
+          textSd)
+        sig(accFeed).write.mode("append").parquet(mediaSd)
+      }
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 2, s"expected multiple micro-batches, got $batches")
+    val got = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(4))).toMap
+    // b1: pair 65 is fresh on both sides -> accepted
+    assert(got(65L) == (-1L, true), s"got: $got")
+    // b2: the twin PAIR of corpus pair 62 hits the original stores on
+    // both modalities -> dropped against 62
+    assert(got(10000062L) == (62L, false), s"got: $got")
+    // b2: the twin PAIR of ACCEPTED pair 65 matches only the
+    // compacted appends — the cross-micro-batch catch on BOTH sides
+    assert(got(10000065L) == (65L, false), s"got: $got")
+    // b2: pair 66 duplicates 62's caption but carries a fresh image —
+    // the pair rule keeps it (either side alone is fresh signal)
+    assert(got(66L) == (-1L, true), s"got: $got")
+    // batch parity on the first trigger: b1's decision equals the
+    // batch operator against the original stores
+    val batchB1 = graft.dedup.Dedup.pairNearDupStored(
+        b1.select(col("doc_id"), col("text")),
+        graft.dedup.SignatureStore.Store(
+          graft.dedup.SignatureStore.read(spark, textSd).banded
+            .filter(col("doc_id").isin(1L, 2L, 62L)),
+          graft.dedup.SignatureStore.read(spark, textSd).shingleHashes
+            .filter(col("doc_id").isin(1L, 2L, 62L))),
+        sig(b1),
+        spark.read.parquet(mediaSd)
+          .filter(col("media_id").isin(1L, 2L, 62L)),
+        "doc_id", "text", "media_id", "dhash").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(4))).toMap
+    assert(batchB1(65L) == got(65L))
+  }
+
   test("videoIngestProbe: compacting stream catches a cross-batch planted twin clip") {
     import spark.implicits._
     val M = graft.multimodal.Multimodal
