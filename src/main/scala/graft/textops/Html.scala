@@ -159,12 +159,24 @@ object Html {
                maxLinkPct: Int = 30): Column = {
     require(minWords >= 1 && maxLinkPct >= 0 && maxLinkPct <= 100,
       s"bad thresholds: minWords=$minWords maxLinkPct=$maxLinkPct")
+    graft.functions.HtmlMainStatsExpr(html, minWords, maxLinkPct)
+      .getField("main")
+  }
+
+  /** The original higher-order-function form of [[mainText]], kept as
+    * the kernel-equivalence twin (HtmlKernelSpec pins bit-equality):
+    * Catalyst evaluates HOF lambdas interpreted with no cross-lambda
+    * subexpression elimination, so this form pays `blocksOf` once plus
+    * `cleanOf` 2× per kept block — the kernel fuses it all into one
+    * scan.
+    */
+  private[graft] def mainTextViaColumns(html: Column, minWords: Int = 5,
+                                        maxLinkPct: Int = 30): Column =
     array_join(
       transform(
         filter(blocksOf(html), b => keepBlock(b, minWords, maxLinkPct)),
         cleanOf _),
       " ")
-  }
 
   /** Per-document MAIN-content extraction record — the
     * boilerplate-dropping twin of [[extract]] (same title/links
@@ -179,17 +191,37 @@ object Html {
   def extractMain(df: DataFrame, idCol: String, htmlCol: String,
                   minWords: Int = 5, maxLinkPct: Int = 30): DataFrame = {
     val h = col(htmlCol)
-    val blocks = blocksOf(h)
-    val main = mainText(h, minWords, maxLinkPct)
+    // ONE kernel evaluation per document (aliased in its own project so
+    // CollapseProject cannot inline the non-cheap expression into each
+    // consumer), then cheap field extractions — the HOF form paid
+    // blocksOf 3× and the per-block cleaner up to 3× per block
     df.select(col(idCol),
-      regexp_extract(h, titlePattern, 1).as("title"),
-      size(regexp_extract_all(h, lit(anchorPattern), lit(0)))
-        .cast("long").as("n_links"),
+        regexp_extract(h, titlePattern, 1).as("title"),
+        size(regexp_extract_all(h, lit(anchorPattern), lit(0)))
+          .cast("long").as("n_links"),
+        graft.functions.HtmlMainStatsExpr(h, minWords, maxLinkPct)
+          .as("_hm"))
+      .select(col(idCol), col("title"), col("n_links"),
+        col("_hm").getField("n_blocks").cast("long").as("n_blocks"),
+        col("_hm").getField("n_kept").cast("long").as("n_kept"),
+        length(col("_hm").getField("main")).cast("long").as("main_len"),
+        md5(col("_hm").getField("main")).as("main_fp"))
+  }
+
+  /** HOF twin of [[extractMain]]'s kernel columns (n_blocks, n_kept,
+    * main) for the kernel-equivalence spec.
+    */
+  private[graft] def extractMainViaColumns(df: DataFrame, idCol: String,
+      htmlCol: String, minWords: Int = 5,
+      maxLinkPct: Int = 30): DataFrame = {
+    val h = col(htmlCol)
+    val blocks = blocksOf(h)
+    val main = mainTextViaColumns(h, minWords, maxLinkPct)
+    df.select(col(idCol),
       size(filter(blocks, b => wordsOf(cleanOf(b)) > 0))
         .cast("long").as("n_blocks"),
       size(filter(blocks, b => keepBlock(b, minWords, maxLinkPct)))
         .cast("long").as("n_kept"),
-      length(main).cast("long").as("main_len"),
-      md5(main).as("main_fp"))
+      main.as("main"))
   }
 }
