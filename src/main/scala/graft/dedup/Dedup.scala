@@ -497,11 +497,15 @@ object Dedup {
     val incCandSh = incSh.join(
       broadcast(pairs.select(col("inc_id").as("doc_id")).distinct()),
       "doc_id")
-    val verified = pairs
+    // verify runs MAP-SIDE on the candidate-filtered corpus shingle
+    // scan (both build sides candidate-bounded — the same sizing as
+    // the candIds broadcast above); without the hints the planner
+    // picked a SortMergeJoin on dup_id (guide §3.1)
+    val verified = corpusSh
+      .select(col("doc_id").as("dup_id"), col("sh").as("sh_b"))
+      .join(broadcast(pairs), "dup_id")
       .join(broadcast(incCandSh.select(col("doc_id").as("inc_id"),
         col("sh").as("sh_a"))), "inc_id")
-      .join(corpusSh.select(col("doc_id").as("dup_id"),
-        col("sh").as("sh_b")), "dup_id")
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
@@ -594,11 +598,17 @@ object Dedup {
     val incCandSh = incSh.join(
       broadcast(pairs.select(col("inc_id").as("doc_id")).distinct()),
       "doc_id")
-    val verified = pairs
+    // verify runs MAP-SIDE on the candidate-filtered store scan: both
+    // pairs and the candidate increment hash arrays are
+    // candidate-bounded, so broadcast them INTO the store stream —
+    // without the hints the planner picked a SortMergeJoin on dup_id
+    // (post-join size estimates are unknown), paying two exchanges +
+    // sorts of candidate frames for nothing (guide §3.1)
+    val verified = corpusHs
+      .select(col("doc_id").as("dup_id"), col("hs").as("hs_b"))
+      .join(broadcast(pairs), "dup_id")
       .join(broadcast(incCandSh.select(col("doc_id").as("inc_id"),
         graft.functions.XxSortedHashesExpr(col("sh")).as("hs_a"))), "inc_id")
-      .join(corpusHs.select(col("doc_id").as("dup_id"),
-        col("hs").as("hs_b")), "dup_id")
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
@@ -814,10 +824,14 @@ object Dedup {
     */
   private def pairCompose(incIds: DataFrame, tver: DataFrame,
                           mver: DataFrame): DataFrame = {
+    // both verdict sets are candidate-bounded; broadcast the media side
+    // so the composition join is map-side on the text-verify stream
+    // (the planner's post-join estimates otherwise pick a
+    // SortMergeJoin with two exchanges of candidate frames, guide §3.1)
     val both = tver.select(col("inc_id").cast("long").as("inc_id"),
         col("dup_id").cast("long").as("dup_id"), col("jaccard"))
-      .join(mver.select(col("inc_id").cast("long").as("inc_id"),
-        col("dup_id").cast("long").as("dup_id"), col("hamming")),
+      .join(broadcast(mver.select(col("inc_id").cast("long").as("inc_id"),
+        col("dup_id").cast("long").as("dup_id"), col("hamming"))),
         Seq("inc_id", "dup_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("inc_id"))
