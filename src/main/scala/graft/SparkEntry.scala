@@ -3218,7 +3218,10 @@ object SparkEntry {
           .cast("long").as("doc_id"),
         col("body").cast("string").as("html"))
       graft.pipeline.Pipeline.crawlClean(resp, "doc_id", "html",
-        minQuality = 0.3, budget = 2048)
+        minQuality = 0.3, budget = 2048,
+        scratchDir = Some(java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          "graft_crawl_clean_ex").toString))
     }),
 
     "jsonl_roundtrip" -> ((s, dir) => {

@@ -336,9 +336,28 @@ object Dedup {
 
     val shs = shingleSetsOf(graft.util.Par.spread(df), idCol, textCol,
       shingleSize)
-    pairs
-      .join(shs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    // ONE corpus shingle pass for the verify: joining shs by doc_a and
+    // again by doc_b evaluated the shingle kernel twice and (at scale,
+    // where shs exceeds the broadcast threshold) exchanged the corpus
+    // shingle arrays twice — the guide §8 anti-pattern of shuffling the
+    // heavy payload per join key. MELT the candidate pairs to one row
+    // per (pair, member doc), join the shingle stream ONCE on doc_id
+    // (the planner broadcasts the candidate side when it fits;
+    // otherwise one corpus exchange instead of two), and stitch the two
+    // arrays back per pair with a candidate-bounded aggregation.
+    // Exactly one row per (pair, role) exists, so the ignoreNulls
+    // `first` is deterministic; a pair whose member lacks a shingle row
+    // yields a null side → null jaccard → filtered, identical to the
+    // inner joins it replaces.
+    val melted = pairs.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    shs.join(melted, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")),
+          ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")),
+          ignoreNulls = true).as("sh_b"))
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /

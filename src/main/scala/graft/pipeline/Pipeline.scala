@@ -864,9 +864,17 @@ object Pipeline {
   def crawlCleanNarrow(responses: DataFrame, idCol: String,
                        htmlCol: String, minQuality: Double,
                        minWords: Int = 5,
-                       maxLinkPct: Int = 30): DataFrame = {
-    val extracted = crawlExtracted(responses, idCol, htmlCol, minWords,
-      maxLinkPct)
+                       maxLinkPct: Int = 30): DataFrame =
+    narrowFromExtracted(crawlExtracted(responses, idCol, htmlCol,
+      minWords, maxLinkPct), idCol, minQuality)
+
+  /** [[crawlCleanNarrow]]'s gate + fingerprint exact-dedup over an
+    * ALREADY-extracted `(idCol, _main)` frame — shared by the inline
+    * and materialized-extraction paths of [[crawlClean]] so both make
+    * bit-identical decisions.
+    */
+  private def narrowFromExtracted(extracted: DataFrame, idCol: String,
+                                  minQuality: Double): DataFrame = {
     val gated = graft.util.Par.spread(extracted)
       .select(col(idCol), col("_main"),
         TextOps.gateStats(col("_main")).as("_ts"))
@@ -887,11 +895,30 @@ object Pipeline {
                  minWords: Int = 5, maxLinkPct: Int = 30,
                  shingleSize: Int = 3, bands: Int = 8,
                  rowsPerBand: Int = 2, threshold: Double = 0.5,
-                 maxBucket: Int = 64, numBuckets: Int = 32): DataFrame = {
-    val extracted = crawlExtracted(responses, idCol, htmlCol, minWords,
+                 maxBucket: Int = 64, numBuckets: Int = 32,
+                 scratchDir: Option[String] = None): DataFrame = {
+    // `scratchDir`: materialize the extraction ONCE (overwritten per
+    // invocation — a scratch artifact, never a cross-run cache). The
+    // extracted frame forks four ways downstream (gate/narrow pass,
+    // LSH candidate shingles, and BOTH sides of the exact-Jaccard
+    // verify join — different join keys, so ReuseExchange cannot
+    // merge them), and each un-materialized fork replays WARC
+    // read + gunzip + main-content extraction over the whole crawl.
+    // Corpus-scale frames must not be localCheckpoint'd (the
+    // MemoryStore leak convention), so parquet-backing is the
+    // materialization of record — the same reasoning as the
+    // `_probe` store rows, and what a real pipeline does anyway
+    // (extraction output IS the artifact). Guide §8: move the heavy
+    // bytes once, decide on cheap scans.
+    val extracted0 = crawlExtracted(responses, idCol, htmlCol, minWords,
       maxLinkPct)
-    val kept = crawlCleanNarrow(responses, idCol, htmlCol, minQuality,
-        minWords, maxLinkPct)
+    val extracted = scratchDir match {
+      case Some(sd) =>
+        extracted0.write.mode("overwrite").parquet(sd)
+        responses.sparkSession.read.parquet(sd)
+      case None => extracted0
+    }
+    val kept = narrowFromExtracted(extracted, idCol, minQuality)
       .localCheckpoint()
     val survivorText = extracted.select(col(idCol), col("_main").as("text"))
       .join(kept.select(col(idCol)), Seq(idCol), "left_semi")
