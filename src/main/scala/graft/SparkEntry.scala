@@ -2174,8 +2174,12 @@ object SparkEntry {
       val store0 = graft.dedup.SignatureStore.readSpans(s, sd)
       val probeA = Dedup.spanIncrementalStored(incA, store0,
         "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
-      val accepted = incA.join(
-        probeA.filter(col("is_new")).select(col("doc_id")), "doc_id")
+      // bounded accepted-ids checkpoint (the pairUpdatedStored
+      // convention) — truncates the A-probe DAG out of the B probe's
+      // plan; decisions unchanged
+      val accIds = probeA.filter(col("is_new")).select(col("doc_id"))
+        .localCheckpoint()
+      val accepted = incA.join(broadcast(accIds), "doc_id")
       val store1 = graft.dedup.SignatureStore.appendSpans(store0, accepted,
         "doc_id", "text", k = 8, w = 4)
       Dedup.spanIncrementalStored(incB, store1,
@@ -2334,10 +2338,22 @@ object SparkEntry {
       val probeA = Dedup.minhashIncrementalStored(incA, store0,
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
         threshold = 0.5)
-      val accepted = incA.join(
-        probeA.filter(col("is_new")).select(col("doc_id")), "doc_id")
-      val store1 = graft.dedup.SignatureStore.append(store0, accepted,
-        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2)
+      // the pairUpdatedStored convention (r16): checkpoint the
+      // accepted IDS (bounded, increment-sized) and the accepted
+      // layer's built store frames (increment-sized 8-byte rows) so
+      // the B probe's plan does not embed the ENTIRE A-probe DAG once
+      // per store fork — the un-truncated form planned a 190 KB tree
+      // (plans/r16/dedup_minhash_stored_updated_before.txt) whose
+      // Catalyst/AQE planning dwarfed its execution
+      val accIds = probeA.filter(col("is_new")).select(col("doc_id"))
+        .localCheckpoint()
+      val accStore = graft.dedup.SignatureStore.build(
+        incA.join(broadcast(accIds), "doc_id"), "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2)
+      val store1 = graft.dedup.SignatureStore.Store(
+        store0.banded.unionByName(accStore.banded.localCheckpoint()),
+        store0.shingleHashes.unionByName(
+          accStore.shingleHashes.localCheckpoint()))
       Dedup.minhashIncrementalStored(incB, store1,
         "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
         threshold = 0.5)
@@ -2436,9 +2452,13 @@ object SparkEntry {
       val incA = e.filter(bucket >= 70 && bucket < 85)
       val probeA = graft.simops.Embed.semanticDedupStored(incA, store,
         "vec_id", "embedding", threshold = 0.4)
+      // bounded accepted-ids checkpoint (the pairUpdatedStored
+      // convention) — keeps the A-probe DAG out of the B probe's plan
+      val accIds = probeA.filter(col("is_new")).select(col("vec_id"))
+        .localCheckpoint()
       val acceptedA = graft.simops.SemanticStore.assign(store, incA,
           "vec_id", "embedding")
-        .join(probeA.filter(col("is_new")).select(col("vec_id")), "vec_id")
+        .join(broadcast(accIds), "vec_id")
       graft.simops.Embed.semanticDedupStored(e.filter(bucket >= 85),
         graft.simops.SemanticStore.append(store, acceptedA),
         "vec_id", "embedding", threshold = 0.4)
@@ -3455,8 +3475,11 @@ object SparkEntry {
         .localCheckpoint() // increment-sized (~5% of ids), bounded
       val probeA = Dedup.hammingIncremental(fpsA, corpus0,
         "media_id", "clip_dhash", maxHamming = 3, maxBucket = 64)
+      // bounded accepted-ids checkpoint (the pairUpdatedStored
+      // convention) — keeps the A-probe DAG out of the B probe's plan
       val acceptedA = fpsA.join(
-        probeA.filter(col("is_new")).select(col("media_id")), "media_id")
+        broadcast(probeA.filter(col("is_new")).select(col("media_id"))
+          .localCheckpoint()), "media_id")
       val incB = videoSig(Multimodal.syntheticAvisNearDup(
           ids.filter(bucket >= 85), "doc_id", twins = false)
         .unionByName(Multimodal.syntheticAvisNearDup(
@@ -3532,8 +3555,11 @@ object SparkEntry {
         .localCheckpoint() // increment-sized (~5% of ids), bounded
       val probeA = Dedup.hammingIncremental(fpsA, corpus0,
         "media_id", "dhash", maxHamming = 3, maxBucket = 64)
+      // bounded accepted-ids checkpoint (the pairUpdatedStored
+      // convention) — keeps the A-probe DAG out of the B probe's plan
       val acceptedA = fpsA.join(
-        probeA.filter(col("is_new")).select(col("media_id")), "media_id")
+        broadcast(probeA.filter(col("is_new")).select(col("media_id"))
+          .localCheckpoint()), "media_id")
       val incB = imageSig(Multimodal.syntheticImagesNearDup(
           ids.filter(bucket >= 85), "doc_id", twins = false)
         .unionByName(Multimodal.syntheticImagesNearDup(
@@ -3925,8 +3951,11 @@ object SparkEntry {
         .localCheckpoint() // increment-sized (~5% of ids), bounded
       val probeA = Dedup.hammingIncremental(fpsA, corpus0,
         "media_id", "afp", maxHamming = 3, maxBucket = 64)
+      // bounded accepted-ids checkpoint (the pairUpdatedStored
+      // convention) — keeps the A-probe DAG out of the B probe's plan
       val acceptedA = fpsA.join(
-        probeA.filter(col("is_new")).select(col("media_id")), "media_id")
+        broadcast(probeA.filter(col("is_new")).select(col("media_id"))
+          .localCheckpoint()), "media_id")
       val incB = audioSig(Multimodal.syntheticWavsNearDup(
           ids.filter(bucket >= 85), "doc_id", twins = false)
         .unionByName(Multimodal.syntheticWavsNearDup(
