@@ -1496,3 +1496,144 @@ object BloomContainsExpr {
     GraftColumnBridge.toColumn(
       new BloomContainsExpr(GraftColumnBridge.toExpression(c), bloom))
 }
+
+/** Language-ID kernel — see [[LangIdExpr]]. */
+object LangIdUtil {
+
+  final class Dict(langs: Seq[(String, Seq[String])]) extends Serializable {
+    /** lowercase marker token → bitmask of language indexes (langs are
+      * few; an Int mask is plenty). */
+    val tokenMask: java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer]()
+      langs.zipWithIndex.foreach { case ((_, words), i) =>
+        words.foreach { w =>
+          val k = UTF8String.fromString(w)
+          val prev = m.get(k)
+          m.put(k, Integer.valueOf(
+            (if (prev == null) 0 else prev.intValue()) | (1 << i)))
+        }
+      }
+      m
+    }
+    val langCodes: Array[UTF8String] =
+      langs.map(l => UTF8String.fromString(l._1)).toArray
+    val und: UTF8String = UTF8String.fromString("und")
+    val maxTokBytes: Int =
+      if (langs.forall(_._2.isEmpty)) 0
+      else langs.flatMap(_._2)
+        .map(w => UTF8String.fromString(w).numBytes()).max
+  }
+
+  /** One fused pass replacing the per-language Column pipeline
+    * `array_max(array(struct(markerHits(text, words_i), lang_i)))`
+    * where `markerHits = size(filter(array_distinct(tokens(lower(
+    * text))), t => array_contains(dict_i, t)))`:
+    *
+    *   - lowercase ONCE via `UTF8String.toLowerCase` (the `lower()`
+    *     runtime — bit-identical by construction);
+    *   - tokenize the lowered bytes by maximal non-`\s` runs (ASCII
+    *     whitespace bytes never occur inside multi-byte UTF-8
+    *     sequences, so this equals `split(lowered, "\\s+")` minus
+    *     empties);
+    *   - DISTINCT tokens via a seen-set (array_distinct semantics:
+    *     repeated filler counts once per language);
+    *   - per distinct token, one map lookup bumps every language whose
+    *     dictionary contains it (tokens longer than the longest dict
+    *     entry skip the allocation + lookup);
+    *   - the winner replays `array_max` over `struct(hits, lang)`
+    *     EXACTLY: highest hits, ties to the binary-GREATEST lang code;
+    *     zero hits everywhere → "und".
+    *
+    * The Column form recomputed tokenize+lower+distinct once per
+    * LANGUAGE in interpreted HOF lambdas.
+    */
+  def langId(text: UTF8String, dict: Dict): UTF8String = {
+    val lowered = text.toLowerCase
+    val n = lowered.numBytes()
+    val base = lowered.getBaseObject
+    val off = lowered.getBaseOffset
+    val hits = new Array[Int](dict.langCodes.length)
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      // skip \s run (9-13, 32 — never part of a multi-byte sequence)
+      var b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b == 32 || (b >= 9 && b <= 13)) { i += 1 }
+      else {
+        val start = i
+        var done = false
+        while (!done && i < n) {
+          b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+          if (b == 32 || (b >= 9 && b <= 13)) done = true else i += 1
+        }
+        val len = i - start
+        if (len <= dict.maxTokBytes) {
+          val t = UTF8String.fromAddress(base, off + start, len)
+          if (seen.add(t)) {
+            val mask = dict.tokenMask.get(t)
+            if (mask != null) {
+              var m = mask.intValue()
+              var k = 0
+              while (m != 0) {
+                if ((m & 1) != 0) hits(k) += 1
+                m >>>= 1
+                k += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    var best = -1
+    var bestHits = 0
+    var k = 0
+    while (k < hits.length) {
+      if (hits(k) > 0 && (best < 0 || hits(k) > bestHits ||
+          (hits(k) == bestHits &&
+            dict.langCodes(k).compareTo(dict.langCodes(best)) > 0))) {
+        best = k
+        bestHits = hits(k)
+      }
+      k += 1
+    }
+    if (best < 0) dict.und else dict.langCodes(best)
+  }
+}
+
+/** `lang_id(text)` — see [[LangIdUtil.langId]]. Bit-identical to the
+  * per-language Column pipeline it replaces (LangIdKernelSpec pins
+  * equality; the Column form stays as [[graft.textops.TextOps
+  * .langIdViaColumns]]).
+  */
+case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+
+  @transient private lazy val dict = new LangIdUtil.Dict(langs)
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lang_id needs a string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LangIdUtil.langId(input.asInstanceOf[UTF8String], dict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("langDict", dict,
+      "graft.functions.LangIdUtil.Dict")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LangIdUtil.langId($c, $dictRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangIdExpr {
+  def apply(c: Column, langs: Seq[(String, Seq[String])]): Column =
+    GraftColumnBridge.toColumn(
+      new LangIdExpr(GraftColumnBridge.toExpression(c), langs))
+}

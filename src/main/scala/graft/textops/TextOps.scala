@@ -230,7 +230,16 @@ object TextOps {
     * deterministic alphabetical tiebreak; "und" (undetermined) when no
     * marker hits at all.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.LangIdExpr(text, stopwords.toSeq.sortBy(_._1))
+
+  /** The original per-language Column form of [[langId]], kept as the
+    * kernel-equivalence twin (LangIdKernelSpec pins bit-equality): it
+    * recomputed tokenize+lower+distinct once per LANGUAGE in
+    * interpreted HOF lambdas — the kernel fuses all languages into one
+    * tokenization pass.
+    */
+  private[graft] def langIdViaColumns(text: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
       struct(markerHits(text, words).as("hits"), lit(langCode).as("lang"))
     }
