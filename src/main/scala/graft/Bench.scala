@@ -4,13 +4,16 @@ object Bench {
   /** Scored-artifact routing: ONLY the canonical sf0.1 dir (exact
     * basename — `endsWith("sf0.1")` also matched the zsf0.1 anchor
     * dir, the precise clobbering class this routing exists to close)
-    * writes `bench.json`; every other scale lands in
-    * `bench_adhoc.json`.
+    * at the canonical 32-core count writes `bench.json`; an sf0.1 run
+    * at any other core count (the driver's scaling pass) lands in
+    * `bench_c<cpus>.json` — in r16 the c8 scaling run clobbered the
+    * scored c32 artifact because routing keyed on sfDir alone. Every
+    * other scale lands in `bench_adhoc.json`.
     */
-  private[graft] def artifactFor(sfDir: String): String =
-    if (new java.io.File(sfDir.stripSuffix("/")).getName == "sf0.1")
-      "bench.json"
-    else "bench_adhoc.json"
+  private[graft] def artifactFor(sfDir: String, cpus: String): String =
+    if (new java.io.File(sfDir.stripSuffix("/")).getName == "sf0.1") {
+      if (cpus == "32") "bench.json" else s"bench_c$cpus.json"
+    } else "bench_adhoc.json"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,10 +130,19 @@ object Bench {
     // explicitly routes it — an sf0.01 debug run and an interleaved
     // re-run have each clobbered the scored file in past rounds
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .getOrElse(artifactFor(sfDir))
+      .getOrElse(artifactFor(sfDir, cpus))
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
+    // compact summary as the FINAL stdout line: at 199 queries the full
+    // contract line above is ~7 kB and the driver keeps only a ~2 kB
+    // stdout tail, so its start (the {"metric"... prefix) was truncated
+    // away and PERF had no parseable bench for two rounds. This line is
+    // ~200 bytes — it always survives the tail — and names the artifact
+    // that holds the full per-query map.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"loadavg_start":$loadAvg,"artifact":"$out"}"""
+    println(summary)
     spark.stop()
   }
 }
