@@ -537,30 +537,10 @@ object SparkEntry {
       .filter(graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
     val incTextsA = d.filter(bucket < 5)
       .select(col("doc_id"), col("text"))
+    // NOT checkpointed: its only consumer is the hamming leg, whose
+    // own banded checkpoint pays the decode once (r16 shipped a
+    // redundant second checkpoint job here)
     val incFpsA = sig(gen(ids.filter(bucket < 5), true, false))
-      .localCheckpoint() // increment-sized (~5% of ids), bounded
-    val probeA = Dedup.pairNearDupStored(incTextsA, tStore0,
-      incFpsA, mStore0, "doc_id", "text", "media_id", hcol,
-      shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
-      maxHamming = 3, maxBucket = 64)
-    // ids only — never checkpoint raw text
-    val accIds = probeA.filter(col("is_new")).select(col("doc_id"))
-      .localCheckpoint()
-    // the accepted layer's signature frames are built ONCE and
-    // checkpointed (increment-sized 8-byte fingerprint rows): the B
-    // probe forks the layered store four ways, and without this each
-    // fork would re-sign the accepted slice from the documents scan
-    // inside the timed plan
-    val accStore = graft.dedup.SignatureStore.build(
-      incTextsA.join(broadcast(accIds), "doc_id"), "doc_id", "text",
-      shingleSize = 3, bands = 8, rowsPerBand = 2)
-    val tStore1 = graft.dedup.SignatureStore.Store(
-      tStore0.banded.unionByName(accStore.banded.localCheckpoint()),
-      tStore0.shingleHashes.unionByName(
-        accStore.shingleHashes.localCheckpoint()))
-    val mStore1 = mStore0.unionByName(incFpsA.join(
-      broadcast(accIds.withColumnRenamed("doc_id", "media_id")),
-      "media_id"))
     val twinTexts = d.filter(bucket < 5)
       .select((col("doc_id") + lit(10000000L)).as("doc_id"),
         concat(col("text"), lit(" repost")).as("text"))
@@ -568,10 +548,52 @@ object SparkEntry {
       .select(col("doc_id"), col("text")).unionByName(twinTexts)
     val incFpsB = sig(gen(ids.filter(bucket >= 85), true, false)
       .unionByName(gen(ids, false, true)))
-    Dedup.pairNearDupStored(incTextsB, tStore1, incFpsB, mStore1,
-      "doc_id", "text", "media_id", hcol,
-      shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.5,
-      maxHamming = 3, maxBucket = 64)
+    // ALL FOUR increment-side checkpoint builds fired concurrently
+    // (guide §2.6): the two B frames are store-independent — B's
+    // media decode and caption signing (the row's only real kernel
+    // work) overlap the entire A probe instead of queueing behind it;
+    // these are small fixed-latency jobs nowhere near saturating the
+    // cluster, so overlap is pure wall-clock.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val sigAF = Future(Dedup.minhashIncSig(incTextsA, "doc_id", "text",
+      shingleSize = 3, bands = 8, rowsPerBand = 2))
+    val bndAF = Future(Dedup.hammingBandedCkpt(incFpsA, "media_id", hcol))
+    val sigBF = Future(Dedup.minhashIncSig(incTextsB, "doc_id", "text",
+      shingleSize = 3, bands = 8, rowsPerBand = 2))
+    val bndBF = Future(Dedup.hammingBandedCkpt(incFpsB, "media_id", hcol))
+    val sigA = Await.result(sigAF, Duration.Inf)
+    val bndA = Await.result(bndAF, Duration.Inf)
+    val (incIdsA, tverA) = Dedup.minhashStoredProbeFromSig(sigA, tStore0,
+      bands = 8, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
+    val (_, mverA) = Dedup.hammingProbeFromBanded(bndA, mStore0,
+      "media_id", hcol, maxHamming = 3, maxBucket = 64)
+    // ids only — never checkpoint raw text
+    val accIds = Dedup.pairCompose(incIdsA, tverA, mverA)
+      .filter(col("is_new")).select(col("doc_id")).localCheckpoint()
+    // the accepted layer's store frames are DERIVED from the A probe's
+    // own checkpoints (text: fused (sh, sig); media: banded
+    // fingerprints) — zero re-signing, zero re-decoding, and zero
+    // additional checkpoint jobs where r16 spent three (accStore
+    // banded + hashes + incFpsA). The derivations are narrow
+    // recomputes over ExistingRDD leaves, so the B probe's plan stays
+    // documents-free (PlanAuditSpec fence unchanged).
+    val accLayer = Dedup.acceptedLayerFromSig(sigA, accIds,
+      bands = 8, rowsPerBand = 2)
+    val tStore1 = graft.dedup.SignatureStore.Store(
+      tStore0.banded.unionByName(accLayer.banded),
+      tStore0.shingleHashes.unionByName(accLayer.shingleHashes))
+    val mStore1 = mStore0.unionByName(Dedup.acceptedMediaFromBanded(
+      bndA, accIds.withColumnRenamed("doc_id", "media_id"),
+      "media_id", hcol))
+    val sigB = Await.result(sigBF, Duration.Inf)
+    val bndB = Await.result(bndBF, Duration.Inf)
+    val (incIdsB, tverB) = Dedup.minhashStoredProbeFromSig(sigB, tStore1,
+      bands = 8, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
+    val (_, mverB) = Dedup.hammingProbeFromBanded(bndB, mStore1,
+      "media_id", hcol, maxHamming = 3, maxBucket = 64)
+    Dedup.pairCompose(incIdsB, tverB, mverB)
   }
 
   /** Family-ensure helpers: ONE definition of each persisted store
@@ -2172,18 +2194,34 @@ object SparkEntry {
             "doc_id", "text", k = 8, w = 4), sd)
       }
       val store0 = graft.dedup.SignatureStore.readSpans(s, sd)
-      val probeA = Dedup.spanIncrementalStored(incA, store0,
-        "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
+      // increment B's winnow checkpoint is store-independent — built
+      // concurrently with the whole A phase (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fpsBF = Future(Dedup.spanIncFps(incB, "doc_id", "text",
+        k = 8, w = 4))
+      val fpsA = Dedup.spanIncFps(incA, "doc_id", "text", k = 8, w = 4)
+      val probeA = Dedup.spanStoredProbeFromFps(incA, fpsA, store0,
+        "doc_id", minShared = 5, maxDf = 16)
       // bounded accepted-ids checkpoint (the pairUpdatedStored
       // convention) — truncates the A-probe DAG out of the B probe's
-      // plan; decisions unchanged
+      // plan; decisions unchanged. The accepted DELTA rows derive from
+      // the A probe's own winnow checkpoint (broadcast id filter) —
+      // r16 re-winnowed the accepted slice inside the B plan
+      // (appendSpans over the raw accepted docs); winnowing is per-row
+      // deterministic, so the rows are identical (pinned in DedupSpec)
       val accIds = probeA.filter(col("is_new")).select(col("doc_id"))
         .localCheckpoint()
-      val accepted = incA.join(broadcast(accIds), "doc_id")
-      val store1 = graft.dedup.SignatureStore.appendSpans(store0, accepted,
-        "doc_id", "text", k = 8, w = 4)
-      Dedup.spanIncrementalStored(incB, store1,
-        "doc_id", "text", k = 8, w = 4, minShared = 5, maxDf = 16)
+      val accDeltas = fpsA.join(
+          broadcast(accIds.withColumnRenamed("doc_id", "inc_id")),
+          "inc_id")
+        .select(col("inc_id").as("doc_id"), col("fp"))
+      val store1 = graft.dedup.SignatureStore.mergeSpanDeltas(store0,
+        accDeltas)
+      Dedup.spanStoredProbeFromFps(incB,
+        Await.result(fpsBF, Duration.Inf), store1,
+        "doc_id", minShared = 5, maxDf = 16)
     }),
 
     "dedup_incremental" -> ((s, dir) => {
@@ -2335,28 +2373,38 @@ object SparkEntry {
       val incB = d.filter(bucket >= 85)
       val sd = ensureMinhashStore(s, dir)
       val store0 = graft.dedup.SignatureStore.read(s, sd)
-      val probeA = Dedup.minhashIncrementalStored(incA, store0,
-        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
-        threshold = 0.5)
       // the pairUpdatedStored convention (r16): checkpoint the
-      // accepted IDS (bounded, increment-sized) and the accepted
-      // layer's built store frames (increment-sized 8-byte rows) so
-      // the B probe's plan does not embed the ENTIRE A-probe DAG once
-      // per store fork — the un-truncated form planned a 190 KB tree
+      // accepted IDS (bounded, increment-sized) so the B probe's plan
+      // does not embed the ENTIRE A-probe DAG once per store fork —
+      // the un-truncated form planned a 190 KB tree
       // (plans/r16/dedup_minhash_stored_updated_before.txt) whose
-      // Catalyst/AQE planning dwarfed its execution
+      // Catalyst/AQE planning dwarfed its execution. Since r17 the
+      // accepted LAYER derives from the A probe's own fused signature
+      // checkpoint (Dedup.acceptedLayerFromSig) — zero re-signing and
+      // zero extra checkpoint jobs where r16 spent two
+      // increment B's fused signature checkpoint is store-independent:
+      // fire it concurrently with the whole A phase (guide §2.6)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val sigBF = Future(Dedup.minhashIncSig(incB, "doc_id", "text",
+        shingleSize = 3, bands = 8, rowsPerBand = 2))
+      val (incIdsA, verifiedA, sigA) =
+        Dedup.minhashIncrementalStoredVerifiedSig(incA, store0,
+          "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
+          threshold = 0.5, maxBucket = 64)
+      val probeA = Dedup.minhashBestDecision(incIdsA, verifiedA)
       val accIds = probeA.filter(col("is_new")).select(col("doc_id"))
         .localCheckpoint()
-      val accStore = graft.dedup.SignatureStore.build(
-        incA.join(broadcast(accIds), "doc_id"), "doc_id", "text",
-        shingleSize = 3, bands = 8, rowsPerBand = 2)
+      val accLayer = Dedup.acceptedLayerFromSig(sigA, accIds,
+        bands = 8, rowsPerBand = 2)
       val store1 = graft.dedup.SignatureStore.Store(
-        store0.banded.unionByName(accStore.banded.localCheckpoint()),
-        store0.shingleHashes.unionByName(
-          accStore.shingleHashes.localCheckpoint()))
-      Dedup.minhashIncrementalStored(incB, store1,
-        "doc_id", "text", shingleSize = 3, bands = 8, rowsPerBand = 2,
-        threshold = 0.5)
+        store0.banded.unionByName(accLayer.banded),
+        store0.shingleHashes.unionByName(accLayer.shingleHashes))
+      val (incIdsB, verifiedB) = Dedup.minhashStoredProbeFromSig(
+        Await.result(sigBF, Duration.Inf), store1,
+        bands = 8, rowsPerBand = 2, threshold = 0.5, maxBucket = 64)
+      Dedup.minhashBestDecision(incIdsB, verifiedB)
     }),
 
     "dedup_spans_probe" -> ((s, dir) => {
@@ -3237,11 +3285,18 @@ object SparkEntry {
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
           .cast("long").as("doc_id"),
         col("body").cast("string").as("html"))
+      // scratch path scoped by PID (r16 ADVICE): two concurrent
+      // sessions on one box (a bench and a verify run) raced on the
+      // shared dir — one run's overwrite deleted files the other's
+      // in-flight scan was reading. Per-JVM scoping keeps dir growth
+      // bounded (overwritten per invocation within a JVM) while
+      // making cross-process interference impossible.
       graft.pipeline.Pipeline.crawlClean(resp, "doc_id", "html",
         minQuality = 0.3, budget = 2048,
         scratchDir = Some(java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"),
-          "graft_crawl_clean_ex").toString))
+          s"graft_crawl_clean_ex_${java.lang.ProcessHandle.current().pid()}")
+          .toString))
     }),
 
     "jsonl_roundtrip" -> ((s, dir) => {

@@ -171,17 +171,26 @@ object Dedup {
     * array is never empty).
     */
   private[dedup] def bandKeysOf(shingles: DataFrame, bands: Int,
-                       rowsPerBand: Int): DataFrame = {
-    val withSig = shingles.select(col("doc_id"),
-      graft.functions.MinHashSigExpr(col("sh"), bands * rowsPerBand).as("sig"))
-    withSig.select(col("doc_id"),
+                       rowsPerBand: Int): DataFrame =
+    bandKeysFromSig(shingles.select(col("doc_id"),
+      graft.functions.MinHashSigExpr(col("sh"), bands * rowsPerBand)
+        .as("sig")), bands, rowsPerBand)
+
+  /** Band keys from an ALREADY-signed frame (`doc_id`, `sig`) — the
+    * seam that lets the incremental probes checkpoint shingles AND
+    * signature in ONE eager job and re-derive the banded view lazily
+    * (8 md5s per doc per fork instead of a second checkpoint job, and
+    * never a MinHashSigExpr re-run).
+    */
+  private[graft] def bandKeysFromSig(sigged: DataFrame, bands: Int,
+                       rowsPerBand: Int): DataFrame =
+    sigged.select(col("doc_id"),
       posexplode_outer(array((0 until bands).map { b =>
         md5(concat(lit(s"$b#"),
           array_join(transform(
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
             x => x.cast("string")), ",")))
       }: _*)).as(Seq("band", "bucket")))
-  }
 
   /** MinHash + LSH banding near-dedup.
     *
@@ -189,6 +198,12 @@ object Dedup {
     * rows of any band land in one bucket. Candidate pairs from buckets are
     * verified with exact Jaccard over shingle sets; pairs ≥ threshold out.
     * `maxBucket` drops degenerate buckets (skew guard at scale).
+    *
+    * INPUT CONTRACT: `idCol` must be unique in `df` (one text per id).
+    * The verify stitches each candidate pair's two shingle arrays back
+    * with a one-row-per-role aggregation; duplicate ids would collapse
+    * to an arbitrary representative where the old double-join emitted
+    * all combinations (r16 ADVICE).
     */
   /** LSH candidate pairs (doc_a < doc_b, deduped): band keys →
     * bucket-size cap (skew guard) → within-bucket pairing. Shared by
@@ -346,9 +361,14 @@ object Dedup {
     // otherwise one corpus exchange instead of two), and stitch the two
     // arrays back per pair with a candidate-bounded aggregation.
     // Exactly one row per (pair, role) exists, so the ignoreNulls
-    // `first` is deterministic; a pair whose member lacks a shingle row
-    // yields a null side → null jaccard → filtered, identical to the
-    // inner joins it replaces.
+    // `first` is deterministic. A pair whose member lacks a shingle row
+    // (impossible from this method's own `df` — shingleSetsOf emits one
+    // row per input doc — but reachable if a caller-side contract ever
+    // changes) must drop EXACTLY as it did under the inner joins this
+    // replaces: the explicit not-null filter makes that structural,
+    // instead of leaning on legacy size(NULL) = -1 pushing jaccard
+    // below threshold — which diverges under ANSI mode (size(NULL) is
+    // NULL) or a zero threshold (r16 verdict).
     val melted = pairs.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
     shs.join(melted, "doc_id")
@@ -358,6 +378,7 @@ object Dedup {
           ignoreNulls = true).as("sh_a"),
         first(when(col("doc_id") === col("doc_b"), col("sh")),
           ignoreNulls = true).as("sh_b"))
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
@@ -464,6 +485,15 @@ object Dedup {
     * verified candidate pair `(inc_id, dup_id, jaccard ≥ threshold)` —
     * not just the best match, because a pair-level rule needs the
     * full candidate set to find the SAME prior pair on both sides.
+    *
+    * BROADCAST BOUND (r16 verdict): the verify stage broadcasts the
+    * candidate `pairs` frame and the candidate slice of the increment's
+    * shingle arrays. Both are bounded by |increment| × bands ×
+    * maxBucket rows — an invariant of the DAILY-INGEST contract, where
+    * the increment is orders of magnitude smaller than the corpus. A
+    * caller that feeds a corpus-sized "increment" voids that bound and
+    * converts the hints into a driver-memory risk: split such a batch,
+    * or use [[minhashLsh]], which is the symmetric-corpus form.
     */
   private[graft] def minhashIncrementalVerified(
       incoming: DataFrame, corpus: DataFrame,
@@ -472,15 +502,22 @@ object Dedup {
       rowsPerBand: Int, threshold: Double,
       maxBucket: Int): (DataFrame, DataFrame) = {
     // the increment's shingle frame forks three ways (band keys, verify
-    // side, output doc list) — checkpoint once, like spanPairs' fps.
-    // The banded frame forks twice (key broadcast + pairing join):
-    // checkpoint it too so the increment signs exactly once (plan forks
-    // re-run MinHashSigExpr per branch otherwise; measured ~40% of the
-    // row at sf0.1). The CORPUS side stays lazy — corpus-sized frames
-    // are never checkpointed.
-    val incSh = shingleSetsOf(graft.util.Par.spread(incoming), idCol,
-      textCol, shingleSize).localCheckpoint()
-    val incBanded = bandKeysOf(incSh, bands, rowsPerBand).localCheckpoint()
+    // side, output doc list) and its banded view twice (key broadcast +
+    // pairing join). ONE fused checkpoint of (doc_id, sh, sig) covers
+    // all of them: the shingle AND signature kernels run exactly once
+    // in a single eager job (r16 shipped TWO checkpoint jobs here; the
+    // per-row fixed job latency was the pair family's floor), and the
+    // banded view re-derives lazily from the checkpointed sig — 8 md5s
+    // per doc per fork, never a MinHashSigExpr re-run. The CORPUS side
+    // stays lazy — corpus-sized frames are never checkpointed.
+    val incSig = shingleSetsOf(graft.util.Par.spread(incoming), idCol,
+        textCol, shingleSize)
+      .select(col("doc_id"), col("sh"),
+        graft.functions.MinHashSigExpr(col("sh"), bands * rowsPerBand)
+          .as("sig"))
+      .localCheckpoint()
+    val incSh = incSig.select(col("doc_id"), col("sh"))
+    val incBanded = bandKeysFromSig(incSig, bands, rowsPerBand)
     val incKeys = incBanded.select(col("band"), col("bucket")).distinct()
     val corpusBanded = bandKeysOf(
       shingleSetsOf(graft.util.Par.spread(corpus), idCol, textCol,
@@ -560,6 +597,15 @@ object Dedup {
     val (incIds, verified) = minhashIncrementalStoredVerified(incoming,
       store, idCol, textCol, shingleSize, bands, rowsPerBand, threshold,
       maxBucket)
+    minhashBestDecision(incIds, verified)
+  }
+
+  /** The shared decision tail of both minhash incremental forms: best
+    * verified match per incoming doc (highest jaccard, lowest corpus
+    * id), every incoming doc surfaced with its is_new verdict.
+    */
+  private[graft] def minhashBestDecision(incIds: DataFrame,
+      verified: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("inc_id"))
       .orderBy(col("jaccard").desc, col("dup_id").asc)
@@ -579,36 +625,89 @@ object Dedup {
     * hash arrays (equal to string-set Jaccard up to vanishing 64-bit
     * collisions — the store's documented contract), so decisions are
     * identical to the in-DAG form.
+    *
+    * BROADCAST BOUND: same |increment| × bands × maxBucket invariant as
+    * [[minhashIncrementalVerified]] — the broadcast hints on the verify
+    * joins are safe exactly because candidate pairs are
+    * increment-bounded; corpus-sized "increments" must be split.
     */
   private[graft] def minhashIncrementalStoredVerified(
       incoming: DataFrame, store: SignatureStore.Store,
       idCol: String, textCol: String,
       shingleSize: Int, bands: Int, rowsPerBand: Int,
       threshold: Double, maxBucket: Int): (DataFrame, DataFrame) = {
-    // the increment's shingle frame forks three ways; checkpoint once.
-    // The banded frame forks twice more (key broadcast + pairing join) —
-    // checkpoint it too, so the increment is SIGNED EXACTLY ONCE: plan
-    // forks would otherwise re-run MinHashSigExpr per branch (observed
-    // 4x in the executed plan), doubling the probe row's dominant
-    // O(increment) compute. Both checkpoints are increment-sized.
-    val incSh = shingleSetsOf(graft.util.Par.spread(incoming), idCol,
-      textCol, shingleSize).localCheckpoint()
-    val incBanded = bandKeysOf(incSh, bands, rowsPerBand).localCheckpoint()
+    val (incIds, verified, _) = minhashIncrementalStoredVerifiedSig(
+      incoming, store, idCol, textCol, shingleSize, bands, rowsPerBand,
+      threshold, maxBucket)
+    (incIds, verified)
+  }
+
+  /** [[minhashIncrementalStoredVerified]] plus the increment's fused
+    * signature checkpoint (`doc_id`, `sh`, `sig`) — the `_updated`
+    * rows derive the accepted-layer store frames from it
+    * ([[acceptedLayerFromSig]]) instead of re-signing the accepted
+    * slice in two more checkpoint jobs.
+    */
+  private[graft] def minhashIncrementalStoredVerifiedSig(
+      incoming: DataFrame, store: SignatureStore.Store,
+      idCol: String, textCol: String,
+      shingleSize: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val incSig = minhashIncSig(incoming, idCol, textCol, shingleSize,
+      bands, rowsPerBand)
+    val (incIds, verified) = minhashStoredProbeFromSig(incSig, store,
+      bands, rowsPerBand, threshold, maxBucket)
+    (incIds, verified, incSig)
+  }
+
+  /** The increment's fused signature checkpoint (`doc_id`, `sh`,
+    * `sig`) — ONE eager job running the shingle AND signature kernels
+    * exactly once (see minhashIncrementalVerified). Store-independent,
+    * so an `_updated` caller can build increment B's frame
+    * concurrently with the whole A phase (guide §2.6).
+    */
+  private[graft] def minhashIncSig(incoming: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    shingleSetsOf(graft.util.Par.spread(incoming), idCol,
+        textCol, shingleSize)
+      .select(col("doc_id"), col("sh"),
+        graft.functions.MinHashSigExpr(col("sh"), bands * rowsPerBand)
+          .as("sig"))
+      .localCheckpoint()
+
+  /** The stored probe over an already-checkpointed fused signature
+    * frame: band-key broadcast probe of the stored banded frame,
+    * bucket cap, candidate pairing, exact verify on the stored hash
+    * arrays. Returns (incIds, verified).
+    */
+  private[graft] def minhashStoredProbeFromSig(incSig: DataFrame,
+      store: SignatureStore.Store, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucket: Int): (DataFrame, DataFrame) = {
+    val incSh = incSig.select(col("doc_id"), col("sh"))
+    val incBanded = bandKeysFromSig(incSig, bands, rowsPerBand)
     val incKeys = incBanded.select(col("band"), col("bucket")).distinct()
     val matched = store.banded.join(broadcast(incKeys), Seq("band", "bucket"))
     val capped = matched.withColumn("_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("_n") <= maxBucket)
-    // NOT checkpointed (unlike minhashIncremental's pairs): each fork
-    // here replays a cheap stored-parquet probe — never a corpus
-    // signing — and the lazy plan keeps the store-scan fence in
-    // PlanAuditSpec able to see the whole timed pipeline
+    // CHECKPOINTED since r17 (candidate-bounded — increment × bands ×
+    // maxBucket rows of two longs): pairs forks three ways (candidate
+    // corpus ids, the pairs broadcast, candidate increment ids), and
+    // each lazy fork replayed the banded-store probe — the matched
+    // exchange was stage-reused, but the window filter + pairing join
+    // + dropDuplicates agg re-ran once per fork, and at 100 TB the
+    // probe streams the corpus-sized banded store. One bounded
+    // checkpoint runs the probe exactly once; the store's banded scan
+    // now executes inside this eager job (still inside the timed row).
     val pairs = capped.join(
         broadcast(incBanded.select(col("band"), col("bucket"),
           col("doc_id").as("inc_id"))), Seq("band", "bucket"))
       .select(col("inc_id"), col("doc_id").as("dup_id"))
       .dropDuplicates("inc_id", "dup_id")
+      .localCheckpoint()
     val candIds = pairs.select(col("dup_id").as("doc_id")).distinct()
     val corpusHs = store.shingleHashes.join(broadcast(candIds), "doc_id")
     // hash (and broadcast) only the CANDIDATE slice of the increment —
@@ -635,6 +734,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     (incSh.select(col("doc_id").cast("long").as("doc_id")),
       verified.select(col("inc_id"), col("dup_id"), col("jaccard")))
+  }
+
+  /** The ACCEPTED increment's signature-store layer derived from the
+    * probe's already-checkpointed fused signature frame — ZERO
+    * re-signing and zero extra checkpoint jobs: banded = band keys
+    * re-expanded from the checkpointed `sig`, shingleHashes = the
+    * sorted-hash attach on the checkpointed `sh`; both filtered to the
+    * accepted ids (broadcast — bounded). Bit-identical to
+    * `SignatureStore.build(accepted docs)` because every kernel is a
+    * deterministic per-row function of the same checkpointed rows
+    * (equivalence pinned in DedupSpec).
+    */
+  private[graft] def acceptedLayerFromSig(incSig: DataFrame,
+      accIds: DataFrame, bands: Int,
+      rowsPerBand: Int): SignatureStore.Store = {
+    val acc = incSig.join(broadcast(accIds), "doc_id")
+    SignatureStore.Store(
+      banded = bandKeysFromSig(acc, bands, rowsPerBand),
+      shingleHashes = acc.select(col("doc_id"),
+        graft.functions.XxSortedHashesExpr(col("sh")).as("hs")))
   }
 
   /** 64-bit SimHash per document via the scalable explode→groupBy path:
@@ -739,15 +858,54 @@ object Dedup {
       incoming: DataFrame, corpus: DataFrame,
       idCol: String, hashCol: String,
       maxHamming: Int, maxBucket: Int): (DataFrame, DataFrame) = {
-    def banded(df0: DataFrame, id: String) =
-      df0.select(col(idCol).as(id), col(hashCol).as(s"_h_$id"))
-        .select(col(id), col(s"_h_$id"),
-          posexplode(array((0 until 4).map { b =>
-            shiftright(col(s"_h_$id"), b * 16).bitwiseAND(0xFFFFL)
-          }: _*)).as(Seq("band", "key")))
-    val incB = banded(incoming, "inc_id").localCheckpoint()
+    val (incIds, verified, _) = hammingIncrementalVerifiedBanded(incoming,
+      corpus, idCol, hashCol, maxHamming, maxBucket)
+    (incIds, verified)
+  }
+
+  /** [[hammingIncrementalVerified]] plus the increment's checkpointed
+    * banded frame `(inc_id, _h_inc_id, band, key)` — the fingerprint
+    * values ride it (band 0 holds one row per id), so `_updated`
+    * callers derive the accepted media layer from it
+    * ([[acceptedMediaFromBanded]]) instead of checkpointing the
+    * decoded fingerprint frame a second time.
+    */
+  private[graft] def hammingIncrementalVerifiedBanded(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val incB = hammingBandedCkpt(incoming, idCol, hashCol)
+    val (incIds, verified) = hammingProbeFromBanded(incB, corpus, idCol,
+      hashCol, maxHamming, maxBucket)
+    (incIds, verified, incB)
+  }
+
+  private def bandedFp(df0: DataFrame, idCol: String, hashCol: String,
+      id: String): DataFrame =
+    df0.select(col(idCol).as(id), col(hashCol).as(s"_h_$id"))
+      .select(col(id), col(s"_h_$id"),
+        posexplode(array((0 until 4).map { b =>
+          shiftright(col(s"_h_$id"), b * 16).bitwiseAND(0xFFFFL)
+        }: _*)).as(Seq("band", "key")))
+
+  /** The increment's checkpointed banded fingerprint frame — ONE eager
+    * job paying the decode lineage once. Corpus-independent, so an
+    * `_updated` caller can build increment B's frame concurrently
+    * with the whole A phase (guide §2.6).
+    */
+  private[graft] def hammingBandedCkpt(incoming: DataFrame,
+      idCol: String, hashCol: String): DataFrame =
+    bandedFp(incoming, idCol, hashCol, "inc_id").localCheckpoint()
+
+  /** The Hamming probe over an already-checkpointed banded increment
+    * frame. Returns (incIds, verified).
+    */
+  private[graft] def hammingProbeFromBanded(incB: DataFrame,
+      corpus: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     val incKeys = incB.select(col("band"), col("key")).distinct()
-    val matched = banded(corpus, "dup_id")
+    val matched = bandedFp(corpus, idCol, hashCol, "dup_id")
       .join(broadcast(incKeys), Seq("band", "key"))
     val capped = matched.withColumn("_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -767,6 +925,19 @@ object Dedup {
     // decode) that would otherwise re-run just to list ids
     (incB.select(col("inc_id")).distinct(), verified)
   }
+
+  /** The ACCEPTED increment's `(fpIdCol, fpCol)` media layer derived
+    * from the probe's already-checkpointed banded frame: band 0 holds
+    * exactly one row per incoming id carrying the original fingerprint
+    * (the banding is a static 4-view posexplode), so no second decode
+    * and no second checkpoint job. `accIds` must already carry
+    * `fpIdCol`; it is broadcast (bounded accepted ids).
+    */
+  private[graft] def acceptedMediaFromBanded(incBanded: DataFrame,
+      accIds: DataFrame, fpIdCol: String, fpCol: String): DataFrame =
+    incBanded.filter(col("band") === 0)
+      .select(col("inc_id").as(fpIdCol), col("_h_inc_id").as(fpCol))
+      .join(broadcast(accIds), fpIdCol)
 
   /** Cross-modal PAIRED near-dedup — the LAION-class image-text-pair
     * ingest decision: an incoming pair is a duplicate iff BOTH its
@@ -803,10 +974,19 @@ object Dedup {
                              rowsPerBand: Int = 2, threshold: Double = 0.5,
                              maxHamming: Int = 3,
                              maxBucket: Int = 64): DataFrame = {
-    val (incIds, tver) = minhashIncrementalVerified(incTexts, corTexts,
-      idCol, textCol, shingleSize, bands, rowsPerBand, threshold, maxBucket)
-    val (_, mver) = hammingIncrementalVerified(incFps, corFps,
-      fpIdCol, fpCol, maxHamming, maxBucket)
+    // independent modality legs built on two threads — their eager
+    // bounded-checkpoint jobs overlap (guide §2.6, see
+    // pairNearDupStoredFrames)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val tF = Future(minhashIncrementalVerified(incTexts, corTexts,
+      idCol, textCol, shingleSize, bands, rowsPerBand, threshold,
+      maxBucket))
+    val mF = Future(hammingIncrementalVerified(incFps, corFps,
+      fpIdCol, fpCol, maxHamming, maxBucket))
+    val (incIds, tver) = Await.result(tF, Duration.Inf)
+    val (_, mver) = Await.result(mF, Duration.Inf)
     pairCompose(incIds, tver, mver)
   }
 
@@ -827,13 +1007,48 @@ object Dedup {
                         shingleSize: Int = 3, bands: Int = 8,
                         rowsPerBand: Int = 2, threshold: Double = 0.5,
                         maxHamming: Int = 3,
-                        maxBucket: Int = 64): DataFrame = {
-    val (incIds, tver) = minhashIncrementalStoredVerified(incTexts,
-      textStore, idCol, textCol, shingleSize, bands, rowsPerBand,
-      threshold, maxBucket)
-    val (_, mver) = hammingIncrementalVerified(incFps, corFps,
-      fpIdCol, fpCol, maxHamming, maxBucket)
-    pairCompose(incIds, tver, mver)
+                        maxBucket: Int = 64): DataFrame =
+    pairNearDupStoredFrames(incTexts, textStore, incFps, corFps, idCol,
+      textCol, fpIdCol, fpCol, shingleSize, bands, rowsPerBand, threshold,
+      maxHamming, maxBucket).decision
+
+  /** [[pairNearDupStored]]'s decision plus the two increment-side
+    * checkpointed frames it already built (the text leg's fused
+    * (doc_id, sh, sig) and the media leg's banded fingerprints) — the
+    * `_updated` loop derives both accepted-layer stores from these
+    * instead of re-signing / re-decoding the accepted slice into
+    * three additional checkpoint jobs.
+    */
+  private[graft] final case class PairStoredFrames(
+      decision: DataFrame, textSig: DataFrame, mediaBanded: DataFrame)
+
+  private[graft] def pairNearDupStoredFrames(incTexts: DataFrame,
+                        textStore: SignatureStore.Store,
+                        incFps: DataFrame, corFps: DataFrame,
+                        idCol: String, textCol: String,
+                        fpIdCol: String, fpCol: String,
+                        shingleSize: Int, bands: Int,
+                        rowsPerBand: Int, threshold: Double,
+                        maxHamming: Int,
+                        maxBucket: Int): PairStoredFrames = {
+    // the two modality legs are independent until pairCompose, and
+    // each runs eager bounded-checkpoint jobs at build time (text:
+    // fused signature + candidate pairs; media: decode + banding).
+    // Submit them from two threads so the media decode overlaps the
+    // text signing instead of queueing behind it (guide §2.6 — the
+    // scheduler happily runs both, and each leg's jobs are far from
+    // saturating the cluster: they are small fixed-latency stages).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val tF = Future(minhashIncrementalStoredVerifiedSig(
+      incTexts, textStore, idCol, textCol, shingleSize, bands,
+      rowsPerBand, threshold, maxBucket))
+    val mF = Future(hammingIncrementalVerifiedBanded(incFps, corFps,
+      fpIdCol, fpCol, maxHamming, maxBucket))
+    val (incIds, tver, incSig) = Await.result(tF, Duration.Inf)
+    val (_, mver, incB) = Await.result(mF, Duration.Inf)
+    PairStoredFrames(pairCompose(incIds, tver, mver), incSig, incB)
   }
 
   /** The shared pair-rule tail: join the two modalities' verified
@@ -841,8 +1056,8 @@ object Dedup {
     * both-sides match (highest jaccard, lowest Hamming, lowest prior
     * id), and surface every incoming pair with its decision.
     */
-  private def pairCompose(incIds: DataFrame, tver: DataFrame,
-                          mver: DataFrame): DataFrame = {
+  private[graft] def pairCompose(incIds: DataFrame, tver: DataFrame,
+                                 mver: DataFrame): DataFrame = {
     // both verdict sets are candidate-bounded; broadcast the media side
     // so the composition join is map-side on the text-verify stream
     // (the planner's post-join estimates otherwise pick a
@@ -1003,8 +1218,14 @@ object Dedup {
     val hashed =
       if (maxDf <= 0) hashedAll
       else {
+        // ONE posting exchange shared by the df count and the join's
+        // probe side (guide §2.4): occ is keyed on h for both
+        // consumers, and each un-shared fork replayed the documents
+        // scan + tokenize/shingle/hash kernel + explode (the r16
+        // executed plan ran the posting subplan twice)
         val occ = hashedAll.select(col("doc_id"),
           explode_outer(col("_hs")).as("h"))
+          .repartition(col("h"))
         // per-doc shingles are already distinct, so count(*) = df;
         // shuffle_hash keeps a mis-estimated posting side from being
         // broadcast (the spanPairs df-probe lesson)
@@ -1060,10 +1281,27 @@ object Dedup {
     * already has).
     */
   private def verifyCandidates(cand: DataFrame, hashed: DataFrame,
-                               threshold: Double): DataFrame =
-    cand
-      .join(hashed.select(col("doc_id").as("doc_a"), col("_hs").as("hs_a")), "doc_a")
-      .join(hashed.select(col("doc_id").as("doc_b"), col("_hs").as("hs_b")), "doc_b")
+                               threshold: Double): DataFrame = {
+    // ONE pass over the hash arrays (the minhashLsh melt, guide §8):
+    // joining `hashed` by doc_a and again by doc_b evaluated its whole
+    // subplan twice (at scale: two exchanges of the corpus hash
+    // arrays). Melt each candidate pair to (pair, member), join the
+    // arrays once on doc_id, stitch the two roles back with a
+    // candidate-bounded aggregation. `cand` is deduped (doc_a, doc_b)
+    // and `hashed` has one row per doc, so exactly one row per
+    // (pair, role) exists — the ignoreNulls first is deterministic;
+    // the not-null filter replays the inner joins' missing-member drop
+    // structurally (a candidate doc always has a hashed row today).
+    val melted = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    hashed.join(melted, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("_hs")),
+          ignoreNulls = true).as("hs_a"),
+        first(when(col("doc_id") === col("doc_b"), col("_hs")),
+          ignoreNulls = true).as("hs_b"))
+      .filter(col("hs_a").isNotNull && col("hs_b").isNotNull)
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("_j", col("inter").cast("double") /
@@ -1071,6 +1309,7 @@ object Dedup {
       .filter(col("_j") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("_j"), 6).as("jaccard"))
+  }
 
   /** Connected components over near-duplicate pairs: pair emitters
     * ([[minhashLsh]], [[simhashPairs]], …) find EDGES, but the dedup
@@ -1407,11 +1646,32 @@ object Dedup {
                             idCol: String, textCol: String, k: Int = 8,
                             w: Int = 4, minShared: Int = 5,
                             maxDf: Int = 16): DataFrame = {
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val incFps = graft.textops.TextOps
+    val incFps = spanIncFps(incoming, idCol, textCol, k, w)
+    spanStoredProbeFromFps(incoming, incFps, storeFps, idCol, minShared,
+      maxDf)
+  }
+
+  /** The increment's checkpointed winnow-fingerprint frame
+    * `(inc_id, fp)` — ONE eager job paying the winnow kernel once.
+    * Store-independent, so an `_updated` caller can build increment
+    * B's frame concurrently with the whole A phase (guide §2.6), and
+    * derive the accepted-A delta rows from it with a broadcast filter
+    * instead of a second winnow pass.
+    */
+  private[graft] def spanIncFps(incoming: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame =
+    graft.textops.TextOps
       .winnowing(graft.util.Par.spread(incoming), idCol, textCol, k, w)
       .select(col(idCol).cast("long").as("inc_id"), col("fp"))
       .localCheckpoint()
+
+  /** The stored span probe over an already-checkpointed increment
+    * fingerprint frame (see [[spanIncrementalStored]]).
+    */
+  private[graft] def spanStoredProbeFromFps(incoming: DataFrame,
+      incFps: DataFrame, storeFps: DataFrame, idCol: String,
+      minShared: Int, maxDf: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val incKeys = incFps.select(col("fp")).distinct()
     val shared = storeFps.filter(col("df") <= maxDf)
       .select(col("doc_id").as("dup_id"), col("fp"))

@@ -477,19 +477,25 @@ object Pipeline {
     // re-derive the gate INSIDE their own increment scans — the
     // quality kernel is a codegen'd projection, so each leg pays one
     // pushed-down increment scan and nothing is ever pinned.
-    val inc = graft.util.Par.spread(incoming)
+    // ONE fused checkpoint of (id, quality, fingerprint) — r17: the
+    // base list and the exact leg's key frame were two separate
+    // checkpoint jobs over the same increment scan; the fingerprint
+    // kernel now also runs on sub-quality rows (cheap md5-class
+    // per-row work) but the increment scans once and one job replaces
+    // two. Still no text column (the corpus-class block-leak rule).
+    val incKeys = graft.util.Par.spread(incoming)
       .select(col(idCol),
-        TextOps.qualityScore(col(textCol)).as("quality"))
-      .localCheckpoint()
-    val gated = graft.util.Par.spread(incoming)
-      .filter(TextOps.qualityScore(col(textCol)) >= minQuality)
-    // the exact leg's key frame checkpointed as 16-byte fingerprints
-    // (never text): its batch-keep groupBy then shuffles an
-    // ExistingRDD, keeping the no-corpus-shuffle fence
-    val exKeys = gated
-      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.qualityScore(col(textCol)).as("quality"),
         TextOps.fingerprint(col(textCol)).as("fingerprint"))
       .localCheckpoint()
+    val inc = incKeys.select(col(idCol), col("quality"))
+    val gated = graft.util.Par.spread(incoming)
+      .filter(TextOps.qualityScore(col(textCol)) >= minQuality)
+    // the exact leg's key frame derives from the fused checkpoint as
+    // 16-byte fingerprint rows: its batch-keep groupBy then shuffles
+    // an ExistingRDD projection, keeping the no-corpus-shuffle fence
+    val exKeys = incKeys.filter(col("quality") >= minQuality)
+      .select(col(idCol).cast("long").as("doc_id"), col("fingerprint"))
     val ex = graft.dedup.Dedup
       .exactIncrementalFp(exKeys, corpus, textCol)
       .select(col("doc_id"), col("is_new").as("is_new_exact"))

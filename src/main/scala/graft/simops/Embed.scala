@@ -114,16 +114,10 @@ object Embed {
     require(fitSamplePct > 0 && fitSamplePct <= 100,
       s"fitSamplePct must be in (0,100], got $fitSamplePct")
     val subDim = dim / m
-    val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
-      col(vecCol).cast("array<double>").as("_v"))
-    // pct capped to the absolute fit target — O(target) Lloyd passes
-    val effPct =
-      if (fitSamplePct >= 100) 100
-      else graft.util.Sampling.cappedPct(df.count(), fitSamplePct)
-    val sample =
-      if (effPct >= 100) all
-      else all.filter(
-        graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
+    // checkpointed when a genuine sample (Ivf.fitSample — bounded by
+    // the ~20k cappedPct target): seeds + every Lloyd pass otherwise
+    // re-scan the source per action
+    val sample = Ivf.fitSample(df, idCol, vecCol, fitSamplePct, -1L)
     val seeds = sample.orderBy("_id").limit(k)
       .select(col("_v")).collect().map(_.getSeq[Double](0))
     require(seeds.nonEmpty,
@@ -240,17 +234,12 @@ object Embed {
                         fitSamplePct: Int = 60): Seq[Int] = {
     require(m > 0 && dim % m == 0, s"dim ($dim) must divide into m ($m)")
     val sub = dim / m
-    val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
-      col(vecCol).cast("array<double>").as("_v"))
     // same absolute cap as the codebook fit — the variance rank needs
-    // a FIXED-size sample, not a fixed fraction
-    val effPct =
-      if (fitSamplePct >= 100) 100
-      else graft.util.Sampling.cappedPct(df.count(), fitSamplePct)
-    val sample =
-      if (effPct >= 100) all
-      else all.filter(
-        graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
+    // a FIXED-size sample, not a fixed fraction (Ivf.fitSample;
+    // ckpt=false — a single aggregate consumes this draw, a
+    // materialization job would buy nothing)
+    val sample = Ivf.fitSample(df, idCol, vecCol, fitSamplePct, -1L,
+      ckpt = false)
     // the variance formula is written IDENTICALLY in the oracle SQL
     // (sum-of-squares form, rounded 6dp) so the rank keys can't drift
     val vrr = sample.select(posexplode(col("_v")).as(Seq("p", "x")))
@@ -488,6 +477,12 @@ object Embed {
     require(threshold >= -1.0 && threshold <= 1.0,
       s"cosine threshold must be in [-1,1], got $threshold")
     val cents = Ivf.fitSeq(df, idCol, vecCol, nlist, iters, fitSamplePct)
+    // ONE list-keyed exchange shared by the self-join's both sides AND
+    // the output projection (guide §2.4): without it each of the three
+    // consumers replayed the full assignment kernel (scan + nlist-dot
+    // argmax per row) — the self-join needs this exact partitioning
+    // anyway, so at scale this adds no shuffle, it only stops the
+    // recompute.
     val assigned = graft.util.Par.spread(df)
       .select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("_v"))
@@ -495,6 +490,7 @@ object Embed {
       .withColumn("_sims", Ivf.simsCol(cents, col("_v")))
       .withColumn("list_id", Ivf.nearestList(cents, col("_sims")))
       .drop("_sims")
+      .repartition(col("list_id"))
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.list_id") === col("b.list_id")
           && col("a.vec_id") > col("b.vec_id"))
@@ -543,8 +539,13 @@ object Embed {
     val n = if (knownCount >= 0) knownCount
       else df.select(col(idCol)).count()
     val nlist = autoNlist(n, targetListSize)
+    // list-keyed exchange shared by the self-join's both sides and the
+    // output projection — see semanticDedup: the three consumers
+    // otherwise each replay the two-level assignment kernel over the
+    // corpus, and the self-join shuffles by list_id regardless
     val assigned = hierAssignerAt(literalMax)(df, idCol, vecCol, nlist,
       iters, fitSamplePct, n)(df)
+      .repartition(col("list_id"))
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.list_id") === col("b.list_id")
           && col("a.vec_id") > col("b.vec_id"))

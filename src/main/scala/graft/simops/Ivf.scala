@@ -46,7 +46,24 @@ object Ivf {
   private[simops] def fitSeq(df: DataFrame, idCol: String, vecCol: String,
                      nlist: Int, iters: Int,
                      fitSamplePct: Int,
-                     knownCount: Long = -1L): Seq[(Int, Seq[Double])] = {
+                     knownCount: Long = -1L): Seq[(Int, Seq[Double])] =
+    fitSeqOn(fitSample(df, idCol, vecCol, fitSamplePct, knownCount),
+      nlist, iters)
+
+  /** The fit's sample frame `(_id, _v)` — CHECKPOINTED when it is a
+    * genuine sample (effPct < 100): the fit runs 2+ actions over it
+    * (seeds, every Lloyd pass — 4+ in the two-level fit), and each
+    * action otherwise replays the source scan + cast + md5 filter.
+    * The sample is bounded (cappedPct targets ~20k rows at any corpus
+    * size — the sanctioned fit-sample checkpoint class), so one
+    * materialization serves every pass; at 100 TB this is N sample
+    * filter passes over the corpus collapsed into one. A 100-pct
+    * "sample" is the corpus itself and stays lazy (never checkpoint
+    * corpus-scale frames).
+    */
+  private[simops] def fitSample(df: DataFrame, idCol: String,
+                     vecCol: String, fitSamplePct: Int,
+                     knownCount: Long, ckpt: Boolean = true): DataFrame = {
     require(fitSamplePct > 0 && fitSamplePct <= 100,
       s"fitSamplePct must be in (0,100], got $fitSamplePct")
     val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
@@ -59,10 +76,18 @@ object Ivf {
       if (fitSamplePct >= 100) 100
       else graft.util.Sampling.cappedPct(
         if (knownCount >= 0) knownCount else df.count(), fitSamplePct)
-    val vecs =
+    val sampled =
       if (effPct >= 100) all
       else all.filter(
         graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
+    // ckpt=false for single-action consumers (one aggregate over the
+    // draw) where a materialization job buys nothing
+    if (effPct >= 100 || !ckpt) sampled else sampled.localCheckpoint()
+  }
+
+  /** [[fitSeq]] over a prepared sample frame. */
+  private[simops] def fitSeqOn(vecs: DataFrame, nlist: Int,
+                     iters: Int): Seq[(Int, Seq[Double])] = {
     // deterministic seeds: the nlist lowest-id vectors
     var cents: Seq[(Int, Seq[Double])] = vecs.orderBy("_id").limit(nlist)
       .select(col("_v")).collect().toSeq
@@ -218,17 +243,11 @@ object Ivf {
                               knownCount: Long = -1L): HierIndex = {
     val c = math.ceil(math.sqrt(nlist.toDouble)).toInt
     val s = (nlist + c - 1) / c
-    val coarse = fitSeq(df, idCol, vecCol, c, iters, fitSamplePct, knownCount)
-    val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
-      col(vecCol).cast("array<double>").as("_v"))
-    val effPct =
-      if (fitSamplePct >= 100) 100
-      else graft.util.Sampling.cappedPct(
-        if (knownCount >= 0) knownCount else df.count(), fitSamplePct)
-    val vecs =
-      if (effPct >= 100) all
-      else all.filter(
-        graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
+    // ONE sample materialization shared by both fit levels (the coarse
+    // fitSeq used to re-derive its own copy, so every fit action
+    // replayed the source scan + cast + md5 filter)
+    val vecs = fitSample(df, idCol, vecCol, fitSamplePct, knownCount)
+    val coarse = fitSeqOn(vecs, c, iters)
     val sasg = vecs
       .withColumn("_sims", simsCol(coarse, col("_v")))
       .withColumn("coarse_id", nearestList(coarse, col("_sims")))
@@ -303,17 +322,11 @@ object Ivf {
                knownCount: Long = -1L): HierIndexR = {
     val c = math.ceil(math.sqrt(nlist.toDouble)).toInt
     val s = (nlist + c - 1) / c
-    val coarse = fitSeq(df, idCol, vecCol, c, iters, fitSamplePct, knownCount)
-    val all = graft.util.Par.spread(df).select(col(idCol).as("_id"),
-      col(vecCol).cast("array<double>").as("_v"))
-    val effPct =
-      if (fitSamplePct >= 100) 100
-      else graft.util.Sampling.cappedPct(
-        if (knownCount >= 0) knownCount else df.count(), fitSamplePct)
-    val vecs =
-      if (effPct >= 100) all
-      else all.filter(
-        graft.util.Sampling.md5Bucket(col("_id")) < lit(effPct))
+    // ONE sample materialization shared by both fit levels (the coarse
+    // fitSeq used to re-derive its own copy, so every fit action
+    // replayed the source scan + cast + md5 filter)
+    val vecs = fitSample(df, idCol, vecCol, fitSamplePct, knownCount)
+    val coarse = fitSeqOn(vecs, c, iters)
     val sasg = vecs
       .withColumn("_sims", simsCol(coarse, col("_v")))
       .withColumn("coarse_id", nearestList(coarse, col("_sims")))

@@ -106,6 +106,77 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("acceptedLayerFromSig: bit-identical to SignatureStore.build on the accepted slice") {
+    // the _updated rows derive the accepted-layer store frames from the
+    // A probe's fused (sh, sig) checkpoint instead of re-signing — this
+    // pins the derivation against the store builder on every column
+    import spark.implicits._
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other,
+      4L -> (base + " extra trailing tokens here"))
+    val store = SignatureStore.build(docs(10L -> other), "doc_id", "text")
+    val (_, _, sig) = Dedup.minhashIncrementalStoredVerifiedSig(
+      d, store, "doc_id", "text", 3, 8, 2, 0.5, 64)
+    val accIds = Seq(1L, 3L).toDF("doc_id")
+    val derived = Dedup.acceptedLayerFromSig(sig, accIds, 8, 2)
+    val built = SignatureStore.build(
+      d.join(accIds, "doc_id"), "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(derived.banded) == rows(built.banded))
+    assert(rows(derived.shingleHashes) == rows(built.shingleHashes))
+  }
+
+  test("accepted span deltas from the winnow checkpoint == spanDeltaRows on the accepted slice") {
+    // dedup_spans_stored_updated derives the accepted-A delta rows
+    // from the A probe's checkpointed (inc_id, fp) frame instead of
+    // re-winnowing the accepted docs — pin row equality
+    import spark.implicits._
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other,
+      4L -> (base + " more winnowable text for spans"))
+    val fps = Dedup.spanIncFps(d, "doc_id", "text", k = 8, w = 4)
+    val accIds = Seq(1L, 4L).toDF("doc_id")
+    val derived = fps
+      .join(accIds.withColumnRenamed("doc_id", "inc_id"), "inc_id")
+      .select(org.apache.spark.sql.functions.col("inc_id").as("doc_id"),
+        org.apache.spark.sql.functions.col("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val direct = SignatureStore.spanDeltaRows(
+      d.join(accIds, "doc_id"), "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(derived == direct && derived.nonEmpty)
+  }
+
+  test("acceptedMediaFromBanded: reconstructs the accepted (id, fingerprint) rows exactly") {
+    import spark.implicits._
+    val fps = Seq((1L, 111L), (2L, 222L), (3L, 333L))
+      .toDF("media_id", "fp")
+    val (_, _, banded) = Dedup.hammingIncrementalVerifiedBanded(
+      fps, Seq((9L, 999L)).toDF("media_id", "fp"), "media_id", "fp", 3, 64)
+    val acc = Seq(1L, 3L).toDF("media_id")
+    val out = Dedup.acceptedMediaFromBanded(banded, acc, "media_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 111L), (3L, 333L)))
+  }
+
+  test("minhashLsh melt verify: identical decisions under ANSI mode (null-guard is structural)") {
+    // r16 verdict edge: the melted verify's missing-member case used to
+    // lean on legacy size(NULL) = -1 pushing jaccard below threshold —
+    // under ANSI (size(NULL) = NULL) the arithmetic path differs, so
+    // the decision must now flow through the explicit not-null guard.
+    // Pin output equality across both modes on the planted fixture.
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other, 4L -> "")
+    def run(): Set[(Long, Long, Double)] =
+      Dedup.minhashLsh(df, "doc_id", "text",
+          shingleSize = 3, bands = 8, rowsPerBand = 2, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val default = run()
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try assert(run() == default)
+    finally spark.conf.unset("spark.sql.ansi.enabled")
+    assert(default.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
   test("scaledBandGeometry: 8x2 below the knee, rows +1 per ~decade, recall-solved bands") {
     // below/at knee: EXACTLY the default geometry (oracle compatibility
     // at every driver sf and the zsf1 anchor)
