@@ -596,6 +596,52 @@ object SparkEntry {
     Dedup.pairCompose(incIdsB, tverB, mverB)
   }
 
+  /** The single-modality media A/B LOOP core (the
+    * `video_neardup_probe_updated` layered-corpus design), shared by
+    * the image/audio/video `_updated` rows: probe the twin-source
+    * bases (bucket < 5) against store-minus-those-ids, lazy-append
+    * the is_new survivors, probe fresh bases (bucket ≥ 85) + ALL
+    * twins. r17 shape: the A and B banded fingerprint checkpoints are
+    * fired CONCURRENTLY (B's decode is store-independent — guide
+    * §2.6), the standalone decoded-frame checkpoint is gone (the
+    * banded checkpoint pays the decode once), and the accepted-A
+    * media rows derive from band 0 of the A checkpoint
+    * (Dedup.acceptedMediaFromBanded) — decisions identical, pinned by
+    * the unchanged per-modality oracles.
+    */
+  private def mediaUpdatedStored(s: SparkSession, dir: String,
+                                 sig: DataFrame => DataFrame,
+                                 gen: (DataFrame, Boolean, Boolean) => DataFrame,
+                                 mediaSd: String, hcol: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+    val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
+    val store = graft.dedup.MediaStore.read(s, mediaSd)
+    val corpus0 = store.filter(
+      graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
+    val fpsA = sig(gen(ids.filter(bucket < 5), true, false))
+    val incB = sig(gen(ids.filter(bucket >= 85), true, false)
+      .unionByName(gen(ids, false, true)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val bndAF = Future(Dedup.hammingBandedCkpt(fpsA, "media_id", hcol))
+    val bndBF = Future(Dedup.hammingBandedCkpt(incB, "media_id", hcol))
+    val bndA = Await.result(bndAF, Duration.Inf)
+    val (incIdsA, verA) = Dedup.hammingProbeFromBanded(bndA, corpus0,
+      "media_id", hcol, maxHamming = 3, maxBucket = 64)
+    val probeA = Dedup.hammingBestDecision(incIdsA, verA, "media_id")
+    // bounded accepted-ids checkpoint (the pairUpdatedStored
+    // convention) — keeps the A-probe DAG out of the B probe's plan
+    val accIds = probeA.filter(col("is_new")).select(col("media_id"))
+      .localCheckpoint()
+    val acceptedA = Dedup.acceptedMediaFromBanded(bndA, accIds,
+      "media_id", hcol)
+    val (incIdsB, verB) = Dedup.hammingProbeFromBanded(
+      Await.result(bndBF, Duration.Inf), corpus0.unionByName(acceptedA),
+      "media_id", hcol, maxHamming = 3, maxBucket = 64)
+    Dedup.hammingBestDecision(incIdsB, verB, "media_id")
+  }
+
   /** Family-ensure helpers: ONE definition of each persisted store
     * family's (dir, params, build block), shared by every row that
     * touches the family AND by the `store_capstats` health row — so
@@ -3519,28 +3565,10 @@ object SparkEntry {
       // perturbed twins. Every twin's base now lives ONLY in the
       // accepted-A layer, so a twin is caught iff the cross-increment
       // append worked — the planted A/B signal.
-      val ids = Tables.documents(s, dir).select(col("doc_id"))
-      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = ensureMediaVideoStore(s, dir)
-      val store = graft.dedup.MediaStore.read(s, sd)
-      val corpus0 = store.filter(
-        graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
-      val fpsA = videoSig(Multimodal.syntheticAvisNearDup(
-        ids.filter(bucket < 5), "doc_id", twins = false))
-        .localCheckpoint() // increment-sized (~5% of ids), bounded
-      val probeA = Dedup.hammingIncremental(fpsA, corpus0,
-        "media_id", "clip_dhash", maxHamming = 3, maxBucket = 64)
-      // bounded accepted-ids checkpoint (the pairUpdatedStored
-      // convention) — keeps the A-probe DAG out of the B probe's plan
-      val acceptedA = fpsA.join(
-        broadcast(probeA.filter(col("is_new")).select(col("media_id"))
-          .localCheckpoint()), "media_id")
-      val incB = videoSig(Multimodal.syntheticAvisNearDup(
-          ids.filter(bucket >= 85), "doc_id", twins = false)
-        .unionByName(Multimodal.syntheticAvisNearDup(
-          ids, "doc_id", base = false)))
-      Dedup.hammingIncremental(incB, corpus0.unionByName(acceptedA),
-        "media_id", "clip_dhash", maxHamming = 3, maxBucket = 64)
+      mediaUpdatedStored(s, dir, videoSig,
+        (i, base, twins) => Multimodal.syntheticAvisNearDup(
+          i, "doc_id", base = base, twins = twins),
+        ensureMediaVideoStore(s, dir), "clip_dhash")
     }),
 
     "image_neardup_incremental" -> ((s, dir) => {
@@ -3599,28 +3627,10 @@ object SparkEntry {
       // ALL twins; every twin's base lives only in the accepted-A
       // layer, so each caught twin certifies the cross-increment
       // append.
-      val ids = Tables.documents(s, dir).select(col("doc_id"))
-      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = ensureMediaImageStore(s, dir)
-      val store = graft.dedup.MediaStore.read(s, sd)
-      val corpus0 = store.filter(
-        graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
-      val fpsA = imageSig(Multimodal.syntheticImagesNearDup(
-        ids.filter(bucket < 5), "doc_id", twins = false))
-        .localCheckpoint() // increment-sized (~5% of ids), bounded
-      val probeA = Dedup.hammingIncremental(fpsA, corpus0,
-        "media_id", "dhash", maxHamming = 3, maxBucket = 64)
-      // bounded accepted-ids checkpoint (the pairUpdatedStored
-      // convention) — keeps the A-probe DAG out of the B probe's plan
-      val acceptedA = fpsA.join(
-        broadcast(probeA.filter(col("is_new")).select(col("media_id"))
-          .localCheckpoint()), "media_id")
-      val incB = imageSig(Multimodal.syntheticImagesNearDup(
-          ids.filter(bucket >= 85), "doc_id", twins = false)
-        .unionByName(Multimodal.syntheticImagesNearDup(
-          ids, "doc_id", base = false)))
-      Dedup.hammingIncremental(incB, corpus0.unionByName(acceptedA),
-        "media_id", "dhash", maxHamming = 3, maxBucket = 64)
+      mediaUpdatedStored(s, dir, imageSig,
+        (i, base, twins) => Multimodal.syntheticImagesNearDup(
+          i, "doc_id", base = base, twins = twins),
+        ensureMediaImageStore(s, dir), "dhash")
     }),
 
     "pair_neardup" -> ((s, dir) => {
@@ -3995,28 +4005,10 @@ object SparkEntry {
       // survivors, probe fresh bases (bucket >= 85) + ALL twins;
       // every twin's original lives only in the accepted-A layer, so
       // each caught twin certifies the cross-increment append.
-      val ids = Tables.documents(s, dir).select(col("doc_id"))
-      val bucket = graft.util.Sampling.md5Bucket(col("doc_id"))
-      val sd = ensureMediaAudioStore(s, dir)
-      val store = graft.dedup.MediaStore.read(s, sd)
-      val corpus0 = store.filter(
-        graft.util.Sampling.md5Bucket(col("media_id")) >= 5)
-      val fpsA = audioSig(Multimodal.syntheticWavsNearDup(
-        ids.filter(bucket < 5), "doc_id", twins = false))
-        .localCheckpoint() // increment-sized (~5% of ids), bounded
-      val probeA = Dedup.hammingIncremental(fpsA, corpus0,
-        "media_id", "afp", maxHamming = 3, maxBucket = 64)
-      // bounded accepted-ids checkpoint (the pairUpdatedStored
-      // convention) — keeps the A-probe DAG out of the B probe's plan
-      val acceptedA = fpsA.join(
-        broadcast(probeA.filter(col("is_new")).select(col("media_id"))
-          .localCheckpoint()), "media_id")
-      val incB = audioSig(Multimodal.syntheticWavsNearDup(
-          ids.filter(bucket >= 85), "doc_id", twins = false)
-        .unionByName(Multimodal.syntheticWavsNearDup(
-          ids, "doc_id", base = false)))
-      Dedup.hammingIncremental(incB, corpus0.unionByName(acceptedA),
-        "media_id", "afp", maxHamming = 3, maxBucket = 64)
+      mediaUpdatedStored(s, dir, audioSig,
+        (i, base, twins) => Multimodal.syntheticWavsNearDup(
+          i, "doc_id", base = base, twins = twins),
+        ensureMediaAudioStore(s, dir), "afp")
     })
   )
 

@@ -340,14 +340,32 @@ object Dedup {
           .cast("long").as("keys_dropped"))
   }
 
+  /** Candidate-pair count at or below which the melted verify side is
+    * BROADCAST (≈ 2 × 2²⁰ melted rows of three longs — ~50 MB framed,
+    * the [[clusters]] localEdgeThreshold sizing): near-dup candidate
+    * pairs are a sliver of any corpus, but the sliver grows with the
+    * corpus, so past the bound the verify falls back to a
+    * shuffled-hash join building the candidate side — never a sort,
+    * and NEVER a broadcast of the corpus shingle frame (the planner's
+    * own estimate-driven choice at the zsf10 anchor: 500k shingle
+    * arrays collected and broadcast, 44 s where every candidate stage
+    * summed to 7 s).
+    */
+  private val LshVerifyBroadcastMaxPairs: Long = 1L << 20
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, maxBucket: Int = 64,
                  knownCount: Long = -1L): DataFrame = {
     val (bandsEff, rowsEff) = resolveBandGeometry(df, bands, rowsPerBand,
       threshold, knownCount)
+    // checkpointed: candidate-bounded (the same sliver class clusters()
+    // checkpoints), and the size decision below needs its count — from
+    // the checkpoint the count is free instead of a second candidate
+    // pass
     val pairs = lshCandidatePairs(df, idCol, textCol, shingleSize, bandsEff,
-      rowsEff, maxBucket)
+      rowsEff, maxBucket).localCheckpoint()
+    val nPairs = pairs.count()
 
     val shs = shingleSetsOf(graft.util.Par.spread(df), idCol, textCol,
       shingleSize)
@@ -371,7 +389,18 @@ object Dedup {
     // NULL) or a zero threshold (r16 verdict).
     val melted = pairs.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    shs.join(melted, "doc_id")
+    // SIZE-ADAPTIVE verify side (measured at the zsf10 anchor, r17):
+    // the planner's estimate-driven choice broadcast the CORPUS
+    // shingle frame (44 s); forcing shuffle_hash instead exchanged the
+    // corpus arrays (95 s). The cheap shape is broadcasting the
+    // candidate sliver — corpus streams map-side, zero corpus
+    // exchange, kernel runs once — with the counted checkpoint
+    // guarding the broadcast bound and the shuffled-hash fallback
+    // (build = candidate side) past it.
+    val meltedSide =
+      if (nPairs <= LshVerifyBroadcastMaxPairs) broadcast(melted)
+      else melted.hint("shuffle_hash")
+    shs.join(meltedSide, "doc_id")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(
         first(when(col("doc_id") === col("doc_a"), col("sh")),
@@ -838,6 +867,15 @@ object Dedup {
                          maxBucket: Int = 64): DataFrame = {
     val (incIds, verified) = hammingIncrementalVerified(incoming, corpus,
       idCol, hashCol, maxHamming, maxBucket)
+    hammingBestDecision(incIds, verified, idCol)
+  }
+
+  /** The shared decision tail of the Hamming incremental forms: best
+    * verified match per incoming id (lowest Hamming, lowest corpus
+    * id), every incoming id surfaced with its is_new verdict.
+    */
+  private[graft] def hammingBestDecision(incIds: DataFrame,
+      verified: DataFrame, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("inc_id"))
       .orderBy(col("hamming").asc, col("dup_id").asc)
@@ -1292,9 +1330,19 @@ object Dedup {
     // (pair, role) exists — the ignoreNulls first is deterministic;
     // the not-null filter replays the inner joins' missing-member drop
     // structurally (a candidate doc always has a hashed row today).
-    val melted = cand.select(col("doc_a"), col("doc_b"),
+    // checkpoint + count the candidate sliver and pick the verify-side
+    // strategy from the REAL count — the minhashLsh melt's
+    // size-adaptive shape (broadcast the sliver while it fits, build
+    // it in a shuffled-hash join past the bound; never let estimates
+    // broadcast or sort the corpus hash arrays)
+    val candC = cand.localCheckpoint()
+    val nCand = candC.count()
+    val melted = candC.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-    hashed.join(melted, "doc_id")
+    val meltedSide =
+      if (nCand <= LshVerifyBroadcastMaxPairs) broadcast(melted)
+      else melted.hint("shuffle_hash")
+    hashed.join(meltedSide, "doc_id")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(
         first(when(col("doc_id") === col("doc_a"), col("_hs")),

@@ -15,6 +15,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 object Par {
   def spread(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
+    // A/B'd at the zsf10 anchor (r17): firing only below cores/2 was a
+    // net LOSS — it saved ngram_jaccard's posting exchange (−15 s) but
+    // halved the effective parallelism of the kernel-heavy narrow rows
+    // (dedup_spans 14.8 → 42.6 s, lm_score 8.4 → 14.1 s), which is
+    // exactly the single-core starvation this guard exists to prevent.
+    // The `< cores` rule stays.
     if (estimatedSplits(df) < cores) df.repartition(cores) else df
   }
 
